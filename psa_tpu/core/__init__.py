@@ -1,0 +1,6 @@
+"""Core data structures and the SED engine."""
+from .trajectory import Trajectory
+from .sed import SED
+from .calculator import SEDCalculator
+
+__all__ = ["Trajectory", "SED", "SEDCalculator"]

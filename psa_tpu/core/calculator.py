@@ -1,0 +1,735 @@
+"""SEDCalculator — the analysis engine, with the reference's public API.
+
+API-compatible with the reference engine (reference:
+src/psa/core/sed_calculator.py:18-589): ``get_k_path``, ``get_k_grid``,
+``calculate``, ``calculate_chiral_phase``, ``ised`` accept the same arguments
+and produce the same numbers to 1e-6, but the compute path is JAX/XLA on TPU:
+
+  * group bookkeeping, k-path/k-grid generation and lattice setup are host-side
+    NumPy (tiny);
+  * per-(group, k-chunk) spectra run through :mod:`psa_tpu.ops.spectral`
+    (fused real-matmul projection + batched FFT on the MXU);
+  * the k axis is chunked with a fixed padded block so every chunk reuses one
+    compiled executable, and results stream back to a host-resident output
+    (the full 200×200-grid output can exceed HBM);
+  * trajectories whose device footprint exceeds ``max_device_bytes`` are
+    streamed over the atom axis (the contraction dimension) instead of being
+    HBM-resident.
+"""
+from __future__ import annotations
+
+import logging
+import os
+from pathlib import Path
+from typing import Dict, List, Optional, Tuple, Union
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..ops import spectral
+from ..utils.helpers import DirectionSpec, parse_direction
+from .sed import SED
+from .trajectory import Trajectory
+
+logger = logging.getLogger(__name__)
+
+_DEFAULT_MAX_DEVICE_BYTES = int(float(os.environ.get('PSA_TPU_MAX_DEVICE_BYTES', 8e9)))
+
+
+def _assemble_complex(re: np.ndarray, im: np.ndarray) -> np.ndarray:
+    """Zip (re, im) float32 halves into one complex64 array without upcasts."""
+    out = np.empty(re.shape, dtype=np.complex64)
+    out.real = re
+    out.imag = im
+    return out
+
+
+class SEDCalculator:
+    """Spectral-energy-density engine over a :class:`Trajectory`.
+
+    Args:
+        traj: trajectory to analyze.
+        nx, ny, nz: supercell counts defining primitive vectors a_i = L_i / n_i.
+        use_displacements: project displacements u(t)=r(t)−r̄ instead of velocities.
+        dt_ps: optional override of the trajectory timestep (deprecated in the
+            reference, kept for compatibility; reference sed_calculator.py:26-30).
+        precision: 'parity' (float32-exact matmuls, holds 1e-6 vs NumPy) or
+            'fast' (bf16 MXU passes; ~2× faster projection, ~1e-3 accuracy).
+    """
+
+    def __init__(self, traj: Trajectory, nx: int, ny: int, nz: int,
+                 use_displacements: bool = False, dt_ps: Optional[float] = None,
+                 precision: str = 'parity',
+                 max_device_bytes: int = _DEFAULT_MAX_DEVICE_BYTES):
+        if not (nx > 0 and ny > 0 and nz > 0):
+            raise ValueError("System dimensions (nx, ny, nz) must be positive.")
+        spectral.resolve_precision(precision)  # validate early
+        self.traj = traj
+        self.use_displacements = use_displacements
+        self.precision = precision
+        self.max_device_bytes = max_device_bytes
+
+        if dt_ps is not None:
+            logger.warning("Explicitly providing dt_ps to SEDCalculator is deprecated; "
+                           "it overrides the Trajectory's dt_ps.")
+            self.dt_ps = dt_ps
+        elif getattr(self.traj, 'dt_ps', None) is not None:
+            self.dt_ps = self.traj.dt_ps
+        else:
+            raise ValueError("Timestep dt_ps not found in Trajectory object and not provided to SEDCalculator.")
+        if self.dt_ps <= 0:
+            raise ValueError("Timestep dt_ps must be positive.")
+
+        # Primitive cell a_i = box row i / n_i; reciprocal b_i = 2π (a_j × a_k)/V
+        # (reference sed_calculator.py:40-56).
+        L1, L2, L3 = (self.traj.box_matrix[0, :], self.traj.box_matrix[1, :],
+                      self.traj.box_matrix[2, :])
+        self.a1, self.a2, self.a3 = L1 / nx, L2 / ny, L3 / nz
+        if any(np.linalg.norm(v) < 1e-9 for v in (self.a1, self.a2, self.a3)):
+            raise ValueError("One or more primitive vectors (a1,a2,a3) near zero. "
+                             "Check nx,ny,nz or box matrix.")
+
+        vol_prim = np.abs(np.dot(self.a1, np.cross(self.a2, self.a3)))
+        if np.isclose(vol_prim, 0):
+            mat_a = np.vstack([self.a1, self.a2, self.a3])
+            if np.linalg.matrix_rank(mat_a) < 3 or np.isclose(np.linalg.det(mat_a), 0):
+                raise ValueError(
+                    f"Primitive cell vectors coplanar/collinear; volume zero ({vol_prim:.2e}).")
+            logger.warning("Primitive cell volume very small (%.2e).", vol_prim)
+
+        self.b1 = (2 * np.pi / vol_prim) * np.cross(self.a2, self.a3)
+        self.b2 = (2 * np.pi / vol_prim) * np.cross(self.a3, self.a1)
+        self.b3 = (2 * np.pi / vol_prim) * np.cross(self.a1, self.a2)
+        self.recip_vecs_prim = np.vstack([self.b1, self.b2, self.b3]).astype(np.float32)
+
+        # Lazily computed / cached state.
+        self._mean_pos64: Optional[np.ndarray] = None
+        self._device_cache: Dict[bytes, tuple] = {}
+        self._device_cache_order: List[bytes] = []
+
+    # ------------------------------------------------------------------
+    # k-space generators (host side)
+    # ------------------------------------------------------------------
+
+    def get_k_path(self, direction_spec: DirectionSpec, bz_coverage: float, n_k: int,
+                   lat_param: Optional[float] = None) -> Tuple[np.ndarray, np.ndarray]:
+        """Linear k-path from Γ along ``direction_spec``.
+
+        k extent defaults to the largest |b_i · k̂| projection (directional BZ
+        coverage), falling back to 2π/|a1|, or 2π/lat_param when provided
+        (reference sed_calculator.py:86-125).
+        Returns (k_magnitudes (n_k,), k_vectors (n_k, 3)), float32.
+        """
+        k_dir_unit = parse_direction(direction_spec)
+
+        if lat_param is None or lat_param <= 1e-6:
+            projections = [abs(np.dot(k_dir_unit, b)) for b in (self.b1, self.b2, self.b3)]
+            max_projection = max(projections)
+            if max_projection > 1e-6:
+                recip_extent = max_projection
+                logger.info("Using directional reciprocal lattice projection (%.3f 2π/Å) for k-path.",
+                            recip_extent)
+            else:
+                norm_a1 = np.linalg.norm(self.a1)
+                if norm_a1 > 1e-6:
+                    recip_extent = 2 * np.pi / norm_a1
+                    logger.warning("Reciprocal projections too small, using |a1| fallback "
+                                   "(%.3f Å → %.3f 2π/Å).", norm_a1, recip_extent)
+                else:
+                    raise ValueError("Invalid/small lattice_param for k-path & reciprocal "
+                                     "projections too small for auto-detection.")
+        else:
+            recip_extent = 2 * np.pi / lat_param
+            logger.info("Using provided lattice parameter (%.3f Å → %.3f 2π/Å) for k-path.",
+                        lat_param, recip_extent)
+
+        k_max_val = bz_coverage * recip_extent
+        if n_k < 1:
+            raise ValueError("n_k (k-points) must be >= 1.")
+        if n_k > 1:
+            k_mags = np.linspace(0, k_max_val, n_k, dtype=np.float32)
+        else:
+            k_mags = np.array([0.0 if np.isclose(k_max_val, 0) else k_max_val], dtype=np.float32)
+        k_vecs = np.outer(k_mags, k_dir_unit).astype(np.float32)
+        return k_mags, k_vecs
+
+    def get_k_grid(self, plane: str, k_range_x: Tuple[float, float],
+                   k_range_y: Tuple[float, float], n_kx: int, n_ky: int,
+                   k_fixed_val: float = 0.0
+                   ) -> Tuple[np.ndarray, np.ndarray, Tuple[int, int]]:
+        """2D grid of 3D k-vectors on an axis-aligned plane.
+
+        Row-major ordering with the FIRST range varying slowest — the layout
+        the plotting layer's ``reshape(n_kx, n_ky)`` relies on (reference
+        sed_calculator.py:127-180 and sed_plotter.py:683,752).
+
+        Returns (empty_k_mags, k_vectors (n_kx·n_ky, 3), (n_kx, n_ky)).
+        """
+        if n_kx <= 0 or n_ky <= 0:
+            raise ValueError("Number of k-points (n_kx, n_ky) must be positive.")
+
+        c1 = np.linspace(k_range_x[0], k_range_x[1], n_kx, dtype=np.float32)
+        c2 = np.linspace(k_range_y[0], k_range_y[1], n_ky, dtype=np.float32)
+        outer = np.repeat(c1, n_ky)          # first component varies slowest
+        inner = np.tile(c2, n_kx)
+        fixed = np.full(n_kx * n_ky, k_fixed_val, dtype=np.float32)
+
+        plane_l = plane.lower()
+        if plane_l == 'xy':
+            cols = (outer, inner, fixed)     # (kx, ky, k_fixed)
+        elif plane_l == 'yz':
+            cols = (fixed, outer, inner)     # (k_fixed, ky, kz)
+        elif plane_l == 'zx':
+            cols = (inner, fixed, outer)     # (kx, k_fixed, kz); first range is kz
+        else:
+            raise ValueError(f"Invalid plane specified: {plane}. Must be 'xy', 'yz', or 'zx'.")
+
+        k_vectors_3d = np.stack(cols, axis=1).astype(np.float32)
+        return np.array([], dtype=np.float32), k_vectors_3d, (n_kx, n_ky)
+
+    # ------------------------------------------------------------------
+    # Group resolution (host side; exact reference semantics)
+    # ------------------------------------------------------------------
+
+    def _resolve_atom_groups(self,
+                             basis_atom_indices,
+                             basis_atom_types,
+                             summation_mode: str) -> List[np.ndarray]:
+        """Resolve basis specs to index groups (reference sed_calculator.py:209-266).
+
+        * types as list-of-lists -> one group per sublist
+        * types as flat int list -> incoherent: one singleton group per type;
+          coherent: a single union group
+        * indices as list / list-of-lists / 1-D ndarray, bounds-checked
+        * neither (or all empty) -> all atoms as one group
+        """
+        n_atoms_tot = self.traj.n_atoms
+        atom_groups: List[np.ndarray] = []
+
+        if basis_atom_types is not None:
+            if basis_atom_indices is not None:
+                logger.warning("Both basis_atom_types and basis_atom_indices provided. "
+                               "Using basis_atom_types.")
+            processed: List[List[int]] = []
+            if isinstance(basis_atom_types, list) and len(basis_atom_types) > 0:
+                if all(isinstance(item, list) for item in basis_atom_types):
+                    processed = basis_atom_types
+                elif all(isinstance(item, (int, np.integer)) for item in basis_atom_types):
+                    if summation_mode == 'incoherent':
+                        processed = [[int(t)] for t in basis_atom_types]
+                    else:
+                        processed = [[int(t) for t in basis_atom_types]]
+                else:
+                    raise ValueError("basis_atom_types must be a list of ints or a list of lists of ints.")
+            elif isinstance(basis_atom_types, (int, np.integer)):
+                processed = [[int(basis_atom_types)]]
+
+            for type_group in processed:
+                indices = np.where(np.isin(self.traj.types, type_group))[0]
+                if indices.size > 0:
+                    atom_groups.append(indices)
+                else:
+                    logger.warning("No atoms found for type group %s. Skipping.", type_group)
+
+        elif basis_atom_indices is not None:
+            processed_idx: List[np.ndarray] = []
+            if isinstance(basis_atom_indices, list):
+                if len(basis_atom_indices) == 0:
+                    pass
+                elif all(isinstance(item, list) for item in basis_atom_indices):
+                    for sublist in basis_atom_indices:
+                        arr = np.asarray(sublist, dtype=int)
+                        if arr.size > 0:
+                            processed_idx.append(arr)
+                elif all(isinstance(item, (int, np.integer)) for item in basis_atom_indices):
+                    arr = np.asarray(basis_atom_indices, dtype=int)
+                    if arr.size > 0:
+                        processed_idx.append(arr)
+                else:
+                    raise ValueError("basis_atom_indices must be a list of ints or a list of lists of ints.")
+            elif isinstance(basis_atom_indices, np.ndarray):
+                if basis_atom_indices.ndim == 1 and basis_atom_indices.size > 0:
+                    processed_idx.append(basis_atom_indices.astype(int))
+                else:
+                    logger.warning("Unsupported np.ndarray format for basis_atom_indices. "
+                                   "Using all atoms if no other basis defined.")
+
+            for grp_idx in processed_idx:
+                if np.any(grp_idx >= n_atoms_tot) or np.any(grp_idx < 0):
+                    raise ValueError("Atom indices in basis out of bounds.")
+                if grp_idx.size > 0:
+                    atom_groups.append(grp_idx)
+
+        if not atom_groups:
+            logger.debug("No specific basis provided; using all %d atoms as a single group.",
+                         n_atoms_tot)
+            atom_groups.append(np.arange(n_atoms_tot))
+            if summation_mode == 'incoherent' and n_atoms_tot > 0:
+                logger.info("Using all atoms. Incoherent sum will effectively be a "
+                            "coherent sum of all atoms.")
+        return atom_groups
+
+    # ------------------------------------------------------------------
+    # Device data management
+    # ------------------------------------------------------------------
+
+    @property
+    def mean_positions64(self) -> np.ndarray:
+        """Time-averaged positions r̄ in float64, cached.
+
+        The reference accumulates the mean in float32 (sed_calculator.py:205),
+        which injects ~|r̄|·2⁻²⁴ phase noise downstream; we keep f64 truth on
+        host and ship it to device as a split (hi, lo) f32 pair.
+        """
+        if self._mean_pos64 is None:
+            self._mean_pos64 = np.mean(self.traj.positions.astype(np.float64), axis=0)
+        return self._mean_pos64
+
+    @property
+    def mean_positions(self) -> np.ndarray:
+        """Time-averaged positions r̄ as float32 (API-compatible view)."""
+        return self.mean_positions64.astype(np.float32)
+
+    def _host_group_data(self, group_idx: np.ndarray):
+        """Host (data, mp_hi, mp_lo) for one group."""
+        mp_hi_all, mp_lo_all = spectral.split_f64(self.mean_positions64)
+        full = group_idx.size == self.traj.n_atoms and np.array_equal(
+            group_idx, np.arange(self.traj.n_atoms))
+        if full:
+            mp_hi, mp_lo = mp_hi_all, mp_lo_all
+            data = self.traj.positions if self.use_displacements else self.traj.velocities
+        else:
+            mp_hi, mp_lo = mp_hi_all[group_idx], mp_lo_all[group_idx]
+            data = (self.traj.positions[:, group_idx, :] if self.use_displacements
+                    else self.traj.velocities[:, group_idx, :])
+        return data, mp_hi, mp_lo
+
+    def _group_device_arrays(self, group_idx: np.ndarray):
+        """Device-resident (data, mp_hi, mp_lo) for a group, 2-entry LRU cache."""
+        key = group_idx.tobytes() + (b'D' if self.use_displacements else b'V')
+        if key in self._device_cache:
+            return self._device_cache[key]
+        data_host, mp_hi_host, mp_lo_host = self._host_group_data(group_idx)
+        data_dev = jnp.asarray(data_host, dtype=jnp.float32)
+        hi_dev = jnp.asarray(mp_hi_host, dtype=jnp.float32)
+        lo_dev = jnp.asarray(mp_lo_host, dtype=jnp.float32)
+        if self.use_displacements:
+            data_dev = spectral.displacement_data(data_dev, hi_dev, lo_dev)
+        self._device_cache[key] = (data_dev, hi_dev, lo_dev)
+        self._device_cache_order.append(key)
+        while len(self._device_cache_order) > 2:
+            evict = self._device_cache_order.pop(0)
+            self._device_cache.pop(evict, None)
+        return self._device_cache[key]
+
+    def _group_bytes(self, group_idx: np.ndarray) -> int:
+        return 4 * self.traj.n_frames * int(group_idx.size) * 3
+
+    # ------------------------------------------------------------------
+    # Core spectrum computation for one group / one k-chunk
+    # ------------------------------------------------------------------
+
+    def _group_spectrum_np(self, group_idx: np.ndarray, k_chunk: np.ndarray,
+                           want_intensity: bool) -> np.ndarray:
+        """Spectrum (or intensity) of one atom group on one k-chunk, as NumPy."""
+        n_t = self.traj.n_frames
+        if group_idx.size == 0:
+            if want_intensity:
+                return np.zeros((n_t, len(k_chunk)), dtype=np.float32)
+            return np.zeros((n_t, len(k_chunk), 3), dtype=np.complex64)
+
+        if self._group_bytes(group_idx) > self.max_device_bytes:
+            re_dev, im_dev = self._streamed_spectrum(group_idx, k_chunk)
+            if want_intensity:
+                return np.asarray(jnp.sum(re_dev * re_dev + im_dev * im_dev, axis=-1),
+                                  dtype=np.float32)
+            return _assemble_complex(np.asarray(re_dev), np.asarray(im_dev))
+
+        data_dev, hi_dev, lo_dev = self._group_device_arrays(group_idx)
+        k_dev = jnp.asarray(k_chunk, dtype=jnp.float32)
+        if want_intensity:
+            return np.asarray(spectral.sed_intensity(
+                data_dev, hi_dev, lo_dev, k_dev, precision=self.precision))
+        re_dev, im_dev = spectral.sed_spectrum(data_dev, hi_dev, lo_dev, k_dev,
+                                               precision=self.precision)
+        return _assemble_complex(np.asarray(re_dev), np.asarray(im_dev))
+
+    def _streamed_spectrum(self, group_idx: np.ndarray, k_chunk: np.ndarray):
+        """Atom-streamed projection for groups too large for HBM residency."""
+        n_t = self.traj.n_frames
+        n_k = len(k_chunk)
+        # Atom chunk sized so (n_t, chunk, 3) stays well under the budget,
+        # leaving room for the (n_t, 3, 2K) accumulator and double buffering.
+        budget = max(self.max_device_bytes // 4, 1 << 20)
+        chunk_atoms = max(1, min(int(group_idx.size), budget // max(1, 4 * n_t * 3)))
+        logger.info("Streaming %d atoms in chunks of %d over %d k-points.",
+                    group_idx.size, chunk_atoms, n_k)
+
+        mean_pos64 = self.mean_positions64
+
+        def data_chunks():
+            for start in range(0, group_idx.size, chunk_atoms):
+                idx = group_idx[start:start + chunk_atoms]
+                if self.use_displacements:
+                    chunk = (self.traj.positions[:, idx, :].astype(np.float64)
+                             - mean_pos64[idx][None, :, :]).astype(np.float32)
+                else:
+                    chunk = self.traj.velocities[:, idx, :]
+                if idx.size < chunk_atoms:  # zero-pad: zero data adds nothing
+                    pad = chunk_atoms - idx.size
+                    chunk = np.concatenate(
+                        [chunk, np.zeros((n_t, pad, 3), dtype=np.float32)], axis=1)
+                yield chunk
+
+        def mp_chunks():
+            for start in range(0, group_idx.size, chunk_atoms):
+                idx = group_idx[start:start + chunk_atoms]
+                mp64 = mean_pos64[idx]
+                if idx.size < chunk_atoms:
+                    pad = chunk_atoms - idx.size
+                    mp64 = np.concatenate([mp64, np.zeros((pad, 3))], axis=0)
+                yield spectral.split_f64(mp64)
+
+        return spectral.sed_spectrum_streamed(data_chunks(), mp_chunks(),
+                                              np.asarray(k_chunk, dtype=np.float32),
+                                              n_t, precision=self.precision)
+
+    # ------------------------------------------------------------------
+    # Public: calculate
+    # ------------------------------------------------------------------
+
+    def calculate(self, k_points_mags: np.ndarray, k_vectors_3d: np.ndarray,
+                  basis_atom_indices: Optional[Union[List[int], List[List[int]], np.ndarray]] = None,
+                  basis_atom_types: Optional[Union[List[int], List[List[int]]]] = None,
+                  summation_mode: str = 'coherent',
+                  k_grid_shape: Optional[Tuple[int, int]] = None,
+                  k_chunk_size: int = 500) -> SED:
+        """Compute the SED over the given k-set.
+
+        Semantics match the reference (sed_calculator.py:182-336): coherent
+        mode (or a single group) returns complex Φ (n_freq, n_k, 3); incoherent
+        mode returns Σ_groups Σ_α |Φ|² (n_freq, n_k) float32.  ``k_chunk_size``
+        bounds device memory; every chunk is padded to a fixed block so the
+        kernel compiles exactly once per (group-size, block) shape.
+        """
+        if summation_mode not in ('coherent', 'incoherent'):
+            raise ValueError(f"summation_mode must be 'coherent' or 'incoherent', got {summation_mode}")
+
+        n_t, n_atoms_tot = self.traj.n_frames, self.traj.n_atoms
+        if n_t == 0 or n_atoms_tot == 0:
+            logger.warning("Cannot calculate SED: 0 frames or 0 atoms.")
+            return SED(np.array([], dtype=np.complex64).reshape(0, 0, 3),
+                       np.array([], dtype=np.float32), k_points_mags, k_vectors_3d,
+                       k_grid_shape=k_grid_shape, is_complex=True, phase=None)
+
+        freqs = spectral.fftfreq_thz(n_t, self.dt_ps)
+        atom_groups = self._resolve_atom_groups(basis_atom_indices, basis_atom_types,
+                                                summation_mode)
+
+        num_k = len(k_vectors_3d)
+        block = min(max(1, k_chunk_size), num_k) if num_k > 0 else 1
+        # Round the compiled block up to a multiple of 64 k-points: the [cos|sin]
+        # table then spans a multiple of 128 lanes (TPU tile width), and unrelated
+        # n_k values share one compiled executable per group size.
+        padded_block = ((block + 63) // 64) * 64
+        num_chunks = (num_k + block - 1) // block if num_k > 0 else 0
+
+        is_complex_output = summation_mode == 'coherent' or len(atom_groups) <= 1
+        if is_complex_output:
+            full_sed = np.zeros((len(freqs), num_k, 3), dtype=np.complex64)
+            if len(atom_groups) > 1:
+                union = np.unique(np.concatenate(atom_groups)).astype(int)
+            elif len(atom_groups) == 1:
+                union = atom_groups[0]
+            else:
+                union = np.array([], dtype=int)
+        else:
+            full_sed = np.zeros((len(freqs), num_k), dtype=np.float32)
+
+        if num_k == 0:
+            logger.warning("k_vectors_3d is empty. Returning SED object with empty SED data.")
+
+        for i_chunk in range(num_chunks):
+            start = i_chunk * block
+            end = min(start + block, num_k)
+            k_chunk = np.asarray(k_vectors_3d[start:end], dtype=np.float32)
+            pad = padded_block - (end - start)
+            if pad:
+                # Pad to the fixed block so this chunk reuses the compiled kernel;
+                # padded k rows are discarded below.
+                k_chunk = np.concatenate([k_chunk, np.zeros((pad, 3), dtype=np.float32)], axis=0)
+
+            logger.debug("Processing k-chunk %d/%d (indices %d-%d)", i_chunk + 1, num_chunks,
+                         start, end - 1)
+
+            if is_complex_output:
+                if union.size == 0:
+                    logger.warning("Final atom group for SED k-chunk %d is empty; chunk stays zero.",
+                                   i_chunk + 1)
+                    continue
+                chunk_out = self._group_spectrum_np(union, k_chunk, want_intensity=False)
+                full_sed[:, start:end, :] = chunk_out[:, :end - start, :]
+            else:
+                acc = np.zeros((len(freqs), end - start), dtype=np.float32)
+                for i_grp, grp_idx in enumerate(atom_groups):
+                    if grp_idx.size == 0:
+                        continue
+                    inten = self._group_spectrum_np(grp_idx, k_chunk, want_intensity=True)
+                    acc += inten[:, :end - start]
+                full_sed[:, start:end] = acc
+
+        return SED(full_sed, freqs, k_points_mags, k_vectors_3d,
+                   k_grid_shape=k_grid_shape, is_complex=is_complex_output, phase=None,
+                   dt_ps=self.dt_ps)
+
+    # ------------------------------------------------------------------
+    # Chiral phase
+    # ------------------------------------------------------------------
+
+    def calculate_chiral_phase(self, Z1: np.ndarray, Z2: np.ndarray,
+                               angle_range_opt: str = 'C') -> np.ndarray:
+        """Phase difference map of two complex spectra (reference
+        sed_calculator.py:338-371; options A and B are vectorized here instead
+        of per-element Python loops, with identical semantics)."""
+        if Z1.shape != Z2.shape:
+            raise ValueError("Z1 and Z2 shapes must match for chiral phase.")
+        if Z1.size == 0:
+            return np.array([], dtype=np.float32).reshape(Z1.shape)
+        if angle_range_opt not in ('A', 'B', 'C'):
+            logger.warning("Unknown angle_range_opt '%s'. Angle=0.", angle_range_opt)
+            return np.zeros(Z1.shape, dtype=np.float32)
+        # Complex arrays are split into re/im on host: some TPU runtimes cannot
+        # transfer complex dtypes across the host/device boundary.
+        z1 = np.asarray(Z1)
+        z2 = np.asarray(Z2)
+        out = spectral.chiral_phase(
+            jnp.asarray(np.ascontiguousarray(z1.real, dtype=np.float32)),
+            jnp.asarray(np.ascontiguousarray(z1.imag, dtype=np.float32)),
+            jnp.asarray(np.ascontiguousarray(z2.real, dtype=np.float32)),
+            jnp.asarray(np.ascontiguousarray(z2.imag, dtype=np.float32)),
+            angle_range_opt=angle_range_opt)
+        return np.asarray(out, dtype=np.float32)
+
+    # ------------------------------------------------------------------
+    # iSED reconstruction
+    # ------------------------------------------------------------------
+
+    def ised(self, k_dir_spec: DirectionSpec, k_target: float, w_target: float,
+             char_len_k_path: float, nk_on_path: int = 100, bz_cov_ised: float = 1.0,
+             basis_atom_idx_ised: Optional[List[int]] = None,
+             basis_atom_types_ised: Optional[List[int]] = None,
+             rescale_factor: Union[str, float] = 1.0, n_recon_frames: int = 100,
+             dump_filepath: str = 'iSED_reconstruction.dump',
+             plot_dir_ised: Optional[Path] = None, plot_max_freq: Optional[float] = None,
+             plot_theme: str = 'light') -> None:
+        """Inverse SED: reconstruct real-space motion of the mode nearest
+        (k_target, w_target) and export a LAMMPS dump animation (reference
+        sed_calculator.py:373-589)."""
+        from ..io.writer import out_to_qdump  # local import: io layer sits above core
+
+        logger.info("Starting iSED reconstruction.")
+        avg_pos = self.mean_positions
+        sys_atom_types = self.traj.types.astype(int)
+        n_atoms_total = self.traj.n_atoms
+        k_dir_unit = parse_direction(k_dir_spec)
+
+        recon_atom_groups = self._resolve_ised_groups(basis_atom_idx_ised,
+                                                      basis_atom_types_ised, n_atoms_total,
+                                                      sys_atom_types)
+        if not recon_atom_groups:
+            logger.error("iSED: No atom groups for reconstruction. Aborting.")
+            return
+
+        k_mags_ised, k_vecs_ised = self.get_k_path(direction_spec=k_dir_unit,
+                                                   bz_coverage=bz_cov_ised,
+                                                   n_k=nk_on_path, lat_param=char_len_k_path)
+
+        wiggles = np.zeros((n_recon_frames, n_atoms_total, 4), dtype=np.float32)
+        time_p = np.linspace(0, 2 * np.pi, n_recon_frames, endpoint=False).astype(np.float32)
+        pos_proj_k_dir = np.dot(avg_pos, k_dir_unit)
+
+        k_match_idx = int(np.argmin(np.abs(k_mags_ised - k_target)))
+        k_actual = float(k_mags_ised[k_match_idx])
+        logger.info("iSED: Target k=%.4f -> Matched k=%.4f (2π/Å, idx %d)",
+                    k_target, k_actual, k_match_idx)
+
+        recon_done, max_wiggle_amp_all = False, 0.0
+        std_dev_sum, n_atoms_recon_sum = 0.0, 0
+        ised_input_intensity_plot, ised_input_freqs_plot = None, None
+
+        for i_grp, grp_atom_idx in enumerate(recon_atom_groups):
+            if grp_atom_idx.size == 0:
+                continue
+            logger.info("iSED Group %d/%d: %d atoms (types: %s).", i_grp + 1,
+                        len(recon_atom_groups), len(grp_atom_idx),
+                        np.unique(sys_atom_types[grp_atom_idx]))
+            sed_obj = self.calculate(k_points_mags=k_mags_ised, k_vectors_3d=k_vecs_ised,
+                                     basis_atom_indices=grp_atom_idx, k_grid_shape=None,
+                                     summation_mode='coherent')
+            sed_group_data = sed_obj.sed
+            freqs_group = sed_obj.freqs
+
+            if ised_input_freqs_plot is None:
+                ised_input_freqs_plot = freqs_group
+            elif not np.array_equal(ised_input_freqs_plot, freqs_group):
+                logger.warning("iSED group freq arrays differ. Plotting may be inconsistent.")
+
+            grp_intensity = np.sum(np.abs(sed_group_data) ** 2, axis=-1)
+            if ised_input_intensity_plot is None:
+                ised_input_intensity_plot = grp_intensity.copy()
+            elif ised_input_intensity_plot.shape == grp_intensity.shape:
+                ised_input_intensity_plot += grp_intensity
+            else:
+                logger.warning("iSED group intensity shape mismatch (group %d). Skipping accumulation.",
+                               i_grp + 1)
+
+            w_match_idx = int(np.argmin(np.abs(freqs_group - w_target)))
+            w_actual = float(freqs_group[w_match_idx])
+            logger.info("  iSED Group %d: Target ω=%.3f -> Matched ω=%.3f (THz, idx %d)",
+                        i_grp + 1, w_target, w_actual, w_match_idx)
+
+            # Synthesize the mode motion for all three polarizations on device.
+            amps = np.ascontiguousarray(sed_group_data[w_match_idx, k_match_idx, :],
+                                        dtype=np.complex64)
+            proj_grp = pos_proj_k_dir[grp_atom_idx].astype(np.float32)
+            motion = np.asarray(spectral.synthesize_mode_motion(
+                jnp.asarray(amps.real.astype(np.float32)),
+                jnp.asarray(amps.imag.astype(np.float32)),
+                jnp.asarray(proj_grp), jnp.float32(k_actual), jnp.asarray(time_p)))
+            wiggles[:, grp_atom_idx, :3] += motion
+
+            recon_done = True
+            if isinstance(rescale_factor, str) and rescale_factor.lower() == 'auto':
+                max_amp_grp = float(np.amax(np.abs(wiggles[:, grp_atom_idx, :3]))) \
+                    if grp_atom_idx.size > 0 else 0.0
+                max_wiggle_amp_all = max(max_wiggle_amp_all, max_amp_grp)
+                if grp_atom_idx.size > 0:
+                    orig_disp_grp = self.traj.positions[:, grp_atom_idx, :] - avg_pos[None, grp_atom_idx, :]
+                    std_dev_sum += float(np.std(orig_disp_grp)) * len(grp_atom_idx)
+                    n_atoms_recon_sum += len(grp_atom_idx)
+
+        if not recon_done:
+            logger.error("iSED: No reconstruction performed (empty atom groups?).")
+            return
+
+        wiggles[0, :, 3] = sys_atom_types
+        nonempty = [g for g in recon_atom_groups if g.size > 0]
+        all_recon_idx = np.unique(np.concatenate(nonempty)) if nonempty else np.array([])
+
+        if all_recon_idx.size > 0:
+            if isinstance(rescale_factor, str) and rescale_factor.lower() == 'auto':
+                if max_wiggle_amp_all > 1e-9:
+                    wiggles[:, all_recon_idx, :3] /= max_wiggle_amp_all
+                    avg_std = std_dev_sum / n_atoms_recon_sum if n_atoms_recon_sum > 0 else 0.0
+                    if avg_std > 1e-9:
+                        wiggles[:, all_recon_idx, :3] *= avg_std
+                    logger.info("iSED: Auto-rescaled. Max amp: %.3e, Avg StdDev scale: %.3e",
+                                max_wiggle_amp_all, avg_std)
+                else:
+                    logger.warning("iSED: Max wiggle amp near zero. Auto-rescaling ineffective.")
+            elif isinstance(rescale_factor, (int, float)):
+                wiggles[:, all_recon_idx, :3] *= rescale_factor
+                logger.info("iSED: Rescaled wiggles by factor %s.", rescale_factor)
+        else:
+            logger.warning("iSED: No atoms reconstructed, skipping rescaling.")
+
+        final_pos_dump = avg_pos[None, :, :] + wiggles[:, :, :3]
+        atom_types_dump = wiggles[0, :, 3].astype(int)
+        out_to_qdump(dump_filepath, final_pos_dump, atom_types_dump, self.traj.box_matrix)
+        logger.info("iSED reconstruction saved: %s", dump_filepath)
+
+        if plot_dir_ised and ised_input_intensity_plot is not None and ised_input_freqs_plot is not None:
+            self._plot_ised_spectrum(plot_dir_ised, ised_input_intensity_plot,
+                                     ised_input_freqs_plot, k_mags_ised, k_vecs_ised,
+                                     k_dir_spec, k_target, w_target, k_actual,
+                                     plot_max_freq, plot_theme)
+        elif plot_dir_ised:
+            logger.warning("iSED plot requested, but no combined SED data available.")
+
+    def _resolve_ised_groups(self, basis_atom_idx_ised, basis_atom_types_ised,
+                             n_atoms_total: int, sys_atom_types: np.ndarray) -> List[np.ndarray]:
+        """iSED group resolution (reference sed_calculator.py:389-433).
+
+        Differs from :meth:`_resolve_atom_groups`: a flat type list yields one
+        group PER TYPE (not a union), and index lists take precedence.
+        """
+        groups: List[np.ndarray] = []
+        if basis_atom_idx_ised and len(basis_atom_idx_ised) > 0:
+            if isinstance(basis_atom_idx_ised[0], list):
+                for grp_idx in basis_atom_idx_ised:
+                    grp_arr = np.asarray(grp_idx, dtype=int)
+                    if np.any(grp_arr >= n_atoms_total) or np.any(grp_arr < 0):
+                        raise ValueError(f"Atom indices in group {grp_idx} out of bounds.")
+                    if grp_arr.size > 0:
+                        groups.append(grp_arr)
+            else:
+                grp_arr = np.asarray(basis_atom_idx_ised, dtype=int)
+                if np.any(grp_arr >= n_atoms_total) or np.any(grp_arr < 0):
+                    raise ValueError("Atom indices out of bounds.")
+                if grp_arr.size > 0:
+                    groups.append(grp_arr)
+            if basis_atom_types_ised and len(basis_atom_types_ised) > 0:
+                logger.warning("iSED: atom_indices and atom_types provided. Using atom_indices.")
+        elif basis_atom_types_ised and len(basis_atom_types_ised) > 0:
+            if isinstance(basis_atom_types_ised[0], list):
+                for type_grp in basis_atom_types_ised:
+                    grp_idx = np.where(np.isin(sys_atom_types, type_grp))[0]
+                    if grp_idx.size > 0:
+                        groups.append(grp_idx)
+                    else:
+                        logger.warning("No atoms for type group %s in iSED.", type_grp)
+            else:
+                for atom_type_val in basis_atom_types_ised:
+                    grp_idx = np.where(np.isin(sys_atom_types, [atom_type_val]))[0]
+                    if grp_idx.size > 0:
+                        groups.append(grp_idx)
+                    else:
+                        logger.warning("No atoms for type %s in iSED.", atom_type_val)
+        else:
+            logger.info("iSED using all atoms as a single group.")
+            groups.append(np.arange(n_atoms_total))
+        return groups
+
+    def _plot_ised_spectrum(self, plot_dir_ised, intensity, freqs, k_mags, k_vecs,
+                            k_dir_spec, k_target, w_target, k_actual,
+                            plot_max_freq, plot_theme) -> None:
+        """Incoherently summed input-spectrum plot with the target marker
+        (reference sed_calculator.py:540-588)."""
+        from ..visualization import SEDPlotter  # local import: viz sits above core
+
+        logger.info("Plotting iSED input spectrum (incoherently summed groups).")
+        mock = np.zeros((*intensity.shape, 3), dtype=np.complex64)
+        mock[:, :, 0] = np.sqrt(intensity + 1e-20)
+        plot_obj = SED(sed=mock, freqs=freqs, k_points=k_mags, k_vectors=k_vecs,
+                       is_complex=True)
+
+        if isinstance(k_dir_spec, str):
+            k_dir_str = k_dir_spec.replace(" ", "_").replace("/", "-")
+        elif isinstance(k_dir_spec, (list, tuple, np.ndarray)):
+            arr = np.asarray(k_dir_spec)
+            k_dir_str = f"({','.join(f'{x:.2f}' for x in arr)})"
+        elif isinstance(k_dir_spec, dict):
+            k_dir_str = (f"(h{k_dir_spec.get('h', 0)}_k{k_dir_spec.get('k', 0)}"
+                         f"_l{k_dir_spec.get('l', 0)})")
+        else:
+            k_dir_str = str(k_dir_spec)
+        for ch in '[]()':
+            k_dir_str = k_dir_str.replace(ch, '')
+
+        k_target_str = f"{k_target:.2f}".replace('.', 'p')
+        w_target_str = f"{w_target:.2f}".replace('.', 'p')
+        fname = Path(plot_dir_ised) / f"iSED_{k_dir_str}_{k_target_str}_{w_target_str}.png"
+
+        w_idx = int(np.argmin(np.abs(freqs - w_target)))
+        w_actual = float(freqs[w_idx])
+        max_freq = plot_max_freq
+        if max_freq is None and freqs.size > 0:
+            max_freq = float(np.max(freqs))
+
+        SEDPlotter(plot_obj, '2d_intensity', str(fname),
+                   title=f"Summed iSED Input Spectrum (k≈{k_actual:.3f}, ω≈{w_actual:.3f})",
+                   direction_label=k_dir_str,
+                   highlight_region={'k_point_target': k_actual, 'freq_point_target': w_actual},
+                   max_freq=max_freq, intensity_scale='sqrt', theme=plot_theme).generate_plot()
+        logger.info("iSED input spectrum plot saved: %s", fname.name)

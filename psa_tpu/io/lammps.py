@@ -1,0 +1,234 @@
+"""Native LAMMPS text-dump reader.
+
+The reference delegates all trajectory parsing to OVITO (reference:
+src/psa/io/loader.py:81-361) and therefore needs a subprocess dance in GUI
+contexts.  Here the default path is a self-contained vectorized parser — no
+OVITO, no subprocess — reading the classic dump layout the framework itself
+writes (see :func:`psa_tpu.io.writer.out_to_qdump` and the reference GUI's own
+re-parser, psa_gui.py:1396-1455):
+
+    ITEM: TIMESTEP
+    <t>
+    ITEM: NUMBER OF ATOMS
+    <n>
+    ITEM: BOX BOUNDS [xy xz yz] pp pp pp
+    xlo xhi [xy]
+    ylo yhi [xz]
+    zlo zhi [yz]
+    ITEM: ATOMS id type x y z [vx vy vz ...]
+    ...
+
+Numbers are parsed per frame with ``np.fromstring``-style bulk conversion,
+not per-line Python loops.  Unwrapped coordinates (xu/yu/zu) are preferred
+over wrapped (x/y/z) when present; scaled coordinates (xs/ys/zs) are
+unscaled through the box matrix.
+"""
+from __future__ import annotations
+
+import logging
+from pathlib import Path
+from typing import Dict, List, Optional, Tuple
+
+import numpy as np
+
+logger = logging.getLogger(__name__)
+
+_POS_CANDIDATES = (('xu', 'yu', 'zu'), ('x', 'y', 'z'), ('xs', 'ys', 'zs'))
+_VEL_COLS = ('vx', 'vy', 'vz')
+
+
+class LammpsDumpFrame:
+    __slots__ = ('timestep', 'box_matrix', 'positions', 'velocities', 'types', 'ids')
+
+    def __init__(self, timestep, box_matrix, positions, velocities, types, ids):
+        self.timestep = timestep
+        self.box_matrix = box_matrix
+        self.positions = positions
+        self.velocities = velocities
+        self.types = types
+        self.ids = ids
+
+
+def _parse_box(bounds_lines: List[str], triclinic: bool) -> np.ndarray:
+    """BOX BOUNDS lines -> 3x3 upper-triangular cell matrix.
+
+    LAMMPS writes *bound* extents for triclinic cells:
+        xlo_bound = xlo + min(0, xy, xz, xy+xz),  xhi_bound = xhi + max(...)
+    which we invert to recover the cell matrix
+        [[lx, xy, xz], [0, ly, yz], [0, 0, lz]].
+    """
+    rows = [[float(v) for v in ln.split()] for ln in bounds_lines]
+    if triclinic:
+        (xlo_b, xhi_b, xy), (ylo_b, yhi_b, xz), (zlo_b, zhi_b, yz) = rows
+        xlo = xlo_b - min(0.0, xy, xz, xy + xz)
+        xhi = xhi_b - max(0.0, xy, xz, xy + xz)
+        ylo = ylo_b - min(0.0, yz)
+        yhi = yhi_b - max(0.0, yz)
+        zlo, zhi = zlo_b, zhi_b
+    else:
+        (xlo, xhi), (ylo, yhi), (zlo, zhi) = [(r[0], r[1]) for r in rows]
+        xy = xz = yz = 0.0
+    return np.array([[xhi - xlo, xy, xz],
+                     [0.0, yhi - ylo, yz],
+                     [0.0, 0.0, zhi - zlo]], dtype=np.float32)
+
+
+def iter_lammps_frames(filepath: Path):
+    """Yield LammpsDumpFrame objects one by one (streaming; O(frame) memory)."""
+    filepath = Path(filepath)
+    with open(filepath, 'r') as f:
+        line = f.readline()
+        while line:
+            if not line.startswith('ITEM: TIMESTEP'):
+                line = f.readline()
+                continue
+            timestep = int(f.readline().split()[0])
+            header = f.readline()
+            if not header.startswith('ITEM: NUMBER OF ATOMS'):
+                raise ValueError(f"Malformed dump {filepath.name}: expected NUMBER OF ATOMS")
+            n_atoms = int(f.readline().split()[0])
+            bounds_header = f.readline()
+            if not bounds_header.startswith('ITEM: BOX BOUNDS'):
+                raise ValueError(f"Malformed dump {filepath.name}: expected BOX BOUNDS")
+            triclinic = 'xy' in bounds_header
+            bounds_lines = [f.readline() for _ in range(3)]
+            box_matrix = _parse_box(bounds_lines, triclinic)
+
+            atoms_header = f.readline()
+            if not atoms_header.startswith('ITEM: ATOMS'):
+                raise ValueError(f"Malformed dump {filepath.name}: expected ATOMS")
+            columns = atoms_header.split()[2:]
+            col_idx = {c: i for i, c in enumerate(columns)}
+
+            body = ''.join(f.readline() for _ in range(n_atoms))
+            table = np.fromstring(body, dtype=np.float64, sep=' ').reshape(n_atoms, len(columns))
+
+            ids = table[:, col_idx['id']].astype(np.int64) if 'id' in col_idx \
+                else np.arange(1, n_atoms + 1)
+            order = np.argsort(ids, kind='stable')
+            table = table[order]
+            ids = ids[order]
+
+            types = table[:, col_idx['type']].astype(np.int32) if 'type' in col_idx \
+                else np.ones(n_atoms, dtype=np.int32)
+
+            pos = None
+            for cand in _POS_CANDIDATES:
+                if all(c in col_idx for c in cand):
+                    pos = table[:, [col_idx[c] for c in cand]].astype(np.float32)
+                    if cand[0] == 'xs':  # scaled -> Cartesian via cell matrix
+                        pos = (pos @ box_matrix).astype(np.float32)
+                    break
+            if pos is None:
+                raise ValueError(f"Dump {filepath.name} has no position columns "
+                                 f"(looked for {_POS_CANDIDATES}); columns: {columns}")
+
+            vel = None
+            if all(c in col_idx for c in _VEL_COLS):
+                vel = table[:, [col_idx[c] for c in _VEL_COLS]].astype(np.float32)
+
+            yield LammpsDumpFrame(timestep, box_matrix, pos, vel, types, ids)
+            line = f.readline()
+
+
+def unwrap_positions(positions: np.ndarray, box_matrix: np.ndarray) -> np.ndarray:
+    """Minimum-image unwrap across frames (OVITO's UnwrapTrajectoriesModifier
+    analog, reference loader.py:278): accumulate per-frame displacements with
+    each component folded to (-L/2, L/2] in fractional coordinates."""
+    h = box_matrix.astype(np.float64)
+    h_inv = np.linalg.inv(h)
+    frac = positions.astype(np.float64) @ h_inv          # (n_t, n_a, 3) fractional
+    dfrac = np.diff(frac, axis=0)
+    dfrac -= np.round(dfrac)                             # minimum-image steps
+    unwrapped_frac = np.concatenate([frac[:1], frac[:1] + np.cumsum(dfrac, axis=0)], axis=0)
+    return (unwrapped_frac @ h).astype(np.float32)
+
+
+def read_lammps_dump(filepath: Path, unwrap: bool = True
+                     ) -> Tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
+    """Read a full dump into arrays.
+
+    Returns (positions (n_t, n_a, 3) f32, velocities (n_t, n_a, 3) f32,
+    types (n_a,) i32, timesteps (n_t,) f32-able ints, box_matrix (3,3) f32).
+    Velocities are zeros when the dump has no vx/vy/vz (reference
+    loader.py:302-304 behavior).
+    """
+    frames = list(iter_lammps_frames(filepath))
+    if not frames:
+        raise ValueError(f"No frames found in {filepath}")
+    n_t = len(frames)
+    n_a = frames[0].positions.shape[0]
+    box_matrix = frames[0].box_matrix
+    types = frames[0].types
+
+    positions = np.zeros((n_t, n_a, 3), dtype=np.float32)
+    velocities = np.zeros((n_t, n_a, 3), dtype=np.float32)
+    timesteps = np.zeros(n_t, dtype=np.int64)
+    has_vel = frames[0].velocities is not None
+    for i, fr in enumerate(frames):
+        if fr.positions.shape[0] != n_a:
+            raise ValueError(f"Frame {i} has {fr.positions.shape[0]} atoms, expected {n_a}")
+        positions[i] = fr.positions
+        if has_vel and fr.velocities is not None:
+            velocities[i] = fr.velocities
+        timesteps[i] = fr.timestep
+    if not has_vel:
+        logger.warning("No velocity data found in %s. Velocities set to zero.", filepath)
+
+    if unwrap and n_t > 1:
+        positions = unwrap_positions(positions, box_matrix)
+
+    return positions, velocities, types, timesteps, box_matrix
+
+
+def read_vasp_outcar(filepath: Path
+                     ) -> Tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
+    """Minimal VASP OUTCAR trajectory reader (lattice + POSITION blocks).
+
+    Covers the MD-trajectory case the reference handled through OVITO's
+    'vasp/outcar' importer (reference loader.py:92-93).  Velocities are not
+    present in OUTCAR position blocks and are returned as zeros — use
+    displacement-mode SED for such data.
+    """
+    lattice = None
+    n_ions = None
+    types_list: List[int] = []
+    positions_frames: List[np.ndarray] = []
+
+    with open(filepath, 'r') as f:
+        lines = f.readlines()
+
+    i = 0
+    ions_per_type: List[int] = []
+    while i < len(lines):
+        ln = lines[i]
+        if 'ions per type' in ln:
+            ions_per_type = [int(x) for x in ln.split('=')[1].split()]
+        elif 'direct lattice vectors' in ln:
+            lattice = np.array([[float(v) for v in lines[i + 1 + r].split()[:3]]
+                                for r in range(3)], dtype=np.float32)
+        elif 'number of ions' in ln and 'NIONS' in ln:
+            n_ions = int(ln.split()[-1])
+        elif ln.strip().startswith('POSITION') and 'TOTAL-FORCE' in ln:
+            if n_ions is None:
+                raise ValueError("OUTCAR: POSITION block before NIONS")
+            block = lines[i + 2: i + 2 + n_ions]
+            pos = np.array([[float(v) for v in row.split()[:3]] for row in block],
+                           dtype=np.float32)
+            positions_frames.append(pos)
+            i += 1 + n_ions
+        i += 1
+
+    if lattice is None or not positions_frames:
+        raise ValueError(f"Could not parse OUTCAR trajectory from {filepath}")
+    n_a = positions_frames[0].shape[0]
+    for t, ions in enumerate(ions_per_type, start=1):
+        types_list.extend([t] * ions)
+    types = np.array(types_list[:n_a] or [1] * n_a, dtype=np.int32)
+    if types.size != n_a:
+        types = np.ones(n_a, dtype=np.int32)
+
+    positions = np.stack(positions_frames).astype(np.float32)
+    velocities = np.zeros_like(positions)
+    timesteps = np.arange(len(positions_frames), dtype=np.int64)
+    return positions, velocities, types, timesteps, lattice

@@ -1,0 +1,106 @@
+"""Synthetic MD trajectory generators with known phonon physics.
+
+The reference ships no test fixtures that exercise the engine; its examples
+require external LAMMPS data.  These generators fill that gap: closed-form
+lattice-dynamics trajectories whose SED has an analytically known dispersion,
+used by the golden parity tests, the benchmark harness, and the examples.
+
+Physics: a 1D monatomic chain with nearest-neighbor springs has
+    ω(k) = ω_max · |sin(k a / 2)|,   ω_max = 2 √(κ/m)
+so synthesizing atomic motion from a set of chain normal modes produces a
+trajectory whose SED must peak exactly on that curve — a checkable oracle.
+"""
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Optional, Tuple
+
+import numpy as np
+
+from ..core.trajectory import Trajectory, make_box_arrays
+
+
+def monatomic_chain_modes(n_cells: int, a: float = 2.5, omega_max_thz: float = 10.0,
+                          n_modes: Optional[int] = None, seed: int = 0
+                          ) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Normal modes of a 1D chain: (k values, ω(k) in THz·2π rad/ps, amplitudes)."""
+    rng = np.random.default_rng(seed)
+    n_modes = n_modes or max(1, n_cells // 2)
+    mode_idx = rng.choice(np.arange(1, n_cells // 2 + 1), size=min(n_modes, n_cells // 2),
+                          replace=False)
+    k_vals = 2 * np.pi * mode_idx / (n_cells * a)                 # 2π/Å
+    omega = omega_max_thz * np.abs(np.sin(k_vals * a / 2.0))      # THz
+    amps = rng.uniform(0.01, 0.05, size=k_vals.shape)
+    return k_vals, omega, amps
+
+
+def make_chain_trajectory(n_cells: int = 64, n_frames: int = 256, dt_ps: float = 0.05,
+                          a: float = 2.5, omega_max_thz: float = 10.0,
+                          n_modes: Optional[int] = None, seed: int = 0,
+                          noise: float = 0.0) -> Trajectory:
+    """1D monatomic chain trajectory built from superposed normal modes.
+
+    Atoms sit on x_i = i·a along x; displacement and velocity follow
+    u_i(t) = Σ_m A_m cos(k_m x_i − 2π ν_m t + φ_m).  The SED of this
+    trajectory peaks on ω(k) = ω_max |sin(ka/2)|.
+    """
+    rng = np.random.default_rng(seed + 1)
+    k_vals, nu_thz, amps = monatomic_chain_modes(n_cells, a, omega_max_thz, n_modes, seed)
+    phases = rng.uniform(0, 2 * np.pi, size=k_vals.shape)
+
+    x0 = np.arange(n_cells, dtype=np.float64) * a                 # (N,)
+    t = np.arange(n_frames, dtype=np.float64) * dt_ps             # (T,)
+    # phase[t, atom, mode]
+    arg = (k_vals[None, None, :] * x0[None, :, None]
+           - 2 * np.pi * nu_thz[None, None, :] * t[:, None, None]
+           + phases[None, None, :])
+    disp = np.sum(amps[None, None, :] * np.cos(arg), axis=-1)     # (T, N)
+    vel = np.sum(amps[None, None, :] * 2 * np.pi * nu_thz[None, None, :]
+                 * np.sin(arg), axis=-1)                          # du/dt
+
+    positions = np.zeros((n_frames, n_cells, 3), dtype=np.float32)
+    velocities = np.zeros((n_frames, n_cells, 3), dtype=np.float32)
+    positions[:, :, 0] = (x0[None, :] + disp).astype(np.float32)
+    velocities[:, :, 0] = vel.astype(np.float32)
+    if noise > 0:
+        positions += rng.normal(0, noise, positions.shape).astype(np.float32)
+        velocities += rng.normal(0, noise, velocities.shape).astype(np.float32)
+
+    box = np.diag([n_cells * a, 10.0, 10.0]).astype(np.float32)
+    lengths, tilts = make_box_arrays(box)
+    return Trajectory(
+        positions=positions, velocities=velocities,
+        types=np.ones(n_cells, dtype=np.int32),
+        timesteps=(t * 0 + np.arange(n_frames)).astype(np.float32),
+        box_matrix=box, box_lengths=lengths, box_tilts=tilts, dt_ps=dt_ps)
+
+
+def make_random_crystal_trajectory(n_cells_xyz: Tuple[int, int, int] = (4, 4, 4),
+                                   basis: int = 2, n_frames: int = 64,
+                                   dt_ps: float = 0.02, a: float = 5.43,
+                                   seed: int = 0, n_types: int = 2) -> Trajectory:
+    """Randomized 3D crystal trajectory (thermal-like motion, no exact physics).
+
+    Used for parity and stress tests at realistic shapes: atoms on a cubic
+    supercell lattice with ``basis`` atoms per cell, random velocities, and
+    small random walks around the lattice sites.
+    """
+    rng = np.random.default_rng(seed)
+    nx, ny, nz = n_cells_xyz
+    grid = np.stack(np.meshgrid(np.arange(nx), np.arange(ny), np.arange(nz),
+                                indexing='ij'), axis=-1).reshape(-1, 3)
+    offsets = rng.uniform(0, 0.5, size=(basis, 3))
+    sites = (grid[:, None, :] + offsets[None, :, :]).reshape(-1, 3) * a
+    n_atoms = sites.shape[0]
+
+    positions = (sites[None, :, :]
+                 + rng.normal(0, 0.05, size=(n_frames, n_atoms, 3))).astype(np.float32)
+    velocities = rng.normal(0, 1.0, size=(n_frames, n_atoms, 3)).astype(np.float32)
+    types = (np.tile(np.arange(basis), n_atoms // basis) % n_types + 1).astype(np.int32)
+
+    box = np.diag([nx * a, ny * a, nz * a]).astype(np.float32)
+    lengths, tilts = make_box_arrays(box)
+    return Trajectory(
+        positions=positions, velocities=velocities, types=types,
+        timesteps=np.arange(n_frames, dtype=np.float32),
+        box_matrix=box, box_lengths=lengths, box_tilts=tilts, dt_ps=dt_ps)

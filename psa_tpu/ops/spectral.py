@@ -1,0 +1,335 @@
+"""TPU compute core for Spectral Energy Density.
+
+The math (reference formula, src/psa/core/sed_calculator.py:58-84):
+
+    r̄_a      = mean_t r_a(t)
+    P[a,k]   = exp(i k_vec[k] · r̄_a)
+    S_α(t,k) = Σ_a data[t,a,α] · P[a,k]
+    Φ_α(ω,k) = FFT_t[S_α](ω) / n_t
+
+TPU-first design decisions (not a translation of the NumPy reference):
+
+  * The projection is the dominant cost: O(3·n_t·N·K) complex MACs.  Because
+    the MD data is REAL, the complex contraction decomposes into exactly two
+    real matmuls — ``S = data @ cos(A) + i·(data @ sin(A))`` with
+    ``A[a,k] = k_vec[k]·r̄_a`` — which we fuse into ONE MXU matmul against the
+    concatenated ``[cos | sin]`` (N, 2K) matrix.  No (K, N) complex phase
+    matrix is ever materialized (the reference builds one per chunk,
+    sed_calculator.py:78).
+  * ``lax.dot_general`` contracts the atom axis directly from the natural
+    (n_t, N, 3) layout — no host-visible transposes; XLA lays out the operands
+    for the systolic array.
+  * FFT over time is a batched ``jnp.fft.fft`` — XLA's FFT is already optimal
+    on TPU for power-of-two and mixed-radix lengths.
+  * Everything is shape-static and jit-cached; callers chunk/pad the k axis to
+    a fixed block so each (n_t, N, K_block) shape compiles once.
+  * ``precision='parity'`` (default) runs f32 matmuls at
+    ``lax.Precision.HIGHEST`` to hold the 1e-6 parity bar vs the NumPy
+    reference; ``precision='fast'`` permits bf16 passes for maximum MXU
+    throughput when parity is not required.
+"""
+from __future__ import annotations
+
+import functools
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
+
+Precision = jax.lax.Precision
+
+_PRECISIONS = {
+    'parity': Precision.HIGHEST,
+    'fast': Precision.DEFAULT,
+}
+
+
+def resolve_precision(precision: str) -> Precision:
+    try:
+        return _PRECISIONS[precision]
+    except KeyError:
+        raise ValueError(f"precision must be one of {sorted(_PRECISIONS)}, got {precision!r}")
+
+
+def fftfreq_thz(n_t: int, dt_ps: float) -> np.ndarray:
+    """Signed FFT frequencies in THz (host-side; reference sed_calculator.py:206)."""
+    if n_t <= 0:
+        return np.array([], dtype=np.float32)
+    return np.fft.fftfreq(n_t, d=dt_ps)
+
+
+# -- compensated phase angles ------------------------------------------------
+#
+# The phase angle A[a,k] = k·r̄_a reaches thousands of radians for realistic
+# boxes; a plain float32 dot rounds it to ~|A|·2⁻²⁴ ≈ 1e-4 rad, which caps the
+# whole pipeline's accuracy at ~1e-4 (the NumPy reference has exactly this
+# noise floor).  We instead compute the dot in double-single arithmetic
+# (Veltkamp-split TwoProd + TwoSum — exact f32 transforms, so this works on
+# hardware with no native f64 like the TPU VPU) and fold the high word with a
+# 3-part Cody-Waite 2π reduction before cos/sin.  Phase accuracy: ~1e-7 rad
+# independent of |A| (for |A| ≲ 2¹¹·2π), i.e. float64-quality phases at f32
+# speed.  Cost: ~40 VPU flops per (atom, k) element — noise next to the
+# 6·n_t MXU flops of the projection matmul.
+
+def _cody_waite_2pi():
+    x = 2.0 * np.pi
+    a = float(np.float32(np.trunc(x * 2**10) / 2**10))   # ≤13-bit mantissa
+    r = x - a
+    b = float(np.float32(np.trunc(r * 2**22) / 2**22))   # ≤13-bit mantissa
+    c = float(np.float32(r - b))
+    return np.float32(a), np.float32(b), np.float32(c)
+
+
+_PI2_A, _PI2_B, _PI2_C = _cody_waite_2pi()
+_INV_2PI = np.float32(1.0 / (2.0 * np.pi))
+_SPLITTER = np.float32(4097.0)  # 2^12 + 1 (Veltkamp split constant for f32)
+
+
+def _two_sum(a, b):
+    """Knuth TwoSum: a + b = s + err exactly (no magnitude ordering needed)."""
+    s = a + b
+    bb = s - a
+    err = (a - (s - bb)) + (b - bb)
+    return s, err
+
+
+def _two_prod(a, b):
+    """Dekker TwoProd via Veltkamp splitting: a·b = p + err exactly in f32."""
+    p = a * b
+    ca = a * _SPLITTER
+    ahi = ca - (ca - a)
+    alo = a - ahi
+    cb = b * _SPLITTER
+    bhi = cb - (cb - b)
+    blo = b - bhi
+    err = ((ahi * bhi - p) + ahi * blo + alo * bhi) + alo * blo
+    return p, err
+
+
+def _accurate_angles(mp_hi: jnp.ndarray, mp_lo: jnp.ndarray,
+                     k_vectors: jnp.ndarray) -> jnp.ndarray:
+    """Folded angles A[a,k] = (mp_hi+mp_lo)_a · k_k mod 2π, (n_atoms, n_k) f32.
+
+    ``mp_hi``/``mp_lo`` are the double-single split of the float64 mean
+    positions (mp_lo carries the bits float32 storage would lose).
+    """
+    kt = k_vectors.T.astype(jnp.float32)                 # (3, K)
+    s = None
+    e = None
+    for c in range(3):
+        x = mp_hi[:, c:c + 1]                            # (N, 1)
+        y = kt[c][None, :]                               # (1, K)
+        p, pe = _two_prod(x, y)                          # (N, K) exact product
+        if s is None:
+            s, e = p, pe
+        else:
+            s, se = _two_sum(s, p)
+            e = e + (pe + se)
+        e = e + mp_lo[:, c:c + 1] * y                    # low-word contribution
+    n = jnp.round(s * _INV_2PI)
+    folded = ((s - n * _PI2_A) - n * _PI2_B) - n * _PI2_C + e
+    return folded
+
+
+def _phase_table(mp_hi: jnp.ndarray, mp_lo: jnp.ndarray,
+                 k_vectors: jnp.ndarray) -> jnp.ndarray:
+    """[cos | sin] of A[a,k] = k·r̄_a, shape (n_atoms, 2·n_k), float32."""
+    angles = _accurate_angles(mp_hi.astype(jnp.float32), mp_lo.astype(jnp.float32),
+                              k_vectors)
+    return jnp.concatenate([jnp.cos(angles), jnp.sin(angles)], axis=1)
+
+
+def _project(data: jnp.ndarray, cs: jnp.ndarray, prec: Precision) -> jnp.ndarray:
+    """Contract atoms: (n_t, N, 3) x (N, 2K) -> (n_t, 3, 2K) real f32."""
+    return lax.dot_general(
+        data, cs,
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        precision=prec,
+        preferred_element_type=jnp.float32,
+    )
+
+
+
+def _fft_spectrum(proj: jnp.ndarray, n_t: int) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """(n_t, 3, 2K) real projections -> ((n_t, K, 3), (n_t, K, 3)) f32 re/im of Φ/n_t.
+
+    Complex values exist only transiently on device: some TPU runtimes (axon)
+    cannot transfer complex64 across the host boundary, so every public op in
+    this module carries complex data as (real, imag) float32 pairs.
+    """
+    two_k = proj.shape[-1]
+    k = two_k // 2
+    signal = lax.complex(proj[..., :k], proj[..., k:])          # (n_t, 3, K)
+    spec = jnp.fft.fft(signal, axis=0) / n_t                     # (n_t, 3, K)
+    spec = jnp.transpose(spec, (0, 2, 1))                        # (n_t, K, 3)
+    return (jnp.real(spec).astype(jnp.float32),
+            jnp.imag(spec).astype(jnp.float32))
+
+
+@functools.partial(jax.jit, static_argnames=('precision',))
+def sed_spectrum(data: jnp.ndarray, mp_hi: jnp.ndarray, mp_lo: jnp.ndarray,
+                 k_vectors: jnp.ndarray,
+                 precision: str = 'parity') -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Complex SED spectrum Φ_α(ω, k) for one atom group, as a (re, im) pair.
+
+    Args:
+        data:      (n_t, n_atoms, 3) float32 velocities or displacements.
+        mp_hi, mp_lo: (n_atoms, 3) float32 double-single split of the float64
+            time-averaged positions (see :func:`split_f64`).
+        k_vectors: (n_k, 3) float32.
+        precision: 'parity' (f32-exact matmuls) or 'fast' (bf16 MXU passes).
+
+    Returns:
+        Tuple of two (n_t, n_k, 3) float32 arrays: Re[Φ], Im[Φ].
+    """
+    prec = resolve_precision(precision)
+    n_t = data.shape[0]
+    cs = _phase_table(mp_hi, mp_lo, k_vectors)
+    proj = _project(data.astype(jnp.float32), cs, prec)
+    return _fft_spectrum(proj, n_t)
+
+
+@functools.partial(jax.jit, static_argnames=('precision',))
+def sed_intensity(data: jnp.ndarray, mp_hi: jnp.ndarray, mp_lo: jnp.ndarray,
+                  k_vectors: jnp.ndarray,
+                  precision: str = 'parity') -> jnp.ndarray:
+    """Σ_α |Φ_α(ω,k)|² for one atom group, (n_t, n_k) float32.
+
+    Used by incoherent summation — the complex amplitudes never leave the
+    device (reference accumulates |·|² per group, sed_calculator.py:313-327).
+    """
+    re, im = sed_spectrum(data, mp_hi, mp_lo, k_vectors, precision=precision)
+    return jnp.sum(re * re + im * im, axis=-1).astype(jnp.float32)
+
+
+def split_f64(x64: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
+    """Split a float64 host array into a double-single (hi, lo) float32 pair:
+    hi + lo == x64 to ~2⁻⁴⁸ relative.  Host-side (NumPy)."""
+    hi = x64.astype(np.float32)
+    lo = (x64 - hi.astype(np.float64)).astype(np.float32)
+    return hi, lo
+
+
+@jax.jit
+def displacement_data(positions: jnp.ndarray, mp_hi: jnp.ndarray,
+                      mp_lo: jnp.ndarray) -> jnp.ndarray:
+    """u_a(t) = r_a(t) − r̄_a on device (reference sed_calculator.py:69-70).
+
+    (r − hi) is exact by Sterbenz's lemma whenever displacements are small
+    relative to the coordinates, so subtracting the split f64 mean gives
+    f64-accurate displacements entirely in f32 — a plain f32 subtraction
+    would lose ~|r|·2⁻²⁴ of every displacement to cancellation.
+    """
+    r = positions.astype(jnp.float32)
+    return (r - mp_hi.astype(jnp.float32)[None, :, :]) - mp_lo.astype(jnp.float32)[None, :, :]
+
+
+# ---------------------------------------------------------------------------
+# Atom-streamed projection: for trajectories too large for HBM.
+# ---------------------------------------------------------------------------
+
+@functools.partial(jax.jit, static_argnames=('precision',), donate_argnums=(0,))
+def _accumulate_projection(proj: jnp.ndarray, data_chunk: jnp.ndarray,
+                           mp_hi_chunk: jnp.ndarray, mp_lo_chunk: jnp.ndarray,
+                           k_vectors: jnp.ndarray,
+                           precision: str = 'parity') -> jnp.ndarray:
+    """proj += data_chunk ⋅ [cos|sin](A_chunk).  Donated accumulator keeps a
+    single (n_t, 3, 2K) buffer alive across the stream."""
+    prec = resolve_precision(precision)
+    cs = _phase_table(mp_hi_chunk, mp_lo_chunk, k_vectors)
+    return proj + _project(data_chunk.astype(jnp.float32), cs, prec)
+
+
+@jax.jit
+def _finalize_spectrum(proj: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    return _fft_spectrum(proj, proj.shape[0])
+
+
+def sed_spectrum_streamed(data_chunks, mean_pos_chunks, k_vectors: np.ndarray,
+                          n_t: int, precision: str = 'parity'
+                          ) -> Tuple[jax.Array, jax.Array]:
+    """Φ (re, im) for an atom group streamed in atom-chunks from host memory.
+
+    ``data_chunks`` yields equally shaped (n_t, chunk, 3) host arrays;
+    ``mean_pos_chunks`` yields matching (hi, lo) float32 pairs of the split
+    f64 mean positions (pad the final chunk with zero data — zero velocities
+    contribute nothing to the sum).  The accumulator lives in HBM; host→HBM
+    copies of the next chunk overlap with the current chunk's matmul thanks
+    to JAX async dispatch.
+    """
+    n_k = int(k_vectors.shape[0])
+    k_dev = jnp.asarray(k_vectors, dtype=jnp.float32)
+    proj = jnp.zeros((n_t, 3, 2 * n_k), dtype=jnp.float32)
+    for data_chunk, (mp_hi, mp_lo) in zip(data_chunks, mean_pos_chunks):
+        proj = _accumulate_projection(proj, jnp.asarray(data_chunk),
+                                      jnp.asarray(mp_hi), jnp.asarray(mp_lo),
+                                      k_dev, precision=precision)
+    return _finalize_spectrum(proj)
+
+
+# ---------------------------------------------------------------------------
+# Chiral phase (reference sed_calculator.py:338-371), fully vectorized.
+# ---------------------------------------------------------------------------
+
+@functools.partial(jax.jit, static_argnames=('angle_range_opt',))
+def chiral_phase(z1_re: jnp.ndarray, z1_im: jnp.ndarray,
+                 z2_re: jnp.ndarray, z2_im: jnp.ndarray,
+                 angle_range_opt: str = 'C') -> jnp.ndarray:
+    """Phase difference between two complex polarization spectra (re/im parts).
+
+    Option 'C': wrap ∠Z1−∠Z2 to [−π, π], fold quadrants 2/3 into [−π/2, π/2].
+    Option 'A': arccos of the normalized real dot product, in [0, π].
+    Option 'B': arcsin of the normalized cross product, in [−π/2, π/2].
+    A/B zero out elements where either magnitude² < 1e-18 (the reference's
+    per-element loop guard, sed_calculator.py:359); here they are vectorized.
+    """
+    if angle_range_opt == 'C':
+        delta = jnp.arctan2(z1_im, z1_re) - jnp.arctan2(z2_im, z2_re)
+        delta = (delta + jnp.pi) % (2 * jnp.pi) - jnp.pi
+        delta = jnp.where(delta > jnp.pi / 2, jnp.pi - delta, delta)
+        delta = jnp.where(delta < -jnp.pi / 2, -jnp.pi - delta, delta)
+        return delta.astype(jnp.float32)
+
+    m1sq = z1_re ** 2 + z1_im ** 2
+    m2sq = z2_re ** 2 + z2_im ** 2
+    ok = (m1sq >= 1e-18) & (m2sq >= 1e-18)
+    denom = jnp.sqrt(jnp.where(ok, m1sq, 1.0)) * jnp.sqrt(jnp.where(ok, m2sq, 1.0))
+    if angle_range_opt == 'A':
+        ratio = jnp.clip((z1_re * z2_re + z1_im * z2_im) / denom, -1.0, 1.0)
+        angle = jnp.arccos(ratio)
+    elif angle_range_opt == 'B':
+        ratio = jnp.clip((z1_re * z2_im - z1_im * z2_re) / denom, -1.0, 1.0)
+        angle = jnp.arcsin(ratio)
+    else:
+        raise ValueError(f"Unknown angle_range_opt {angle_range_opt!r}; use 'A', 'B' or 'C'.")
+    return jnp.where(ok, angle, 0.0).astype(jnp.float32)
+
+
+# ---------------------------------------------------------------------------
+# iSED mode synthesis (reference sed_calculator.py:494-499), on device.
+# ---------------------------------------------------------------------------
+
+@jax.jit
+def synthesize_mode_motion(amp_re: jnp.ndarray, amp_im: jnp.ndarray,
+                           proj_pos: jnp.ndarray, k_actual: jnp.ndarray,
+                           frame_phases: jnp.ndarray) -> jnp.ndarray:
+    """Real-space motion of one (k, ω) mode.
+
+    u[τ, a, α] = Re[ A_α · exp(i·phase_τ − i·k·(r̄_a·k̂)) ]
+               = A_re·cos(φ) − A_im·sin(φ),   φ = phase_τ − k·(r̄_a·k̂)
+
+    Args:
+        amp_re, amp_im: (3,) float32 — Re/Im of Φ_α at the selected (ω*, k*).
+        proj_pos:   (n_atoms,) float32 — r̄_a · k̂.
+        k_actual:   scalar float32 — matched |k|.
+        frame_phases: (n_frames,) float32 — τ grid over [0, 2π).
+
+    Returns:
+        (n_frames, n_atoms, 3) float32.
+    """
+    phase = frame_phases[:, None] - k_actual * proj_pos[None, :]          # (T, A)
+    c, s = jnp.cos(phase), jnp.sin(phase)
+    return (c[:, :, None] * amp_re[None, None, :]
+            - s[:, :, None] * amp_im[None, None, :]).astype(jnp.float32)

@@ -1,0 +1,156 @@
+"""Unified YAML configuration management.
+
+The reference shipped a ConfigManager validating a vestigial schema
+(``trajectory/analysis/output``) that neither the CLI nor the GUI used
+(reference: src/psa/utils/config_manager.py:46-74 vs cli.py:38-44).  Here the
+ConfigManager IS the CLI/GUI schema: the five sections of the documented config
+format (``general / md_system / sed_calculation / plotting / ised``, as in
+examples/Si_config.yaml) with the CLI defaults, recursive overlay, and
+validation of the fields the pipeline actually consumes.
+"""
+from __future__ import annotations
+
+import copy
+import json
+import logging
+from pathlib import Path
+from typing import Any, Dict, Optional, Union
+
+import yaml
+
+from .helpers import update_dict_recursively
+
+logger = logging.getLogger(__name__)
+
+
+def default_config() -> Dict[str, Any]:
+    """Pipeline defaults (reference cli.py:38-44, with the same section names)."""
+    return {
+        'general': {
+            'trajectory_file_format': 'auto',
+            'use_displacements': False,
+            'save_npy_trajectory': True,
+            'save_npy_sed_data': True,
+            'chiral_mode_enabled': False,
+        },
+        'md_system': {
+            'dt': 0.001, 'nx': 1, 'ny': 1, 'nz': 1, 'lattice_parameter': None,
+        },
+        'sed_calculation': {
+            'directions': [[1, 0, 0]],
+            'n_kpoints': 100,
+            'bz_coverage': 1.0,
+            'polarization_indices_chiral': [0, 1],
+            'summation_mode': 'coherent',
+            'k_chunk_size': 500,
+            'basis': {'atom_indices': None, 'atom_types': None},
+        },
+        'plotting': {
+            'max_freq_2d': None,
+            'theme': 'light',
+            'intensity_scale': 'sqrt',
+            'cmap': 'inferno',
+            'highlight_2d_intensity': {'k_min': None, 'k_max': None,
+                                       'w_min': None, 'w_max': None},
+            'enable_3d_dispersion_plot': False,
+            '3d_plot_settings': {'intensity_log_scale': True,
+                                 'intensity_threshold_rel': 0.05},
+        },
+        'ised': {
+            'apply': False,
+            'k_path': {'direction': 'x', 'characteristic_length': None,
+                       'n_points': 50, 'bz_coverage': None},
+            'target_point': {'k_value': 6.283, 'w_value_thz': 10.0},
+            'basis': {'atom_indices': None, 'atom_types': None},
+            'reconstruction': {'rescaling_factor': 'auto',
+                               'num_animation_timesteps': 100,
+                               'output_dump_filename': 'ised_motion.dump'},
+        },
+    }
+
+
+class ConfigManager:
+    """Load/validate/save pipeline configs.
+
+    Usage:
+        cfg = ConfigManager('Si_config.yaml')   # or ConfigManager() for defaults
+        cfg.get('md_system', 'dt')
+        cfg.update({'md_system': {'dt': 0.02}})
+        cfg.save('out.yaml')
+    """
+
+    SECTIONS = ('general', 'md_system', 'sed_calculation', 'plotting', 'ised')
+
+    def __init__(self, config_path: Optional[Union[str, Path]] = None):
+        self.config: Dict[str, Any] = default_config()
+        self.config_path = Path(config_path) if config_path else None
+        if self.config_path is not None:
+            self.load(self.config_path)
+
+    def load(self, config_path: Union[str, Path]) -> Dict[str, Any]:
+        """Overlay a YAML file onto the defaults; validates the result."""
+        config_path = Path(config_path)
+        if not config_path.exists():
+            raise FileNotFoundError(f"Config file not found: {config_path}")
+        with open(config_path, 'r') as f:
+            user_cfg = yaml.safe_load(f)
+        if user_cfg:
+            unknown = set(user_cfg) - set(self.SECTIONS)
+            if unknown:
+                logger.warning("Unknown config sections ignored by the pipeline: %s",
+                               sorted(unknown))
+            update_dict_recursively(self.config, user_cfg)
+        self.validate()
+        self.config_path = config_path
+        logger.info("Loaded config from %s", config_path)
+        return self.config
+
+    def validate(self) -> None:
+        """Check the fields the pipeline consumes. Raises ValueError on errors."""
+        cfg = self.config
+        md = cfg['md_system']
+        if md['dt'] is None or md['dt'] <= 0:
+            raise ValueError("md_system.dt must be positive.")
+        for dim in ('nx', 'ny', 'nz'):
+            if int(md[dim]) <= 0:
+                raise ValueError(f"md_system.{dim} must be positive.")
+        sed = cfg['sed_calculation']
+        if int(sed['n_kpoints']) < 1:
+            raise ValueError("sed_calculation.n_kpoints must be >= 1.")
+        if float(sed['bz_coverage']) <= 0:
+            raise ValueError("sed_calculation.bz_coverage must be positive.")
+        if sed.get('summation_mode', 'coherent') not in ('coherent', 'incoherent'):
+            raise ValueError("sed_calculation.summation_mode must be 'coherent' or 'incoherent'.")
+        if not isinstance(sed['directions'], list) or len(sed['directions']) == 0:
+            raise ValueError("sed_calculation.directions must be a non-empty list.")
+        fmt = cfg['general']['trajectory_file_format']
+        if fmt not in ('auto', 'lammps', 'vasp_outcar'):
+            raise ValueError(f"general.trajectory_file_format invalid: {fmt}")
+
+    def get(self, *keys: str, default: Any = None) -> Any:
+        """Nested lookup: cfg.get('md_system', 'dt')."""
+        node: Any = self.config
+        for key in keys:
+            if not isinstance(node, dict) or key not in node:
+                return default
+            node = node[key]
+        return node
+
+    def update(self, updates: Dict[str, Any]) -> None:
+        update_dict_recursively(self.config, updates)
+        self.validate()
+
+    def save(self, path: Optional[Union[str, Path]] = None) -> None:
+        path = Path(path) if path else self.config_path
+        if path is None:
+            raise ValueError("No path given and no config_path set.")
+        path.parent.mkdir(parents=True, exist_ok=True)
+        with open(path, 'w') as f:
+            yaml.dump(self.config, f, default_flow_style=False)
+        logger.info("Saved config to %s", path)
+
+    def to_json(self) -> str:
+        return json.dumps(self.config, indent=2, default=str)
+
+    def as_dict(self) -> Dict[str, Any]:
+        return copy.deepcopy(self.config)

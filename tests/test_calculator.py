@@ -1,0 +1,340 @@
+"""Golden parity tests: SEDCalculator vs a float64 NumPy oracle of the
+reference formula, plus k-path/k-grid generation, chiral phase, and iSED.
+
+The reference shipped NO engine tests (SURVEY.md §4); these define the
+behavioral contract at 1e-6 relative tolerance (the parity bar in BASELINE.json).
+"""
+import numpy as np
+import pytest
+
+from psa_tpu import SED, SEDCalculator
+from psa_tpu.models import make_chain_trajectory, make_random_crystal_trajectory
+
+from conftest import reference_sed_oracle
+
+RTOL = 1e-6  # relative to the max |oracle| magnitude
+
+
+def rel_err(got, want):
+    denom = np.max(np.abs(want))
+    if denom == 0:
+        return np.max(np.abs(got))
+    return np.max(np.abs(got - want)) / denom
+
+
+@pytest.fixture(scope='module')
+def crystal():
+    return make_random_crystal_trajectory(n_cells_xyz=(3, 3, 2), basis=2,
+                                          n_frames=20, dt_ps=0.02, seed=3)
+
+
+@pytest.fixture(scope='module')
+def calc(crystal):
+    return SEDCalculator(crystal, nx=3, ny=3, nz=2)
+
+
+class TestKPath:
+    def test_shapes_and_direction(self, calc):
+        k_mags, k_vecs = calc.get_k_path([1, 0, 0], bz_coverage=2.0, n_k=17)
+        assert k_mags.shape == (17,)
+        assert k_vecs.shape == (17, 3)
+        assert k_mags[0] == 0
+        np.testing.assert_allclose(k_vecs[:, 0], k_mags, atol=1e-6)
+        np.testing.assert_allclose(k_vecs[:, 1:], 0, atol=1e-7)
+
+    def test_extent_from_reciprocal_projection(self, calc):
+        k_mags, _ = calc.get_k_path('x', bz_coverage=1.0, n_k=3)
+        b_proj = max(abs(np.dot([1, 0, 0], b)) for b in (calc.b1, calc.b2, calc.b3))
+        np.testing.assert_allclose(k_mags[-1], b_proj, rtol=1e-5)
+
+    def test_extent_from_lat_param(self, calc):
+        k_mags, _ = calc.get_k_path('x', bz_coverage=2.0, n_k=3, lat_param=5.0)
+        np.testing.assert_allclose(k_mags[-1], 2.0 * 2 * np.pi / 5.0, rtol=1e-5)
+
+    def test_single_k(self, calc):
+        k_mags, k_vecs = calc.get_k_path('x', bz_coverage=1.0, n_k=1, lat_param=5.0)
+        assert k_mags.shape == (1,)
+        np.testing.assert_allclose(k_mags[0], 2 * np.pi / 5.0, rtol=1e-5)
+
+    def test_nk_zero_raises(self, calc):
+        with pytest.raises(ValueError, match="n_k"):
+            calc.get_k_path('x', bz_coverage=1.0, n_k=0)
+
+
+class TestKGrid:
+    def test_xy_ordering(self, calc):
+        _, k_vecs, shape = calc.get_k_grid('xy', (-1, 1), (-2, 2), 3, 5, k_fixed_val=0.5)
+        assert shape == (3, 5)
+        assert k_vecs.shape == (15, 3)
+        # first range (kx) varies slowest; fixed component is z
+        np.testing.assert_allclose(k_vecs[:5, 0], -1.0, atol=1e-6)
+        np.testing.assert_allclose(k_vecs[:5, 1], np.linspace(-2, 2, 5), atol=1e-6)
+        np.testing.assert_allclose(k_vecs[:, 2], 0.5, atol=1e-6)
+        # row-major reshape recovers the grid
+        grid = k_vecs[:, 0].reshape(3, 5)
+        np.testing.assert_allclose(grid[:, 0], np.linspace(-1, 1, 3), atol=1e-6)
+
+    def test_yz_and_zx_component_mapping(self, calc):
+        _, k_yz, _ = calc.get_k_grid('yz', (0, 1), (0, 2), 2, 2, k_fixed_val=7.0)
+        np.testing.assert_allclose(k_yz[:, 0], 7.0)          # x fixed
+        assert set(np.round(k_yz[:, 1], 6)) == {0.0, 1.0}    # first range -> y
+        assert set(np.round(k_yz[:, 2], 6)) == {0.0, 2.0}    # second range -> z
+
+        _, k_zx, _ = calc.get_k_grid('zx', (0, 1), (0, 2), 2, 2, k_fixed_val=7.0)
+        np.testing.assert_allclose(k_zx[:, 1], 7.0)          # y fixed
+        assert set(np.round(k_zx[:, 2], 6)) == {0.0, 1.0}    # first range -> z
+        assert set(np.round(k_zx[:, 0], 6)) == {0.0, 2.0}    # second range -> x
+
+    def test_invalid_plane(self, calc):
+        with pytest.raises(ValueError, match="Invalid plane"):
+            calc.get_k_grid('ab', (0, 1), (0, 1), 2, 2)
+
+    def test_nonpositive_counts(self, calc):
+        with pytest.raises(ValueError, match="must be positive"):
+            calc.get_k_grid('xy', (0, 1), (0, 1), 0, 2)
+
+
+class TestCoherentParity:
+    def test_all_atoms(self, crystal, calc):
+        k_mags, k_vecs = calc.get_k_path('x', bz_coverage=1.0, n_k=13)
+        sed = calc.calculate(k_mags, k_vecs)
+        oracle = reference_sed_oracle(crystal, k_vecs)
+        assert sed.is_complex
+        assert sed.sed.dtype == np.complex64
+        assert rel_err(sed.sed, oracle) < RTOL
+
+    def test_chunked_equals_unchunked(self, calc):
+        k_mags, k_vecs = calc.get_k_path('xy', bz_coverage=1.0, n_k=23)
+        a = calc.calculate(k_mags, k_vecs, k_chunk_size=5)
+        b = calc.calculate(k_mags, k_vecs, k_chunk_size=1000)
+        np.testing.assert_allclose(a.sed, b.sed, atol=1e-7)
+
+    def test_type_basis_union(self, crystal, calc):
+        k_mags, k_vecs = calc.get_k_path('y', bz_coverage=1.0, n_k=7)
+        sed = calc.calculate(k_mags, k_vecs, basis_atom_types=[1, 2],
+                             summation_mode='coherent')
+        idx = np.where(np.isin(crystal.types, [1, 2]))[0]
+        oracle = reference_sed_oracle(crystal, k_vecs, group_idx=idx)
+        assert rel_err(sed.sed, oracle) < RTOL
+
+    def test_index_basis(self, crystal, calc):
+        k_mags, k_vecs = calc.get_k_path('z', bz_coverage=1.0, n_k=7)
+        idx = np.arange(0, crystal.n_atoms, 2)
+        sed = calc.calculate(k_mags, k_vecs, basis_atom_indices=idx)
+        oracle = reference_sed_oracle(crystal, k_vecs, group_idx=idx)
+        assert rel_err(sed.sed, oracle) < RTOL
+
+    def test_multi_group_coherent_is_union(self, crystal, calc):
+        k_mags, k_vecs = calc.get_k_path('x', bz_coverage=1.0, n_k=5)
+        sed = calc.calculate(k_mags, k_vecs,
+                             basis_atom_indices=[[0, 1, 2], [2, 3, 4]],
+                             summation_mode='coherent')
+        union = np.unique([0, 1, 2, 2, 3, 4])
+        oracle = reference_sed_oracle(crystal, k_vecs, group_idx=union)
+        assert rel_err(sed.sed, oracle) < RTOL
+
+    def test_displacements_mode(self, crystal):
+        calc_d = SEDCalculator(crystal, nx=3, ny=3, nz=2, use_displacements=True)
+        k_mags, k_vecs = calc_d.get_k_path('x', bz_coverage=1.0, n_k=9)
+        sed = calc_d.calculate(k_mags, k_vecs)
+        oracle = reference_sed_oracle(crystal, k_vecs, use_displacements=True)
+        assert rel_err(sed.sed, oracle) < RTOL
+
+    def test_out_of_bounds_indices_raise(self, calc):
+        k_mags, k_vecs = calc.get_k_path('x', bz_coverage=1.0, n_k=3)
+        with pytest.raises(ValueError, match="out of bounds"):
+            calc.calculate(k_mags, k_vecs, basis_atom_indices=[10_000])
+
+
+class TestIncoherentParity:
+    def test_flat_type_list_splits_into_groups(self, crystal, calc):
+        """Incoherent + flat type list -> one singleton group per type
+        (reference sed_calculator.py:219-223)."""
+        k_mags, k_vecs = calc.get_k_path('x', bz_coverage=1.0, n_k=9)
+        sed = calc.calculate(k_mags, k_vecs, basis_atom_types=[1, 2],
+                             summation_mode='incoherent')
+        assert not sed.is_complex
+        assert sed.sed.dtype == np.float32
+        expected = np.zeros(sed.sed.shape)
+        for t in (1, 2):
+            idx = np.where(crystal.types == t)[0]
+            spec = reference_sed_oracle(crystal, k_vecs, group_idx=idx)
+            expected += np.sum(np.abs(spec) ** 2, axis=-1)
+        assert rel_err(sed.sed, expected) < RTOL
+
+    def test_single_group_incoherent_is_complex(self, calc):
+        """Incoherent with one group keeps complex output (reference :276)."""
+        k_mags, k_vecs = calc.get_k_path('x', bz_coverage=1.0, n_k=5)
+        sed = calc.calculate(k_mags, k_vecs, basis_atom_types=[[1, 2]],
+                             summation_mode='incoherent')
+        assert sed.is_complex
+
+    def test_index_group_lists(self, crystal, calc):
+        k_mags, k_vecs = calc.get_k_path('y', bz_coverage=1.0, n_k=6)
+        groups = [[0, 1, 2, 3], [4, 5, 6, 7, 8]]
+        sed = calc.calculate(k_mags, k_vecs, basis_atom_indices=groups,
+                             summation_mode='incoherent')
+        expected = np.zeros(sed.sed.shape)
+        for g in groups:
+            spec = reference_sed_oracle(crystal, k_vecs, group_idx=np.array(g))
+            expected += np.sum(np.abs(spec) ** 2, axis=-1)
+        assert rel_err(sed.sed, expected) < RTOL
+
+    def test_invalid_mode_raises(self, calc):
+        k_mags, k_vecs = calc.get_k_path('x', bz_coverage=1.0, n_k=3)
+        with pytest.raises(ValueError, match="summation_mode"):
+            calc.calculate(k_mags, k_vecs, summation_mode='bogus')
+
+
+class TestStreamedPath:
+    def test_streaming_matches_resident(self, crystal):
+        """Force the atom-streamed projection and compare to the resident path."""
+        small = SEDCalculator(crystal, nx=3, ny=3, nz=2, max_device_bytes=1_000)
+        big = SEDCalculator(crystal, nx=3, ny=3, nz=2)
+        k_mags, k_vecs = big.get_k_path('x', bz_coverage=1.0, n_k=8)
+        a = small.calculate(k_mags, k_vecs)
+        b = big.calculate(k_mags, k_vecs)
+        assert rel_err(a.sed, b.sed) < 1e-6
+
+
+class TestChiralPhase:
+    @pytest.fixture(scope='class')
+    def z_pair(self):
+        rng = np.random.default_rng(7)
+        z1 = (rng.normal(size=(12, 9)) + 1j * rng.normal(size=(12, 9))).astype(np.complex64)
+        z2 = (rng.normal(size=(12, 9)) + 1j * rng.normal(size=(12, 9))).astype(np.complex64)
+        z1[0, 0] = 0  # exercise the magnitude guard
+        return z1, z2
+
+    def _oracle(self, z1, z2, opt):
+        """Direct float64 port of the reference's per-element loop
+        (sed_calculator.py:344-371)."""
+        if opt == 'C':
+            d = np.angle(z1) - np.angle(z2)
+            d = (d + np.pi) % (2 * np.pi) - np.pi
+            d[d > np.pi / 2] = np.pi - d[d > np.pi / 2]
+            d[d < -np.pi / 2] = -np.pi - d[d < -np.pi / 2]
+            return d.astype(np.float32)
+        out = np.zeros(z1.shape, dtype=np.float32)
+        for i in range(z1.shape[0]):
+            for j in range(z1.shape[1]):
+                v1, v2 = z1[i, j], z2[i, j]
+                m1sq, m2sq = abs(v1) ** 2, abs(v2) ** 2
+                if m1sq < 1e-18 or m2sq < 1e-18:
+                    continue
+                m1, m2 = np.sqrt(m1sq), np.sqrt(m2sq)
+                if opt == 'A':
+                    out[i, j] = np.arccos(np.clip(
+                        (v1.real * v2.real + v1.imag * v2.imag) / (m1 * m2), -1, 1))
+                else:
+                    out[i, j] = np.arcsin(np.clip(
+                        (v1.real * v2.imag - v1.imag * v2.real) / (m1 * m2), -1, 1))
+        return out
+
+    @pytest.mark.parametrize('opt', ['A', 'B', 'C'])
+    def test_parity(self, calc, z_pair, opt):
+        z1, z2 = z_pair
+        got = calc.calculate_chiral_phase(z1, z2, angle_range_opt=opt)
+        want = self._oracle(z1, z2, opt)
+        if opt == 'C':
+            np.testing.assert_allclose(got, want, atol=2e-6)
+        elif opt == 'A':
+            # arccos has unbounded derivative at ratio ±1, so 1-ulp f32
+            # differences in the ratio explode in angle space; compare the
+            # ratio (cos of the angle) instead.
+            np.testing.assert_allclose(np.cos(got), np.cos(want), atol=2e-6)
+        else:
+            np.testing.assert_allclose(np.sin(got), np.sin(want), atol=2e-6)
+
+    def test_option_c_range(self, calc, z_pair):
+        z1, z2 = z_pair
+        p = calc.calculate_chiral_phase(z1, z2, 'C')
+        assert np.all(p >= -np.pi / 2 - 1e-6) and np.all(p <= np.pi / 2 + 1e-6)
+
+    def test_shape_mismatch(self, calc):
+        with pytest.raises(ValueError, match="shapes must match"):
+            calc.calculate_chiral_phase(np.zeros((2, 2), complex), np.zeros((3, 2), complex))
+
+    def test_empty(self, calc):
+        out = calc.calculate_chiral_phase(np.zeros((0, 2), complex), np.zeros((0, 2), complex))
+        assert out.shape == (0, 2)
+
+
+class TestChainPhysics:
+    def test_dispersion_peaks_on_analytic_curve(self):
+        """SED intensity of a synthetic chain must peak on ω = ω_max|sin(ka/2)|."""
+        a, omega_max = 2.5, 10.0
+        n_cells = 32
+        traj = make_chain_trajectory(n_cells=n_cells, n_frames=256, dt_ps=0.02,
+                                     a=a, omega_max_thz=omega_max, seed=0)
+        calc = SEDCalculator(traj, nx=n_cells, ny=1, nz=1)
+        # bz_coverage 0.5 spans Γ..BZ-edge; n_k = n_cells/2 + 1 puts every probe
+        # k exactly on a chain normal-mode wavevector (spacing 2π/(N a)).
+        k_mags, k_vecs = calc.get_k_path('x', bz_coverage=0.5, n_k=n_cells // 2 + 1)
+        sed = calc.calculate(k_mags, k_vecs)
+        inten = sed.intensity
+        freqs = sed.freqs
+        pos = freqs >= 0
+        peak_freqs = freqs[pos][np.argmax(inten[pos], axis=0)]
+        analytic = omega_max * np.abs(np.sin(k_mags * a / 2))
+        df = 1.0 / (traj.n_frames * traj.dt_ps)  # frequency resolution
+        # skip k=0 (no mode content there)
+        assert np.all(np.abs(peak_freqs[1:] - analytic[1:]) <= df + 1e-6)
+
+
+class TestISED:
+    def test_dump_written_and_parsable(self, tmp_path):
+        traj = make_chain_trajectory(n_cells=16, n_frames=64, dt_ps=0.05)
+        calc = SEDCalculator(traj, nx=16, ny=1, nz=1)
+        dump = tmp_path / "recon.dump"
+        calc.ised(k_dir_spec='x', k_target=0.6, w_target=5.0, char_len_k_path=2.5,
+                  nk_on_path=20, bz_cov_ised=1.0, rescale_factor='auto',
+                  n_recon_frames=10, dump_filepath=str(dump))
+        assert dump.exists()
+        text = dump.read_text()
+        assert text.count("ITEM: TIMESTEP") == 10
+        assert "ITEM: ATOMS id type x y z" in text
+        # round-trip through our own reader
+        from psa_tpu.io.lammps import read_lammps_dump
+        pos, vel, types, steps, box = read_lammps_dump(dump, unwrap=False)
+        assert pos.shape == (10, 16, 3)
+        assert np.all(types == 1)
+
+    def test_ised_with_plot(self, tmp_path):
+        traj = make_chain_trajectory(n_cells=16, n_frames=64, dt_ps=0.05)
+        calc = SEDCalculator(traj, nx=16, ny=1, nz=1)
+        calc.ised(k_dir_spec='x', k_target=0.6, w_target=5.0, char_len_k_path=2.5,
+                  nk_on_path=16, n_recon_frames=6,
+                  dump_filepath=str(tmp_path / "r.dump"),
+                  plot_dir_ised=tmp_path)
+        pngs = list(tmp_path.glob("iSED_*.png"))
+        assert len(pngs) == 1
+
+    def test_type_groups(self, tmp_path, crystal):
+        calc = SEDCalculator(crystal, nx=3, ny=3, nz=2)
+        dump = tmp_path / "recon2.dump"
+        calc.ised(k_dir_spec=[1, 0, 0], k_target=0.5, w_target=5.0,
+                  char_len_k_path=5.43, nk_on_path=12,
+                  basis_atom_types_ised=[1, 2],
+                  rescale_factor=2.0, n_recon_frames=4, dump_filepath=str(dump))
+        assert dump.exists()
+
+
+class TestEmptyEdges:
+    def test_zero_kvectors(self, calc):
+        sed = calc.calculate(np.array([]), np.zeros((0, 3), dtype=np.float32))
+        assert sed.sed.shape[1] == 0
+
+    def test_empty_basis_falls_back_to_all(self, crystal, calc):
+        k_mags, k_vecs = calc.get_k_path('x', bz_coverage=1.0, n_k=4)
+        sed = calc.calculate(k_mags, k_vecs, basis_atom_indices=[])
+        oracle = reference_sed_oracle(crystal, k_vecs)
+        assert rel_err(sed.sed, oracle) < RTOL
+
+    def test_precision_validation(self, crystal):
+        with pytest.raises(ValueError, match="precision"):
+            SEDCalculator(crystal, 1, 1, 1, precision='bogus')
+
+    def test_bad_dims(self, crystal):
+        with pytest.raises(ValueError, match="must be positive"):
+            SEDCalculator(crystal, 0, 1, 1)
