@@ -283,7 +283,9 @@ class SEDCalculator:
         host and ship it to device as a split (hi, lo) f32 pair.
         """
         if self._mean_pos64 is None:
-            self._mean_pos64 = np.mean(self.traj.positions.astype(np.float64), axis=0)
+            # dtype=float64 accumulates in f64 without materializing a copy of
+            # the (possibly huge / broadcast-view) positions array.
+            self._mean_pos64 = np.mean(self.traj.positions, axis=0, dtype=np.float64)
         return self._mean_pos64
 
     @property

@@ -6,10 +6,15 @@ sharding, so we pin JAX to CPU with 8 virtual devices BEFORE jax initializes
 """
 import os
 
-os.environ.setdefault('JAX_PLATFORMS', 'cpu')
+os.environ['JAX_PLATFORMS'] = 'cpu'  # override: the shell may pin a TPU platform
 flags = os.environ.get('XLA_FLAGS', '')
 if '--xla_force_host_platform_device_count' not in flags:
     os.environ['XLA_FLAGS'] = (flags + ' --xla_force_host_platform_device_count=8').strip()
+
+# A sitecustomize may have registered (and pinned) a TPU platform before this
+# module ran; jax.config wins over the env var in that case.
+import jax
+jax.config.update('jax_platforms', 'cpu')
 
 import matplotlib
 matplotlib.use('Agg')  # headless plotting

@@ -1,0 +1,85 @@
+"""CLI end-to-end: dump file + YAML config -> SED caches + plots + iSED dump."""
+import numpy as np
+import pytest
+import yaml
+
+from psa_tpu.cli import main
+from psa_tpu.io.writer import out_to_qdump
+from psa_tpu.models import make_chain_trajectory
+
+
+@pytest.fixture
+def workdir(tmp_path):
+    """A dump file with velocities + a config, in a temp dir."""
+    traj = make_chain_trajectory(n_cells=12, n_frames=48, dt_ps=0.02, a=2.5,
+                                 omega_max_thz=6.0)
+    dump = tmp_path / "chain.dump"
+    with open(dump, "w") as f:
+        for t in range(traj.n_frames):
+            f.write(f"ITEM: TIMESTEP\n{t}\nITEM: NUMBER OF ATOMS\n{traj.n_atoms}\n")
+            f.write("ITEM: BOX BOUNDS pp pp pp\n")
+            for d in range(3):
+                f.write(f"0.0 {traj.box_matrix[d, d]:.6f}\n")
+            f.write("ITEM: ATOMS id type x y z vx vy vz\n")
+            for a_ in range(traj.n_atoms):
+                p, v = traj.positions[t, a_], traj.velocities[t, a_]
+                f.write(f"{a_ + 1} {traj.types[a_]} {p[0]:.6f} {p[1]:.6f} {p[2]:.6f} "
+                        f"{v[0]:.6f} {v[1]:.6f} {v[2]:.6f}\n")
+    config = {
+        'md_system': {'dt': 0.02, 'nx': 12, 'ny': 1, 'nz': 1},
+        'sed_calculation': {'directions': ['x', [1, 0, 0]], 'n_kpoints': 10,
+                            'bz_coverage': 0.5},
+        'plotting': {'max_freq_2d': 8.0},
+    }
+    cfg_path = tmp_path / "config.yaml"
+    cfg_path.write_text(yaml.dump(config))
+    return tmp_path, dump, cfg_path
+
+
+def test_cli_end_to_end(workdir):
+    tmp_path, dump, cfg = workdir
+    out = tmp_path / "out"
+    main(['--trajectory', str(dump), '--config', str(cfg), '--output-dir', str(out)])
+    # per-direction intensity plots
+    assert (out / "sed_intensity_2D_x.png").exists()
+    assert (out / "sed_intensity_2D_1.00_0.00_0.00.png").exists()
+    # SED cache files (dotted label must survive)
+    assert (out / "sed_data_regular_1.00_0.00_0.00.sed.npy").exists()
+    # cache reuse path: second run loads instead of recalculating
+    main(['--trajectory', str(dump), '--config', str(cfg), '--output-dir', str(out)])
+
+
+def test_cli_chiral_mode(workdir):
+    tmp_path, dump, cfg = workdir
+    out = tmp_path / "out_chiral"
+    main(['--trajectory', str(dump), '--config', str(cfg),
+          '--output-dir', str(out), '--chiral', '--nk', '8'])
+    assert (out / "sed_phase_2D_x.png").exists()
+    assert (out / "sed_data_chiral_x.phase.npy").exists()
+
+
+def test_cli_ised(workdir, tmp_path):
+    _, dump, _ = workdir
+    config = {
+        'md_system': {'dt': 0.02, 'nx': 12, 'ny': 1, 'nz': 1},
+        'sed_calculation': {'directions': ['x'], 'n_kpoints': 8, 'bz_coverage': 0.5},
+        'ised': {'apply': True,
+                 'k_path': {'direction': 'x', 'characteristic_length': 2.5,
+                            'n_points': 12, 'bz_coverage': 0.5},
+                 'target_point': {'k_value': 0.6, 'w_value_thz': 4.0},
+                 'reconstruction': {'rescaling_factor': 'auto',
+                                    'num_animation_timesteps': 6,
+                                    'output_dump_filename': 'motion.dump'}},
+    }
+    cfg = tmp_path / "ised_cfg.yaml"
+    cfg.write_text(yaml.dump(config))
+    out = tmp_path / "out_ised"
+    main(['--trajectory', str(dump), '--config', str(cfg), '--output-dir', str(out)])
+    assert (out / "motion.dump").exists()
+    assert list(out.glob("iSED_*.png"))
+
+
+def test_cli_missing_trajectory(tmp_path):
+    with pytest.raises(SystemExit):
+        main(['--trajectory', str(tmp_path / "nope.dump"),
+              '--output-dir', str(tmp_path / "o")])
