@@ -1,0 +1,276 @@
+"""GUI analysis controller — all state and compute logic, no Tk.
+
+The reference GUI interleaves Tkinter widget access with analysis logic in one
+3,000-line class (reference: src/psa/gui/psa_gui.py:139-3057), making it
+untestable headless.  Here the controller owns trajectory/SED/k-grid state and
+every computation the GUI triggers; the Tk layer (psa_tpu.gui.app) is a thin
+view that calls into it from worker threads and marshals results back with
+``root.after``.  Everything in this module runs without a display.
+"""
+from __future__ import annotations
+
+import ast
+import logging
+import tempfile
+from dataclasses import dataclass, field
+from pathlib import Path
+from typing import Any, Dict, List, Optional, Tuple
+
+import numpy as np
+
+from ..core.calculator import SEDCalculator
+from ..core.sed import SED
+from ..core.trajectory import Trajectory
+from ..io.loader import TrajectoryLoader
+from ..ops import spectral
+
+logger = logging.getLogger(__name__)
+
+# Chiral axis -> polarization component pair (reference psa_gui.py:976-982):
+# the two components PERPENDICULAR to the chosen axis.
+CHIRAL_AXIS_COMPONENTS = {'x': (1, 2), 'y': (0, 2), 'z': (0, 1)}
+
+
+def parse_direction_input(text: str):
+    """Parse the GUI direction entry: python literals first, bare words after
+    (reference psa_gui.py:930-945 uses ast.literal_eval with fallbacks)."""
+    text = text.strip()
+    if not text:
+        raise ValueError("Direction must not be empty.")
+    try:
+        return ast.literal_eval(text)
+    except (ValueError, SyntaxError):
+        return text  # named direction ('x', '110', ...) or CSV string
+
+
+@dataclass
+class KGridState:
+    """Post-compute k-grid state with the ω ≥ 0 / max-freq filtered views the
+    heatmap browser uses (reference psa_gui.py:2195-2232)."""
+    sed: SED
+    plane: str
+    freqs: np.ndarray                 # filtered, ω >= 0 (and <= max_freq)
+    intensity: np.ndarray             # (n_freq_filtered, n_kx*n_ky)
+    phase: Optional[np.ndarray]       # filtered with the SAME mask (bug fix:
+                                      # the reference indexed the unfiltered
+                                      # phase with filtered indices, :2382)
+    k1_axis: np.ndarray
+    k2_axis: np.ndarray
+    labels: Tuple[str, str]
+    _vrange_cache: Dict[str, Tuple[float, float]] = field(default_factory=dict)
+
+    def slice_at(self, freq_idx: int, use_phase: bool = False) -> np.ndarray:
+        data = self.phase if (use_phase and self.phase is not None) else self.intensity
+        n_kx, n_ky = self.sed.k_grid_shape
+        return data[freq_idx].reshape(n_kx, n_ky).T
+
+    def global_vrange(self, use_phase: bool = False, scale: str = 'linear'):
+        """Global (vmin, vmax) across all frequency slices, cached — so the
+        heatmap color scale is stable while scrubbing the slider
+        (reference psa_gui.py:2414-2441)."""
+        key = f"{'phase' if use_phase else 'intensity'}:{scale}"
+        if key not in self._vrange_cache:
+            data = self.phase if (use_phase and self.phase is not None) else self.intensity
+            vals = apply_scale(data, scale)
+            self._vrange_cache[key] = (float(np.min(vals)), float(np.max(vals)))
+        return self._vrange_cache[key]
+
+
+def apply_scale(values: np.ndarray, scale: str) -> np.ndarray:
+    """GUI intensity scaling (reference psa_gui.py:2988-2997)."""
+    scale = (scale or 'linear').lower()
+    if scale == 'log':
+        return np.log10(np.maximum(values, 1e-12))
+    if scale == 'sqrt':
+        return np.sqrt(np.maximum(values, 0))
+    if scale == 'dsqrt':
+        return np.sqrt(np.sqrt(np.maximum(values, 0)))
+    return values
+
+
+class AnalysisController:
+    """Holds the loaded trajectory, calculator, and computed results."""
+
+    def __init__(self):
+        self.trajectory: Optional[Trajectory] = None
+        self.calculator: Optional[SEDCalculator] = None
+        self.sed_result: Optional[SED] = None          # k-path result
+        self.kpath_mags: Optional[np.ndarray] = None
+        self.kgrid: Optional[KGridState] = None
+        self.selected_point: Optional[Tuple[float, float]] = None  # (k, ω)
+        self.ised_dump_path: Optional[Path] = None
+        self.temp_dirs: List[tempfile.TemporaryDirectory] = []
+
+    # -- trajectory ---------------------------------------------------------
+
+    def has_cache(self, filename: str) -> bool:
+        """True if the .npy sidecar cache exists (reference psa_gui.py:863-870)."""
+        stem = Path(filename).parent / Path(filename).stem
+        parts = ('positions', 'velocities', 'types', 'box_matrix')
+        return all(stem.with_suffix(f'.{p}.npy').exists() for p in parts)
+
+    def load_trajectory(self, filename: str, dt: float, file_format: str,
+                        nx: int, ny: int, nz: int,
+                        use_displacements: bool = False) -> Trajectory:
+        loader = TrajectoryLoader(filename, dt=dt, file_format=file_format)
+        self.trajectory = loader.load()
+        self.calculator = SEDCalculator(self.trajectory, nx=nx, ny=ny, nz=nz,
+                                        use_displacements=use_displacements)
+        self.sed_result = None
+        self.kgrid = None
+        self.selected_point = None
+        return self.trajectory
+
+    def _require_calc(self) -> SEDCalculator:
+        if self.calculator is None:
+            raise RuntimeError("Load a trajectory first.")
+        return self.calculator
+
+    # -- k-path SED (reference psa_gui.py:923-1013) --------------------------
+
+    def compute_kpath_sed(self, direction_text: str, n_k: int, bz_coverage: float,
+                          lattice_param: Optional[float] = None,
+                          basis_atom_types: Optional[list] = None,
+                          summation_mode: str = 'coherent',
+                          chiral: bool = False, chiral_axis: str = 'z',
+                          angle_range_opt: str = 'C') -> SED:
+        calc = self._require_calc()
+        direction = parse_direction_input(direction_text)
+        k_mags, k_vecs = calc.get_k_path(direction, bz_coverage=bz_coverage,
+                                         n_k=n_k, lat_param=lattice_param)
+        if chiral and summation_mode != 'coherent':
+            logger.info("Chiral analysis requires coherent summation; forcing coherent.")
+            summation_mode = 'coherent'
+        sed = calc.calculate(k_mags, k_vecs, basis_atom_types=basis_atom_types,
+                             summation_mode=summation_mode)
+        if chiral and sed.is_complex:
+            c1, c2 = CHIRAL_AXIS_COMPONENTS[chiral_axis]
+            sed.phase = calc.calculate_chiral_phase(
+                sed.sed[:, :, c1], sed.sed[:, :, c2], angle_range_opt)
+        self.sed_result = sed
+        self.kpath_mags = k_mags
+        self.selected_point = None
+        return sed
+
+    def kpath_plot_arrays(self, scale: str = 'dsqrt', max_freq: Optional[float] = None,
+                          show_phase: bool = False):
+        """(k, ω, C) arrays for the dispersion pcolormesh, ω ≥ 0 masked."""
+        sed = self.sed_result
+        if sed is None:
+            raise RuntimeError("Compute a k-path SED first.")
+        mask = sed.freqs >= 0
+        freqs = sed.freqs[mask]
+        if show_phase and sed.phase is not None:
+            c = sed.phase[mask]
+        else:
+            c = apply_scale(sed.intensity[mask], scale)
+        if max_freq is not None:
+            fm = freqs <= max_freq
+            freqs, c = freqs[fm], c[fm]
+        return sed.k_points, freqs, c
+
+    def select_nearest(self, k_click: float, w_click: float) -> Tuple[float, float]:
+        """Snap a plot click to the nearest (k, ω) sample (reference
+        psa_gui.py:1215-1216)."""
+        sed = self.sed_result
+        if sed is None:
+            raise RuntimeError("Compute a k-path SED first.")
+        k_idx = int(np.argmin(np.abs(sed.k_points - k_click)))
+        pos = sed.freqs[sed.freqs >= 0]
+        w_idx = int(np.argmin(np.abs(pos - w_click)))
+        self.selected_point = (float(sed.k_points[k_idx]), float(pos[w_idx]))
+        return self.selected_point
+
+    # -- k-grid SED (reference psa_gui.py:2099-2232) -------------------------
+
+    def compute_kgrid_sed(self, plane: str, k_range_1: Tuple[float, float],
+                          k_range_2: Tuple[float, float], n_k1: int, n_k2: int,
+                          k_fixed: float = 0.0, max_freq: Optional[float] = None,
+                          basis_atom_types: Optional[list] = None,
+                          summation_mode: str = 'coherent',
+                          chiral: bool = False, chiral_axis: str = 'z',
+                          k_chunk_size: int = 2048) -> KGridState:
+        calc = self._require_calc()
+        _, k_vecs, shape = calc.get_k_grid(plane, k_range_1, k_range_2,
+                                           n_k1, n_k2, k_fixed_val=k_fixed)
+        if chiral:
+            summation_mode = 'coherent'
+        sed = calc.calculate(np.array([], dtype=np.float32), k_vecs,
+                             basis_atom_types=basis_atom_types,
+                             summation_mode=summation_mode,
+                             k_grid_shape=shape, k_chunk_size=k_chunk_size)
+        phase_full = None
+        if chiral and sed.is_complex:
+            c1, c2 = CHIRAL_AXIS_COMPONENTS[chiral_axis]
+            phase_full = calc.calculate_chiral_phase(sed.sed[:, :, c1],
+                                                     sed.sed[:, :, c2])
+            sed.phase = phase_full
+
+        mask = sed.freqs >= 0
+        if max_freq is not None:
+            mask &= sed.freqs <= max_freq
+        freqs = sed.freqs[mask]
+        intensity = sed.intensity[mask]
+        # Phase filtered with the SAME mask — the reference indexed the
+        # unfiltered phase array with filtered indices (psa_gui.py:2382).
+        phase = phase_full[mask] if phase_full is not None else None
+
+        comp = {'xy': (0, 1, 'k_x', 'k_y'), 'yz': (1, 2, 'k_y', 'k_z'),
+                'zx': (2, 0, 'k_z', 'k_x')}[plane.lower()]
+        k1_axis = np.unique(k_vecs[:, comp[0]])
+        k2_axis = np.unique(k_vecs[:, comp[1]])
+        if len(k1_axis) != shape[0]:
+            k1_axis = np.linspace(k_vecs[:, comp[0]].min(), k_vecs[:, comp[0]].max(), shape[0])
+        if len(k2_axis) != shape[1]:
+            k2_axis = np.linspace(k_vecs[:, comp[1]].min(), k_vecs[:, comp[1]].max(), shape[1])
+
+        self.kgrid = KGridState(sed=sed, plane=plane.lower(), freqs=freqs,
+                                intensity=intensity, phase=phase,
+                                k1_axis=k1_axis, k2_axis=k2_axis,
+                                labels=(comp[2], comp[3]))
+        return self.kgrid
+
+    # -- iSED (reference psa_gui.py:1265-1368) -------------------------------
+
+    def reconstruct_ised(self, direction_text: str, char_len: float,
+                         n_k: int = 100, bz_coverage: float = 1.0,
+                         rescale: Any = 'auto', n_frames: int = 100,
+                         basis_atom_types: Optional[list] = None,
+                         out_dir: Optional[Path] = None) -> Path:
+        """Run iSED at the selected (k, ω); returns the dump path."""
+        calc = self._require_calc()
+        if self.selected_point is None:
+            raise RuntimeError("Select a (k, ω) point on the dispersion plot first.")
+        k_target, w_target = self.selected_point
+        if out_dir is None:
+            tmp = tempfile.TemporaryDirectory(prefix='psa_ised_')
+            self.temp_dirs.append(tmp)
+            out_dir = Path(tmp.name)
+        out_dir = Path(out_dir)
+        dump = out_dir / "ised_reconstruction.dump"
+        calc.ised(k_dir_spec=parse_direction_input(direction_text),
+                  k_target=k_target, w_target=w_target,
+                  char_len_k_path=char_len, nk_on_path=n_k,
+                  bz_cov_ised=bz_coverage, rescale_factor=rescale,
+                  n_recon_frames=n_frames,
+                  basis_atom_types_ised=basis_atom_types,
+                  dump_filepath=str(dump))
+        self.ised_dump_path = dump
+        return dump
+
+    def load_ised_motion(self):
+        """Re-read the reconstruction dump for the 3D animation viewer
+        (reference re-parses its own dump, psa_gui.py:1396-1455)."""
+        from ..io.lammps import read_lammps_dump
+        if self.ised_dump_path is None:
+            raise RuntimeError("No iSED reconstruction available.")
+        pos, _, types, _, box = read_lammps_dump(self.ised_dump_path, unwrap=False)
+        return pos, types, box
+
+    def cleanup(self) -> None:
+        for tmp in self.temp_dirs:
+            try:
+                tmp.cleanup()
+            except Exception:
+                pass
+        self.temp_dirs.clear()

@@ -1,0 +1,183 @@
+"""GUI controller + export backends, headless (no display required)."""
+import numpy as np
+import pytest
+
+from psa_tpu.gui.controller import (AnalysisController, apply_scale,
+                                    parse_direction_input, CHIRAL_AXIS_COMPONENTS)
+from psa_tpu.gui import export
+from psa_tpu.io.writer import out_to_qdump
+from psa_tpu.models import make_chain_trajectory
+
+
+@pytest.fixture
+def loaded(tmp_path):
+    """Controller with a chain trajectory loaded from a real dump file."""
+    traj = make_chain_trajectory(n_cells=12, n_frames=64, dt_ps=0.02,
+                                 a=2.5, omega_max_thz=6.0)
+    dump = tmp_path / "chain.dump"
+    with open(dump, "w") as f:
+        for t in range(traj.n_frames):
+            f.write(f"ITEM: TIMESTEP\n{t}\nITEM: NUMBER OF ATOMS\n{traj.n_atoms}\n")
+            f.write("ITEM: BOX BOUNDS pp pp pp\n")
+            for d in range(3):
+                f.write(f"0.0 {traj.box_matrix[d, d]:.6f}\n")
+            f.write("ITEM: ATOMS id type x y z vx vy vz\n")
+            for a_ in range(traj.n_atoms):
+                p, v = traj.positions[t, a_], traj.velocities[t, a_]
+                f.write(f"{a_+1} 1 {p[0]:.6f} {p[1]:.6f} {p[2]:.6f} "
+                        f"{v[0]:.6f} {v[1]:.6f} {v[2]:.6f}\n")
+    ctrl = AnalysisController()
+    ctrl.load_trajectory(str(dump), dt=0.02, file_format='lammps',
+                         nx=12, ny=1, nz=1)
+    return ctrl
+
+
+class TestParseDirectionInput:
+    @pytest.mark.parametrize("text,expected", [
+        ("[1,0,0]", [1, 0, 0]),
+        ("(0, 1, 0)", (0, 1, 0)),
+        ("45.0", 45.0),
+        ("x", "x"),
+        ("110", 110),                       # literal int -> angle semantics
+        ("{'h': 1, 'k': 1, 'l': 0}", {'h': 1, 'k': 1, 'l': 0}),
+    ])
+    def test_forms(self, text, expected):
+        assert parse_direction_input(text) == expected
+
+    def test_empty_raises(self):
+        with pytest.raises(ValueError):
+            parse_direction_input("  ")
+
+
+def test_chiral_axis_component_pairs():
+    # axis -> perpendicular polarization components (reference psa_gui.py:976-982)
+    assert CHIRAL_AXIS_COMPONENTS == {'x': (1, 2), 'y': (0, 2), 'z': (0, 1)}
+
+
+def test_cache_detection(loaded, tmp_path):
+    assert loaded.has_cache(str(tmp_path / "chain.dump"))  # load wrote the cache
+    assert not loaded.has_cache(str(tmp_path / "other.dump"))
+
+
+class TestKPathFlow:
+    def test_compute_and_click(self, loaded):
+        sed = loaded.compute_kpath_sed("x", n_k=16, bz_coverage=0.5)
+        assert sed.is_complex
+        k, f, c = loaded.kpath_plot_arrays(scale='dsqrt', max_freq=8.0)
+        assert c.shape == (len(f), len(k))
+        assert np.all(f >= 0) and np.all(f <= 8.0)
+        ksel, wsel = loaded.select_nearest(0.62, 5.1)
+        assert abs(ksel - 0.62) < np.diff(k)[0]
+        assert loaded.selected_point == (ksel, wsel)
+
+    def test_chiral_forces_coherent(self, loaded):
+        sed = loaded.compute_kpath_sed("x", n_k=8, bz_coverage=0.5,
+                                       summation_mode='incoherent', chiral=True,
+                                       chiral_axis='z')
+        assert sed.is_complex             # forced coherent
+        assert sed.phase is not None
+        assert sed.phase.shape == sed.sed.shape[:2]
+
+    def test_phase_plot_arrays(self, loaded):
+        loaded.compute_kpath_sed("x", n_k=8, bz_coverage=0.5, chiral=True)
+        _, f, c = loaded.kpath_plot_arrays(show_phase=True)
+        assert np.all(np.abs(c) <= np.pi / 2 + 1e-6)
+
+
+class TestKGridFlow:
+    def test_grid_state(self, loaded):
+        kg = loaded.compute_kgrid_sed('xy', (-1, 1), (-1, 1), 6, 5,
+                                      max_freq=10.0)
+        assert kg.sed.k_grid_shape == (6, 5)
+        assert kg.intensity.shape == (len(kg.freqs), 30)
+        assert np.all(kg.freqs >= 0) and np.all(kg.freqs <= 10.0)
+        s = kg.slice_at(0)
+        assert s.shape == (5, 6)          # transposed for pcolormesh
+        vmin, vmax = kg.global_vrange(scale='sqrt')
+        assert vmax >= vmin
+        # cache hit returns identical object
+        assert kg.global_vrange(scale='sqrt') == (vmin, vmax)
+
+    def test_grid_chiral_phase_same_mask(self, loaded):
+        """Phase must be filtered with the same freq mask as intensity
+        (the reference's off-by-mask bug, psa_gui.py:2382)."""
+        kg = loaded.compute_kgrid_sed('xy', (-1, 1), (-1, 1), 4, 4,
+                                      max_freq=6.0, chiral=True)
+        assert kg.phase is not None
+        assert kg.phase.shape == kg.intensity.shape
+
+
+class TestISEDFlow:
+    def test_requires_selection(self, loaded):
+        loaded.compute_kpath_sed("x", n_k=8, bz_coverage=0.5)
+        with pytest.raises(RuntimeError, match="Select"):
+            loaded.reconstruct_ised("x", char_len=2.5, n_frames=4)
+
+    def test_full_flow(self, loaded, tmp_path):
+        loaded.compute_kpath_sed("x", n_k=16, bz_coverage=0.5)
+        loaded.select_nearest(0.6, 4.0)
+        dump = loaded.reconstruct_ised("x", char_len=2.5, n_k=12,
+                                       bz_coverage=0.5, n_frames=5,
+                                       out_dir=tmp_path / "ised")
+        assert dump.exists()
+        pos, types, box = loaded.load_ised_motion()
+        assert pos.shape == (5, 12, 3)
+        loaded.cleanup()
+
+
+class TestExports:
+    def test_npy_and_csv(self, loaded, tmp_path):
+        sed = loaded.compute_kpath_sed("x", n_k=8, bz_coverage=0.5, chiral=True)
+        files = export.export_npy_set(sed, tmp_path / "exp" / "sed")
+        assert all(f.exists() for f in files)
+        csv = export.export_kpath_csv(sed, tmp_path / "kpath.csv")
+        import pandas as pd
+        df = pd.read_csv(csv)
+        assert 'frequency_THz' in df.columns
+        assert any(c.startswith('k_') for c in df.columns)
+        assert any(c.startswith('phase_k_') for c in df.columns)
+
+    def test_kgrid_csv_and_gif(self, loaded, tmp_path):
+        kg = loaded.compute_kgrid_sed('xy', (-1, 1), (-1, 1), 4, 4, max_freq=8.0)
+        csv = export.export_kgrid_csv(kg, tmp_path / "grid.csv")
+        import pandas as pd
+        df = pd.read_csv(csv)
+        assert set(df.columns) >= {'frequency_THz', 'k_x', 'k_y', 'intensity'}
+        assert len(df) == len(kg.freqs) * 16
+        gif = export.export_kgrid_gif(kg, tmp_path / "grid.gif", max_frames=5)
+        assert gif.exists() and gif.stat().st_size > 1000
+
+    def test_ised_dump_export(self, loaded, tmp_path):
+        loaded.compute_kpath_sed("x", n_k=12, bz_coverage=0.5)
+        loaded.select_nearest(0.6, 4.0)
+        src = loaded.reconstruct_ised("x", char_len=2.5, n_k=8, n_frames=3,
+                                      out_dir=tmp_path / "i")
+        dest = export.export_ised_dump(src, tmp_path / "out" / "motion.dump",
+                                       {'k': 0.6, 'w': 4.0})
+        assert dest.exists()
+        assert dest.with_suffix('.info.txt').exists()
+
+    def test_figure_export_format_guard(self, tmp_path):
+        import matplotlib
+        matplotlib.use('Agg')
+        import matplotlib.pyplot as plt
+        fig = plt.figure()
+        with pytest.raises(ValueError, match="Unsupported image format"):
+            export.export_figure(fig, tmp_path / "x.bmp")
+        out = export.export_figure(fig, tmp_path / "x.png")
+        assert out.exists()
+        plt.close(fig)
+
+
+def test_apply_scale_modes():
+    x = np.array([0.0, 1.0, 100.0])
+    np.testing.assert_allclose(apply_scale(x, 'linear'), x)
+    np.testing.assert_allclose(apply_scale(x, 'sqrt'), np.sqrt(x))
+    np.testing.assert_allclose(apply_scale(x, 'dsqrt'), np.sqrt(np.sqrt(x)))
+    assert apply_scale(x, 'log')[0] == np.log10(1e-12)
+
+
+def test_gui_app_importable():
+    """The Tk view must import headless (construction needs a display)."""
+    import psa_tpu.gui.app  # noqa: F401
+    import psa_tpu.gui.widgets  # noqa: F401
