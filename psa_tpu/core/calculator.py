@@ -406,7 +406,8 @@ class SEDCalculator:
                   basis_atom_types: Optional[Union[List[int], List[List[int]]]] = None,
                   summation_mode: str = 'coherent',
                   k_grid_shape: Optional[Tuple[int, int]] = None,
-                  k_chunk_size: int = 500) -> SED:
+                  k_chunk_size: int = 500,
+                  cache_dir: Optional[Union[str, Path]] = None) -> SED:
         """Compute the SED over the given k-set.
 
         Semantics match the reference (sed_calculator.py:182-336): coherent
@@ -414,6 +415,11 @@ class SEDCalculator:
         mode returns Σ_groups Σ_α |Φ|² (n_freq, n_k) float32.  ``k_chunk_size``
         bounds device memory; every chunk is padded to a fixed block so the
         kernel compiles exactly once per (group-size, block) shape.
+
+        ``cache_dir`` enables per-k-chunk checkpointing: each finished chunk
+        is written atomically under a content-derived key, and an interrupted
+        sweep resumes by recomputing only the missing chunks (the reference
+        could only cache whole results, cli.py:115-124).
         """
         if summation_mode not in ('coherent', 'incoherent'):
             raise ValueError(f"summation_mode must be 'coherent' or 'incoherent', got {summation_mode}")
@@ -452,6 +458,24 @@ class SEDCalculator:
         if num_k == 0:
             logger.warning("k_vectors_3d is empty. Returning SED object with empty SED data.")
 
+        cache = None
+        if cache_dir is not None and num_k > 0:
+            from ..io.shard_cache import ShardedSEDCache, trajectory_fingerprint
+            cache = ShardedSEDCache(Path(cache_dir), workload={
+                'traj': trajectory_fingerprint(self.traj),
+                'k_vectors': np.asarray(k_vectors_3d, dtype=np.float32),
+                'groups': [g.tolist() for g in atom_groups],
+                'mode': summation_mode,
+                'use_displacements': self.use_displacements,
+                'precision': self.precision,
+                'dt_ps': float(self.dt_ps),
+                'k_chunk_size': int(block),
+            })
+            done = cache.completed_chunks()
+            if done:
+                logger.info("SED shard cache %s: %d/%d chunks already computed.",
+                            cache.key, done, num_chunks)
+
         for i_chunk in range(num_chunks):
             start = i_chunk * block
             end = min(start + block, num_k)
@@ -465,6 +489,15 @@ class SEDCalculator:
             logger.debug("Processing k-chunk %d/%d (indices %d-%d)", i_chunk + 1, num_chunks,
                          start, end - 1)
 
+            if cache is not None:
+                cached = cache.load(i_chunk)
+                if cached is not None and cached.shape[1] == end - start:
+                    if is_complex_output:
+                        full_sed[:, start:end, :] = cached
+                    else:
+                        full_sed[:, start:end] = cached
+                    continue
+
             if is_complex_output:
                 if union.size == 0:
                     logger.warning("Final atom group for SED k-chunk %d is empty; chunk stays zero.",
@@ -472,6 +505,8 @@ class SEDCalculator:
                     continue
                 chunk_out = self._group_spectrum_np(union, k_chunk, want_intensity=False)
                 full_sed[:, start:end, :] = chunk_out[:, :end - start, :]
+                if cache is not None:
+                    cache.store(i_chunk, chunk_out[:, :end - start, :])
             else:
                 acc = np.zeros((len(freqs), end - start), dtype=np.float32)
                 for i_grp, grp_idx in enumerate(atom_groups):
@@ -480,6 +515,8 @@ class SEDCalculator:
                     inten = self._group_spectrum_np(grp_idx, k_chunk, want_intensity=True)
                     acc += inten[:, :end - start]
                 full_sed[:, start:end] = acc
+                if cache is not None:
+                    cache.store(i_chunk, acc)
 
         return SED(full_sed, freqs, k_points_mags, k_vectors_3d,
                    k_grid_shape=k_grid_shape, is_complex=is_complex_output, phase=None,
