@@ -1,0 +1,144 @@
+"""I/O layer: native parser, LAMMPS round-trips, loader caching, OUTCAR."""
+import numpy as np
+import pytest
+
+from psa_tpu.io import native
+from psa_tpu.io.lammps import read_lammps_dump, unwrap_positions, read_vasp_outcar
+from psa_tpu.io.loader import TrajectoryLoader
+from psa_tpu.io.writer import TrajectoryWriter, out_to_qdump
+from psa_tpu.core.sed import SED
+from psa_tpu.models import make_chain_trajectory
+
+
+class TestNativeParser:
+    def test_available_and_correct(self):
+        text = b"1.5 -2e3 0.001 +4.25e-2 700\n-0.0 1e-30 3.14159"
+        got = native.parse_doubles(text, 8)
+        expect = np.fromstring(text.decode(), dtype=np.float64, sep=' ')
+        np.testing.assert_allclose(got, expect, rtol=1e-14)
+
+    def test_malformed_raises(self):
+        with pytest.raises(ValueError, match="Malformed|Expected"):
+            native.parse_doubles(b"1.0 abc 2.0", 3)
+
+    def test_count_mismatch_raises(self):
+        with pytest.raises(ValueError, match="Expected"):
+            native.parse_doubles(b"1 2 3", 5)
+
+    def test_large_random_roundtrip(self):
+        rng = np.random.default_rng(1)
+        vals = np.concatenate([rng.normal(scale=10.0 ** float(rng.integers(-8, 8)), size=200)
+                               for _ in range(5)])
+        text = " ".join(repr(float(v)) for v in vals)
+        got = native.parse_doubles(text.encode(), vals.size)
+        np.testing.assert_allclose(got, vals, rtol=1e-12)
+
+
+class TestQdumpRoundtrip:
+    def test_orthogonal(self, tmp_path):
+        rng = np.random.default_rng(0)
+        pos = rng.uniform(0, 10, (3, 5, 3)).astype(np.float32)
+        types = np.array([1, 2, 1, 2, 1])
+        box = np.diag([10., 11., 12.]).astype(np.float32)
+        path = tmp_path / "t.dump"
+        out_to_qdump(str(path), pos, types, box)
+        rpos, rvel, rtypes, steps, rbox = read_lammps_dump(path, unwrap=False)
+        np.testing.assert_allclose(rpos, pos, atol=1e-5)
+        np.testing.assert_array_equal(rtypes, types)
+        np.testing.assert_allclose(rbox, box, atol=1e-6)
+        assert np.all(rvel == 0)
+
+    def test_triclinic(self, tmp_path):
+        rng = np.random.default_rng(1)
+        pos = rng.uniform(0, 8, (2, 4, 3)).astype(np.float32)
+        box = np.array([[10., 1.5, 0.5], [0., 11., 2.0], [0., 0., 12.]],
+                       dtype=np.float32)
+        path = tmp_path / "tri.dump"
+        out_to_qdump(str(path), pos, np.ones(4), box)
+        text = path.read_text()
+        assert "xy xz yz pp pp pp" in text
+        _, _, _, _, rbox = read_lammps_dump(path, unwrap=False)
+        np.testing.assert_allclose(rbox, box, atol=1e-5)
+
+
+class TestUnwrap:
+    def test_wrapped_crossing_recovered(self):
+        box = np.diag([10., 10., 10.]).astype(np.float32)
+        # atom moves +0.4/frame along x, crossing the boundary at 10
+        true_x = 9.0 + 0.4 * np.arange(6)
+        wrapped = true_x % 10.0
+        pos = np.zeros((6, 1, 3), dtype=np.float32)
+        pos[:, 0, 0] = wrapped
+        un = unwrap_positions(pos, box)
+        np.testing.assert_allclose(un[:, 0, 0], true_x, atol=1e-5)
+
+
+class TestLoaderCache:
+    def test_cache_writes_and_reads(self, tmp_path):
+        traj = make_chain_trajectory(n_cells=8, n_frames=10, dt_ps=0.01)
+        dump = tmp_path / "c.dump"
+        out_to_qdump(str(dump), traj.positions, traj.types, traj.box_matrix)
+        t1 = TrajectoryLoader(str(dump), dt=0.01).load()
+        # sidecars exist (reference layout, loader.py:48-79)
+        for part in ('positions', 'velocities', 'types', 'box_matrix',
+                     'mean_positions', 'displacements'):
+            assert (tmp_path / f"c.{part}.npy").exists(), part
+        t2 = TrajectoryLoader(str(dump), dt=0.01).load()
+        np.testing.assert_allclose(t1.positions, t2.positions, atol=0)
+
+    def test_bad_format_rejected(self, tmp_path):
+        (tmp_path / "x.dump").write_text("data")
+        with pytest.raises(ValueError, match="Unsupported file format"):
+            TrajectoryLoader(str(tmp_path / "x.dump"), file_format='xyz')
+
+    def test_missing_file(self):
+        with pytest.raises(FileNotFoundError):
+            TrajectoryLoader("/nonexistent/path.dump")
+
+
+class TestOutcar:
+    def test_minimal_outcar(self, tmp_path):
+        outcar = tmp_path / "md.OUTCAR"
+        lines = ["header\n",
+                 "   ions per type =    2   1\n",
+                 "  number of ions     NIONS =      3\n",
+                 " direct lattice vectors                 reciprocal\n",
+                 "  5.0 0.0 0.0  0.2 0.0 0.0\n",
+                 "  0.0 5.0 0.0  0.0 0.2 0.0\n",
+                 "  0.0 0.0 5.0  0.0 0.0 0.2\n"]
+        for frame in range(2):
+            lines.append(" POSITION                 TOTAL-FORCE (eV/Angst)\n")
+            lines.append(" -----\n")
+            for a in range(3):
+                lines.append(f"  {1.0*a+frame*0.1:.4f} {2.0*a:.4f} {0.5*a:.4f}  0 0 0\n")
+        outcar.write_text("".join(lines))
+        pos, vel, types, steps, box = read_vasp_outcar(outcar)
+        assert pos.shape == (2, 3, 3)
+        np.testing.assert_array_equal(types, [1, 1, 2])
+        np.testing.assert_allclose(box, np.diag([5., 5., 5.]), atol=1e-6)
+
+    def test_outcar_via_loader_autodetect(self, tmp_path):
+        # reuse the same OUTCAR through TrajectoryLoader format detection
+        self.test_minimal_outcar(tmp_path)  # writes md.OUTCAR
+        # clear cache sidecars so the parser path runs
+        traj = TrajectoryLoader(str(tmp_path / "md.OUTCAR"), dt=0.01).load()
+        assert traj.n_frames == 2 and traj.n_atoms == 3
+
+
+class TestTrajectoryWriter:
+    def test_all_writers(self, tmp_path):
+        traj = make_chain_trajectory(n_cells=4, n_frames=6, dt_ps=0.01)
+        w = TrajectoryWriter(tmp_path)
+        sed = SED(np.ones((4, 3, 3), np.complex64), np.zeros(4), np.zeros(3),
+                  np.zeros((3, 3)), phase=np.ones((4, 3), np.float32))
+        w.save_sed_data(sed)
+        assert (tmp_path / "sed_data.npz").exists()
+        assert (tmp_path / "sed_data.phase.npz").exists()
+        w.save_trajectory_data(traj)
+        assert (tmp_path / "trajectory_data.npz").exists()
+        w.save_config({'a': {'b': 1}})
+        assert (tmp_path / "config.yaml").exists()
+        w.save_analysis_results({'metric': 1.0})
+        assert (tmp_path / "analysis_results.json").exists()
+        w.save_log("hello")
+        assert (tmp_path / "analysis.log").read_text() == "hello"
