@@ -56,12 +56,17 @@ class SEDCalculator:
             reference, kept for compatibility; reference sed_calculator.py:26-30).
         precision: 'parity' (float32-exact matmuls, holds 1e-6 vs NumPy) or
             'fast' (bf16 MXU passes; ~2× faster projection, ~1e-3 accuracy).
+        mass_weighted: weight each atom's data by √m_a (opt-in extension; the
+            reference formula is NOT mass-weighted — its README example
+            suggesting otherwise doesn't run, SURVEY.md §0.  Requires
+            ``traj.masses``).
     """
 
     def __init__(self, traj: Trajectory, nx: int, ny: int, nz: int,
                  use_displacements: bool = False, dt_ps: Optional[float] = None,
                  precision: str = 'parity',
-                 max_device_bytes: int = _DEFAULT_MAX_DEVICE_BYTES):
+                 max_device_bytes: int = _DEFAULT_MAX_DEVICE_BYTES,
+                 mass_weighted: bool = False):
         if not (nx > 0 and ny > 0 and nz > 0):
             raise ValueError("System dimensions (nx, ny, nz) must be positive.")
         spectral.resolve_precision(precision)  # validate early
@@ -69,6 +74,9 @@ class SEDCalculator:
         self.use_displacements = use_displacements
         self.precision = precision
         self.max_device_bytes = max_device_bytes
+        self.mass_weighted = mass_weighted
+        if mass_weighted and traj.masses is None:
+            raise ValueError("mass_weighted=True requires Trajectory.masses.")
 
         if dt_ps is not None:
             logger.warning("Explicitly providing dt_ps to SEDCalculator is deprecated; "
@@ -309,7 +317,8 @@ class SEDCalculator:
 
     def _group_device_arrays(self, group_idx: np.ndarray):
         """Device-resident (data, mp_hi, mp_lo) for a group, 2-entry LRU cache."""
-        key = group_idx.tobytes() + (b'D' if self.use_displacements else b'V')
+        key = group_idx.tobytes() + (b'D' if self.use_displacements else b'V') \
+            + (b'M' if self.mass_weighted else b'')
         if key in self._device_cache:
             return self._device_cache[key]
         data_host, mp_hi_host, mp_lo_host = self._host_group_data(group_idx)
@@ -318,6 +327,9 @@ class SEDCalculator:
         lo_dev = jnp.asarray(mp_lo_host, dtype=jnp.float32)
         if self.use_displacements:
             data_dev = spectral.displacement_data(data_dev, hi_dev, lo_dev)
+        if self.mass_weighted:
+            w = jnp.sqrt(jnp.asarray(self.traj.masses[group_idx], dtype=jnp.float32))
+            data_dev = data_dev * w[None, :, None]
         self._device_cache[key] = (data_dev, hi_dev, lo_dev)
         self._device_cache_order.append(key)
         while len(self._device_cache_order) > 2:
@@ -378,6 +390,9 @@ class SEDCalculator:
                              - mean_pos64[idx][None, :, :]).astype(np.float32)
                 else:
                     chunk = self.traj.velocities[:, idx, :]
+                if self.mass_weighted:
+                    w = np.sqrt(self.traj.masses[idx]).astype(np.float32)
+                    chunk = chunk * w[None, :, None]
                 if idx.size < chunk_atoms:  # zero-pad: zero data adds nothing
                     pad = chunk_atoms - idx.size
                     chunk = np.concatenate(

@@ -338,3 +338,46 @@ class TestEmptyEdges:
     def test_bad_dims(self, crystal):
         with pytest.raises(ValueError, match="must be positive"):
             SEDCalculator(crystal, 0, 1, 1)
+
+
+class TestMassWeighting:
+    """Opt-in √m weighting (extension; the reference never implemented it)."""
+
+    def test_requires_masses(self, crystal):
+        with pytest.raises(ValueError, match="masses"):
+            SEDCalculator(crystal, 3, 3, 2, mass_weighted=True)
+
+    def test_weighted_matches_manual(self, crystal):
+        import dataclasses
+        rng = np.random.default_rng(11)
+        masses = rng.uniform(1.0, 30.0, crystal.n_atoms)
+        traj_m = dataclasses.replace(crystal, masses=masses)
+        calc = SEDCalculator(traj_m, 3, 3, 2, mass_weighted=True)
+        k_mags, k_vecs = calc.get_k_path('x', bz_coverage=1.0, n_k=7)
+        sed = calc.calculate(k_mags, k_vecs)
+
+        # manual oracle: scale velocities by sqrt(m) then reference formula
+        scaled = dataclasses.replace(
+            crystal, velocities=(crystal.velocities
+                                 * np.sqrt(masses)[None, :, None].astype(np.float32)))
+        oracle = reference_sed_oracle(scaled, k_vecs)
+        assert rel_err(sed.sed, oracle) < 1e-5
+
+    def test_default_unweighted(self, crystal):
+        import dataclasses
+        traj_m = dataclasses.replace(crystal, masses=np.full(crystal.n_atoms, 7.0))
+        calc = SEDCalculator(traj_m, 3, 3, 2)   # default off
+        k_mags, k_vecs = calc.get_k_path('x', bz_coverage=1.0, n_k=5)
+        sed = calc.calculate(k_mags, k_vecs)
+        oracle = reference_sed_oracle(crystal, k_vecs)
+        assert rel_err(sed.sed, oracle) < RTOL
+
+
+class TestFastPrecision:
+    def test_fast_mode_close_enough(self, crystal):
+        calc = SEDCalculator(crystal, 3, 3, 2, precision='fast')
+        k_mags, k_vecs = calc.get_k_path('x', bz_coverage=1.0, n_k=9)
+        sed = calc.calculate(k_mags, k_vecs)
+        oracle = reference_sed_oracle(crystal, k_vecs)
+        # bf16 passes: expect ~1e-2 relative, far looser than parity mode
+        assert rel_err(sed.sed, oracle) < 5e-2
