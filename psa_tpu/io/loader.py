@@ -40,7 +40,7 @@ class TrajectoryLoader:
     """
 
     def __init__(self, filename: str, dt: float = 1.0, file_format: str = 'auto',
-                 backend: str = 'native', unwrap: bool = True):
+                 backend: str = 'native', unwrap: bool = True, mmap: bool = False):
         if dt <= 0:
             raise ValueError("dt (timestep size) must be positive.")
         self.filepath = Path(filename)
@@ -54,6 +54,7 @@ class TrajectoryLoader:
             raise ValueError("backend must be 'native' or 'ovito'")
         self.backend = backend
         self.unwrap = unwrap
+        self.mmap = mmap
 
     # -- format detection (reference loader.py:41-46) ----------------------
     def _detect_file_format(self) -> str:
@@ -74,8 +75,11 @@ class TrajectoryLoader:
         if all(f.exists() for f in npy_files.values()):
             logger.info("Loading trajectory from cached .npy files for %s.", self.filepath.name)
             try:
-                pos = np.load(npy_files['positions'])
-                vel = np.load(npy_files['velocities'])
+                # mmap mode keeps pod-scale trajectories on disk; the engine's
+                # atom-streaming path reads slices on demand.
+                mode = 'r' if self.mmap else None
+                pos = np.load(npy_files['positions'], mmap_mode=mode)
+                vel = np.load(npy_files['velocities'], mmap_mode=mode)
                 atom_types = np.load(npy_files['types'])
                 box_mat = np.load(npy_files['box_matrix'])
                 if box_mat.shape != (3, 3):

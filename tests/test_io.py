@@ -142,3 +142,19 @@ class TestTrajectoryWriter:
         assert (tmp_path / "analysis_results.json").exists()
         w.save_log("hello")
         assert (tmp_path / "analysis.log").read_text() == "hello"
+
+
+class TestMmapLoading:
+    def test_mmap_cache_load(self, tmp_path):
+        traj = make_chain_trajectory(n_cells=8, n_frames=10, dt_ps=0.01)
+        dump = tmp_path / "m.dump"
+        out_to_qdump(str(dump), traj.positions, traj.types, traj.box_matrix)
+        TrajectoryLoader(str(dump), dt=0.01).load()          # builds the cache
+        t = TrajectoryLoader(str(dump), dt=0.01, mmap=True).load()
+        assert isinstance(t.positions, np.memmap)
+        # engine works on memory-mapped arrays
+        from psa_tpu.core.calculator import SEDCalculator
+        calc = SEDCalculator(t, nx=8, ny=1, nz=1)
+        k_mags, k_vecs = calc.get_k_path('x', bz_coverage=0.5, n_k=4)
+        sed = calc.calculate(k_mags, k_vecs)
+        assert np.all(np.isfinite(sed.intensity))
