@@ -1,0 +1,118 @@
+#!/usr/bin/env python
+"""Pod-scale k-grid SED sweep: the BASELINE.json north-star workload.
+
+Orchestrates the full large-scale pipeline for 10^6-atom, 10^5-step
+trajectories on a TPU mesh:
+
+  1. memory-mapped trajectory (stays on disk; TrajectoryLoader(mmap=True)),
+  2. (multi-host) jax.distributed initialization,
+  3. a (t, a, k) device mesh sized to the pod,
+  4. k-chunked sweep through psa_tpu.parallel.sharded_sed_spectrum,
+  5. per-chunk checkpointing (ShardedSEDCache) -> crash-resumable,
+  6. throughput report.
+
+Single-host example (8-way virtual CPU mesh for a dry run):
+    XLA_FLAGS=--xla_force_host_platform_device_count=8 JAX_PLATFORMS=cpu \
+      python scripts/pod_sweep.py --trajectory traj.dump --dt 0.02 \
+      --grid 32 --k-chunk 512 --out sweep_out/
+"""
+import argparse
+import logging
+import sys
+import time
+from pathlib import Path
+
+import numpy as np
+
+logging.basicConfig(level=logging.INFO,
+                    format='%(asctime)s %(levelname)s %(message)s', datefmt='%H:%M:%S')
+logger = logging.getLogger("pod_sweep")
+
+
+def main():
+    p = argparse.ArgumentParser(description=__doc__,
+                                formatter_class=argparse.RawDescriptionHelpFormatter)
+    p.add_argument('--trajectory', required=True)
+    p.add_argument('--dt', type=float, required=True)
+    p.add_argument('--nx', type=int, default=1)
+    p.add_argument('--ny', type=int, default=1)
+    p.add_argument('--nz', type=int, default=1)
+    p.add_argument('--plane', default='xy')
+    p.add_argument('--k-min', type=float, default=-5.0)
+    p.add_argument('--k-max', type=float, default=5.0)
+    p.add_argument('--grid', type=int, default=200)
+    p.add_argument('--k-chunk', type=int, default=2048)
+    p.add_argument('--precision', choices=['parity', 'fast'], default='parity')
+    p.add_argument('--out', default='pod_sweep_out')
+    p.add_argument('--multihost', action='store_true',
+                   help='initialize jax.distributed before building the mesh')
+    args = p.parse_args()
+
+    if args.multihost:
+        from psa_tpu.parallel.distributed import initialize_cluster
+        initialize_cluster()
+
+    import jax
+    from psa_tpu.core.calculator import SEDCalculator
+    from psa_tpu.core.sed import SED
+    from psa_tpu.io.loader import TrajectoryLoader
+    from psa_tpu.io.shard_cache import ShardedSEDCache, trajectory_fingerprint
+    from psa_tpu.ops import spectral
+    from psa_tpu.parallel import make_mesh, sharded_sed_spectrum
+    from psa_tpu.utils.profiling import throughput_report
+
+    out_dir = Path(args.out)
+    out_dir.mkdir(parents=True, exist_ok=True)
+
+    traj = TrajectoryLoader(args.trajectory, dt=args.dt, mmap=True).load()
+    logger.info("trajectory: %d frames x %d atoms (memory-mapped)",
+                traj.n_frames, traj.n_atoms)
+
+    calc = SEDCalculator(traj, nx=args.nx, ny=args.ny, nz=args.nz,
+                         precision=args.precision)
+    _, k_vecs, shape = calc.get_k_grid(args.plane, (args.k_min, args.k_max),
+                                       (args.k_min, args.k_max),
+                                       args.grid, args.grid)
+    mesh = make_mesh(n_t=traj.n_frames)
+    logger.info("mesh: %s over %d devices", dict(mesh.shape), len(jax.devices()))
+
+    cache = ShardedSEDCache(out_dir / "chunks", workload={
+        'traj': trajectory_fingerprint(traj),
+        'k_vectors': k_vecs, 'mode': 'coherent-grid',
+        'precision': args.precision, 'mesh': str(dict(mesh.shape))})
+
+    n_k = k_vecs.shape[0]
+    chunk = args.k_chunk
+    n_chunks = (n_k + chunk - 1) // chunk
+    mean64 = calc.mean_positions64
+    freqs = spectral.fftfreq_thz(traj.n_frames, traj.dt_ps)
+    full = np.zeros((traj.n_frames, n_k, 3), dtype=np.complex64)
+
+    t0 = time.time()
+    computed = 0
+    for ci in range(n_chunks):
+        s, e = ci * chunk, min((ci + 1) * chunk, n_k)
+        cached = cache.load(ci)
+        if cached is not None and cached.shape[1] == e - s:
+            full[:, s:e, :] = cached
+            continue
+        re, im = sharded_sed_spectrum(mesh, traj.velocities, mean64,
+                                      k_vecs[s:e], precision=args.precision)
+        block = (re + 1j * im).astype(np.complex64)
+        cache.store(ci, block)
+        full[:, s:e, :] = block
+        computed += e - s
+        logger.info("chunk %d/%d done (%d k-points)", ci + 1, n_chunks, e - s)
+    dt = time.time() - t0
+
+    sed = SED(full, freqs, np.array([]), k_vecs, k_grid_shape=shape)
+    sed.save(out_dir / "kgrid_sed")
+    rep = throughput_report(n_k=max(computed, 1), seconds=max(dt, 1e-9),
+                            n_atoms=traj.n_atoms, n_t=traj.n_frames)
+    logger.info("sweep complete: %d/%d k-points computed in %.1f s "
+                "(%.1f k-points/s, %.2f effective TFLOP/s)", computed, n_k, dt,
+                rep['k_points_per_sec'], rep['effective_tflops'])
+
+
+if __name__ == "__main__":
+    main()
