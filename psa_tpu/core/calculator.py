@@ -54,8 +54,9 @@ class SEDCalculator:
         use_displacements: project displacements u(t)=r(t)−r̄ instead of velocities.
         dt_ps: optional override of the trajectory timestep (deprecated in the
             reference, kept for compatibility; reference sed_calculator.py:26-30).
-        precision: 'parity' (float32-exact matmuls, holds 1e-6 vs NumPy) or
-            'fast' (bf16 MXU passes; ~2× faster projection, ~1e-3 accuracy).
+        precision: 'parity' (float32-exact matmuls, holds 1e-6 vs the f64
+            oracle), 'balanced' (3-pass bf16, ~1e-5 relative, ~2× faster), or
+            'fast' (single-pass bf16, ~1e-2 relative, ~3× faster).
         mass_weighted: weight each atom's data by √m_a (opt-in extension; the
             reference formula is NOT mass-weighted — its README example
             suggesting otherwise doesn't run, SURVEY.md §0.  Requires

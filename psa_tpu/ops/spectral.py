@@ -41,8 +41,9 @@ from jax import lax
 Precision = jax.lax.Precision
 
 _PRECISIONS = {
-    'parity': Precision.HIGHEST,
-    'fast': Precision.DEFAULT,
+    'parity': Precision.HIGHEST,    # 6-pass bf16 ≈ exact f32; ~27 TF/s on v5e
+    'balanced': Precision.HIGH,     # 3-pass bf16; ~1e-5 rel; ~2x parity speed
+    'fast': Precision.DEFAULT,      # 1-pass bf16; ~1e-2 rel; ~3.4x parity speed
 }
 
 
