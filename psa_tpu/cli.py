@@ -44,8 +44,10 @@ def build_parser() -> argparse.ArgumentParser:
     parser.add_argument('--dt', type=float, help='Override MD timestep from config (ps).')
     parser.add_argument('--nk', type=int, help='Override n_kpoints for SED from config.')
     parser.add_argument('--recalculate-sed', action='store_true', help='Force recalculation of SED data.')
-    parser.add_argument('--precision', choices=['parity', 'fast'], default='parity',
-                        help="TPU matmul precision: 'parity' (f32-exact) or 'fast' (bf16).")
+    parser.add_argument('--precision', choices=['parity', 'balanced', 'fast'],
+                        default='parity',
+                        help="TPU matmul precision: 'parity' (f32-exact), "
+                             "'balanced' (3-pass bf16), or 'fast' (1-pass bf16).")
     parser.add_argument('--profile', action='store_true',
                         help='Emit a JAX profiler trace to <output-dir>/profile.')
     return parser
@@ -113,7 +115,8 @@ def main(argv=None) -> None:
 
         calc = SEDCalculator(traj=traj, nx=md_cfg['nx'], ny=md_cfg['ny'], nz=md_cfg['nz'],
                              use_displacements=gen_cfg.get('use_displacements', False),
-                             precision=args.precision)
+                             precision=args.precision,
+                             mass_weighted=gen_cfg.get('mass_weighted', False))
 
         profile_ctx = None
         if args.profile:

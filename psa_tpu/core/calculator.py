@@ -20,6 +20,7 @@ from __future__ import annotations
 
 import logging
 import os
+import threading
 from pathlib import Path
 from typing import Dict, List, Optional, Tuple, Union
 
@@ -112,10 +113,12 @@ class SEDCalculator:
         self.b3 = (2 * np.pi / vol_prim) * np.cross(self.a1, self.a2)
         self.recip_vecs_prim = np.vstack([self.b1, self.b2, self.b3]).astype(np.float32)
 
-        # Lazily computed / cached state.
+        # Lazily computed / cached state.  The lock guards the device cache:
+        # GUI worker threads may invoke calculate() concurrently.
         self._mean_pos64: Optional[np.ndarray] = None
         self._device_cache: Dict[bytes, tuple] = {}
         self._device_cache_order: List[bytes] = []
+        self._cache_lock = threading.Lock()
 
     # ------------------------------------------------------------------
     # k-space generators (host side)
@@ -320,8 +323,9 @@ class SEDCalculator:
         """Device-resident (data, mp_hi, mp_lo) for a group, 2-entry LRU cache."""
         key = group_idx.tobytes() + (b'D' if self.use_displacements else b'V') \
             + (b'M' if self.mass_weighted else b'')
-        if key in self._device_cache:
-            return self._device_cache[key]
+        with self._cache_lock:
+            if key in self._device_cache:
+                return self._device_cache[key]
         data_host, mp_hi_host, mp_lo_host = self._host_group_data(group_idx)
         data_dev = jnp.asarray(data_host, dtype=jnp.float32)
         hi_dev = jnp.asarray(mp_hi_host, dtype=jnp.float32)
@@ -331,12 +335,13 @@ class SEDCalculator:
         if self.mass_weighted:
             w = jnp.sqrt(jnp.asarray(self.traj.masses[group_idx], dtype=jnp.float32))
             data_dev = data_dev * w[None, :, None]
-        self._device_cache[key] = (data_dev, hi_dev, lo_dev)
-        self._device_cache_order.append(key)
-        while len(self._device_cache_order) > 2:
-            evict = self._device_cache_order.pop(0)
-            self._device_cache.pop(evict, None)
-        return self._device_cache[key]
+        with self._cache_lock:
+            self._device_cache[key] = (data_dev, hi_dev, lo_dev)
+            self._device_cache_order.append(key)
+            while len(self._device_cache_order) > 2:
+                evict = self._device_cache_order.pop(0)
+                self._device_cache.pop(evict, None)
+            return self._device_cache[key]
 
     def _group_bytes(self, group_idx: np.ndarray) -> int:
         return 4 * self.traj.n_frames * int(group_idx.size) * 3

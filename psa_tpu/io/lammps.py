@@ -53,15 +53,18 @@ _VEL_COLS = ('vx', 'vy', 'vz')
 
 
 class LammpsDumpFrame:
-    __slots__ = ('timestep', 'box_matrix', 'positions', 'velocities', 'types', 'ids')
+    __slots__ = ('timestep', 'box_matrix', 'positions', 'velocities', 'types',
+                 'ids', 'masses')
 
-    def __init__(self, timestep, box_matrix, positions, velocities, types, ids):
+    def __init__(self, timestep, box_matrix, positions, velocities, types, ids,
+                 masses=None):
         self.timestep = timestep
         self.box_matrix = box_matrix
         self.positions = positions
         self.velocities = velocities
         self.types = types
         self.ids = ids
+        self.masses = masses
 
 
 def _parse_box(bounds_lines: List[str], triclinic: bool) -> np.ndarray:
@@ -142,7 +145,10 @@ def iter_lammps_frames(filepath: Path):
             if all(c in col_idx for c in _VEL_COLS):
                 vel = table[:, [col_idx[c] for c in _VEL_COLS]].astype(np.float32)
 
-            yield LammpsDumpFrame(timestep, box_matrix, pos, vel, types, ids)
+            masses = (table[:, col_idx['mass']].astype(np.float32)
+                      if 'mass' in col_idx else None)
+
+            yield LammpsDumpFrame(timestep, box_matrix, pos, vel, types, ids, masses)
             line = f.readline()
 
 
@@ -159,12 +165,12 @@ def unwrap_positions(positions: np.ndarray, box_matrix: np.ndarray) -> np.ndarra
     return (unwrapped_frac @ h).astype(np.float32)
 
 
-def read_lammps_dump(filepath: Path, unwrap: bool = True
-                     ) -> Tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
+def read_lammps_dump(filepath: Path, unwrap: bool = True, with_masses: bool = False):
     """Read a full dump into arrays.
 
     Returns (positions (n_t, n_a, 3) f32, velocities (n_t, n_a, 3) f32,
-    types (n_a,) i32, timesteps (n_t,) f32-able ints, box_matrix (3,3) f32).
+    types (n_a,) i32, timesteps (n_t,) f32-able ints, box_matrix (3,3) f32)
+    — plus masses (n_a,) f32 or None when ``with_masses``.
     Velocities are zeros when the dump has no vx/vy/vz (reference
     loader.py:302-304 behavior).
     """
@@ -193,6 +199,8 @@ def read_lammps_dump(filepath: Path, unwrap: bool = True
     if unwrap and n_t > 1:
         positions = unwrap_positions(positions, box_matrix)
 
+    if with_masses:
+        return positions, velocities, types, timesteps, box_matrix, frames[0].masses
     return positions, velocities, types, timesteps, box_matrix
 
 

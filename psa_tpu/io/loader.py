@@ -103,9 +103,10 @@ class TrajectoryLoader:
         if self.backend == 'ovito':
             return self._load_via_ovito()
         fmt = self._detect_file_format()
+        masses = None
         if fmt == 'lammps':
-            pos, vel, types, steps, box = lammps_io.read_lammps_dump(
-                self.filepath, unwrap=self.unwrap)
+            pos, vel, types, steps, box, masses = lammps_io.read_lammps_dump(
+                self.filepath, unwrap=self.unwrap, with_masses=True)
         else:
             pos, vel, types, steps, box = lammps_io.read_vasp_outcar(self.filepath)
         box_len, box_tilt = make_box_arrays(box)
@@ -113,7 +114,8 @@ class TrajectoryLoader:
         logger.info("Trajectory '%s' loaded natively: %d frames, %d atoms.",
                     self.filepath.name, pos.shape[0], pos.shape[1])
         return Trajectory(pos, vel, types, ts, box_matrix=box,
-                          box_lengths=box_len, box_tilts=box_tilt, dt_ps=self.dt)
+                          box_lengths=box_len, box_tilts=box_tilt, dt_ps=self.dt,
+                          masses=masses)
 
     def _load_via_ovito(self) -> Trajectory:
         """Optional OVITO backend for formats the native parsers don't cover."""

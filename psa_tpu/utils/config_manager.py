@@ -32,6 +32,7 @@ def default_config() -> Dict[str, Any]:
             'save_npy_trajectory': True,
             'save_npy_sed_data': True,
             'chiral_mode_enabled': False,
+            'mass_weighted': False,
         },
         'md_system': {
             'dt': 0.001, 'nx': 1, 'ny': 1, 'nz': 1, 'lattice_parameter': None,

@@ -158,3 +158,24 @@ class TestMmapLoading:
         k_mags, k_vecs = calc.get_k_path('x', bz_coverage=0.5, n_k=4)
         sed = calc.calculate(k_mags, k_vecs)
         assert np.all(np.isfinite(sed.intensity))
+
+
+class TestMassColumn:
+    def test_mass_column_loaded(self, tmp_path):
+        dump = tmp_path / "wm.dump"
+        with open(dump, "w") as f:
+            for t in range(2):
+                f.write(f"ITEM: TIMESTEP\n{t}\nITEM: NUMBER OF ATOMS\n3\n")
+                f.write("ITEM: BOX BOUNDS pp pp pp\n0 10\n0 10\n0 10\n")
+                f.write("ITEM: ATOMS id type mass x y z vx vy vz\n")
+                for a in range(3):
+                    f.write(f"{a+1} 1 {28.09*(a+1):.3f} {a}.0 0.0 0.0 0.1 0.0 0.0\n")
+        traj = TrajectoryLoader(str(dump), dt=0.01).load()
+        assert traj.masses is not None
+        np.testing.assert_allclose(traj.masses, [28.09, 56.18, 84.27], atol=1e-3)
+        # mass-weighted engine accepts it end to end
+        from psa_tpu.core.calculator import SEDCalculator
+        calc = SEDCalculator(traj, 1, 1, 1, mass_weighted=True)
+        k_mags, k_vecs = calc.get_k_path('x', 0.5, 3, lat_param=10.0)
+        sed = calc.calculate(k_mags, k_vecs)
+        assert np.all(np.isfinite(sed.intensity))
