@@ -217,6 +217,8 @@ def main(argv=None) -> None:
                 else:
                     logger.info("Skipping 2D phase plot for %s (no phase data).", d_lbl)
             else:
+                if global_max_i is not None:
+                    plot_args['global_max_intensity_val'] = global_max_i
                 hl = plot_cfg['highlight_2d_intensity']
                 if all(hl.get(k) is not None for k in ('k_min', 'k_max', 'w_min', 'w_max')):
                     plot_args['highlight_region'] = {

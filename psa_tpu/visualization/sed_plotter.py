@@ -230,6 +230,14 @@ class SEDPlotter:
         K, F = np.meshgrid(k_points, plot_freqs)
         vmin, vmax = _percentile_range(intensity, self.plot_params['vmin_percentile'],
                                        self.plot_params['vmax_percentile'])
+        # Cross-direction normalization: the CLI computes a global max across
+        # directions so multi-direction figures share one color scale (the
+        # reference computed it but its plotter ignored the kwarg).
+        global_max = self.plot_params.get('global_max_intensity_val')
+        if global_max is not None:
+            scaled_max, _ = apply_intensity_scale(
+                np.asarray([global_max], dtype=np.float64), self._scale_type())
+            vmax = float(scaled_max[0])
         pcm = ax.pcolormesh(K, F, intensity, cmap=self.plot_params['cmap'],
                             shading='gouraud', vmin=vmin, vmax=vmax)
 

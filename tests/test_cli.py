@@ -83,3 +83,37 @@ def test_cli_missing_trajectory(tmp_path):
     with pytest.raises(SystemExit):
         main(['--trajectory', str(tmp_path / "nope.dump"),
               '--output-dir', str(tmp_path / "o")])
+
+
+def test_cli_multi_direction_global_scale(workdir):
+    """Two directions -> the global-max normalization pass runs and both
+    intensity plots share the scale (reference computed it but never used it)."""
+    tmp_path, dump, cfg = workdir
+    out = tmp_path / "out_multi"
+    main(['--trajectory', str(dump), '--config', str(cfg),
+          '--output-dir', str(out), '--precision', 'parity'])
+    pngs = list(out.glob("sed_intensity_2D_*.png"))
+    assert len(pngs) == 2
+
+
+def test_cli_profile_flag(workdir):
+    tmp_path, dump, cfg = workdir
+    out = tmp_path / "out_prof"
+    main(['--trajectory', str(dump), '--config', str(cfg),
+          '--output-dir', str(out), '--nk', '6', '--profile'])
+    assert (out / "profile").exists()
+
+
+def test_cli_dispersion_summary_switch(workdir, tmp_path):
+    import yaml as _yaml
+    _, dump, _ = workdir
+    config = {
+        'md_system': {'dt': 0.02, 'nx': 12, 'ny': 1, 'nz': 1},
+        'sed_calculation': {'directions': ['x'], 'n_kpoints': 8, 'bz_coverage': 0.5},
+        'plotting': {'max_freq_2d': 8.0, 'enable_3d_dispersion_plot': True},
+    }
+    cfg = tmp_path / "disp_cfg.yaml"
+    cfg.write_text(_yaml.dump(config))
+    out = tmp_path / "out_disp"
+    main(['--trajectory', str(dump), '--config', str(cfg), '--output-dir', str(out)])
+    assert list(out.glob("disp_summary_*.png"))
