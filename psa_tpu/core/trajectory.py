@@ -8,7 +8,7 @@ and are streamed to TPU HBM chunk-wise by the SED engine.
 """
 from __future__ import annotations
 
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 from typing import Optional
 
 import numpy as np
@@ -28,8 +28,8 @@ class Trajectory:
         box_tilts:  (3,) tilt factors (xy, xz, yz).
         dt_ps:      frame spacing in picoseconds.
         masses:     optional (n_atoms,) per-atom masses. The reference engine is
-            NOT mass-weighted (see SURVEY.md §0); this field exists so the
-            opt-in mass-weighted SED extension has somewhere to read from.
+            NOT mass-weighted (see SURVEY.md §0); this field feeds the opt-in
+            mass-weighted SED extension.
     """
     positions: np.ndarray
     velocities: np.ndarray
@@ -42,27 +42,34 @@ class Trajectory:
     masses: Optional[np.ndarray] = None
 
     def __post_init__(self):
-        if self.positions.ndim != 3 or self.positions.shape[2] != 3:
-            raise ValueError("Positions must be 3D (frames, atoms, xyz) and last dimension must be 3.")
-        if self.velocities.ndim != 3 or self.velocities.shape[2] != 3:
-            raise ValueError("Velocities must be 3D (frames, atoms, xyz) and last dimension must be 3.")
-        if self.types.ndim != 1:
-            raise ValueError("Types must be 1D")
-        if self.timesteps.ndim != 1:
-            raise ValueError("Timesteps must be 1D")
-        if not (self.positions.shape[0] == self.velocities.shape[0] == len(self.timesteps)):
+        self._check_particle_array(self.positions, "Positions")
+        self._check_particle_array(self.velocities, "Velocities")
+        for arr, name in ((self.types, "Types"), (self.timesteps, "Timesteps")):
+            if arr.ndim != 1:
+                raise ValueError(f"{name} must be 1D")
+        frame_counts = {self.positions.shape[0], self.velocities.shape[0],
+                        len(self.timesteps)}
+        if len(frame_counts) != 1:
             raise ValueError("Frame count mismatch: positions, velocities, timesteps.")
-        if not (self.positions.shape[1] == self.velocities.shape[1] == len(self.types)):
+        atom_counts = {self.positions.shape[1], self.velocities.shape[1],
+                       len(self.types)}
+        if len(atom_counts) != 1:
             raise ValueError("Atom count mismatch: positions, velocities, types.")
-        if self.box_matrix.shape != (3, 3):
-            raise ValueError(f"Box matrix must be 3x3, got {self.box_matrix.shape}")
-        if self.box_lengths.shape != (3,):
-            raise ValueError(f"Box lengths must be a 3-element array, got {self.box_lengths.shape}")
-        if self.box_tilts.shape != (3,):
-            raise ValueError(f"Box tilts must be a 3-element array, got {self.box_tilts.shape}")
-        if self.masses is not None and self.masses.shape != (self.positions.shape[1],):
+        for arr, shape, label in ((self.box_matrix, (3, 3), "Box matrix must be 3x3"),
+                                  (self.box_lengths, (3,), "Box lengths must be a 3-element array"),
+                                  (self.box_tilts, (3,), "Box tilts must be a 3-element array")):
+            if arr.shape != shape:
+                raise ValueError(f"{label}, got {arr.shape}")
+        if self.masses is not None:
+            expected = (self.positions.shape[1],)
+            if self.masses.shape != expected:
+                raise ValueError(f"Masses must have shape {expected}, got {self.masses.shape}")
+
+    @staticmethod
+    def _check_particle_array(arr: np.ndarray, name: str) -> None:
+        if arr.ndim != 3 or arr.shape[2] != 3:
             raise ValueError(
-                f"Masses must have shape ({self.positions.shape[1]},), got {self.masses.shape}")
+                f"{name} must be 3D (frames, atoms, xyz) and last dimension must be 3.")
 
     @property
     def n_frames(self) -> int:
@@ -82,6 +89,7 @@ def make_box_arrays(box_matrix: np.ndarray):
     """Derive (box_lengths, box_tilts) from a 3x3 cell matrix using the LAMMPS
     convention: lengths = diagonal, tilts = (xy, xz, yz) = H[0,1], H[0,2], H[1,2]."""
     box_matrix = np.asarray(box_matrix, dtype=np.float32)
-    lengths = np.array([box_matrix[0, 0], box_matrix[1, 1], box_matrix[2, 2]], dtype=np.float32)
-    tilts = np.array([box_matrix[0, 1], box_matrix[0, 2], box_matrix[1, 2]], dtype=np.float32)
+    lengths = np.diagonal(box_matrix).astype(np.float32).copy()
+    tilts = np.array([box_matrix[0, 1], box_matrix[0, 2], box_matrix[1, 2]],
+                     dtype=np.float32)
     return lengths, tilts
