@@ -104,3 +104,86 @@ def make_random_crystal_trajectory(n_cells_xyz: Tuple[int, int, int] = (4, 4, 4)
         positions=positions, velocities=velocities, types=types,
         timesteps=np.arange(n_frames, dtype=np.float32),
         box_matrix=box, box_lengths=lengths, box_tilts=tilts, dt_ps=dt_ps)
+
+
+def diatomic_chain_branches(k: np.ndarray, kappa: float, m1: float, m2: float):
+    """Analytic diatomic-chain dispersion ω±(k) (rad/ps) and eigenvector ratios.
+
+    For the 1D chain with alternating masses m1, m2, spring κ, spacing a/2:
+        ω±² = κ(1/m1 + 1/m2) ± κ√((1/m1+1/m2)² − 4 sin²(ka/2)/(m1·m2))
+    Returns (omega_acoustic, omega_optical, ratio_ac, ratio_op) where ratio is
+    the m2-sublattice amplitude per unit m1-sublattice amplitude:
+        u2/u1 = 2κ cos(ka/2) / (2κ − m2 ω²)
+    """
+    s = 1.0 / m1 + 1.0 / m2
+    ka2 = k / 2.0  # k·(a=1)/2; caller scales k by the cell length
+    disc = np.sqrt(np.maximum(s * s - 4.0 * np.sin(ka2) ** 2 / (m1 * m2), 0.0))
+    w_ac = np.sqrt(np.maximum(kappa * (s - disc), 0.0))
+    w_op = np.sqrt(kappa * (s + disc))
+
+    def ratio(w):
+        denom = 2.0 * kappa - m2 * w ** 2
+        denom = np.where(np.abs(denom) < 1e-12, 1e-12, denom)
+        return 2.0 * kappa * np.cos(ka2) / denom
+
+    return w_ac, w_op, ratio(w_ac), ratio(w_op)
+
+
+def make_diatomic_chain_trajectory(n_cells: int = 32, n_frames: int = 512,
+                                   dt_ps: float = 0.02, a: float = 5.0,
+                                   kappa: float = 800.0, m1: float = 1.0,
+                                   m2: float = 3.0, amp: float = 0.02,
+                                   seed: int = 0) -> Trajectory:
+    """Diatomic 1D chain: two atoms per cell (types 1 and 2), acoustic and
+    optical branches synthesized with their exact eigenvectors.
+
+    ω in rad/ps; SED frequencies peak at ω/(2π) THz.  The optical branch
+    carries opposite-phase motion of the two sublattices — type-resolved
+    (incoherent) SED separates the branch weights.
+    """
+    rng = np.random.default_rng(seed)
+    n_atoms = 2 * n_cells
+    x1 = np.arange(n_cells, dtype=np.float64) * a          # type-1 sites
+    x2 = x1 + a / 2.0                                      # type-2 sites
+
+    mode_idx = np.arange(1, n_cells // 2 + 1)
+    k_vals = 2 * np.pi * mode_idx / (n_cells * a)
+    w_ac, w_op, r_ac, r_op = diatomic_chain_branches(k_vals * a, kappa, m1, m2)
+
+    t = np.arange(n_frames, dtype=np.float64) * dt_ps
+    disp1 = np.zeros((n_frames, n_cells))
+    disp2 = np.zeros((n_frames, n_cells))
+    vel1 = np.zeros((n_frames, n_cells))
+    vel2 = np.zeros((n_frames, n_cells))
+    for branch, (w, r) in enumerate(((w_ac, r_ac), (w_op, r_op))):
+        phases = rng.uniform(0, 2 * np.pi, size=k_vals.shape)
+        for km, wm, rm, ph in zip(k_vals, w, r, phases):
+            if wm <= 0:
+                continue
+            norm = max(1.0, abs(rm))
+            a1, a2 = amp / norm, amp * rm / norm
+            arg1 = km * x1[None, :] - wm * t[:, None] + ph
+            arg2 = km * x2[None, :] - wm * t[:, None] + ph
+            disp1 += a1 * np.cos(arg1)
+            disp2 += a2 * np.cos(arg2)
+            vel1 += a1 * wm * np.sin(arg1)
+            vel2 += a2 * wm * np.sin(arg2)
+
+    positions = np.zeros((n_frames, n_atoms, 3), dtype=np.float32)
+    velocities = np.zeros((n_frames, n_atoms, 3), dtype=np.float32)
+    positions[:, 0::2, 0] = (x1[None, :] + disp1).astype(np.float32)
+    positions[:, 1::2, 0] = (x2[None, :] + disp2).astype(np.float32)
+    velocities[:, 0::2, 0] = vel1.astype(np.float32)
+    velocities[:, 1::2, 0] = vel2.astype(np.float32)
+
+    types = np.empty(n_atoms, dtype=np.int32)
+    types[0::2] = 1
+    types[1::2] = 2
+    masses = np.where(types == 1, m1, m2).astype(np.float64)
+
+    box = np.diag([n_cells * a, 10.0, 10.0]).astype(np.float32)
+    lengths, tilts = make_box_arrays(box)
+    return Trajectory(positions=positions, velocities=velocities, types=types,
+                      timesteps=np.arange(n_frames, dtype=np.float32),
+                      box_matrix=box, box_lengths=lengths, box_tilts=tilts,
+                      dt_ps=dt_ps, masses=masses)

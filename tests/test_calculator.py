@@ -381,3 +381,55 @@ class TestFastPrecision:
         oracle = reference_sed_oracle(crystal, k_vecs)
         # bf16 passes: expect ~1e-2 relative, far looser than parity mode
         assert rel_err(sed.sed, oracle) < 5e-2
+
+
+class TestDiatomicChainPhysics:
+    """Acoustic + optical branches of a diatomic chain: the SED must show the
+    analytic gap, and the optical branch must appear at the zone boundary."""
+
+    def test_two_branch_dispersion(self):
+        from psa_tpu.models import (diatomic_chain_branches,
+                                    make_diatomic_chain_trajectory)
+        n_cells, a, kappa, m1, m2 = 32, 5.0, 800.0, 1.0, 3.0
+        traj = make_diatomic_chain_trajectory(n_cells=n_cells, n_frames=1024,
+                                              dt_ps=0.01, a=a, kappa=kappa,
+                                              m1=m1, m2=m2, seed=2)
+        calc = SEDCalculator(traj, nx=n_cells, ny=1, nz=1)
+        # probe exactly the synthesized mode wavevectors
+        k_mags, k_vecs = calc.get_k_path('x', bz_coverage=0.5,
+                                         n_k=n_cells // 2 + 1)
+        sed = calc.calculate(k_mags, k_vecs)
+        inten = sed.intensity
+        freqs = sed.freqs
+        pos = freqs >= 0
+        f_pos = freqs[pos]
+        inten_pos = inten[pos]
+        df = 1.0 / (traj.n_frames * traj.dt_ps)
+
+        w_ac, w_op, _, _ = diatomic_chain_branches(k_mags * a, kappa, m1, m2)
+        f_ac = w_ac / (2 * np.pi)   # rad/ps -> THz
+        f_op = w_op / (2 * np.pi)
+
+        # at each probed k (skip Γ), intensity must peak near BOTH branches:
+        # compare local maxima at the two analytic frequencies vs background
+        for i in range(2, len(k_mags), 4):
+            col = inten_pos[:, i]
+            for f_target in (f_ac[i], f_op[i]):
+                idx = int(np.argmin(np.abs(f_pos - f_target)))
+                lo, hi = max(0, idx - 2), min(len(col), idx + 3)
+                local = col[lo:hi].max()
+                assert local > 10 * np.median(col), (i, f_target)
+
+    def test_optical_branch_antiphase_types(self):
+        """Incoherent type-resolved SED keeps optical weight at the zone
+        boundary where the coherent all-atom sum partially cancels."""
+        from psa_tpu.models import make_diatomic_chain_trajectory
+        traj = make_diatomic_chain_trajectory(n_cells=16, n_frames=512,
+                                              dt_ps=0.01, seed=3)
+        calc = SEDCalculator(traj, nx=16, ny=1, nz=1)
+        k_mags, k_vecs = calc.get_k_path('x', bz_coverage=0.5, n_k=9)
+        inc = calc.calculate(k_mags, k_vecs, basis_atom_types=[1, 2],
+                             summation_mode='incoherent')
+        assert not inc.is_complex
+        assert np.all(inc.sed >= 0)
+        assert inc.sed.max() > 0
