@@ -544,6 +544,76 @@ class SEDCalculator:
                    dt_ps=self.dt_ps)
 
     # ------------------------------------------------------------------
+    # Gridded (NUFFT-accelerated) k-grid sweep
+    # ------------------------------------------------------------------
+
+    def calculate_gridded(self, k_vectors_3d: np.ndarray,
+                          k_grid_shape: Tuple[int, int],
+                          basis_atom_indices=None, basis_atom_types=None,
+                          t_chunk: Optional[int] = None) -> SED:
+        """Coherent SED over a UNIFORM k-grid via the hybrid gridded engine.
+
+        ~Gx/12 fewer FLOPs than :meth:`calculate` at ~1e-6 accuracy (exact
+        phases along the fast grid axis, Kaiser-Bessel NUFFT along the slow
+        axis; see :mod:`psa_tpu.ops.gridded`).  Restrictions: tensor-product
+        uniformly spaced grids (anything from :meth:`get_k_grid`), coherent
+        summation, one (union) atom group.
+        """
+        from ..ops import gridded
+
+        n_t = self.traj.n_frames
+        k_vectors_3d = np.asarray(k_vectors_3d, dtype=np.float32)
+        n1, n2 = k_grid_shape
+        if n1 * n2 != len(k_vectors_3d):
+            raise ValueError("k_grid_shape does not match k_vectors_3d")
+
+        # detect the fixed column and the slow/fast plane columns
+        mat = k_vectors_3d.reshape(n1, n2, 3)
+        fixed_col = slow_col = fast_col = None
+        for c in range(3):
+            col = mat[:, :, c]
+            if np.allclose(col, col.flat[0], atol=1e-7):
+                fixed_col = c
+            elif np.allclose(col, col[:, :1], atol=1e-7):   # rows constant -> slow
+                slow_col = c
+            elif np.allclose(col, col[:1, :], atol=1e-7):
+                fast_col = c
+        if None in (fixed_col, slow_col, fast_col):
+            raise ValueError("k_vectors_3d is not a tensor-product grid from get_k_grid")
+        kx_vals = mat[:, 0, slow_col].astype(np.float64)
+        ky_vals = mat[0, :, fast_col].astype(np.float64)
+        k_fixed = float(mat[0, 0, fixed_col])
+
+        groups = self._resolve_atom_groups(basis_atom_indices, basis_atom_types,
+                                           'coherent')
+        union = (np.unique(np.concatenate(groups)).astype(int)
+                 if len(groups) > 1 else groups[0])
+        mean64 = self.mean_positions64[union]
+
+        plan = gridded.plan_kgrid(mean64, kx_vals, ky_vals, k_fixed=k_fixed,
+                                  axes=(slow_col, fast_col, fixed_col))
+
+        if self.use_displacements:
+            data = (self.traj.positions[:, union, :].astype(np.float64)
+                    - mean64[None]).astype(np.float32)
+        else:
+            data = self.traj.velocities[:, union, :]
+        if self.mass_weighted:
+            data = data * np.sqrt(self.traj.masses[union]).astype(np.float32)[None, :, None]
+
+        re, im = gridded.gridded_kgrid_spectrum(np.ascontiguousarray(data), plan,
+                                                t_chunk=t_chunk)
+        signal = np.empty(re.shape, dtype=np.complex64)
+        signal.real = re
+        signal.imag = im
+        full_sed = (np.fft.fft(signal, axis=0) / n_t).astype(np.complex64)
+
+        freqs = spectral.fftfreq_thz(n_t, self.dt_ps)
+        return SED(full_sed, freqs, np.array([], dtype=np.float32), k_vectors_3d,
+                   k_grid_shape=tuple(k_grid_shape), is_complex=True, phase=None,
+                   dt_ps=self.dt_ps)
+
+    # ------------------------------------------------------------------
     # Chiral phase
     # ------------------------------------------------------------------
 

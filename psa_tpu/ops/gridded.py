@@ -1,0 +1,276 @@
+"""Experimental gridded (NUFFT-accelerated) k-GRID projection.
+
+The direct projection costs O(n_t·N·Gx·Gy) for a Gx×Gy k-grid.  For UNIFORM
+grids the x-axis factor exp(i·kx_i·x_a) is a type-1 non-uniform FFT, so we
+hybridize:
+
+  * y axis (and the fixed k component): EXACT — per-atom complex phase table
+    WY[a, j] = exp(i·ky_j·y_a) built once on host in float64;
+  * x axis: gridded — each atom spreads onto a σ=2-oversampled fine x-line
+    with a width-w Kaiser-Bessel window; an FFT along x recovers the modes,
+    deconvolved by the window's analytic Fourier transform.
+
+FLOPs drop from 4·n_t·N·Gx·Gy to ~6·w·n_t·N·Gy (complex Karatsuba batched
+matmuls) — a Gx/12 reduction: ~4× for 50×50 grids, ~16× for 200×200.
+
+TPU mapping — the classical NUFFT "spreading" scatter is re-expressed with
+dense primitives only:
+
+  1. atoms are sorted by fine-x cell (host, once) and packed into
+     (n_cells, P) buckets (padded with zero-weight slots);
+  2. for each of the w window offsets, one bucket-batched MXU matmul
+     contracts the P axis against the exact-y phase table;
+  3. the offset shift is a circular `jnp.roll` along the cell axis — no
+     scatter anywhere.
+
+Accuracy: the only approximation is the x window (KB, w=8, β=π·w·(1−1/2σ)) —
+~1e-6 relative, validated against the direct engine in the tests.  All
+large-angle phases (ky_j·y_a, kx0·x_a, k_f·z_a) are computed on host in
+float64, so no compensated-arithmetic machinery is needed here.
+"""
+from __future__ import annotations
+
+import functools
+import logging
+from dataclasses import dataclass
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+logger = logging.getLogger(__name__)
+
+DEFAULT_W = 8          # spreading window width (cells)
+DEFAULT_SIGMA = 2      # fine-grid oversampling factor
+
+
+def _kb_window(x: np.ndarray, w: int, beta: float) -> np.ndarray:
+    """Kaiser-Bessel ψ(x) on cell units, support |x| ≤ w/2 (float64)."""
+    t = 1.0 - (2.0 * x / w) ** 2
+    out = np.zeros_like(x)
+    ok = t > 0
+    out[ok] = np.i0(beta * np.sqrt(t[ok])) / np.i0(beta)
+    return out
+
+
+def _kb_fourier(xi: np.ndarray, w: int, beta: float) -> np.ndarray:
+    """Continuous FT ψ̂(ξ) = ∫ψ(x)e^{-iξx}dx (float64; sinh branch)."""
+    arg = beta ** 2 - (w * xi / 2.0) ** 2
+    out = np.empty_like(xi)
+    pos = arg > 0
+    s = np.sqrt(arg[pos])
+    out[pos] = (w / np.i0(beta)) * np.sinh(s) / s
+    neg = ~pos
+    s2 = np.sqrt(-arg[neg])
+    with np.errstate(invalid='ignore', divide='ignore'):
+        out[neg] = (w / np.i0(beta)) * np.where(s2 > 0, np.sin(s2) / s2, 1.0)
+    return out
+
+
+@dataclass
+class GridPlan:
+    """Host-precomputed spreading plan for one (mean positions, k-grid) pair."""
+    order: np.ndarray          # (N,) atom permutation (sorted by fine-x cell)
+    n_cells: int               # Fx = sigma * Gx
+    bucket_size: int           # P (padded)
+    slot_cell: np.ndarray      # (n_cells,) == arange (bucket b covers cell b)
+    pad_mask: np.ndarray       # (n_cells, P) f32 1/0 valid-slot mask
+    wx: np.ndarray             # (n_cells, P, w) f32 window weights (masked)
+    base_re: np.ndarray        # (n_cells, P) f32 Re exp(i(kx0·x + kf·z))
+    base_im: np.ndarray        # (n_cells, P) f32
+    wy_re: np.ndarray          # (n_cells, P, Gy) f32 Re exp(i ky_j y)
+    wy_im: np.ndarray          # (n_cells, P, Gy) f32
+    deconv_re: np.ndarray      # (Gx,) f64->f32 Re of e^{...}/ψ̂ per mode
+    deconv_im: np.ndarray      # (Gx,) f32
+    gx: int
+    gy: int
+    w: int
+    offsets: np.ndarray        # (w,) int window cell offsets
+
+
+def plan_kgrid(mean_pos64: np.ndarray, kx_vals: np.ndarray, ky_vals: np.ndarray,
+               k_fixed: float = 0.0, axes: Tuple[int, int, int] = (0, 1, 2),
+               w: int = DEFAULT_W, sigma: int = DEFAULT_SIGMA) -> GridPlan:
+    """Build the spreading plan.
+
+    Args:
+        mean_pos64: (N, 3) float64 mean positions.
+        kx_vals / ky_vals: UNIFORMLY spaced grid values along the two plane
+            axes (kx varies slowest in the output, matching get_k_grid).
+        k_fixed: the out-of-plane k component.
+        axes: (x-axis, y-axis, fixed-axis) position-column indices for the
+            plane (e.g. (0, 1, 2) for 'xy', (1, 2, 0) for 'yz').
+    """
+    n_atoms = mean_pos64.shape[0]
+    gx, gy = len(kx_vals), len(ky_vals)
+    if gx > 1:
+        dkx = float(kx_vals[1] - kx_vals[0])
+        if not np.allclose(np.diff(kx_vals), dkx, rtol=1e-6):
+            raise ValueError("kx_vals must be uniformly spaced for the gridded path")
+    else:
+        dkx = 1.0
+    kx0 = float(kx_vals[0])
+    beta = np.pi * w * (1.0 - 1.0 / (2.0 * sigma))
+
+    x = mean_pos64[:, axes[0]]
+    y = mean_pos64[:, axes[1]]
+    z = mean_pos64[:, axes[2]]
+
+    n_cells = sigma * gx
+    # fine-x coordinate: ux = (dkx·x mod 2π)·Fx/2π ∈ [0, Fx)
+    phi = np.mod(dkx * x, 2.0 * np.pi)
+    ux = phi * n_cells / (2.0 * np.pi)
+    cell = np.floor(ux).astype(np.int64) % n_cells
+
+    order = np.argsort(cell, kind='stable')
+    cell_sorted = cell[order]
+    counts = np.bincount(cell_sorted, minlength=n_cells)
+    bucket_size = int(counts.max())
+    # pad to a lane multiple so the batched matmul tiles cleanly
+    bucket_size = max(8, ((bucket_size + 7) // 8) * 8)
+
+    slot_of = np.zeros(n_atoms, dtype=np.int64)
+    start = np.zeros(n_cells + 1, dtype=np.int64)
+    np.cumsum(counts, out=start[1:])
+    slot_of = np.arange(n_atoms) - start[cell_sorted]
+
+    def packed(values, extra_shape=()):
+        out = np.zeros((n_cells, bucket_size) + extra_shape, dtype=np.float64)
+        out[cell_sorted, slot_of] = values
+        return out
+
+    pad_mask = packed(np.ones(n_atoms))
+
+    offsets = np.arange(-(w // 2 - 1), w // 2 + 1)        # e.g. -3..4
+    # window weights per atom/offset: ψ(cell + off − ux)
+    dist = (cell[order][:, None] + offsets[None, :]) - ux[order][:, None]
+    wx_vals = _kb_window(dist.astype(np.float64), w, beta)  # (N, w)
+    wx = np.zeros((n_cells, bucket_size, w), dtype=np.float64)
+    wx[cell_sorted, slot_of] = wx_vals
+
+    # Fold a half-band shift into the base weight so the recovered modes are
+    # SYMMETRIC around zero (m' = m − Gx/2 ∈ [−Gx/2, Gx/2)): one-sided modes
+    # would reach the fine-grid Nyquist where the window aliases (~0.3 error).
+    m0 = gx // 2
+    base = np.exp(1j * (kx0 * x[order] + k_fixed * z[order] + m0 * phi[order]))
+    base_re = packed(base.real)
+    base_im = packed(base.imag)
+
+    wy = np.exp(1j * np.outer(y[order], ky_vals))          # (N, Gy) complex128
+    wy_re = np.zeros((n_cells, bucket_size, gy), dtype=np.float64)
+    wy_im = np.zeros((n_cells, bucket_size, gy), dtype=np.float64)
+    wy_re[cell_sorted, slot_of] = wy.real
+    wy_im[cell_sorted, slot_of] = wy.imag
+
+    # deconvolution per shifted mode m' = m − m0: 1/ψ̂(2πm'/Fx); |m'| ≤ Fx/4
+    modes = np.arange(gx) - m0
+    xi = 2.0 * np.pi * modes / n_cells
+    deconv = 1.0 / _kb_fourier(xi, w, beta)
+
+    logger.info("gridded plan: %d atoms -> %d cells x %d slots (pad %.1f%%), "
+                "window w=%d beta=%.2f", n_atoms, n_cells, bucket_size,
+                100.0 * (n_cells * bucket_size / max(n_atoms, 1) - 1.0), w, beta)
+
+    return GridPlan(order=order, n_cells=n_cells, bucket_size=bucket_size,
+                    slot_cell=np.arange(n_cells), pad_mask=pad_mask.astype(np.float32),
+                    wx=wx.astype(np.float32),
+                    base_re=base_re.astype(np.float32), base_im=base_im.astype(np.float32),
+                    wy_re=wy_re.astype(np.float32), wy_im=wy_im.astype(np.float32),
+                    deconv_re=deconv.astype(np.float32),
+                    deconv_im=np.zeros_like(deconv, dtype=np.float32),
+                    gx=gx, gy=gy, w=w, offsets=offsets)
+
+
+@functools.partial(jax.jit, static_argnames=('gx', 'gy', 'w'))
+def _gridded_project(data_packed, base_re, base_im, wx, wy_re, wy_im,
+                     deconv_re, gx: int, gy: int, w: int):
+    """Spread + FFT + deconvolve for one polarization.
+
+    data_packed: (n_t, n_cells, P) f32 — packed real data (velocities).
+    Returns (re, im) of S (n_t, gx, gy) f32.
+    """
+    prec = jax.lax.Precision.HIGHEST
+    n_t, n_cells, p = data_packed.shape
+
+    # complex strengths c = data · base (real data × complex base)
+    c_re = data_packed * base_re[None]                    # (T, C, P)
+    c_im = data_packed * base_im[None]
+
+    # [wy_re | wy_im] concatenated once: each dx offset costs TWO batched
+    # matmuls with a 2·Gy lane extent (best MXU lane utilization) instead of
+    # four Gy-wide ones.
+    wy_cat = jnp.concatenate([wy_re, wy_im], axis=-1)     # (C, P, 2G)
+
+    def mm(a, b):
+        # 'tcp,cpg->ctg' batched over cells
+        return jax.lax.dot_general(
+            a, b, dimension_numbers=(((2,), (1,)), ((1,), (0,))),
+            precision=prec, preferred_element_type=jnp.float32)
+
+    grid_re = jnp.zeros((n_t, n_cells, gy), dtype=jnp.float32)
+    grid_im = jnp.zeros((n_t, n_cells, gy), dtype=jnp.float32)
+    for di in range(w):
+        wxi = wx[:, :, di]                                # (C, P)
+        yr = mm(c_re * wxi[None], wy_cat)                 # (C, T, 2G): [rr | ri]
+        yi = mm(c_im * wxi[None], wy_cat)                 # (C, T, 2G): [ir | ii]
+        y_re = jnp.transpose(yr[..., :gy] - yi[..., gy:], (1, 0, 2))
+        y_im = jnp.transpose(yr[..., gy:] + yi[..., :gy], (1, 0, 2))
+        # contribution lands on cell (bucket + offset); offsets map from di
+        shift = di - (w // 2 - 1)
+        grid_re = grid_re + jnp.roll(y_re, shift, axis=1)
+        grid_im = grid_im + jnp.roll(y_im, shift, axis=1)
+
+    # x-axis modes: S_m = (Σ_u B[u] e^{+2πi m' u/Fx}) / ψ̂(2πm'/Fx) with the
+    # symmetric mode index m' = m − Gx/2 (the half-band shift sits in the base
+    # weights); rolling by Gx/2 places bin (m−Gx/2 mod Fx) at m.
+    spec = jnp.fft.ifft(jax.lax.complex(grid_re, grid_im), axis=1) * n_cells
+    spec = jnp.roll(spec, gx // 2, axis=1)[:, :gx, :] * deconv_re[None, :, None]
+    return (jnp.real(spec).astype(jnp.float32),
+            jnp.imag(spec).astype(jnp.float32))
+
+
+def gridded_kgrid_spectrum(data: np.ndarray, plan: GridPlan,
+                           t_chunk: Optional[int] = None
+                           ) -> Tuple[np.ndarray, np.ndarray]:
+    """SED projection S[t, i·Gy+j, pol] over the planned k-grid.
+
+    Args:
+        data: (n_t, N, 3) float32 velocities/displacements (host).
+        plan: from :func:`plan_kgrid`.
+        t_chunk: frames per device batch (None = all at once).
+
+    Returns:
+        (re, im) host arrays of shape (n_t, Gx·Gy, 3) — the projected signal
+        BEFORE the time FFT (feed to spectral._fft-style post-processing or
+        compare against spectral._project output).
+    """
+    n_t, n_atoms, _ = data.shape
+    t_chunk = t_chunk or n_t
+    out_re = np.empty((n_t, plan.gx * plan.gy, 3), dtype=np.float32)
+    out_im = np.empty((n_t, plan.gx * plan.gy, 3), dtype=np.float32)
+
+    dev = jax.device_put
+    base_re, base_im = dev(plan.base_re), dev(plan.base_im)
+    wx = dev(plan.wx)
+    wy_re, wy_im = dev(plan.wy_re), dev(plan.wy_im)
+    deconv = dev(plan.deconv_re)
+
+    n_cells, p = plan.base_re.shape
+    cell_sorted_idx = plan.order  # atom permutation
+
+    for pol in range(3):
+        for start in range(0, n_t, t_chunk):
+            stop = min(start + t_chunk, n_t)
+            chunk = data[start:stop, :, pol][:, cell_sorted_idx]   # (Tc, N)
+            packed = np.zeros((stop - start, n_cells * p), dtype=np.float32)
+            # pack sorted atoms into (cell, slot) flat positions
+            flat_pos = np.flatnonzero(plan.pad_mask.reshape(-1))
+            packed[:, flat_pos] = chunk
+            packed = packed.reshape(stop - start, n_cells, p)
+            re, im = _gridded_project(dev(packed), base_re, base_im, wx,
+                                      wy_re, wy_im, deconv,
+                                      gx=plan.gx, gy=plan.gy, w=plan.w)
+            out_re[start:stop, :, pol] = np.asarray(re).reshape(stop - start, -1)
+            out_im[start:stop, :, pol] = np.asarray(im).reshape(stop - start, -1)
+    return out_re, out_im

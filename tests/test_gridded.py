@@ -1,0 +1,83 @@
+"""Gridded (NUFFT) k-grid engine vs the direct engine."""
+import numpy as np
+import pytest
+
+from psa_tpu.core.calculator import SEDCalculator
+from psa_tpu.models import make_random_crystal_trajectory
+from psa_tpu.ops.gridded import plan_kgrid, gridded_kgrid_spectrum
+
+
+@pytest.fixture(scope='module')
+def traj():
+    return make_random_crystal_trajectory(n_cells_xyz=(4, 3, 2), basis=2,
+                                          n_frames=24, dt_ps=0.02, seed=8)
+
+
+@pytest.fixture(scope='module')
+def calc(traj):
+    return SEDCalculator(traj, nx=4, ny=3, nz=2)
+
+
+def rel(got, want):
+    return np.max(np.abs(got - want)) / np.max(np.abs(want))
+
+
+class TestProjection:
+    def test_matches_f64_oracle(self):
+        rng = np.random.default_rng(0)
+        n_t, n_atoms, gx, gy = 8, 500, 20, 16
+        data = rng.normal(size=(n_t, n_atoms, 3)).astype(np.float32)
+        mean64 = rng.uniform(0, 60.0, size=(n_atoms, 3))
+        kx = np.linspace(-2, 2, gx)
+        ky = np.linspace(-1, 1, gy)
+        plan = plan_kgrid(mean64, kx, ky, k_fixed=0.4)
+        re, im = gridded_kgrid_spectrum(data, plan)
+        kv = np.stack([np.repeat(kx, gy), np.tile(ky, gx), np.full(gx*gy, 0.4)], 1)
+        oracle = np.einsum('tac,ka->tkc', data.astype(np.float64),
+                           np.exp(1j * (kv @ mean64.T)))
+        assert rel(re + 1j * im, oracle) < 2e-6
+
+    def test_t_chunked_matches_unchunked(self):
+        rng = np.random.default_rng(1)
+        data = rng.normal(size=(10, 200, 3)).astype(np.float32)
+        mean64 = rng.uniform(0, 30.0, size=(200, 3))
+        plan = plan_kgrid(mean64, np.linspace(0, 1, 8), np.linspace(0, 1, 8))
+        a = gridded_kgrid_spectrum(data, plan)
+        b = gridded_kgrid_spectrum(data, plan, t_chunk=3)
+        np.testing.assert_allclose(a[0], b[0], rtol=1e-5, atol=1e-4)
+
+    def test_nonuniform_grid_rejected(self):
+        mean64 = np.zeros((4, 3))
+        with pytest.raises(ValueError, match="uniformly spaced"):
+            plan_kgrid(mean64, np.array([0.0, 1.0, 3.0]), np.linspace(0, 1, 4))
+
+
+class TestCalculatorIntegration:
+    @pytest.mark.parametrize("plane", ['xy', 'yz', 'zx'])
+    def test_matches_direct_engine(self, calc, plane):
+        _, k_vecs, shape = calc.get_k_grid(plane, (-1.2, 1.2), (-0.8, 0.8),
+                                           10, 8, k_fixed_val=0.3)
+        direct = calc.calculate(np.array([]), k_vecs, k_grid_shape=shape)
+        grid = calc.calculate_gridded(k_vecs, shape)
+        assert grid.sed.shape == direct.sed.shape
+        assert rel(grid.sed, direct.sed) < 1e-5
+        np.testing.assert_allclose(grid.freqs, direct.freqs)
+
+    def test_displacement_mode(self, traj):
+        calc_d = SEDCalculator(traj, nx=4, ny=3, nz=2, use_displacements=True)
+        _, k_vecs, shape = calc_d.get_k_grid('xy', (-1, 1), (-1, 1), 6, 6)
+        direct = calc_d.calculate(np.array([]), k_vecs, k_grid_shape=shape)
+        grid = calc_d.calculate_gridded(k_vecs, shape)
+        assert rel(grid.sed, direct.sed) < 1e-5
+
+    def test_type_basis(self, calc, traj):
+        _, k_vecs, shape = calc.get_k_grid('xy', (-1, 1), (-1, 1), 6, 5)
+        direct = calc.calculate(np.array([]), k_vecs, basis_atom_types=[1],
+                                k_grid_shape=shape)
+        grid = calc.calculate_gridded(k_vecs, shape, basis_atom_types=[1])
+        assert rel(grid.sed, direct.sed) < 1e-5
+
+    def test_kpath_rejected(self, calc):
+        k_mags, k_vecs = calc.get_k_path('x', bz_coverage=1.0, n_k=8)
+        with pytest.raises(ValueError, match="tensor-product|k_grid_shape"):
+            calc.calculate_gridded(k_vecs, (4, 2))
