@@ -183,49 +183,46 @@ def plan_kgrid(mean_pos64: np.ndarray, kx_vals: np.ndarray, ky_vals: np.ndarray,
 
 
 @functools.partial(jax.jit, static_argnames=('gx', 'gy', 'w'))
-def _gridded_project(data_packed, base_re, base_im, wx, wy_re, wy_im,
-                     deconv_re, gx: int, gy: int, w: int):
+def _gridded_project(data_packed, bwx_re, bwx_im, wy_cat, deconv_re,
+                     gx: int, gy: int, w: int):
     """Spread + FFT + deconvolve for one polarization.
 
-    data_packed: (n_t, n_cells, P) f32 — packed real data (velocities).
+    data_packed: (n_cells, n_t, P) f32 — packed real data, CELL-MAJOR so the
+        batched matmuls need no layout change (batch dim 0 throughout; a
+        mid-tensor batch dim makes XLA transpose the full array per call).
+    bwx_re/bwx_im: (n_cells, P, w) f32 — base·window folded at plan time.
+    wy_cat: (n_cells, P, 2·gy) f32 — [Re | Im] exact y-phase table.
     Returns (re, im) of S (n_t, gx, gy) f32.
     """
     prec = jax.lax.Precision.HIGHEST
-    n_t, n_cells, p = data_packed.shape
-
-    # complex strengths c = data · base (real data × complex base)
-    c_re = data_packed * base_re[None]                    # (T, C, P)
-    c_im = data_packed * base_im[None]
-
-    # [wy_re | wy_im] concatenated once: each dx offset costs TWO batched
-    # matmuls with a 2·Gy lane extent (best MXU lane utilization) instead of
-    # four Gy-wide ones.
-    wy_cat = jnp.concatenate([wy_re, wy_im], axis=-1)     # (C, P, 2G)
+    n_cells, n_t, p = data_packed.shape
 
     def mm(a, b):
-        # 'tcp,cpg->ctg' batched over cells
+        # 'ctp,cpg->ctg' batched over cells (batch dims 0/0, no transposes)
         return jax.lax.dot_general(
-            a, b, dimension_numbers=(((2,), (1,)), ((1,), (0,))),
+            a, b, dimension_numbers=(((2,), (1,)), ((0,), (0,))),
             precision=prec, preferred_element_type=jnp.float32)
 
-    grid_re = jnp.zeros((n_t, n_cells, gy), dtype=jnp.float32)
-    grid_im = jnp.zeros((n_t, n_cells, gy), dtype=jnp.float32)
+    grid_re = jnp.zeros((n_cells, n_t, gy), dtype=jnp.float32)
+    grid_im = jnp.zeros((n_cells, n_t, gy), dtype=jnp.float32)
     for di in range(w):
-        wxi = wx[:, :, di]                                # (C, P)
-        yr = mm(c_re * wxi[None], wy_cat)                 # (C, T, 2G): [rr | ri]
-        yi = mm(c_im * wxi[None], wy_cat)                 # (C, T, 2G): [ir | ii]
-        y_re = jnp.transpose(yr[..., :gy] - yi[..., gy:], (1, 0, 2))
-        y_im = jnp.transpose(yr[..., gy:] + yi[..., :gy], (1, 0, 2))
+        # complex strength · x-window, as two real factors (t-independent)
+        a_re = data_packed * bwx_re[:, None, :, di]
+        a_im = data_packed * bwx_im[:, None, :, di]
+        yr = mm(a_re, wy_cat)                             # (C, T, 2G): [rr | ri]
+        yi = mm(a_im, wy_cat)                             # (C, T, 2G): [ir | ii]
+        y_re = yr[..., :gy] - yi[..., gy:]
+        y_im = yr[..., gy:] + yi[..., :gy]
         # contribution lands on cell (bucket + offset); offsets map from di
         shift = di - (w // 2 - 1)
-        grid_re = grid_re + jnp.roll(y_re, shift, axis=1)
-        grid_im = grid_im + jnp.roll(y_im, shift, axis=1)
+        grid_re = grid_re + jnp.roll(y_re, shift, axis=0)
+        grid_im = grid_im + jnp.roll(y_im, shift, axis=0)
 
-    # x-axis modes: S_m = (Σ_u B[u] e^{+2πi m' u/Fx}) / ψ̂(2πm'/Fx) with the
-    # symmetric mode index m' = m − Gx/2 (the half-band shift sits in the base
-    # weights); rolling by Gx/2 places bin (m−Gx/2 mod Fx) at m.
-    spec = jnp.fft.ifft(jax.lax.complex(grid_re, grid_im), axis=1) * n_cells
-    spec = jnp.roll(spec, gx // 2, axis=1)[:, :gx, :] * deconv_re[None, :, None]
+    # x-axis modes over the CELL axis: S_m' = ifft·Fx at m' = m − Gx/2
+    spec = jnp.fft.ifft(jax.lax.complex(grid_re, grid_im), axis=0) * n_cells
+    spec = jnp.roll(spec, gx // 2, axis=0)[:gx] * deconv_re[:, None, None]
+    # -> (n_t, gx, gy)
+    spec = jnp.transpose(spec, (1, 0, 2))
     return (jnp.real(spec).astype(jnp.float32),
             jnp.imag(spec).astype(jnp.float32))
 
@@ -242,8 +239,7 @@ def gridded_kgrid_spectrum(data: np.ndarray, plan: GridPlan,
 
     Returns:
         (re, im) host arrays of shape (n_t, Gx·Gy, 3) — the projected signal
-        BEFORE the time FFT (feed to spectral._fft-style post-processing or
-        compare against spectral._project output).
+        BEFORE the time FFT.
     """
     n_t, n_atoms, _ = data.shape
     t_chunk = t_chunk or n_t
@@ -251,25 +247,25 @@ def gridded_kgrid_spectrum(data: np.ndarray, plan: GridPlan,
     out_im = np.empty((n_t, plan.gx * plan.gy, 3), dtype=np.float32)
 
     dev = jax.device_put
-    base_re, base_im = dev(plan.base_re), dev(plan.base_im)
-    wx = dev(plan.wx)
-    wy_re, wy_im = dev(plan.wy_re), dev(plan.wy_im)
+    # fold base weight into the window weights (both t-independent)
+    bwx_re = dev((plan.base_re[:, :, None] * plan.wx).astype(np.float32))
+    bwx_im = dev((plan.base_im[:, :, None] * plan.wx).astype(np.float32))
+    wy_cat = dev(np.concatenate([plan.wy_re, plan.wy_im], axis=-1))
     deconv = dev(plan.deconv_re)
 
     n_cells, p = plan.base_re.shape
-    cell_sorted_idx = plan.order  # atom permutation
+    mask_flat = plan.pad_mask.reshape(-1).astype(bool)
 
     for pol in range(3):
         for start in range(0, n_t, t_chunk):
             stop = min(start + t_chunk, n_t)
-            chunk = data[start:stop, :, pol][:, cell_sorted_idx]   # (Tc, N)
+            chunk = data[start:stop, :, pol][:, plan.order]        # (Tc, N)
             packed = np.zeros((stop - start, n_cells * p), dtype=np.float32)
-            # pack sorted atoms into (cell, slot) flat positions
-            flat_pos = np.flatnonzero(plan.pad_mask.reshape(-1))
-            packed[:, flat_pos] = chunk
-            packed = packed.reshape(stop - start, n_cells, p)
-            re, im = _gridded_project(dev(packed), base_re, base_im, wx,
-                                      wy_re, wy_im, deconv,
+            packed[:, mask_flat] = chunk
+            # cell-major layout: (C, Tc, P)
+            packed = packed.reshape(stop - start, n_cells, p).transpose(1, 0, 2)
+            re, im = _gridded_project(dev(np.ascontiguousarray(packed)),
+                                      bwx_re, bwx_im, wy_cat, deconv,
                                       gx=plan.gx, gy=plan.gy, w=plan.w)
             out_re[start:stop, :, pol] = np.asarray(re).reshape(stop - start, -1)
             out_im[start:stop, :, pol] = np.asarray(im).reshape(stop - start, -1)
