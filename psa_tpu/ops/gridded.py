@@ -183,48 +183,61 @@ def plan_kgrid(mean_pos64: np.ndarray, kx_vals: np.ndarray, ky_vals: np.ndarray,
 
 
 @functools.partial(jax.jit, static_argnames=('gx', 'gy', 'w'))
-def _gridded_project(data_packed, bwx_re, bwx_im, wy_cat, deconv_re,
+def _gridded_project(data_packed, w_re, w_im, deconv_re,
                      gx: int, gy: int, w: int):
-    """Spread + FFT + deconvolve for one polarization.
+    """Spread + FFT + deconvolve for one polarization — TWO batched matmuls.
 
-    data_packed: (n_cells, n_t, P) f32 — packed real data, CELL-MAJOR so the
-        batched matmuls need no layout change (batch dim 0 throughout; a
-        mid-tensor batch dim makes XLA transpose the full array per call).
-    bwx_re/bwx_im: (n_cells, P, w) f32 — base·window folded at plan time.
-    wy_cat: (n_cells, P, 2·gy) f32 — [Re | Im] exact y-phase table.
+    The whole spreading kernel (complex base phase × x-window offsets × exact
+    y-phases) is precomputed on host as one weight tensor
+    ``W[c, p, dx·Gy + g] = (base·ψx_dx)·wy_g``, so the device does exactly one
+    real matmul per complex component: the data is read once, no elementwise
+    staging arrays exist, and the MXU sees a wide (w·Gy)-lane contraction.
+
+    data_packed: (n_cells, n_t, P) f32 cell-major packed data.
+    w_re/w_im:   (n_cells, P, w·gy) f32.
     Returns (re, im) of S (n_t, gx, gy) f32.
     """
     prec = jax.lax.Precision.HIGHEST
     n_cells, n_t, p = data_packed.shape
 
     def mm(a, b):
-        # 'ctp,cpg->ctg' batched over cells (batch dims 0/0, no transposes)
+        # 'ctp,cpq->ctq' batched over cells (batch dims 0/0, no transposes)
         return jax.lax.dot_general(
             a, b, dimension_numbers=(((2,), (1,)), ((0,), (0,))),
             precision=prec, preferred_element_type=jnp.float32)
 
+    y_re = mm(data_packed, w_re).reshape(n_cells, n_t, w, gy)
+    y_im = mm(data_packed, w_im).reshape(n_cells, n_t, w, gy)
+
     grid_re = jnp.zeros((n_cells, n_t, gy), dtype=jnp.float32)
     grid_im = jnp.zeros((n_cells, n_t, gy), dtype=jnp.float32)
     for di in range(w):
-        # complex strength · x-window, as two real factors (t-independent)
-        a_re = data_packed * bwx_re[:, None, :, di]
-        a_im = data_packed * bwx_im[:, None, :, di]
-        yr = mm(a_re, wy_cat)                             # (C, T, 2G): [rr | ri]
-        yi = mm(a_im, wy_cat)                             # (C, T, 2G): [ir | ii]
-        y_re = yr[..., :gy] - yi[..., gy:]
-        y_im = yr[..., gy:] + yi[..., :gy]
-        # contribution lands on cell (bucket + offset); offsets map from di
-        shift = di - (w // 2 - 1)
-        grid_re = grid_re + jnp.roll(y_re, shift, axis=0)
-        grid_im = grid_im + jnp.roll(y_im, shift, axis=0)
+        shift = di - (w // 2 - 1)   # contribution lands on cell (bucket+offset)
+        grid_re = grid_re + jnp.roll(y_re[:, :, di, :], shift, axis=0)
+        grid_im = grid_im + jnp.roll(y_im[:, :, di, :], shift, axis=0)
 
     # x-axis modes over the CELL axis: S_m' = ifft·Fx at m' = m − Gx/2
     spec = jnp.fft.ifft(jax.lax.complex(grid_re, grid_im), axis=0) * n_cells
     spec = jnp.roll(spec, gx // 2, axis=0)[:gx] * deconv_re[:, None, None]
-    # -> (n_t, gx, gy)
-    spec = jnp.transpose(spec, (1, 0, 2))
+    spec = jnp.transpose(spec, (1, 0, 2))                 # -> (n_t, gx, gy)
     return (jnp.real(spec).astype(jnp.float32),
             jnp.imag(spec).astype(jnp.float32))
+
+
+def build_weights(plan: GridPlan) -> Tuple[np.ndarray, np.ndarray]:
+    """Host-side combined weight tensors W_re/W_im (n_cells, P, w·Gy) f32:
+
+        W = (base · ψx_offset) ⊗ wy     (complex product, split re/im)
+    """
+    bwx_re = plan.base_re[:, :, None] * plan.wx            # (C, P, w)
+    bwx_im = plan.base_im[:, :, None] * plan.wx
+    w_re = (bwx_re[:, :, :, None] * plan.wy_re[:, :, None, :]
+            - bwx_im[:, :, :, None] * plan.wy_im[:, :, None, :])
+    w_im = (bwx_re[:, :, :, None] * plan.wy_im[:, :, None, :]
+            + bwx_im[:, :, :, None] * plan.wy_re[:, :, None, :])
+    c, p = plan.base_re.shape
+    return (w_re.reshape(c, p, -1).astype(np.float32),
+            w_im.reshape(c, p, -1).astype(np.float32))
 
 
 def gridded_kgrid_spectrum(data: np.ndarray, plan: GridPlan,
@@ -247,10 +260,8 @@ def gridded_kgrid_spectrum(data: np.ndarray, plan: GridPlan,
     out_im = np.empty((n_t, plan.gx * plan.gy, 3), dtype=np.float32)
 
     dev = jax.device_put
-    # fold base weight into the window weights (both t-independent)
-    bwx_re = dev((plan.base_re[:, :, None] * plan.wx).astype(np.float32))
-    bwx_im = dev((plan.base_im[:, :, None] * plan.wx).astype(np.float32))
-    wy_cat = dev(np.concatenate([plan.wy_re, plan.wy_im], axis=-1))
+    w_re_h, w_im_h = build_weights(plan)
+    w_re, w_im = dev(w_re_h), dev(w_im_h)
     deconv = dev(plan.deconv_re)
 
     n_cells, p = plan.base_re.shape
@@ -265,7 +276,7 @@ def gridded_kgrid_spectrum(data: np.ndarray, plan: GridPlan,
             # cell-major layout: (C, Tc, P)
             packed = packed.reshape(stop - start, n_cells, p).transpose(1, 0, 2)
             re, im = _gridded_project(dev(np.ascontiguousarray(packed)),
-                                      bwx_re, bwx_im, wy_cat, deconv,
+                                      w_re, w_im, deconv,
                                       gx=plan.gx, gy=plan.gy, w=plan.w)
             out_re[start:stop, :, pol] = np.asarray(re).reshape(stop - start, -1)
             out_im[start:stop, :, pol] = np.asarray(im).reshape(stop - start, -1)
