@@ -189,16 +189,26 @@ class AnalysisController:
                           basis_atom_types: Optional[list] = None,
                           summation_mode: str = 'coherent',
                           chiral: bool = False, chiral_axis: str = 'z',
-                          k_chunk_size: int = 2048) -> KGridState:
+                          k_chunk_size: int = 2048,
+                          engine: str = 'auto') -> KGridState:
+        """``engine``: 'direct', 'gridded' (NUFFT), or 'auto' (gridded for
+        coherent sweeps over grids ≥ 100×100 where it measures faster)."""
         calc = self._require_calc()
         _, k_vecs, shape = calc.get_k_grid(plane, k_range_1, k_range_2,
                                            n_k1, n_k2, k_fixed_val=k_fixed)
         if chiral:
             summation_mode = 'coherent'
-        sed = calc.calculate(np.array([], dtype=np.float32), k_vecs,
-                             basis_atom_types=basis_atom_types,
-                             summation_mode=summation_mode,
-                             k_grid_shape=shape, k_chunk_size=k_chunk_size)
+        use_gridded = (engine == 'gridded'
+                       or (engine == 'auto' and summation_mode == 'coherent'
+                           and min(n_k1, n_k2) >= 100))
+        if use_gridded:
+            sed = calc.calculate_gridded(k_vecs, shape,
+                                         basis_atom_types=basis_atom_types)
+        else:
+            sed = calc.calculate(np.array([], dtype=np.float32), k_vecs,
+                                 basis_atom_types=basis_atom_types,
+                                 summation_mode=summation_mode,
+                                 k_grid_shape=shape, k_chunk_size=k_chunk_size)
         phase_full = None
         if chiral and sed.is_complex:
             c1, c2 = CHIRAL_AXIS_COMPONENTS[chiral_axis]

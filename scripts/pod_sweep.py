@@ -42,7 +42,11 @@ def main():
     p.add_argument('--k-max', type=float, default=5.0)
     p.add_argument('--grid', type=int, default=200)
     p.add_argument('--k-chunk', type=int, default=2048)
-    p.add_argument('--precision', choices=['parity', 'fast'], default='parity')
+    p.add_argument('--precision', choices=['parity', 'balanced', 'fast'],
+                   default='parity')
+    p.add_argument('--engine', choices=['sharded', 'gridded'], default='sharded',
+                   help="'sharded' = multi-device mesh sweep; 'gridded' = "
+                        "single-device NUFFT engine (faster for grids >= ~100x100)")
     p.add_argument('--out', default='pod_sweep_out')
     p.add_argument('--multihost', action='store_true',
                    help='initialize jax.distributed before building the mesh')
@@ -96,6 +100,15 @@ def main():
         if cached is not None and cached.shape[1] == e - s:
             full[:, s:e, :] = cached
             continue
+        if args.engine == 'gridded':
+            sed_part = calc.calculate_gridded(k_vecs, shape)
+            full[:, :, :] = sed_part.sed
+            for cj in range(n_chunks):
+                cs, ce = cj * chunk, min((cj + 1) * chunk, n_k)
+                # gridded returns post-FFT amplitudes; store signal chunks
+                cache.store(cj, full[:, cs:ce, :])
+            computed = n_k
+            break
         re, im = sharded_sed_spectrum(mesh, traj.velocities, mean64,
                                       k_vecs[s:e], precision=args.precision)
         block = (re + 1j * im).astype(np.complex64)
