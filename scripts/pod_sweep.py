@@ -71,6 +71,10 @@ def main():
     traj = TrajectoryLoader(args.trajectory, dt=args.dt, mmap=True).load()
     logger.info("trajectory: %d frames x %d atoms (memory-mapped)",
                 traj.n_frames, traj.n_atoms)
+    if not np.any(traj.velocities):
+        logger.warning("velocities are all zero (dump without vx/vy/vz?) — "
+                       "the velocity-SED of this sweep will be zero; "
+                       "re-dump with velocities or use displacement mode")
 
     calc = SEDCalculator(traj, nx=args.nx, ny=args.ny, nz=args.nz,
                          precision=args.precision)
