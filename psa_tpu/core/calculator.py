@@ -336,6 +336,12 @@ class SEDCalculator:
             w = jnp.sqrt(jnp.asarray(self.traj.masses[group_idx], dtype=jnp.float32))
             data_dev = data_dev * w[None, :, None]
         with self._cache_lock:
+            # Two threads can race past the miss check and both land here;
+            # keep the order list duplicate-free or a later eviction would pop
+            # the stale duplicate and drop the entry while the key is still
+            # queued, shrinking effective capacity.
+            if key in self._device_cache:
+                return self._device_cache[key]
             self._device_cache[key] = (data_dev, hi_dev, lo_dev)
             self._device_cache_order.append(key)
             while len(self._device_cache_order) > 2:
@@ -488,6 +494,7 @@ class SEDCalculator:
                 'groups': [g.tolist() for g in atom_groups],
                 'mode': summation_mode,
                 'use_displacements': self.use_displacements,
+                'mass_weighted': self.mass_weighted,
                 'precision': self.precision,
                 'dt_ps': float(self.dt_ps),
                 'k_chunk_size': int(block),
@@ -567,19 +574,41 @@ class SEDCalculator:
         if n1 * n2 != len(k_vectors_3d):
             raise ValueError("k_grid_shape does not match k_vectors_3d")
 
-        # detect the fixed column and the slow/fast plane columns
+        # Detect the slow/fast plane columns and the fixed column by which
+        # grid axis each component varies along.  A degenerate grid (n1==1 or
+        # n2==1 from get_k_grid) leaves its plane column globally constant —
+        # indistinguishable from the fixed column by value — so unassigned
+        # roles are filled by the cyclic plane convention get_k_grid uses
+        # (xy->(0,1,2), yz->(1,2,0), zx->(2,0,1)); any constant column is a
+        # valid choice for a constant role, the convention just makes it
+        # deterministic.
         mat = k_vectors_3d.reshape(n1, n2, 3)
-        fixed_col = slow_col = fast_col = None
+        slow_col = fast_col = None
         for c in range(3):
             col = mat[:, :, c]
-            if np.allclose(col, col.flat[0], atol=1e-7):
-                fixed_col = c
-            elif np.allclose(col, col[:, :1], atol=1e-7):   # rows constant -> slow
+            varies_slow = not np.allclose(col, col[:1, :], atol=1e-7)
+            varies_fast = not np.allclose(col, col[:, :1], atol=1e-7)
+            if varies_slow and varies_fast:
+                raise ValueError(
+                    "k_vectors_3d is not a tensor-product grid from get_k_grid")
+            if varies_slow:
+                if slow_col is not None:
+                    raise ValueError(
+                        "k_vectors_3d is not a tensor-product grid from get_k_grid")
                 slow_col = c
-            elif np.allclose(col, col[:1, :], atol=1e-7):
+            elif varies_fast:
+                if fast_col is not None:
+                    raise ValueError(
+                        "k_vectors_3d is not a tensor-product grid from get_k_grid")
                 fast_col = c
-        if None in (fixed_col, slow_col, fast_col):
-            raise ValueError("k_vectors_3d is not a tensor-product grid from get_k_grid")
+        if slow_col is not None and fast_col is not None:
+            fixed_col = 3 - slow_col - fast_col
+        elif fast_col is not None:          # 1 x n2 grid
+            slow_col, fixed_col = (fast_col - 1) % 3, (fast_col + 1) % 3
+        elif slow_col is not None:          # n1 x 1 grid
+            fast_col, fixed_col = (slow_col + 1) % 3, (slow_col + 2) % 3
+        else:                               # 1 x 1 grid
+            slow_col, fast_col, fixed_col = 0, 1, 2
         kx_vals = mat[:, 0, slow_col].astype(np.float64)
         ky_vals = mat[0, :, fast_col].astype(np.float64)
         k_fixed = float(mat[0, 0, fixed_col])

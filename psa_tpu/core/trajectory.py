@@ -23,7 +23,12 @@ class Trajectory:
         velocities: (n_frames, n_atoms, 3) float32 (Å/ps or native MD units).
         types:      (n_atoms,) integer atom types.
         timesteps:  (n_frames,) frame times (ps).
-        box_matrix: (3, 3) simulation cell matrix (rows = cell vectors).
+        box_matrix: (3, 3) simulation cell matrix, upper-triangular LAMMPS/OVITO
+            convention [[lx,xy,xz],[0,ly,yz],[0,0,lz]] — COLUMNS are the cell
+            vectors, so Cartesian = box_matrix @ fractional.  (The reference
+            engine nonetheless slices ROWS as lattice vectors,
+            sed_calculator.py:40 — identical for orthogonal cells; the
+            calculator mirrors that observable behavior for parity.)
         box_lengths:(3,) diagonal lengths.
         box_tilts:  (3,) tilt factors (xy, xz, yz).
         dt_ps:      frame spacing in picoseconds.

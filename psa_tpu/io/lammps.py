@@ -134,8 +134,13 @@ def iter_lammps_frames(filepath: Path):
             for cand in _POS_CANDIDATES:
                 if all(c in col_idx for c in cand):
                     pos = table[:, [col_idx[c] for c in cand]].astype(np.float32)
-                    if cand[0] == 'xs':  # scaled -> Cartesian via cell matrix
-                        pos = (pos @ box_matrix).astype(np.float32)
+                    if cand[0] == 'xs':
+                        # scaled -> Cartesian: r = H @ s with columns of H the
+                        # cell vectors ([[lx,xy,xz],[0,ly,yz],[0,0,lz]]), i.e.
+                        # row-vector form s @ H.T.  (H alone is wrong for
+                        # triclinic cells — only the transpose keeps the tilt
+                        # components on the correct axes.)
+                        pos = (pos @ box_matrix.T).astype(np.float32)
                     break
             if pos is None:
                 raise ValueError(f"Dump {filepath.name} has no position columns "
@@ -156,13 +161,12 @@ def unwrap_positions(positions: np.ndarray, box_matrix: np.ndarray) -> np.ndarra
     """Minimum-image unwrap across frames (OVITO's UnwrapTrajectoriesModifier
     analog, reference loader.py:278): accumulate per-frame displacements with
     each component folded to (-L/2, L/2] in fractional coordinates."""
-    h = box_matrix.astype(np.float64)
-    h_inv = np.linalg.inv(h)
-    frac = positions.astype(np.float64) @ h_inv          # (n_t, n_a, 3) fractional
+    h = box_matrix.astype(np.float64)                    # columns = cell vectors
+    frac = positions.astype(np.float64) @ np.linalg.inv(h).T   # s = H⁻¹ r, row form
     dfrac = np.diff(frac, axis=0)
     dfrac -= np.round(dfrac)                             # minimum-image steps
     unwrapped_frac = np.concatenate([frac[:1], frac[:1] + np.cumsum(dfrac, axis=0)], axis=0)
-    return (unwrapped_frac @ h).astype(np.float32)
+    return (unwrapped_frac @ h.T).astype(np.float32)     # r = H s
 
 
 def read_lammps_dump(filepath: Path, unwrap: bool = True, with_masses: bool = False):

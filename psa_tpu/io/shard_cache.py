@@ -37,6 +37,8 @@ def trajectory_fingerprint(traj) -> str:
     h.update(np.ascontiguousarray(traj.types).tobytes())
     h.update(np.ascontiguousarray(traj.box_matrix).tobytes())
     h.update(np.float64(traj.dt_ps).tobytes())
+    if getattr(traj, 'masses', None) is not None:
+        h.update(np.ascontiguousarray(traj.masses).tobytes())
     return h.hexdigest()[:16]
 
 

@@ -71,6 +71,29 @@ class TestCalculateWithCache:
         again = calc.calculate(k_mags, k_vecs, k_chunk_size=8, cache_dir=tmp_path)
         np.testing.assert_allclose(full.sed, again.sed, atol=1e-7)
 
+    def test_mass_weighted_not_served_from_unweighted_cache(self, traj, tmp_path):
+        """Regression: mass_weighted must be part of the cache key, and masses
+        part of the trajectory fingerprint — a weighted run sharing a
+        cache_dir with an unweighted run must NOT reuse its chunks."""
+        from dataclasses import replace
+        masses = np.where(traj.types == 1, 1.0, 4.0).astype(np.float32)
+        wtraj = replace(traj, masses=masses)
+        calc_u = SEDCalculator(wtraj, nx=3, ny=2, nz=2)
+        k_mags, k_vecs = calc_u.get_k_path('x', bz_coverage=1.0, n_k=16)
+        unweighted = calc_u.calculate(k_mags, k_vecs, k_chunk_size=8,
+                                      cache_dir=tmp_path)
+        calc_w = SEDCalculator(wtraj, nx=3, ny=2, nz=2, mass_weighted=True)
+        weighted = calc_w.calculate(k_mags, k_vecs, k_chunk_size=8,
+                                    cache_dir=tmp_path)
+        truth = SEDCalculator(wtraj, nx=3, ny=2, nz=2,
+                              mass_weighted=True).calculate(k_mags, k_vecs)
+        assert not np.allclose(weighted.sed, unweighted.sed)
+        np.testing.assert_allclose(weighted.sed, truth.sed, atol=0)
+        # masses feed the fingerprint
+        heavier = replace(traj, masses=masses * 2)
+        assert trajectory_fingerprint(wtraj) != trajectory_fingerprint(heavier)
+        assert trajectory_fingerprint(wtraj) != trajectory_fingerprint(traj)
+
     def test_incoherent_cache(self, traj, tmp_path):
         calc = SEDCalculator(traj, nx=3, ny=2, nz=2)
         k_mags, k_vecs = calc.get_k_path('x', bz_coverage=1.0, n_k=12)

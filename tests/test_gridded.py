@@ -77,6 +77,17 @@ class TestCalculatorIntegration:
         grid = calc.calculate_gridded(k_vecs, shape, basis_atom_types=[1])
         assert rel(grid.sed, direct.sed) < 1e-5
 
+    @pytest.mark.parametrize("nkx,nky", [(1, 8), (8, 1), (1, 1)])
+    def test_degenerate_grids_accepted(self, calc, nkx, nky):
+        """1xN / Nx1 / 1x1 grids from get_k_grid leave a plane column globally
+        constant; they must still be recognized as tensor-product grids."""
+        _, k_vecs, shape = calc.get_k_grid('xy', (-1.2, 1.2), (-0.8, 0.8),
+                                           nkx, nky, k_fixed_val=0.3)
+        direct = calc.calculate(np.array([]), k_vecs, k_grid_shape=shape)
+        grid = calc.calculate_gridded(k_vecs, shape)
+        assert grid.sed.shape == direct.sed.shape
+        assert rel(grid.sed, direct.sed) < 1e-5
+
     def test_kpath_rejected(self, calc):
         k_mags, k_vecs = calc.get_k_path('x', bz_coverage=1.0, n_k=8)
         with pytest.raises(ValueError, match="tensor-product|k_grid_shape"):

@@ -61,6 +61,51 @@ class TestQdumpRoundtrip:
         np.testing.assert_allclose(rbox, box, atol=1e-5)
 
 
+class TestTriclinicScaled:
+    """Scaled (xs/ys/zs) coordinates and unwrapping must use the cell matrix
+    in the column-vector orientation: r = H @ s, never s @ H."""
+
+    def test_scaled_columns_unscale_through_transpose(self, tmp_path):
+        H = np.array([[10., 1.5, 0.5], [0., 11., 2.0], [0., 0., 12.]],
+                     dtype=np.float64)
+        rng = np.random.default_rng(7)
+        frac = rng.uniform(0, 1, (2, 6, 3))
+        cart_true = frac @ H.T                       # r = H s, row-vector form
+        body_frames = []
+        for f in range(2):
+            rows = [f"{i+1} 1 {frac[f,i,0]:.10f} {frac[f,i,1]:.10f} {frac[f,i,2]:.10f}"
+                    for i in range(6)]
+            body_frames.append(
+                "ITEM: TIMESTEP\n%d\nITEM: NUMBER OF ATOMS\n6\n"
+                "ITEM: BOX BOUNDS xy xz yz pp pp pp\n"
+                "%f %f 1.5\n%f %f 0.5\n0.0 12.0 2.0\n"
+                "ITEM: ATOMS id type xs ys zs\n%s\n"
+                % (f, min(0., 1.5, .5, 2.) , 10. + max(0., 1.5, .5, 2.),
+                   min(0., 2.), 11. + max(0., 2.), "\n".join(rows)))
+        path = tmp_path / "scaled.dump"
+        path.write_text("".join(body_frames))
+        rpos, _, _, _, rbox = read_lammps_dump(path, unwrap=False)
+        np.testing.assert_allclose(rbox, H.astype(np.float32), atol=1e-5)
+        np.testing.assert_allclose(rpos, cart_true.astype(np.float32),
+                                   rtol=0, atol=1e-4)
+
+    def test_triclinic_unwrap_roundtrip(self):
+        """Wrap a smooth triclinic walk into the cell, unwrap, recover it."""
+        H = np.array([[10., 1.5, 0.5], [0., 11., 2.0], [0., 0., 12.]],
+                     dtype=np.float64)
+        n_t, n_a = 24, 5
+        rng = np.random.default_rng(3)
+        frac0 = rng.uniform(0, 1, (n_a, 3))
+        dfrac = rng.uniform(-0.12, 0.12, (n_a, 3))     # < 1/2 cell per step
+        frac_true = frac0[None] + dfrac[None] * np.arange(n_t)[:, None, None]
+        cart_true = frac_true @ H.T
+        wrapped = (frac_true % 1.0) @ H.T              # wrapped in triclinic cell
+        un = unwrap_positions(wrapped.astype(np.float32), H.astype(np.float32))
+        # unwrap pins frame 0 to its wrapped image; compare displacements
+        np.testing.assert_allclose(un - un[:1], (cart_true - cart_true[:1]),
+                                   rtol=0, atol=2e-3)
+
+
 class TestUnwrap:
     def test_wrapped_crossing_recovered(self):
         box = np.diag([10., 10., 10.]).astype(np.float32)
