@@ -1,4 +1,6 @@
 """Multi-device sharding: mesh construction, sharded SED sweeps."""
-from .sharded import make_mesh, mesh_shape_for, sharded_sed_spectrum
+from .sharded import (ArrayBlockSource, BlockSource, make_mesh, mesh_shape_for,
+                      sharded_sed_spectrum)
 
-__all__ = ["make_mesh", "mesh_shape_for", "sharded_sed_spectrum"]
+__all__ = ["ArrayBlockSource", "BlockSource", "make_mesh", "mesh_shape_for",
+           "sharded_sed_spectrum"]

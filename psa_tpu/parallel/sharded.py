@@ -15,19 +15,33 @@ a 3-axis mesh:
              ``all_gather``-ed over ICI so each device FFTs full-length time
              series for its k shard.
 
+Data ingestion never materializes the global trajectory on any host: device
+shards are filled through ``jax.make_array_from_callback``, which asks a
+:class:`BlockSource` for exactly the (time-slice, atom-slice) block each
+local device owns — a NumPy slice for in-memory data, a strided read for
+``np.memmap``-backed trajectories.  In a multi-process (pod) run the callback
+fires only for the process's addressable shards, so each host touches only
+its own fraction of the trajectory.  For trajectories larger than aggregate
+HBM, time-superchunks stream through the mesh (double-buffered: the next
+superchunk's host->device transfer overlaps the current one's matmul) and
+only the projected (n_t, 3, 2K) signal — tens of MB — stays resident.
+
 Communication cost: the psum/all_gather move only the projected
 (n_t, 3, 2·K_local) tensor — tens of MB — never the trajectory itself.
 """
 from __future__ import annotations
 
+import functools
 import logging
 import math
-from typing import Optional, Sequence, Tuple
+import threading
+from typing import Optional, Sequence, Tuple, Union
 
 import jax
 import jax.numpy as jnp
 import numpy as np
-from jax.sharding import Mesh, PartitionSpec as P
+from jax import lax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ..ops import spectral
 
@@ -35,16 +49,49 @@ logger = logging.getLogger(__name__)
 
 AXIS_T, AXIS_A, AXIS_K = 't', 'a', 'k'
 
+#: Default per-device memory budget used by :func:`mesh_shape_for` when the
+#: caller passes ``hbm_bytes='auto'`` — a TPU v5e chip has 16 GB of HBM; we
+#: leave half for the phase table, projection buffers, and double-buffering.
+DEFAULT_HBM_BYTES = 16 * 2 ** 30
 
-def mesh_shape_for(n_devices: int, n_t: Optional[int] = None) -> Tuple[int, int, int]:
+
+def mesh_shape_for(n_devices: int, n_t: Optional[int] = None,
+                   n_atoms: Optional[int] = None,
+                   hbm_bytes: Optional[Union[int, str]] = None,
+                   dtype_bytes: int = 4) -> Tuple[int, int, int]:
     """Factor ``n_devices`` into a (t, a, k) mesh shape.
 
-    Heuristic: favor the k axis (communication-free), then atoms, then time.
-    The t factor must divide n_t (FFT length cannot be padded); pass n_t to
-    enforce that, or leave None to allow any t factor.
+    Heuristic: among all factorizations whose per-device trajectory shard
+    fits the memory budget, favor the k axis (communication-free), then
+    atoms, then time.  Without a budget (``n_atoms``/``hbm_bytes`` omitted)
+    this degrades to pure preference order — small workloads pick (1, 1, N).
+
+    Args:
+        n_devices: total devices in the mesh.
+        n_t: trajectory frames; the t factor must divide n_t exactly (the FFT
+            length cannot be padded).
+        n_atoms: atoms; enables the residency constraint.
+        hbm_bytes: per-device memory budget for the trajectory shard, or
+            ``'auto'`` for half a v5e's HBM.  Ignored unless ``n_t`` and
+            ``n_atoms`` are both given.
+        dtype_bytes: bytes per scalar of the trajectory data (4 for f32).
+
+    Returns:
+        (t, a, k) with t·a·k == n_devices.  If no factorization fits the
+        budget, the one minimizing per-device bytes is returned (the caller
+        should then stream time-superchunks; see
+        :func:`sharded_sed_spectrum`'s ``t_superchunk``).
     """
-    best = (1, 1, n_devices)
-    # enumerate all factorizations t*a*k = n
+    if hbm_bytes == 'auto':
+        hbm_bytes = DEFAULT_HBM_BYTES // 2
+    budget_active = (hbm_bytes is not None and n_t is not None
+                     and n_atoms is not None)
+
+    def shard_bytes(t: int, a: int) -> int:
+        # data shard + one double-buffered copy in flight
+        return 2 * dtype_bytes * 3 * int(n_t) * int(n_atoms) // (t * a)
+
+    candidates = []
     for t in range(1, n_devices + 1):
         if n_devices % t:
             continue
@@ -55,95 +102,264 @@ def mesh_shape_for(n_devices: int, n_t: Optional[int] = None) -> Tuple[int, int,
             if rest % a:
                 continue
             k = rest // a
-            # score: prefer large k, then large a, then small t
-            if (k, a, -t) > (best[2], best[1], -best[0]):
-                best = (t, a, k)
+            fits = (not budget_active) or shard_bytes(t, a) <= hbm_bytes
+            # prefer: fits, then large k, then large a, then small t
+            candidates.append(((fits, k, a, -t), (t, a, k)))
+    candidates.sort()
+    best_score, best = candidates[-1]
+    if budget_active and not best_score[0]:
+        # nothing fits: minimize the per-device shard instead
+        best = min((shape for _, shape in candidates),
+                   key=lambda s: (shard_bytes(s[0], s[1]), -s[2]))
+        logger.warning(
+            "mesh_shape_for: no (t,a,k) factorization of %d devices fits "
+            "%.1f GB/device for %d atoms x %d frames; choosing %s (%.1f "
+            "GB/device) — stream time-superchunks through it",
+            n_devices, hbm_bytes / 2 ** 30, n_atoms, n_t, best,
+            shard_bytes(best[0], best[1]) / 2 ** 30)
     return best
 
 
 def make_mesh(n_devices: Optional[int] = None,
               shape: Optional[Tuple[int, int, int]] = None,
               devices: Optional[Sequence] = None,
-              n_t: Optional[int] = None) -> Mesh:
+              n_t: Optional[int] = None,
+              n_atoms: Optional[int] = None,
+              hbm_bytes: Optional[Union[int, str]] = None) -> Mesh:
     """Build a (t, a, k) mesh over the first ``n_devices`` JAX devices."""
     devs = list(devices) if devices is not None else jax.devices()
     if n_devices is not None:
         devs = devs[:n_devices]
     if shape is None:
-        shape = mesh_shape_for(len(devs), n_t=n_t)
+        shape = mesh_shape_for(len(devs), n_t=n_t, n_atoms=n_atoms,
+                               hbm_bytes=hbm_bytes)
     if math.prod(shape) != len(devs):
         raise ValueError(f"mesh shape {shape} does not cover {len(devs)} devices")
     dev_array = np.array(devs).reshape(shape)
     return Mesh(dev_array, axis_names=(AXIS_T, AXIS_A, AXIS_K))
 
 
-def _pad_to(arr: np.ndarray, axis: int, multiple: int) -> np.ndarray:
-    size = arr.shape[axis]
-    target = ((size + multiple - 1) // multiple) * multiple
+# ---------------------------------------------------------------------------
+# Block sources: random-access (time, atom) windows of the trajectory data.
+# ---------------------------------------------------------------------------
+
+class BlockSource:
+    """Random-access provider of (time, atom) blocks of (n_t, n_atoms, 3) data.
+
+    Implementations must expose ``n_frames``/``n_atoms`` and
+    ``read_block(t0, t1, a0, a1) -> float32 (t1-t0, a1-a0, 3)``.  The sharded
+    engine reads one block per addressable device shard, so a source backed
+    by ``np.memmap`` (or any lazy store) keeps peak host memory at
+    O(superchunk / (t·a shards)) regardless of trajectory size.
+    """
+
+    n_frames: int
+    n_atoms: int
+
+    def read_block(self, t0: int, t1: int, a0: int, a1: int) -> np.ndarray:
+        raise NotImplementedError
+
+
+class ArrayBlockSource(BlockSource):
+    """Blocks sliced from an array-like: ndarray, np.memmap, or anything
+    supporting numpy basic slicing.  Slicing a memmap reads only the pages
+    that cover the requested window."""
+
+    def __init__(self, data):
+        if data.ndim != 3 or data.shape[-1] != 3:
+            raise ValueError(f"expected (n_t, n_atoms, 3) data, got {data.shape}")
+        self._data = data
+        self.n_frames, self.n_atoms, _ = data.shape
+
+    def read_block(self, t0, t1, a0, a1):
+        return np.asarray(self._data[t0:t1, a0:a1, :], dtype=np.float32)
+
+
+def _as_source(data) -> BlockSource:
+    return data if isinstance(data, BlockSource) else ArrayBlockSource(data)
+
+
+def _pad_rows(arr: np.ndarray, multiple: int) -> np.ndarray:
+    size = arr.shape[0]
+    target = -(-size // multiple) * multiple
     if target == size:
         return arr
-    pad_width = [(0, 0)] * arr.ndim
-    pad_width[axis] = (0, target - size)
-    return np.pad(arr, pad_width)
+    return np.pad(arr, [(0, target - size)] + [(0, 0)] * (arr.ndim - 1))
 
 
-def sharded_sed_spectrum(mesh: Mesh, data: np.ndarray, mean_pos64: np.ndarray,
+def _superchunk_array(mesh: Mesh, source: BlockSource, t0: int, t1: int,
+                      n_atoms_padded: int) -> jax.Array:
+    """One time-superchunk as a (t, a)-sharded jax.Array, filled shard by
+    shard — the global array never exists on any host."""
+    sharding = NamedSharding(mesh, P(AXIS_T, AXIS_A, None))
+    shape = (t1 - t0, n_atoms_padded, 3)
+    memo = {}  # devices on the k axis replicate the same (t, a) block
+
+    def fill(index) -> np.ndarray:
+        ts, as_, _ = index
+        bt0, bt1 = ts.start or 0, ts.stop if ts.stop is not None else shape[0]
+        ba0, ba1 = as_.start or 0, as_.stop if as_.stop is not None else shape[1]
+        key = (bt0, bt1, ba0, ba1)
+        if key not in memo:
+            a_real = min(ba1, source.n_atoms)
+            block = np.zeros((bt1 - bt0, ba1 - ba0, 3), dtype=np.float32)
+            if ba0 < a_real:
+                block[:, : a_real - ba0, :] = source.read_block(
+                    t0 + bt0, t0 + bt1, ba0, a_real)
+            memo[key] = block
+        return memo[key]
+
+    return jax.make_array_from_callback(shape, sharding, fill)
+
+
+# ---------------------------------------------------------------------------
+# Sharded compute steps (each jitted once per shape).
+# ---------------------------------------------------------------------------
+
+@functools.lru_cache(maxsize=None)
+def _phase_table_step(mesh: Mesh):
+    def table_fn(hi_l, lo_l, k_l):
+        return spectral._phase_table(hi_l, lo_l, k_l)     # (N/a, 2K/k)
+    return jax.jit(jax.shard_map(
+        table_fn, mesh=mesh,
+        in_specs=(P(AXIS_A, None), P(AXIS_A, None), P(AXIS_K, None)),
+        out_specs=P(AXIS_A, AXIS_K)))
+
+
+@functools.lru_cache(maxsize=None)
+def _projection_step(mesh: Mesh, precision: str):
+    prec = spectral.resolve_precision(precision)
+
+    def proj_fn(data_l, cs_l):
+        proj = spectral._project(data_l, cs_l, prec)       # (Tc/t, 3, 2K/k)
+        proj = lax.psum(proj, AXIS_A)                      # reduce atom shards
+        return lax.all_gather(proj, AXIS_T, axis=0, tiled=True)   # (Tc, 3, 2K/k)
+
+    # check_vma=False: the output IS replicated over 't' and 'a' (psum over
+    # atoms, tiled all_gather over time) but the static replication checker
+    # cannot infer that through lax.all_gather(tiled=True).
+    return jax.jit(jax.shard_map(
+        proj_fn, mesh=mesh,
+        in_specs=(P(AXIS_T, AXIS_A, None), P(AXIS_A, AXIS_K)),
+        out_specs=P(None, None, AXIS_K), check_vma=False))
+
+
+@functools.lru_cache(maxsize=None)
+def _write_rows_step(mesh: Mesh):
+    @functools.partial(jax.jit, donate_argnums=0)
+    def write(buf, chunk, row):
+        return lax.dynamic_update_slice(buf, chunk, (row, 0, 0))
+    return write
+
+
+@functools.lru_cache(maxsize=None)
+def _fft_step(mesh: Mesh, want_intensity: bool):
+    def fft_fn(proj_l):                                   # (n_t, 3, 2K/k)
+        re, im = spectral._fft_spectrum(proj_l, proj_l.shape[0])
+        if want_intensity:
+            return jnp.sum(re * re + im * im, axis=-1).astype(jnp.float32)
+        return re, im
+
+    out = P(None, AXIS_K) if want_intensity else (P(None, AXIS_K, None),
+                                                  P(None, AXIS_K, None))
+    return jax.jit(jax.shard_map(fft_fn, mesh=mesh,
+                                 in_specs=P(None, None, AXIS_K),
+                                 out_specs=out, check_vma=False))
+
+
+def sharded_sed_spectrum(mesh: Mesh, data, mean_pos64: np.ndarray,
                          k_vectors: np.ndarray, precision: str = 'parity',
-                         want_intensity: bool = False):
-    """SED spectrum over a device mesh.
+                         want_intensity: bool = False,
+                         t_superchunk: Optional[int] = None,
+                         prefetch: bool = True):
+    """SED spectrum over a device mesh, streamed in time-superchunks.
 
     Args:
         mesh: (t, a, k) mesh from :func:`make_mesh`.  The t extent must divide
             n_frames exactly.
-        data: (n_t, n_atoms, 3) float32 host array (velocities/displacements).
+        data: (n_t, n_atoms, 3) array-like (ndarray / np.memmap) or a
+            :class:`BlockSource`.  Never materialized globally: each device
+            shard is filled directly from its (time, atom) window.
         mean_pos64: (n_atoms, 3) float64 mean positions.
         k_vectors: (n_k, 3) float32.
+        precision: 'parity' | 'balanced' | 'fast' matmul precision.
         want_intensity: return Σ_α|Φ|² (n_t, n_k) instead of the (re, im) pair.
+        t_superchunk: frames per streamed superchunk (rounded up to a multiple
+            of the t mesh extent).  Default: all frames in one pass.  Set it
+            so one superchunk's shards fit HBM when the full trajectory
+            cannot.
+        prefetch: overlap the next superchunk's host->device fill with the
+            current superchunk's projection (double buffering).
 
     Returns:
         Host NumPy: intensity (n_t, n_k) f32, or (re, im) pair of (n_t, n_k, 3).
         Padding added for divisibility is stripped before returning.
     """
-    n_t, n_atoms, _ = data.shape
+    source = _as_source(data)
+    n_t, n_atoms = source.n_frames, source.n_atoms
     n_k = k_vectors.shape[0]
     t_sh, a_sh, k_sh = (mesh.shape[AXIS_T], mesh.shape[AXIS_A], mesh.shape[AXIS_K])
     if n_t % t_sh:
         raise ValueError(f"time axis ({n_t}) must divide evenly over the t mesh axis ({t_sh}); "
                          "the FFT length cannot be padded")
 
-    # Zero-pad atoms (zero data contributes nothing) and k (rows discarded).
-    data_p = _pad_to(np.asarray(data, dtype=np.float32), 1, a_sh)
-    mp_hi, mp_lo = spectral.split_f64(np.asarray(mean_pos64, dtype=np.float64))
-    mp_hi = _pad_to(mp_hi, 0, a_sh)
-    mp_lo = _pad_to(mp_lo, 0, a_sh)
-    k_p = _pad_to(np.asarray(k_vectors, dtype=np.float32), 0, k_sh)
-
-    prec = spectral.resolve_precision(precision)
-
-    def local_fn(data_l, hi_l, lo_l, k_l):
-        # data_l: (n_t/t, N/a, 3); k_l: (K/k, 3)
-        cs = spectral._phase_table(hi_l, lo_l, k_l)                 # (N/a, 2K/k)
-        proj = spectral._project(data_l, cs, prec)                  # (n_t/t, 3, 2K/k)
-        proj = jax.lax.psum(proj, AXIS_A)                           # reduce atom shards
-        proj = jax.lax.all_gather(proj, AXIS_T, axis=0, tiled=True)  # full time axis
-        re, im = spectral._fft_spectrum(proj, proj.shape[0])        # (n_t, K/k, 3)
-        if want_intensity:
-            return jnp.sum(re * re + im * im, axis=-1).astype(jnp.float32)
-        return re, im
-
-    in_specs = (P(AXIS_T, AXIS_A, None), P(AXIS_A, None), P(AXIS_A, None),
-                P(AXIS_K, None))
-    if want_intensity:
-        out_specs = P(None, AXIS_K)
+    if t_superchunk is None or t_superchunk >= n_t:
+        t_superchunk = n_t
     else:
-        out_specs = (P(None, AXIS_K, None), P(None, AXIS_K, None))
+        t_superchunk = max(t_sh, -(-t_superchunk // t_sh) * t_sh)
+        while n_t % t_superchunk and t_superchunk > t_sh:
+            # keep every superchunk the same compiled shape AND a multiple of
+            # the t extent: largest multiple of t_sh that divides n_t
+            t_superchunk -= t_sh
+        if n_t % t_superchunk:
+            t_superchunk = n_t
 
-    # check_vma=False: outputs ARE replicated over 't' and 'a' (psum over the
-    # atom axis, tiled all_gather over time), but the static replication
-    # checker cannot infer that through lax.all_gather(tiled=True).
-    fn = jax.jit(jax.shard_map(local_fn, mesh=mesh, in_specs=in_specs,
-                               out_specs=out_specs, check_vma=False))
-    out = fn(data_p, mp_hi, mp_lo, k_p)
+    n_atoms_p = -(-n_atoms // a_sh) * a_sh
+    mp_hi, mp_lo = spectral.split_f64(np.asarray(mean_pos64, dtype=np.float64))
+    mp_hi = _pad_rows(mp_hi, a_sh)
+    mp_lo = _pad_rows(mp_lo, a_sh)
+    k_p = _pad_rows(np.asarray(k_vectors, dtype=np.float32), k_sh)
+
+    a_sharding = NamedSharding(mesh, P(AXIS_A, None))
+    k_sharding = NamedSharding(mesh, P(AXIS_K, None))
+    cs = _phase_table_step(mesh)(jax.device_put(mp_hi, a_sharding),
+                                 jax.device_put(mp_lo, a_sharding),
+                                 jax.device_put(k_p, k_sharding))
+
+    project = _projection_step(mesh, precision)
+    starts = list(range(0, n_t, t_superchunk))
+
+    if len(starts) == 1:
+        proj_full = project(_superchunk_array(mesh, source, 0, n_t, n_atoms_p), cs)
+    else:
+        write_rows = _write_rows_step(mesh)
+        zeros = functools.partial(jnp.zeros, (n_t, 3, cs.shape[1]), jnp.float32)
+        proj_full = jax.jit(zeros, out_shardings=NamedSharding(
+            mesh, P(None, None, AXIS_K)))()
+
+        next_chunk = [None]
+
+        def load(t0):
+            return _superchunk_array(mesh, source, t0, t0 + t_superchunk, n_atoms_p)
+
+        def load_async(t0):
+            th = threading.Thread(
+                target=lambda: next_chunk.__setitem__(0, load(t0)), daemon=True)
+            th.start()
+            return th
+
+        chunk = load(starts[0])
+        for i, t0 in enumerate(starts):
+            loader = (load_async(starts[i + 1])
+                      if prefetch and i + 1 < len(starts) else None)
+            proj_full = write_rows(proj_full, project(chunk, cs), t0)
+            if loader is not None:
+                loader.join()
+                chunk = next_chunk[0]
+            elif i + 1 < len(starts):
+                chunk = load(starts[i + 1])
+
+    out = _fft_step(mesh, want_intensity)(proj_full)
 
     if want_intensity:
         return np.asarray(out)[:, :n_k]

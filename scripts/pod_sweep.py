@@ -42,6 +42,13 @@ def main():
     p.add_argument('--k-max', type=float, default=5.0)
     p.add_argument('--grid', type=int, default=200)
     p.add_argument('--k-chunk', type=int, default=2048)
+    p.add_argument('--t-superchunk', type=int, default=None,
+                   help='frames per streamed time-superchunk (default: all '
+                        'frames in one pass); set so one superchunk fits HBM '
+                        'when the trajectory cannot')
+    p.add_argument('--hbm-gb', type=float, default=None,
+                   help='per-device HBM budget (GiB) for residency-aware mesh '
+                        'shaping; default: auto (half a v5e)')
     p.add_argument('--precision', choices=['parity', 'balanced', 'fast'],
                    default='parity')
     p.add_argument('--engine', choices=['sharded', 'gridded'], default='sharded',
@@ -81,7 +88,9 @@ def main():
     _, k_vecs, shape = calc.get_k_grid(args.plane, (args.k_min, args.k_max),
                                        (args.k_min, args.k_max),
                                        args.grid, args.grid)
-    mesh = make_mesh(n_t=traj.n_frames)
+    mesh = make_mesh(n_t=traj.n_frames, n_atoms=traj.n_atoms,
+                     hbm_bytes=(int(args.hbm_gb * 2 ** 30) if args.hbm_gb
+                                else 'auto'))
     logger.info("mesh: %s over %d devices", dict(mesh.shape), len(jax.devices()))
 
     cache = ShardedSEDCache(out_dir / "chunks", workload={
@@ -96,30 +105,45 @@ def main():
     freqs = spectral.fftfreq_thz(traj.n_frames, traj.dt_ps)
     full = np.zeros((traj.n_frames, n_k, 3), dtype=np.complex64)
 
+    def bounds(ci):
+        return ci * chunk, min((ci + 1) * chunk, n_k)
+
     t0 = time.time()
     computed = 0
-    for ci in range(n_chunks):
-        s, e = ci * chunk, min((ci + 1) * chunk, n_k)
-        cached = cache.load(ci)
-        if cached is not None and cached.shape[1] == e - s:
-            full[:, s:e, :] = cached
-            continue
-        if args.engine == 'gridded':
+    if args.engine == 'gridded':
+        # The gridded engine computes the whole grid in one shot, so resume
+        # is all-or-nothing: restore every chunk from cache when complete,
+        # otherwise recompute once and back-fill only the missing chunks.
+        missing = []
+        for ci in range(n_chunks):
+            s, e = bounds(ci)
+            cached = cache.load(ci)
+            if cached is not None and cached.shape[1] == e - s:
+                full[:, s:e, :] = cached
+            else:
+                missing.append(ci)
+        if missing:
             sed_part = calc.calculate_gridded(k_vecs, shape)
             full[:, :, :] = sed_part.sed
-            for cj in range(n_chunks):
-                cs, ce = cj * chunk, min((cj + 1) * chunk, n_k)
-                # gridded returns post-FFT amplitudes; store signal chunks
-                cache.store(cj, full[:, cs:ce, :])
-            computed = n_k
-            break
-        re, im = sharded_sed_spectrum(mesh, traj.velocities, mean64,
-                                      k_vecs[s:e], precision=args.precision)
-        block = (re + 1j * im).astype(np.complex64)
-        cache.store(ci, block)
-        full[:, s:e, :] = block
-        computed += e - s
-        logger.info("chunk %d/%d done (%d k-points)", ci + 1, n_chunks, e - s)
+            for ci in missing:
+                s, e = bounds(ci)
+                cache.store(ci, full[:, s:e, :])
+                computed += e - s
+    else:
+        for ci in range(n_chunks):
+            s, e = bounds(ci)
+            cached = cache.load(ci)
+            if cached is not None and cached.shape[1] == e - s:
+                full[:, s:e, :] = cached
+                continue
+            re, im = sharded_sed_spectrum(mesh, traj.velocities, mean64,
+                                          k_vecs[s:e], precision=args.precision,
+                                          t_superchunk=args.t_superchunk)
+            block = (re + 1j * im).astype(np.complex64)
+            cache.store(ci, block)
+            full[:, s:e, :] = block
+            computed += e - s
+            logger.info("chunk %d/%d done (%d k-points)", ci + 1, n_chunks, e - s)
     dt = time.time() - t0
 
     sed = SED(full, freqs, np.array([]), k_vecs, k_grid_shape=shape)

@@ -3,10 +3,27 @@ import jax
 import numpy as np
 import pytest
 
-from psa_tpu.parallel import make_mesh, mesh_shape_for, sharded_sed_spectrum
+from psa_tpu.parallel import (ArrayBlockSource, make_mesh, mesh_shape_for,
+                              sharded_sed_spectrum)
 from psa_tpu.models import make_random_crystal_trajectory
 
 from conftest import reference_sed_oracle
+
+
+class RecordingSource(ArrayBlockSource):
+    """ArrayBlockSource that records every block read for residency checks."""
+
+    def __init__(self, data):
+        super().__init__(data)
+        self.reads = []
+
+    def read_block(self, t0, t1, a0, a1):
+        self.reads.append((t0, t1, a0, a1))
+        return super().read_block(t0, t1, a0, a1)
+
+    @property
+    def max_block_bytes(self):
+        return max(4 * 3 * (t1 - t0) * (a1 - a0) for t0, t1, a0, a1 in self.reads)
 
 
 def test_eight_devices_available():
@@ -65,3 +82,104 @@ def test_time_axis_must_divide(traj):
     mean_b = bad.positions.astype(np.float64).mean(axis=0)
     with pytest.raises(ValueError, match="time axis"):
         sharded_sed_spectrum(make_mesh(shape=(2, 2, 2)), bad.velocities, mean_b, k_vectors)
+
+
+class TestResidencyAwareMeshShape:
+    def test_small_workload_stays_pure_k(self):
+        # today's single-chip-scale cases: budget not binding -> (1, 1, N)
+        assert mesh_shape_for(8, n_t=16, n_atoms=100, hbm_bytes='auto') == (1, 1, 8)
+
+    def test_pod_config_forces_at_sharding(self):
+        # north star: 1e6 atoms x 1e5 frames = 1.2 TB f32 (2.4 TB with double
+        # buffering) over 256 chips of 16 GiB -> t*a must absorb the whole mesh
+        t, a, k = mesh_shape_for(256, n_t=100_000, n_atoms=1_000_000,
+                                 hbm_bytes=16 * 2 ** 30)
+        shard_gib = 2 * 4 * 3 * 100_000 * 1_000_000 / (t * a) / 2 ** 30
+        assert t * a * k == 256
+        assert shard_gib <= 16.0
+        assert k == 1  # nothing left over once residency is satisfied
+
+    def test_partial_budget_keeps_k_maximal(self):
+        # 150 GB total at 2x buffering over 64 devices with 16 GB each:
+        # t*a >= 19 -> t*a = 32 suffices, k keeps the remaining factor 2
+        t, a, k = mesh_shape_for(64, n_t=12_800, n_atoms=500_000,
+                                 hbm_bytes=16 * 2 ** 30)
+        assert t * a * k == 64
+        assert 2 * 4 * 3 * 12_800 * 500_000 / (t * a) <= 16 * 2 ** 30
+        assert k == max(
+            kk for tt in range(1, 65) if 64 % tt == 0 and 12_800 % tt == 0
+            for aa in range(1, 64 // tt + 1) if (64 // tt) % aa == 0
+            for kk in [64 // tt // aa]
+            if 2 * 4 * 3 * 12_800 * 500_000 / (tt * aa) <= 16 * 2 ** 30)
+
+    def test_infeasible_budget_minimizes_shard(self):
+        # budget impossible even at k=1 -> pick max t*a anyway (streaming mode)
+        t, a, k = mesh_shape_for(8, n_t=100_000, n_atoms=1_000_000,
+                                 hbm_bytes=4 * 2 ** 30)
+        assert (t, a, k)[2] == 1 and t * a == 8
+
+
+class TestStreamedSuperchunks:
+    @pytest.mark.parametrize("shape,t_superchunk,prefetch", [
+        ((1, 2, 4), 4, True),
+        ((2, 2, 2), 4, True),
+        ((2, 2, 2), 6, False),   # rounds down to a divisor multiple of t=2
+        ((4, 1, 2), 8, True),
+        ((1, 8, 1), 3, True),
+    ])
+    def test_streamed_matches_oracle(self, traj, shape, t_superchunk, prefetch):
+        mesh = make_mesh(shape=shape)
+        k_vectors = np.outer(np.linspace(0, 1.1, 9), [1, 0, 0]).astype(np.float32)
+        mean64 = traj.positions.astype(np.float64).mean(axis=0)
+        re, im = sharded_sed_spectrum(mesh, traj.velocities, mean64, k_vectors,
+                                      t_superchunk=t_superchunk,
+                                      prefetch=prefetch)
+        oracle = reference_sed_oracle(traj, k_vectors)
+        err = np.max(np.abs(re + 1j * im - oracle)) / np.max(np.abs(oracle))
+        assert err < 1e-6, f"shape {shape} sc {t_superchunk}: rel err {err}"
+
+    def test_streamed_intensity(self, traj):
+        mesh = make_mesh(shape=(2, 2, 2))
+        k_vectors = np.outer(np.linspace(0, 1.1, 5), [0, 1, 0]).astype(np.float32)
+        mean64 = traj.positions.astype(np.float64).mean(axis=0)
+        inten = sharded_sed_spectrum(mesh, traj.velocities, mean64, k_vectors,
+                                     want_intensity=True, t_superchunk=4)
+        oracle = reference_sed_oracle(traj, k_vectors)
+        expected = np.sum(np.abs(oracle) ** 2, axis=-1)
+        assert np.max(np.abs(inten - expected)) / expected.max() < 1e-6
+
+
+class TestBoundedIngestion:
+    """The pod data path: per-shard reads only, never the global array."""
+
+    def test_reads_are_per_shard_blocks(self, traj):
+        mesh = make_mesh(shape=(2, 2, 2))
+        src = RecordingSource(traj.velocities)
+        k_vectors = np.outer(np.linspace(0, 1.0, 5), [1, 0, 0]).astype(np.float32)
+        mean64 = traj.positions.astype(np.float64).mean(axis=0)
+        t_superchunk = 4
+        re, im = sharded_sed_spectrum(mesh, src, mean64, k_vectors,
+                                      t_superchunk=t_superchunk)
+        oracle = reference_sed_oracle(traj, k_vectors)
+        assert np.max(np.abs(re + 1j * im - oracle)) / np.max(np.abs(oracle)) < 1e-6
+        full_bytes = 4 * 3 * traj.n_frames * traj.n_atoms
+        # every read is one device shard of one superchunk: bounded well below
+        # the full trajectory even on this tiny case
+        budget = 4 * 3 * t_superchunk * traj.n_atoms // 2  # (sc/t) x (N/a) x 3 x f32
+        assert src.max_block_bytes <= budget < full_bytes
+        # full coverage: each superchunk is read exactly once per (t, a) shard
+        assert len(src.reads) == (traj.n_frames // t_superchunk) * 2 * 2
+
+    def test_memmap_source_from_loader_cache(self, traj, tmp_path):
+        """End-to-end: a trajectory bigger than the 'budget' flows through the
+        mesh from a memory-mapped .npy without ever being loaded whole."""
+        path = tmp_path / "vel.npy"
+        np.save(path, traj.velocities)
+        vel_mm = np.load(path, mmap_mode='r')
+        mesh = make_mesh(shape=(1, 2, 4))
+        k_vectors = np.outer(np.linspace(0, 1.0, 5), [1, 1, 0]).astype(np.float32)
+        mean64 = traj.positions.astype(np.float64).mean(axis=0)
+        re, im = sharded_sed_spectrum(mesh, vel_mm, mean64, k_vectors,
+                                      t_superchunk=4)
+        oracle = reference_sed_oracle(traj, k_vectors)
+        assert np.max(np.abs(re + 1j * im - oracle)) / np.max(np.abs(oracle)) < 1e-6
