@@ -551,6 +551,115 @@ class SEDCalculator:
                    dt_ps=self.dt_ps)
 
     # ------------------------------------------------------------------
+    # Device-reduced k-grid browsing
+    # ------------------------------------------------------------------
+
+    def _group_browse_np(self, group_idx: np.ndarray, k_chunk: np.ndarray,
+                         freq_idx_dev, comp_pair, angle_range_opt: str):
+        """Filtered (intensity, phase) planes for one group on one k-chunk —
+        the complex spectrum stays on device."""
+        n_keep = int(freq_idx_dev.shape[0])
+        if group_idx.size == 0:
+            zero = np.zeros((n_keep, len(k_chunk)), dtype=np.float32)
+            return zero, (zero.copy() if comp_pair is not None else None)
+        if self._group_bytes(group_idx) > self.max_device_bytes:
+            re_dev, im_dev = self._streamed_spectrum(group_idx, k_chunk)
+            inten, ph = spectral.browse_reduce(re_dev, im_dev, freq_idx_dev,
+                                               comp_pair=comp_pair,
+                                               angle_range_opt=angle_range_opt)
+        else:
+            data_dev, hi_dev, lo_dev = self._group_device_arrays(group_idx)
+            inten, ph = spectral.sed_grid_browse(
+                data_dev, hi_dev, lo_dev, jnp.asarray(k_chunk, dtype=jnp.float32),
+                freq_idx_dev, precision=self.precision, comp_pair=comp_pair,
+                angle_range_opt=angle_range_opt)
+        return (np.asarray(inten, dtype=np.float32),
+                np.asarray(ph, dtype=np.float32) if ph is not None else None)
+
+    def calculate_kgrid_browse(self, k_vectors_3d: np.ndarray,
+                               basis_atom_indices=None, basis_atom_types=None,
+                               summation_mode: str = 'coherent',
+                               max_freq: Optional[float] = None,
+                               chiral: bool = False, chiral_axis: str = 'z',
+                               angle_range_opt: str = 'C',
+                               k_chunk_size: int = 2048):
+        """K-grid sweep reduced ON DEVICE to what a heatmap browser reads.
+
+        The full complex spectrum of a large grid is ~10 GB of device->host
+        traffic the GUI immediately throws away (it slices to ω ≥ 0 /
+        max_freq, reference psa_gui.py:2195-2214).  Here intensity — and the
+        chiral phase, when asked — are computed on device and only the
+        filtered (n_freq_kept, n_k) float32 planes ever transfer: ~12× less
+        d2h with no frequency cap, 50×+ with a typical max_freq.
+
+        Group semantics match :meth:`calculate`: coherent (or single-group)
+        reduces the union group's complex spectrum; incoherent sums per-group
+        intensities (chiral is meaningless there and raises).
+
+        Returns:
+            (freqs_kept (n_keep,), intensity (n_keep, n_k) f32,
+             phase (n_keep, n_k) f32 or None)
+        """
+        if summation_mode not in ('coherent', 'incoherent'):
+            raise ValueError(f"summation_mode must be 'coherent' or 'incoherent', got {summation_mode}")
+        n_t = self.traj.n_frames
+        freqs = spectral.fftfreq_thz(n_t, self.dt_ps)
+        mask = freqs >= 0
+        if max_freq is not None:
+            mask &= freqs <= max_freq
+        freq_idx = np.flatnonzero(mask).astype(np.int32)
+        freqs_kept = freqs[mask]
+
+        atom_groups = self._resolve_atom_groups(basis_atom_indices,
+                                                basis_atom_types, summation_mode)
+        single_spectrum = summation_mode == 'coherent' or len(atom_groups) <= 1
+        if chiral and not single_spectrum:
+            raise ValueError("Chiral phase needs a single complex spectrum; "
+                             "use coherent summation.")
+        comp_pair = spectral.CHIRAL_AXIS_COMPONENTS[chiral_axis] if chiral else None
+
+        num_k = len(k_vectors_3d)
+        block = min(max(1, k_chunk_size), num_k) if num_k > 0 else 1
+        padded_block = ((block + 63) // 64) * 64
+        num_chunks = (num_k + block - 1) // block if num_k > 0 else 0
+
+        intensity = np.zeros((len(freq_idx), num_k), dtype=np.float32)
+        phase = (np.zeros((len(freq_idx), num_k), dtype=np.float32)
+                 if comp_pair is not None else None)
+        freq_idx_dev = jnp.asarray(freq_idx)
+
+        if single_spectrum:
+            groups = [np.unique(np.concatenate(atom_groups)).astype(int)
+                      if len(atom_groups) > 1 else
+                      (atom_groups[0] if atom_groups else np.array([], dtype=int))]
+        else:
+            groups = atom_groups
+
+        for i_chunk in range(num_chunks):
+            start = i_chunk * block
+            end = min(start + block, num_k)
+            k_chunk = np.asarray(k_vectors_3d[start:end], dtype=np.float32)
+            pad = padded_block - (end - start)
+            if pad:
+                k_chunk = np.concatenate(
+                    [k_chunk, np.zeros((pad, 3), dtype=np.float32)], axis=0)
+            if single_spectrum:
+                inten, ph = self._group_browse_np(groups[0], k_chunk, freq_idx_dev,
+                                                  comp_pair, angle_range_opt)
+                intensity[:, start:end] = inten[:, :end - start]
+                if ph is not None:
+                    phase[:, start:end] = ph[:, :end - start]
+            else:
+                for grp_idx in groups:
+                    if grp_idx.size == 0:
+                        continue
+                    inten, _ = self._group_browse_np(grp_idx, k_chunk, freq_idx_dev,
+                                                     None, angle_range_opt)
+                    intensity[:, start:end] += inten[:, :end - start]
+
+        return freqs_kept, intensity, phase
+
+    # ------------------------------------------------------------------
     # Gridded (NUFFT-accelerated) k-grid sweep
     # ------------------------------------------------------------------
 

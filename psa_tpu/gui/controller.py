@@ -28,7 +28,7 @@ logger = logging.getLogger(__name__)
 
 # Chiral axis -> polarization component pair (reference psa_gui.py:976-982):
 # the two components PERPENDICULAR to the chosen axis.
-CHIRAL_AXIS_COMPONENTS = {'x': (1, 2), 'y': (0, 2), 'z': (0, 1)}
+CHIRAL_AXIS_COMPONENTS = spectral.CHIRAL_AXIS_COMPONENTS
 
 
 def parse_direction_input(text: str):
@@ -190,9 +190,17 @@ class AnalysisController:
                           summation_mode: str = 'coherent',
                           chiral: bool = False, chiral_axis: str = 'z',
                           k_chunk_size: int = 2048,
-                          engine: str = 'auto') -> KGridState:
+                          engine: str = 'auto',
+                          reduced: bool = True) -> KGridState:
         """``engine``: 'direct', 'gridded' (NUFFT), or 'auto' (gridded for
-        coherent sweeps over grids ≥ 100×100 where it measures faster)."""
+        coherent sweeps over grids ≥ 100×100 where it measures faster).
+
+        ``reduced`` (default): intensity and chiral phase are reduced on
+        device and only the ω-filtered float32 planes transfer to host —
+        the complex spectrum never crosses the device boundary (it is not
+        needed for browsing; iSED recomputes its own k-path).  Set
+        ``reduced=False`` to keep the full complex SED on the state object.
+        """
         calc = self._require_calc()
         _, k_vecs, shape = calc.get_k_grid(plane, k_range_1, k_range_2,
                                            n_k1, n_k2, k_fixed_val=k_fixed)
@@ -201,29 +209,43 @@ class AnalysisController:
         use_gridded = (engine == 'gridded'
                        or (engine == 'auto' and summation_mode == 'coherent'
                            and min(n_k1, n_k2) >= 100))
-        if use_gridded:
-            sed = calc.calculate_gridded(k_vecs, shape,
-                                         basis_atom_types=basis_atom_types)
+        if reduced and not use_gridded:
+            freqs, intensity, phase = calc.calculate_kgrid_browse(
+                k_vecs, basis_atom_types=basis_atom_types,
+                summation_mode=summation_mode, max_freq=max_freq,
+                chiral=chiral, chiral_axis=chiral_axis,
+                k_chunk_size=k_chunk_size)
+            # Reduced container: carries the filtered intensity as a
+            # non-complex SED (the browser only reads k_grid_shape from it).
+            sed = SED(intensity, freqs, np.array([], dtype=np.float32), k_vecs,
+                      k_grid_shape=shape, is_complex=False, phase=phase,
+                      dt_ps=calc.dt_ps)
         else:
-            sed = calc.calculate(np.array([], dtype=np.float32), k_vecs,
-                                 basis_atom_types=basis_atom_types,
-                                 summation_mode=summation_mode,
-                                 k_grid_shape=shape, k_chunk_size=k_chunk_size)
-        phase_full = None
-        if chiral and sed.is_complex:
-            c1, c2 = CHIRAL_AXIS_COMPONENTS[chiral_axis]
-            phase_full = calc.calculate_chiral_phase(sed.sed[:, :, c1],
-                                                     sed.sed[:, :, c2])
-            sed.phase = phase_full
+            if use_gridded:
+                sed = calc.calculate_gridded(k_vecs, shape,
+                                             basis_atom_types=basis_atom_types)
+            else:
+                sed = calc.calculate(np.array([], dtype=np.float32), k_vecs,
+                                     basis_atom_types=basis_atom_types,
+                                     summation_mode=summation_mode,
+                                     k_grid_shape=shape, k_chunk_size=k_chunk_size)
+            phase_full = None
+            if chiral and sed.is_complex:
+                c1, c2 = CHIRAL_AXIS_COMPONENTS[chiral_axis]
+                phase_full = calc.calculate_chiral_phase(sed.sed[:, :, c1],
+                                                         sed.sed[:, :, c2])
+                sed.phase = phase_full
 
-        mask = sed.freqs >= 0
-        if max_freq is not None:
-            mask &= sed.freqs <= max_freq
-        freqs = sed.freqs[mask]
-        intensity = sed.intensity[mask]
-        # Phase filtered with the SAME mask — the reference indexed the
-        # unfiltered phase array with filtered indices (psa_gui.py:2382).
-        phase = phase_full[mask] if phase_full is not None else None
+            mask = sed.freqs >= 0
+            if max_freq is not None:
+                mask &= sed.freqs <= max_freq
+            freqs = sed.freqs[mask]
+            # incoherent results already ARE intensities; .intensity would
+            # re-square them (its Σ_α|·|² is defined for complex amplitudes)
+            intensity = sed.intensity[mask] if sed.is_complex else sed.sed[mask]
+            # Phase filtered with the SAME mask — the reference indexed the
+            # unfiltered phase array with filtered indices (psa_gui.py:2382).
+            phase = phase_full[mask] if phase_full is not None else None
 
         comp = {'xy': (0, 1, 'k_x', 'k_y'), 'yz': (1, 2, 'k_y', 'k_z'),
                 'zx': (2, 0, 'k_z', 'k_x')}[plane.lower()]

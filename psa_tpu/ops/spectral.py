@@ -271,6 +271,60 @@ def sed_spectrum_streamed(data_chunks, mean_pos_chunks, k_vectors: np.ndarray,
 
 
 # ---------------------------------------------------------------------------
+# Device-reduced grid browsing: ship only what the heatmap browser reads.
+# ---------------------------------------------------------------------------
+#
+# A 200x200 coherent grid at n_t=10^4 is ~10 GB of complex Phi; on a slow
+# host link that readback dominates the sweep.  The browser (and the
+# reference GUI, psa_gui.py:2195-2214) only ever looks at the omega>=0 /
+# max-freq intensity and chiral-phase slices, so both reductions run on
+# device and only the filtered (n_freq_kept, K) float32 planes transfer.
+
+#: Chiral axis -> the two polarization components PERPENDICULAR to it
+#: (reference psa_gui.py:976-982).
+CHIRAL_AXIS_COMPONENTS = {'x': (1, 2), 'y': (0, 2), 'z': (0, 1)}
+
+
+@functools.partial(jax.jit, static_argnames=('comp_pair', 'angle_range_opt'))
+def browse_reduce(re: jnp.ndarray, im: jnp.ndarray, freq_idx: jnp.ndarray,
+                  comp_pair: Optional[Tuple[int, int]] = None,
+                  angle_range_opt: str = 'C'):
+    """Reduce a complex spectrum to its browse planes, on device.
+
+    Args:
+        re, im: (n_t, K, 3) float32 spectrum halves.
+        freq_idx: (n_keep,) int32 indices of the retained frequency rows.
+        comp_pair: polarization component pair for the chiral phase, or None.
+
+    Returns:
+        (intensity (n_keep, K) f32, phase (n_keep, K) f32 or None).
+    """
+    re_f = jnp.take(re, freq_idx, axis=0)
+    im_f = jnp.take(im, freq_idx, axis=0)
+    inten = jnp.sum(re_f * re_f + im_f * im_f, axis=-1).astype(jnp.float32)
+    if comp_pair is None:
+        return inten, None
+    c1, c2 = comp_pair
+    ph = chiral_phase(re_f[..., c1], im_f[..., c1], re_f[..., c2], im_f[..., c2],
+                      angle_range_opt=angle_range_opt)
+    return inten, ph
+
+
+@functools.partial(jax.jit,
+                   static_argnames=('precision', 'comp_pair', 'angle_range_opt'))
+def sed_grid_browse(data: jnp.ndarray, mp_hi: jnp.ndarray, mp_lo: jnp.ndarray,
+                    k_vectors: jnp.ndarray, freq_idx: jnp.ndarray,
+                    precision: str = 'parity',
+                    comp_pair: Optional[Tuple[int, int]] = None,
+                    angle_range_opt: str = 'C'):
+    """Fused SED + browse reduction for one atom group: the complex spectrum
+    never leaves the device (see :func:`browse_reduce`)."""
+    re, im = sed_spectrum(data, mp_hi, mp_lo, k_vectors, precision=precision)
+    return browse_reduce(re, im, freq_idx, comp_pair=comp_pair,
+                         angle_range_opt=angle_range_opt)
+
+
+# ---------------------------------------------------------------------------
 # Chiral phase (reference sed_calculator.py:338-371), fully vectorized.
 # ---------------------------------------------------------------------------
 

@@ -433,3 +433,58 @@ class TestDiatomicChainPhysics:
         assert not inc.is_complex
         assert np.all(inc.sed >= 0)
         assert inc.sed.max() > 0
+
+
+class TestKGridBrowse:
+    """Device-reduced grid browsing must equal the full path, filtered."""
+
+    @pytest.fixture(scope='class')
+    def setup(self):
+        traj = make_random_crystal_trajectory(n_cells_xyz=(3, 2, 2), basis=2,
+                                              n_frames=16, dt_ps=0.02, seed=11)
+        calc = SEDCalculator(traj, nx=3, ny=2, nz=2)
+        _, k_vecs, shape = calc.get_k_grid('xy', (-1, 1), (-1, 1), 5, 4)
+        return calc, k_vecs, shape
+
+    def test_coherent_matches_full(self, setup):
+        calc, k_vecs, shape = setup
+        freqs, inten, phase = calc.calculate_kgrid_browse(k_vecs)
+        full = calc.calculate(np.array([]), k_vecs, k_grid_shape=shape)
+        mask = full.freqs >= 0
+        np.testing.assert_allclose(freqs, full.freqs[mask])
+        np.testing.assert_allclose(inten, full.intensity[mask], rtol=1e-6, atol=1e-9)
+        assert phase is None
+
+    def test_max_freq_filter(self, setup):
+        calc, k_vecs, shape = setup
+        freqs, inten, _ = calc.calculate_kgrid_browse(k_vecs, max_freq=10.0)
+        full = calc.calculate(np.array([]), k_vecs, k_grid_shape=shape)
+        mask = (full.freqs >= 0) & (full.freqs <= 10.0)
+        assert len(freqs) == mask.sum() < (full.freqs >= 0).sum()
+        np.testing.assert_allclose(inten, full.intensity[mask], rtol=1e-6, atol=1e-9)
+
+    def test_chiral_phase_matches_full(self, setup):
+        calc, k_vecs, shape = setup
+        freqs, inten, phase = calc.calculate_kgrid_browse(k_vecs, chiral=True,
+                                                          chiral_axis='z')
+        full = calc.calculate(np.array([]), k_vecs, k_grid_shape=shape)
+        ph_full = calc.calculate_chiral_phase(full.sed[:, :, 0], full.sed[:, :, 1])
+        mask = full.freqs >= 0
+        np.testing.assert_allclose(phase, ph_full[mask], rtol=0, atol=1e-5)
+
+    def test_incoherent_multigroup_matches_full(self, setup):
+        calc, k_vecs, shape = setup
+        freqs, inten, phase = calc.calculate_kgrid_browse(
+            k_vecs, basis_atom_types=[1, 2], summation_mode='incoherent')
+        full = calc.calculate(np.array([]), k_vecs, basis_atom_types=[1, 2],
+                              summation_mode='incoherent', k_grid_shape=shape)
+        mask = full.freqs >= 0
+        # incoherent SEDs carry intensities directly in .sed
+        np.testing.assert_allclose(inten, full.sed[mask], rtol=1e-6, atol=1e-9)
+        assert phase is None
+
+    def test_chiral_incoherent_rejected(self, setup):
+        calc, k_vecs, shape = setup
+        with pytest.raises(ValueError, match="coherent"):
+            calc.calculate_kgrid_browse(k_vecs, basis_atom_types=[1, 2],
+                                        summation_mode='incoherent', chiral=True)

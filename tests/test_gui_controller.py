@@ -181,3 +181,37 @@ def test_gui_app_importable():
     """The Tk view must import headless (construction needs a display)."""
     import psa_tpu.gui.app  # noqa: F401
     import psa_tpu.gui.widgets  # noqa: F401
+
+
+class TestReducedKGrid:
+    """The controller's default (reduced) k-grid path must produce the same
+    browse state as the full-transfer path."""
+
+    def test_reduced_equals_full(self, loaded):
+        ctrl = loaded
+        kg_red = ctrl.compute_kgrid_sed('xy', (-1, 1), (-1, 1), 5, 4,
+                                        max_freq=15.0, chiral=True,
+                                        engine='direct', reduced=True)
+        red = (kg_red.freqs.copy(), kg_red.intensity.copy(), kg_red.phase.copy())
+        kg_full = ctrl.compute_kgrid_sed('xy', (-1, 1), (-1, 1), 5, 4,
+                                         max_freq=15.0, chiral=True,
+                                         engine='direct', reduced=False)
+        np.testing.assert_allclose(red[0], kg_full.freqs)
+        np.testing.assert_allclose(red[1], kg_full.intensity, rtol=1e-6, atol=1e-9)
+        np.testing.assert_allclose(red[2], kg_full.phase, rtol=0, atol=1e-5)
+        assert not kg_red.sed.is_complex      # complex Phi never fetched
+        # slicing + vrange still work on the reduced state
+        assert kg_red.slice_at(0).shape == (4, 5)
+        lo, hi = kg_red.global_vrange()
+        assert lo <= hi
+
+
+def test_incoherent_kgrid_full_path_intensity(loaded):
+    """Non-reduced incoherent grids must pass through .sed (already an
+    intensity), not re-square it through .intensity."""
+    kg = loaded.compute_kgrid_sed('xy', (-1, 1), (-1, 1), 4, 3,
+                                  basis_atom_types=[1],
+                                  summation_mode='incoherent',
+                                  engine='direct', reduced=False)
+    assert kg.intensity.ndim == 2 and kg.intensity.shape[1] == 12
+    assert kg.slice_at(0).shape == (3, 4)
