@@ -39,6 +39,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from . import spectral
+
 logger = logging.getLogger(__name__)
 
 DEFAULT_W = 8          # spreading window width (cells)
@@ -182,23 +184,27 @@ def plan_kgrid(mean_pos64: np.ndarray, kx_vals: np.ndarray, ky_vals: np.ndarray,
                     gx=gx, gy=gy, w=w, offsets=offsets)
 
 
-@functools.partial(jax.jit, static_argnames=('gx', 'gy', 'w'))
-def _gridded_project(data_packed, w_re, w_im, deconv_re,
-                     gx: int, gy: int, w: int):
-    """Spread + FFT + deconvolve for one polarization — TWO batched matmuls.
+@functools.partial(jax.jit, static_argnames=('gy', 'w', 'precision'))
+def _spread_cells(data_packed, w_re, w_im, gy: int, w: int,
+                  precision: str = 'parity'):
+    """Spread one cell-chunk — TWO batched matmuls plus a local window fold.
 
-    The whole spreading kernel (complex base phase × x-window offsets × exact
+    The spreading kernel (complex base phase × x-window offsets × exact
     y-phases) is precomputed on host as one weight tensor
     ``W[c, p, dx·Gy + g] = (base·ψx_dx)·wy_g``, so the device does exactly one
     real matmul per complex component: the data is read once, no elementwise
     staging arrays exist, and the MXU sees a wide (w·Gy)-lane contraction.
+    Offset contributions fold into a LOCAL (Cc + w, ...) window (contribution
+    of cell c at offset dx lands on window row c + dx); the caller adds the
+    window into the global cell axis cyclically — so the weight tensor never
+    has to exist for all cells at once.
 
-    data_packed: (n_cells, n_t, P) f32 cell-major packed data.
-    w_re/w_im:   (n_cells, P, w·gy) f32.
-    Returns (re, im) of S (n_t, gx, gy) f32.
+    data_packed: (Cc, n_t, P) f32 cell-major packed data for this chunk.
+    w_re/w_im:   (Cc, P, w·gy) f32.
+    Returns (win_re, win_im) of shape (Cc + w, n_t, gy) f32.
     """
-    prec = jax.lax.Precision.HIGHEST
-    n_cells, n_t, p = data_packed.shape
+    prec = spectral.resolve_precision(precision)
+    cc, n_t, p = data_packed.shape
 
     def mm(a, b):
         # 'ctp,cpq->ctq' batched over cells (batch dims 0/0, no transposes)
@@ -206,17 +212,38 @@ def _gridded_project(data_packed, w_re, w_im, deconv_re,
             a, b, dimension_numbers=(((2,), (1,)), ((0,), (0,))),
             precision=prec, preferred_element_type=jnp.float32)
 
-    y_re = mm(data_packed, w_re).reshape(n_cells, n_t, w, gy)
-    y_im = mm(data_packed, w_im).reshape(n_cells, n_t, w, gy)
+    y_re = mm(data_packed, w_re).reshape(cc, n_t, w, gy)
+    y_im = mm(data_packed, w_im).reshape(cc, n_t, w, gy)
 
-    grid_re = jnp.zeros((n_cells, n_t, gy), dtype=jnp.float32)
-    grid_im = jnp.zeros((n_cells, n_t, gy), dtype=jnp.float32)
+    win_re = jnp.zeros((cc + w, n_t, gy), dtype=jnp.float32)
+    win_im = jnp.zeros((cc + w, n_t, gy), dtype=jnp.float32)
     for di in range(w):
-        shift = di - (w // 2 - 1)   # contribution lands on cell (bucket+offset)
-        grid_re = grid_re + jnp.roll(y_re[:, :, di, :], shift, axis=0)
-        grid_im = grid_im + jnp.roll(y_im[:, :, di, :], shift, axis=0)
+        win_re = win_re.at[di:di + cc].add(y_re[:, :, di, :])
+        win_im = win_im.at[di:di + cc].add(y_im[:, :, di, :])
+    return win_re, win_im
 
-    # x-axis modes over the CELL axis: S_m' = ifft·Fx at m' = m − Gx/2
+
+def _add_cyclic(grid: jnp.ndarray, window: jnp.ndarray, start: int) -> jnp.ndarray:
+    """grid[(start + i) % C] += window[i] along axis 0 (device, eager ops).
+
+    Handles windows longer than the cell axis (the single-chunk case has
+    window length C + w) by adding in wrap-around pieces."""
+    c = grid.shape[0]
+    length = window.shape[0]
+    start %= c
+    i = 0
+    while i < length:
+        n = min(length - i, c - start)
+        grid = grid.at[start:start + n].add(window[i:i + n])
+        i += n
+        start = (start + n) % c
+    return grid
+
+
+@functools.partial(jax.jit, static_argnames=('gx',))
+def _finish_grid(grid_re, grid_im, deconv_re, gx: int):
+    """x-axis modes over the CELL axis: S_m' = ifft·Fx at m' = m − Gx/2."""
+    n_cells = grid_re.shape[0]
     spec = jnp.fft.ifft(jax.lax.complex(grid_re, grid_im), axis=0) * n_cells
     spec = jnp.roll(spec, gx // 2, axis=0)[:gx] * deconv_re[:, None, None]
     spec = jnp.transpose(spec, (1, 0, 2))                 # -> (n_t, gx, gy)
@@ -224,24 +251,43 @@ def _gridded_project(data_packed, w_re, w_im, deconv_re,
             jnp.imag(spec).astype(jnp.float32))
 
 
-def build_weights(plan: GridPlan) -> Tuple[np.ndarray, np.ndarray]:
-    """Host-side combined weight tensors W_re/W_im (n_cells, P, w·Gy) f32:
+def build_weights(plan: GridPlan, c0: int = 0, c1: Optional[int] = None
+                  ) -> Tuple[np.ndarray, np.ndarray]:
+    """Host-side combined weight tensors W_re/W_im (c1-c0, P, w·Gy) f32 for
+    cells [c0, c1):
 
         W = (base · ψx_offset) ⊗ wy     (complex product, split re/im)
+
+    Built per cell-chunk so the full (n_cells, P, w·Gy) tensor — ~16·w·N·Gy
+    bytes, 60+ GB at the pod's N=10⁶ — never exists at once.
     """
-    bwx_re = plan.base_re[:, :, None] * plan.wx            # (C, P, w)
-    bwx_im = plan.base_im[:, :, None] * plan.wx
-    w_re = (bwx_re[:, :, :, None] * plan.wy_re[:, :, None, :]
-            - bwx_im[:, :, :, None] * plan.wy_im[:, :, None, :])
-    w_im = (bwx_re[:, :, :, None] * plan.wy_im[:, :, None, :]
-            + bwx_im[:, :, :, None] * plan.wy_re[:, :, None, :])
-    c, p = plan.base_re.shape
-    return (w_re.reshape(c, p, -1).astype(np.float32),
-            w_im.reshape(c, p, -1).astype(np.float32))
+    c1 = plan.base_re.shape[0] if c1 is None else c1
+    bwx_re = plan.base_re[c0:c1, :, None] * plan.wx[c0:c1]     # (Cc, P, w)
+    bwx_im = plan.base_im[c0:c1, :, None] * plan.wx[c0:c1]
+    wy_re, wy_im = plan.wy_re[c0:c1], plan.wy_im[c0:c1]
+    w_re = (bwx_re[:, :, :, None] * wy_re[:, :, None, :]
+            - bwx_im[:, :, :, None] * wy_im[:, :, None, :])
+    w_im = (bwx_re[:, :, :, None] * wy_im[:, :, None, :]
+            + bwx_im[:, :, :, None] * wy_re[:, :, None, :])
+    cc, p = c1 - c0, plan.base_re.shape[1]
+    return (w_re.reshape(cc, p, -1).astype(np.float32),
+            w_im.reshape(cc, p, -1).astype(np.float32))
+
+
+#: Default host/device budget for one cell-chunk's weight tensor pair.
+DEFAULT_WEIGHT_BYTES = 2 * 2 ** 30
+
+
+def cells_per_chunk(plan: GridPlan, weight_bytes: int = DEFAULT_WEIGHT_BYTES) -> int:
+    """Largest cell-chunk whose (W_re, W_im) pair fits ``weight_bytes``."""
+    per_cell = 2 * 4 * plan.bucket_size * plan.w * plan.gy
+    return max(1, min(plan.n_cells, weight_bytes // max(per_cell, 1)))
 
 
 def gridded_kgrid_spectrum(data: np.ndarray, plan: GridPlan,
-                           t_chunk: Optional[int] = None
+                           t_chunk: Optional[int] = None,
+                           cell_chunk: Optional[int] = None,
+                           precision: str = 'parity'
                            ) -> Tuple[np.ndarray, np.ndarray]:
     """SED projection S[t, i·Gy+j, pol] over the planned k-grid.
 
@@ -249,6 +295,10 @@ def gridded_kgrid_spectrum(data: np.ndarray, plan: GridPlan,
         data: (n_t, N, 3) float32 velocities/displacements (host).
         plan: from :func:`plan_kgrid`.
         t_chunk: frames per device batch (None = all at once).
+        cell_chunk: fine-grid cells per weight-tensor chunk (None = sized so
+            one chunk's weights stay under ~2 GB; the weight tensor for ALL
+            cells is ~16·w·N·Gy bytes and cannot build at pod scale).
+        precision: 'parity' | 'balanced' | 'fast' matmul precision.
 
     Returns:
         (re, im) host arrays of shape (n_t, Gx·Gy, 3) — the projected signal
@@ -256,28 +306,69 @@ def gridded_kgrid_spectrum(data: np.ndarray, plan: GridPlan,
     """
     n_t, n_atoms, _ = data.shape
     t_chunk = t_chunk or n_t
+    if cell_chunk is None:
+        cell_chunk = cells_per_chunk(plan)
     out_re = np.empty((n_t, plan.gx * plan.gy, 3), dtype=np.float32)
     out_im = np.empty((n_t, plan.gx * plan.gy, 3), dtype=np.float32)
 
     dev = jax.device_put
-    w_re_h, w_im_h = build_weights(plan)
-    w_re, w_im = dev(w_re_h), dev(w_im_h)
     deconv = dev(plan.deconv_re)
 
     n_cells, p = plan.base_re.shape
-    mask_flat = plan.pad_mask.reshape(-1).astype(bool)
+    cell_chunk = min(cell_chunk, n_cells)
+    cell_starts = list(range(0, n_cells, cell_chunk))
+    counts = plan.pad_mask.sum(axis=1).astype(np.int64)        # atoms per cell
+    cell_first_atom = np.zeros(n_cells + 1, dtype=np.int64)
+    np.cumsum(counts, out=cell_first_atom[1:])
+    mask_by_cell = plan.pad_mask.astype(bool)                  # (C, P)
+    single_chunk = len(cell_starts) == 1
 
-    for pol in range(3):
-        for start in range(0, n_t, t_chunk):
-            stop = min(start + t_chunk, n_t)
-            chunk = data[start:stop, :, pol][:, plan.order]        # (Tc, N)
-            packed = np.zeros((stop - start, n_cells * p), dtype=np.float32)
-            packed[:, mask_flat] = chunk
-            # cell-major layout: (C, Tc, P)
-            packed = packed.reshape(stop - start, n_cells, p).transpose(1, 0, 2)
-            re, im = _gridded_project(dev(np.ascontiguousarray(packed)),
-                                      w_re, w_im, deconv,
-                                      gx=plan.gx, gy=plan.gy, w=plan.w)
-            out_re[start:stop, :, pol] = np.asarray(re).reshape(stop - start, -1)
-            out_im[start:stop, :, pol] = np.asarray(im).reshape(stop - start, -1)
+    if not single_chunk:
+        logger.info("gridded: %d cells in %d chunks of %d (weights %.2f GB/chunk)",
+                    n_cells, len(cell_starts), cell_chunk,
+                    2 * 4 * cell_chunk * p * plan.w * plan.gy / 1e9)
+
+    def chunk_weights(c0):
+        c1 = min(c0 + cell_chunk, n_cells)
+        w_re_h, w_im_h = build_weights(plan, c0, c1)
+        if c1 - c0 < cell_chunk:           # pad to the compiled chunk shape
+            padc = cell_chunk - (c1 - c0)
+            w_re_h = np.pad(w_re_h, [(0, padc), (0, 0), (0, 0)])
+            w_im_h = np.pad(w_im_h, [(0, padc), (0, 0), (0, 0)])
+        return dev(w_re_h), dev(w_im_h)
+
+    # Single-chunk: keep the weights on device for every (t, pol) pass.
+    # Multi-chunk: rebuild per time-chunk (cells outer, pols inner) so at most
+    # one chunk's weights exist at a time.
+    cached = chunk_weights(0) if single_chunk else None
+
+    for start in range(0, n_t, t_chunk):
+        stop = min(start + t_chunk, n_t)
+        tc = stop - start
+        grids = [(jnp.zeros((n_cells, tc, plan.gy), dtype=jnp.float32),
+                  jnp.zeros((n_cells, tc, plan.gy), dtype=jnp.float32))
+                 for _ in range(3)]
+        for c0 in cell_starts:
+            c1 = min(c0 + cell_chunk, n_cells)
+            w_re, w_im = cached if single_chunk else chunk_weights(c0)
+            a0, a1 = cell_first_atom[c0], cell_first_atom[c1]
+            order_slice = plan.order[a0:a1]
+            sel = np.zeros((cell_chunk, p), dtype=bool)
+            sel[:c1 - c0] = mask_by_cell[c0:c1]
+            win_start = c0 - (plan.w // 2 - 1)
+            for pol in range(3):
+                vals = data[start:stop, :, pol][:, order_slice]    # (Tc, Na)
+                packed = np.zeros((cell_chunk, tc, p), dtype=np.float32)
+                packed.transpose(1, 0, 2)[:, sel] = vals
+                win_re, win_im = _spread_cells(
+                    dev(packed), w_re, w_im, gy=plan.gy, w=plan.w,
+                    precision=precision)
+                grid_re, grid_im = grids[pol]
+                grids[pol] = (_add_cyclic(grid_re, win_re, win_start),
+                              _add_cyclic(grid_im, win_im, win_start))
+        for pol in range(3):
+            re, im = _finish_grid(grids[pol][0], grids[pol][1], deconv,
+                                  gx=plan.gx)
+            out_re[start:stop, :, pol] = np.asarray(re).reshape(tc, -1)
+            out_im[start:stop, :, pol] = np.asarray(im).reshape(tc, -1)
     return out_re, out_im

@@ -92,3 +92,55 @@ class TestCalculatorIntegration:
         k_mags, k_vecs = calc.get_k_path('x', bz_coverage=1.0, n_k=8)
         with pytest.raises(ValueError, match="tensor-product|k_grid_shape"):
             calc.calculate_gridded(k_vecs, (4, 2))
+
+
+class TestCellChunking:
+    """Cell-chunked weight builds must be bit-compatible with single-shot."""
+
+    @pytest.mark.parametrize("cell_chunk", [1, 3, 5, 7])
+    def test_chunked_matches_unchunked(self, calc, cell_chunk):
+        _, k_vecs, shape = calc.get_k_grid('xy', (-1.2, 1.2), (-0.8, 0.8),
+                                           10, 8, k_fixed_val=0.3)
+        full = calc.calculate_gridded(k_vecs, shape)
+        chunked = calc.calculate_gridded(k_vecs, shape, cell_chunk=cell_chunk)
+        assert rel(chunked.sed, full.sed) < 1e-6
+
+    def test_chunked_with_t_chunk(self, calc):
+        _, k_vecs, shape = calc.get_k_grid('xy', (-1, 1), (-1, 1), 6, 6)
+        full = calc.calculate_gridded(k_vecs, shape)
+        both = calc.calculate_gridded(k_vecs, shape, cell_chunk=4, t_chunk=7)
+        assert rel(both.sed, full.sed) < 1e-6
+
+    def test_cells_per_chunk_budget(self, calc, traj):
+        from psa_tpu.ops.gridded import cells_per_chunk
+        mean64 = calc.mean_positions64
+        plan = plan_kgrid(mean64, np.linspace(-1, 1, 10), np.linspace(-1, 1, 8))
+        # one cell's weights: 2 * 4 * P * w * Gy bytes
+        per_cell = 2 * 4 * plan.bucket_size * plan.w * plan.gy
+        assert cells_per_chunk(plan, weight_bytes=per_cell * 3) == 3
+        assert cells_per_chunk(plan, weight_bytes=1) == 1  # floor at 1
+        assert cells_per_chunk(plan, weight_bytes=1 << 40) == plan.n_cells
+
+
+class TestPrecisionAndCache:
+    def test_fast_precision_runs_and_degrades_gracefully(self, traj):
+        calc_fast = SEDCalculator(traj, nx=4, ny=3, nz=2, precision='fast')
+        _, k_vecs, shape = calc_fast.get_k_grid('xy', (-1, 1), (-1, 1), 6, 6)
+        fast = calc_fast.calculate_gridded(k_vecs, shape)
+        parity = SEDCalculator(traj, nx=4, ny=3, nz=2).calculate_gridded(k_vecs, shape)
+        # fast must still be a sane spectrum (loose tolerance; CPU 'fast'
+        # may be identical to parity since bf16 passes are TPU-only)
+        assert rel(fast.sed, parity.sed) < 1e-1
+
+    def test_gridded_cache_roundtrip(self, calc, tmp_path):
+        _, k_vecs, shape = calc.get_k_grid('xy', (-1, 1), (-1, 1), 6, 5)
+        a = calc.calculate_gridded(k_vecs, shape, cache_dir=tmp_path)
+        # poison the engine: a second call must come from cache
+        import psa_tpu.ops.gridded as g
+        orig = g.gridded_kgrid_spectrum
+        g.gridded_kgrid_spectrum = None
+        try:
+            b = calc.calculate_gridded(k_vecs, shape, cache_dir=tmp_path)
+        finally:
+            g.gridded_kgrid_spectrum = orig
+        np.testing.assert_allclose(a.sed, b.sed, atol=0)
