@@ -221,8 +221,8 @@ class SEDCalculator:
 
         if basis_atom_types is not None:
             if basis_atom_indices is not None:
-                logger.warning("Both basis_atom_types and basis_atom_indices provided. "
-                               "Using basis_atom_types.")
+                logger.warning("basis_atom_types and basis_atom_indices were both given; "
+                               "the type spec takes priority.")
             processed: List[List[int]] = []
             if isinstance(basis_atom_types, list) and len(basis_atom_types) > 0:
                 if all(isinstance(item, list) for item in basis_atom_types):
@@ -233,7 +233,8 @@ class SEDCalculator:
                     else:
                         processed = [[int(t) for t in basis_atom_types]]
                 else:
-                    raise ValueError("basis_atom_types must be a list of ints or a list of lists of ints.")
+                    raise ValueError("basis_atom_types: expected ints, or nested lists of ints, "
+                                     "one sublist per group.")
             elif isinstance(basis_atom_types, (int, np.integer)):
                 processed = [[int(basis_atom_types)]]
 
@@ -242,7 +243,8 @@ class SEDCalculator:
                 if indices.size > 0:
                     atom_groups.append(indices)
                 else:
-                    logger.warning("No atoms found for type group %s. Skipping.", type_group)
+                    logger.warning("Type group %s matches no atoms in this trajectory; "
+                                   "dropping it.", type_group)
 
         elif basis_atom_indices is not None:
             processed_idx: List[np.ndarray] = []
@@ -259,27 +261,28 @@ class SEDCalculator:
                     if arr.size > 0:
                         processed_idx.append(arr)
                 else:
-                    raise ValueError("basis_atom_indices must be a list of ints or a list of lists of ints.")
+                    raise ValueError("basis_atom_indices: expected ints, or nested lists of ints, "
+                                     "one sublist per group.")
             elif isinstance(basis_atom_indices, np.ndarray):
                 if basis_atom_indices.ndim == 1 and basis_atom_indices.size > 0:
                     processed_idx.append(basis_atom_indices.astype(int))
                 else:
-                    logger.warning("Unsupported np.ndarray format for basis_atom_indices. "
-                                   "Using all atoms if no other basis defined.")
+                    logger.warning("basis_atom_indices array must be 1-D and non-empty; "
+                                   "falling back to the all-atoms group.")
 
             for grp_idx in processed_idx:
                 if np.any(grp_idx >= n_atoms_tot) or np.any(grp_idx < 0):
-                    raise ValueError("Atom indices in basis out of bounds.")
+                    raise ValueError(f"Basis atom indices out of bounds for {n_atoms_tot} atoms.")
                 if grp_idx.size > 0:
                     atom_groups.append(grp_idx)
 
         if not atom_groups:
-            logger.debug("No specific basis provided; using all %d atoms as a single group.",
+            logger.debug("No basis spec given — the single group spans all %d atoms.",
                          n_atoms_tot)
             atom_groups.append(np.arange(n_atoms_tot))
             if summation_mode == 'incoherent' and n_atoms_tot > 0:
-                logger.info("Using all atoms. Incoherent sum will effectively be a "
-                            "coherent sum of all atoms.")
+                logger.info("Incoherent mode over the all-atoms group degenerates to "
+                            "one coherent sum.")
         return atom_groups
 
     # ------------------------------------------------------------------
@@ -830,7 +833,7 @@ class SEDCalculator:
         sed_calculator.py:373-589)."""
         from ..io.writer import out_to_qdump  # local import: io layer sits above core
 
-        logger.info("Starting iSED reconstruction.")
+        logger.info("iSED reconstruction starting.")
         avg_pos = self.mean_positions
         sys_atom_types = self.traj.types.astype(int)
         n_atoms_total = self.traj.n_atoms
@@ -840,7 +843,7 @@ class SEDCalculator:
                                                       basis_atom_types_ised, n_atoms_total,
                                                       sys_atom_types)
         if not recon_atom_groups:
-            logger.error("iSED: No atom groups for reconstruction. Aborting.")
+            logger.error("iSED aborted: the reconstruction basis resolved to no groups.")
             return
 
         k_mags_ised, k_vecs_ised = self.get_k_path(direction_spec=k_dir_unit,
@@ -853,7 +856,7 @@ class SEDCalculator:
 
         k_match_idx = int(np.argmin(np.abs(k_mags_ised - k_target)))
         k_actual = float(k_mags_ised[k_match_idx])
-        logger.info("iSED: Target k=%.4f -> Matched k=%.4f (2π/Å, idx %d)",
+        logger.info("iSED matched requested k=%.4f to path point %.4f 2π/Å (index %d)",
                     k_target, k_actual, k_match_idx)
 
         recon_done, max_wiggle_amp_all = False, 0.0
@@ -863,7 +866,7 @@ class SEDCalculator:
         for i_grp, grp_atom_idx in enumerate(recon_atom_groups):
             if grp_atom_idx.size == 0:
                 continue
-            logger.info("iSED Group %d/%d: %d atoms (types: %s).", i_grp + 1,
+            logger.info("iSED reconstructing group %d of %d — %d atoms, types %s.", i_grp + 1,
                         len(recon_atom_groups), len(grp_atom_idx),
                         np.unique(sys_atom_types[grp_atom_idx]))
             sed_obj = self.calculate(k_points_mags=k_mags_ised, k_vectors_3d=k_vecs_ised,
@@ -875,7 +878,8 @@ class SEDCalculator:
             if ised_input_freqs_plot is None:
                 ised_input_freqs_plot = freqs_group
             elif not np.array_equal(ised_input_freqs_plot, freqs_group):
-                logger.warning("iSED group freq arrays differ. Plotting may be inconsistent.")
+                logger.warning("iSED groups disagree on frequency grids; the combined "
+                               "spectrum plot may be inconsistent.")
 
             grp_intensity = np.sum(np.abs(sed_group_data) ** 2, axis=-1)
             if ised_input_intensity_plot is None:
@@ -883,12 +887,13 @@ class SEDCalculator:
             elif ised_input_intensity_plot.shape == grp_intensity.shape:
                 ised_input_intensity_plot += grp_intensity
             else:
-                logger.warning("iSED group intensity shape mismatch (group %d). Skipping accumulation.",
+                logger.warning("iSED group %d intensity has an unexpected shape; not "
+                               "accumulated into the input spectrum.",
                                i_grp + 1)
 
             w_match_idx = int(np.argmin(np.abs(freqs_group - w_target)))
             w_actual = float(freqs_group[w_match_idx])
-            logger.info("  iSED Group %d: Target ω=%.3f -> Matched ω=%.3f (THz, idx %d)",
+            logger.info("  iSED group %d matched requested ω=%.3f to %.3f THz (index %d)",
                         i_grp + 1, w_target, w_actual, w_match_idx)
 
             # Synthesize the mode motion for all three polarizations on device.
@@ -912,7 +917,7 @@ class SEDCalculator:
                     n_atoms_recon_sum += len(grp_atom_idx)
 
         if not recon_done:
-            logger.error("iSED: No reconstruction performed (empty atom groups?).")
+            logger.error("iSED produced no motion — every resolved group was empty.")
             return
 
         wiggles[0, :, 3] = sys_atom_types
@@ -926,20 +931,21 @@ class SEDCalculator:
                     avg_std = std_dev_sum / n_atoms_recon_sum if n_atoms_recon_sum > 0 else 0.0
                     if avg_std > 1e-9:
                         wiggles[:, all_recon_idx, :3] *= avg_std
-                    logger.info("iSED: Auto-rescaled. Max amp: %.3e, Avg StdDev scale: %.3e",
+                    logger.info("iSED auto-rescale: peak amplitude %.3e scaled to the mean "
+                                "displacement stddev %.3e",
                                 max_wiggle_amp_all, avg_std)
                 else:
-                    logger.warning("iSED: Max wiggle amp near zero. Auto-rescaling ineffective.")
+                    logger.warning("iSED auto-rescale skipped: peak amplitude is ~0.")
             elif isinstance(rescale_factor, (int, float)):
                 wiggles[:, all_recon_idx, :3] *= rescale_factor
-                logger.info("iSED: Rescaled wiggles by factor %s.", rescale_factor)
+                logger.info("iSED amplitudes scaled by the fixed factor %s.", rescale_factor)
         else:
-            logger.warning("iSED: No atoms reconstructed, skipping rescaling.")
+            logger.warning("iSED rescale skipped: no atoms were reconstructed.")
 
         final_pos_dump = avg_pos[None, :, :] + wiggles[:, :, :3]
         atom_types_dump = wiggles[0, :, 3].astype(int)
         out_to_qdump(dump_filepath, final_pos_dump, atom_types_dump, self.traj.box_matrix)
-        logger.info("iSED reconstruction saved: %s", dump_filepath)
+        logger.info("iSED motion dump written to %s", dump_filepath)
 
         if plot_dir_ised and ised_input_intensity_plot is not None and ised_input_freqs_plot is not None:
             self._plot_ised_spectrum(plot_dir_ised, ised_input_intensity_plot,
@@ -947,7 +953,7 @@ class SEDCalculator:
                                      k_dir_spec, k_target, w_target, k_actual,
                                      plot_max_freq, plot_theme)
         elif plot_dir_ised:
-            logger.warning("iSED plot requested, but no combined SED data available.")
+            logger.warning("Skipping the iSED spectrum plot: no combined SED was accumulated.")
 
     def _resolve_ised_groups(self, basis_atom_idx_ised, basis_atom_types_ised,
                              n_atoms_total: int, sys_atom_types: np.ndarray) -> List[np.ndarray]:
@@ -972,7 +978,7 @@ class SEDCalculator:
                 if grp_arr.size > 0:
                     groups.append(grp_arr)
             if basis_atom_types_ised and len(basis_atom_types_ised) > 0:
-                logger.warning("iSED: atom_indices and atom_types provided. Using atom_indices.")
+                logger.warning("iSED got both index and type bases; indices take priority.")
         elif basis_atom_types_ised and len(basis_atom_types_ised) > 0:
             if isinstance(basis_atom_types_ised[0], list):
                 for type_grp in basis_atom_types_ised:
@@ -980,16 +986,16 @@ class SEDCalculator:
                     if grp_idx.size > 0:
                         groups.append(grp_idx)
                     else:
-                        logger.warning("No atoms for type group %s in iSED.", type_grp)
+                        logger.warning("iSED type group %s matches no atoms; dropped.", type_grp)
             else:
                 for atom_type_val in basis_atom_types_ised:
                     grp_idx = np.where(np.isin(sys_atom_types, [atom_type_val]))[0]
                     if grp_idx.size > 0:
                         groups.append(grp_idx)
                     else:
-                        logger.warning("No atoms for type %s in iSED.", atom_type_val)
+                        logger.warning("iSED type %s matches no atoms; dropped.", atom_type_val)
         else:
-            logger.info("iSED using all atoms as a single group.")
+            logger.info("iSED basis defaulting to one group spanning all atoms.")
             groups.append(np.arange(n_atoms_total))
         return groups
 
@@ -1000,7 +1006,7 @@ class SEDCalculator:
         (reference sed_calculator.py:540-588)."""
         from ..visualization import SEDPlotter  # local import: viz sits above core
 
-        logger.info("Plotting iSED input spectrum (incoherently summed groups).")
+        logger.info("Rendering the iSED input spectrum (incoherent sum over groups).")
         mock = np.zeros((*intensity.shape, 3), dtype=np.complex64)
         mock[:, :, 0] = np.sqrt(intensity + 1e-20)
         plot_obj = SED(sed=mock, freqs=freqs, k_points=k_mags, k_vectors=k_vecs,
@@ -1034,4 +1040,4 @@ class SEDCalculator:
                    direction_label=k_dir_str,
                    highlight_region={'k_point_target': k_actual, 'freq_point_target': w_actual},
                    max_freq=max_freq, intensity_scale='sqrt', theme=plot_theme).generate_plot()
-        logger.info("iSED input spectrum plot saved: %s", fname.name)
+        logger.info("iSED input spectrum figure written: %s", fname.name)

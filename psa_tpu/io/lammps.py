@@ -208,52 +208,93 @@ def read_lammps_dump(filepath: Path, unwrap: bool = True, with_masses: bool = Fa
     return positions, velocities, types, timesteps, box_matrix
 
 
+def _outcar_dashed(line: str) -> bool:
+    s = line.strip()
+    return len(s) >= 5 and set(s) == {'-'}
+
+
 def read_vasp_outcar(filepath: Path
                      ) -> Tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
-    """Minimal VASP OUTCAR trajectory reader (lattice + POSITION blocks).
+    """VASP OUTCAR trajectory reader (lattice + POSITION/TOTAL-FORCE blocks).
 
     Covers the MD-trajectory case the reference handled through OVITO's
-    'vasp/outcar' importer (reference loader.py:92-93).  Velocities are not
-    present in OUTCAR position blocks and are returned as zeros — use
-    displacement-mode SED for such data.
+    'vasp/outcar' importer (reference loader.py:92-93).  Robust to the
+    real-world layout variants: position blocks are read up to their closing
+    dashed delimiter rather than trusting NIONS blindly (blocks with an
+    unexpected row count are skipped with a warning, as are rows that fail to
+    parse); the lattice is the last one printed before the first position
+    block (NpT cell changes are not tracked — the SED engine assumes a fixed
+    box, like the reference).  Velocities are not present in OUTCAR position
+    blocks and are returned as zeros — use displacement-mode SED for such
+    data.
     """
     lattice = None
     n_ions = None
-    types_list: List[int] = []
     positions_frames: List[np.ndarray] = []
+    ions_per_type: List[int] = []
+    skipped = 0
 
     with open(filepath, 'r') as f:
         lines = f.readlines()
 
     i = 0
-    ions_per_type: List[int] = []
-    while i < len(lines):
+    n = len(lines)
+    while i < n:
         ln = lines[i]
         if 'ions per type' in ln:
-            ions_per_type = [int(x) for x in ln.split('=')[1].split()]
-        elif 'direct lattice vectors' in ln:
-            lattice = np.array([[float(v) for v in lines[i + 1 + r].split()[:3]]
-                                for r in range(3)], dtype=np.float32)
+            try:
+                ions_per_type = [int(x) for x in ln.split('=')[1].split()]
+            except (IndexError, ValueError):
+                pass
+        elif 'direct lattice vectors' in ln and not positions_frames:
+            try:
+                lattice = np.array(
+                    [[float(v) for v in lines[i + 1 + r].split()[:3]]
+                     for r in range(3)], dtype=np.float32)
+            except (IndexError, ValueError):
+                pass
         elif 'number of ions' in ln and 'NIONS' in ln:
-            n_ions = int(ln.split()[-1])
+            try:
+                n_ions = int(ln.split()[-1])
+            except ValueError:
+                pass
         elif ln.strip().startswith('POSITION') and 'TOTAL-FORCE' in ln:
-            if n_ions is None:
-                raise ValueError("OUTCAR: POSITION block before NIONS")
-            block = lines[i + 2: i + 2 + n_ions]
-            pos = np.array([[float(v) for v in row.split()[:3]] for row in block],
-                           dtype=np.float32)
-            positions_frames.append(pos)
-            i += 1 + n_ions
+            j = i + 1
+            if j < n and _outcar_dashed(lines[j]):   # opening delimiter
+                j += 1
+            rows = []
+            while j < n and not _outcar_dashed(lines[j]):
+                parts = lines[j].split()
+                try:
+                    rows.append([float(parts[0]), float(parts[1]), float(parts[2])])
+                except (IndexError, ValueError):
+                    break  # end of block (next header / malformed row —
+                           # the row-count check below decides which)
+                j += 1
+            if not rows or (n_ions is not None and len(rows) != n_ions):
+                skipped += 1
+                logger.warning("OUTCAR %s: skipping malformed POSITION block at "
+                               "line %d (%d rows, NIONS=%s)", filepath, i + 1,
+                               len(rows), n_ions)
+            else:
+                positions_frames.append(np.array(rows, dtype=np.float32))
+            i = j - 1     # line j is re-examined (it may be the next header)
         i += 1
 
     if lattice is None or not positions_frames:
         raise ValueError(f"Could not parse OUTCAR trajectory from {filepath}")
     n_a = positions_frames[0].shape[0]
+    if any(p.shape[0] != n_a for p in positions_frames):
+        raise ValueError(f"OUTCAR {filepath}: inconsistent atom counts across "
+                         "position blocks")
+    if skipped:
+        logger.warning("OUTCAR %s: %d malformed position blocks skipped; "
+                       "%d frames kept.", filepath, skipped, len(positions_frames))
+    types_list: List[int] = []
     for t, ions in enumerate(ions_per_type, start=1):
         types_list.extend([t] * ions)
-    types = np.array(types_list[:n_a] or [1] * n_a, dtype=np.int32)
-    if types.size != n_a:
-        types = np.ones(n_a, dtype=np.int32)
+    types = (np.array(types_list, dtype=np.int32) if len(types_list) == n_a
+             else np.ones(n_a, dtype=np.int32))
 
     positions = np.stack(positions_frames).astype(np.float32)
     velocities = np.zeros_like(positions)

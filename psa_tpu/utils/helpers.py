@@ -98,18 +98,21 @@ def parse_direction(direction_spec: DirectionSpec) -> np.ndarray:
                 float(direction_spec.get('l', 0.0)),
             ], dtype=np.float32)
         else:
-            raise ValueError("Direction dict must contain 'angle' or Miller indices ('h','k','l').")
+            raise ValueError("Direction dict needs an 'angle' key or the Miller "
+                             "triple 'h'/'k'/'l'.")
     else:
         raise TypeError(f"Unsupported direction type: {type(direction_spec)}")
 
     if np.allclose(vec, 0, atol=1e-8):
-        raise ValueError("Direction vector is zero. For k-path, direction must be non-zero if n_k > 1.")
+        raise ValueError("Direction resolves to the zero vector — a k-path "
+                         "needs a non-zero direction.")
 
     norm_val = np.linalg.norm(vec)
     if norm_val < 1e-9:
         # Pathological but non-"allclose-zero" norm: pass the raw vector through
         # rather than dividing by ~0 (reference: helpers.py:104-107).
-        logger.warning("Direction vector norm (%.2e) is very small, returning unnormalized vector.", norm_val)
+        logger.warning("Direction nearly zero (|v| = %.2e); skipping normalization.",
+                       norm_val)
         return vec
     return (vec / norm_val).astype(np.float32)
 

@@ -215,3 +215,25 @@ def test_incoherent_kgrid_full_path_intensity(loaded):
                                   engine='direct', reduced=False)
     assert kg.intensity.ndim == 2 and kg.intensity.shape[1] == 12
     assert kg.slice_at(0).shape == (3, 4)
+
+
+class TestViewCallbackWiring:
+    """Static audit of the Tk view: every widget callback, slider command,
+    and event binding in gui/app.py must name a method that actually exists
+    on PSAMainWindow (no display needed — the class is inspected, not
+    instantiated)."""
+
+    def test_all_command_targets_exist(self):
+        import inspect
+        import re
+        from psa_tpu.gui import app
+        src = inspect.getsource(app)
+        targets = set(re.findall(r"command=self\.(\w+)", src))
+        targets |= set(re.findall(r"\.bind\([^)]*self\.(\w+)", src))
+        targets |= set(re.findall(r"mpl_connect\([^)]*self\.(\w+)", src))
+        targets |= set(re.findall(r"\.after\(\s*\d+\s*,\s*self\.(\w+)", src))
+        targets |= set(re.findall(r"protocol\([^)]*self\.(\w+)", src))
+        assert targets, "no callbacks found — the audit regexes went stale"
+        missing = [t for t in sorted(targets)
+                   if not callable(getattr(app.PSAMainWindow, t, None))]
+        assert not missing, f"dangling GUI callbacks: {missing}"

@@ -162,6 +162,51 @@ class TestOutcar:
         np.testing.assert_array_equal(types, [1, 1, 2])
         np.testing.assert_allclose(box, np.diag([5., 5., 5.]), atol=1e-6)
 
+    def test_realistic_outcar_layout(self, tmp_path):
+        """Real OUTCARs delimit POSITION blocks with long dashed lines and
+        print the lattice many times; malformed blocks are skipped with the
+        good frames kept."""
+        outcar = tmp_path / "real.OUTCAR"
+        dash = " " + "-" * 83 + "\n"
+        lines = ["  vasp.6.3.0 ...\n",
+                 "   ions per type =               2   2\n",
+                 "   number of dos ... number of ions     NIONS =      4\n",
+                 " direct lattice vectors                    reciprocal lattice vectors\n",
+                 "     4.0 0.0 0.0   0.25 0.0 0.0\n",
+                 "     0.0 4.0 0.0   0.0 0.25 0.0\n",
+                 "     0.0 0.0 8.0   0.0 0.0 0.125\n",
+                 # lattice printed AGAIN (electronic step) before the MD blocks
+                 " direct lattice vectors                    reciprocal lattice vectors\n",
+                 "     4.1 0.0 0.0   0.244 0.0 0.0\n",
+                 "     0.0 4.1 0.0   0.0 0.244 0.0\n",
+                 "     0.0 0.0 8.2   0.0 0.0 0.122\n"]
+        rng = np.random.default_rng(0)
+        good = []
+        for frame in range(3):
+            lines.append(" POSITION                                       TOTAL-FORCE (eV/Angst)\n")
+            lines.append(dash)
+            pos = rng.uniform(0, 4, (4, 3))
+            good.append(pos)
+            for a in range(4):
+                lines.append(f"     {pos[a,0]:.5f} {pos[a,1]:.5f} {pos[a,2]:.5f}"
+                             f"        0.01 -0.02 0.03\n")
+            lines.append(dash)
+            lines.append("  total drift: 0.0 0.0 0.0\n")
+        # a truncated block (2 of 4 rows) must be skipped, not crash
+        lines.append(" POSITION                                       TOTAL-FORCE (eV/Angst)\n")
+        lines.append(dash)
+        lines.append("     1.0 1.0 1.0   0 0 0\n")
+        lines.append("     2.0 2.0 2.0   0 0 0\n")
+        lines.append(dash)
+        outcar.write_text("".join(lines))
+        pos, vel, types, steps, box = read_vasp_outcar(outcar)
+        assert pos.shape == (3, 4, 3)           # truncated block dropped
+        np.testing.assert_allclose(pos, np.stack(good), atol=1e-4)
+        np.testing.assert_array_equal(types, [1, 1, 2, 2])
+        # the LAST lattice before the first position block wins
+        np.testing.assert_allclose(box, np.diag([4.1, 4.1, 8.2]), atol=1e-6)
+        assert np.all(vel == 0)
+
     def test_outcar_via_loader_autodetect(self, tmp_path):
         # reuse the same OUTCAR through TrajectoryLoader format detection
         self.test_minimal_outcar(tmp_path)  # writes md.OUTCAR
