@@ -78,6 +78,7 @@ class GridPlan:
     bucket_size: int           # P (padded)
     slot_cell: np.ndarray      # (n_cells,) == arange (bucket b covers cell b)
     pad_mask: np.ndarray       # (n_cells, P) f32 1/0 valid-slot mask
+    atom_of_slot: np.ndarray   # (n_cells, P) i32 atom feeding each slot (0 if pad)
     wx: np.ndarray             # (n_cells, P, w) f32 window weights (masked)
     base_re: np.ndarray        # (n_cells, P) f32 Re exp(i(kx0·x + kf·z))
     base_im: np.ndarray        # (n_cells, P) f32
@@ -143,6 +144,8 @@ def plan_kgrid(mean_pos64: np.ndarray, kx_vals: np.ndarray, ky_vals: np.ndarray,
         return out
 
     pad_mask = packed(np.ones(n_atoms))
+    atom_of_slot = np.zeros((n_cells, bucket_size), dtype=np.int32)
+    atom_of_slot[cell_sorted, slot_of] = order
 
     offsets = np.arange(-(w // 2 - 1), w // 2 + 1)        # e.g. -3..4
     # window weights per atom/offset: ψ(cell + off − ux)
@@ -176,12 +179,32 @@ def plan_kgrid(mean_pos64: np.ndarray, kx_vals: np.ndarray, ky_vals: np.ndarray,
 
     return GridPlan(order=order, n_cells=n_cells, bucket_size=bucket_size,
                     slot_cell=np.arange(n_cells), pad_mask=pad_mask.astype(np.float32),
+                    atom_of_slot=atom_of_slot,
                     wx=wx.astype(np.float32),
                     base_re=base_re.astype(np.float32), base_im=base_im.astype(np.float32),
                     wy_re=wy_re.astype(np.float32), wy_im=wy_im.astype(np.float32),
                     deconv_re=deconv.astype(np.float32),
                     deconv_im=np.zeros_like(deconv, dtype=np.float32),
                     gx=gx, gy=gy, w=w, offsets=offsets)
+
+
+@functools.partial(jax.jit, static_argnames=('gy', 'w', 'precision'))
+def _pack_and_spread(data_slice, slots, slot_mask, w_re, w_im, gy: int, w: int,
+                     precision: str = 'parity'):
+    """Pack one (t-chunk, pol) slice into this cell-chunk's slots ON DEVICE
+    (a gather — the trajectory never re-crosses the host boundary per chunk)
+    and spread it (see :func:`_spread_cells`).
+
+    data_slice: (Tc, N) f32 device-resident data for one polarization.
+    slots:      (Cc, P) int32 atom index feeding each slot (0 for padding).
+    slot_mask:  (Cc, P) f32 1/0 valid-slot mask.
+    """
+    tc = data_slice.shape[0]
+    cc, p = slots.shape
+    packed = jnp.take(data_slice, slots.reshape(-1), axis=1)     # (Tc, Cc*P)
+    packed = packed.reshape(tc, cc, p) * slot_mask[None, :, :]
+    packed = jnp.transpose(packed, (1, 0, 2))                    # (Cc, Tc, P)
+    return _spread_cells(packed, w_re, w_im, gy=gy, w=w, precision=precision)
 
 
 @functools.partial(jax.jit, static_argnames=('gy', 'w', 'precision'))
@@ -304,6 +327,7 @@ def gridded_kgrid_spectrum(data: np.ndarray, plan: GridPlan,
         (re, im) host arrays of shape (n_t, Gx·Gy, 3) — the projected signal
         BEFORE the time FFT.
     """
+    data = np.asarray(data) if not isinstance(data, jnp.ndarray) else data
     n_t, n_atoms, _ = data.shape
     t_chunk = t_chunk or n_t
     if cell_chunk is None:
@@ -317,10 +341,6 @@ def gridded_kgrid_spectrum(data: np.ndarray, plan: GridPlan,
     n_cells, p = plan.base_re.shape
     cell_chunk = min(cell_chunk, n_cells)
     cell_starts = list(range(0, n_cells, cell_chunk))
-    counts = plan.pad_mask.sum(axis=1).astype(np.int64)        # atoms per cell
-    cell_first_atom = np.zeros(n_cells + 1, dtype=np.int64)
-    np.cumsum(counts, out=cell_first_atom[1:])
-    mask_by_cell = plan.pad_mask.astype(bool)                  # (C, P)
     single_chunk = len(cell_starts) == 1
 
     if not single_chunk:
@@ -337,10 +357,24 @@ def gridded_kgrid_spectrum(data: np.ndarray, plan: GridPlan,
             w_im_h = np.pad(w_im_h, [(0, padc), (0, 0), (0, 0)])
         return dev(w_re_h), dev(w_im_h)
 
-    # Single-chunk: keep the weights on device for every (t, pol) pass.
-    # Multi-chunk: rebuild per time-chunk (cells outer, pols inner) so at most
-    # one chunk's weights exist at a time.
-    cached = chunk_weights(0) if single_chunk else None
+    def chunk_slots(c0):
+        """(slots, mask) device arrays for cells [c0, c0+cell_chunk)."""
+        c1 = min(c0 + cell_chunk, n_cells)
+        slots = np.zeros((cell_chunk, p), dtype=np.int32)
+        mask = np.zeros((cell_chunk, p), dtype=np.float32)
+        slots[:c1 - c0] = plan.atom_of_slot[c0:c1]
+        mask[:c1 - c0] = plan.pad_mask[c0:c1]
+        return dev(slots), dev(mask)
+
+    # Single-chunk: weights + slot maps stay on device for every (t, pol)
+    # pass.  Multi-chunk: rebuild per time-chunk (cells outer, pols inner) so
+    # at most one chunk's weights exist at a time.
+    cached = (chunk_weights(0) + chunk_slots(0)) if single_chunk else None
+
+    # The trajectory is uploaded ONCE; per-chunk packing is a device-side
+    # gather (on a slow host link, re-uploading host-packed slices dominated
+    # the sweep).
+    data_dev = dev(data)
 
     for start in range(0, n_t, t_chunk):
         stop = min(start + t_chunk, n_t)
@@ -349,20 +383,16 @@ def gridded_kgrid_spectrum(data: np.ndarray, plan: GridPlan,
                   jnp.zeros((n_cells, tc, plan.gy), dtype=jnp.float32))
                  for _ in range(3)]
         for c0 in cell_starts:
-            c1 = min(c0 + cell_chunk, n_cells)
-            w_re, w_im = cached if single_chunk else chunk_weights(c0)
-            a0, a1 = cell_first_atom[c0], cell_first_atom[c1]
-            order_slice = plan.order[a0:a1]
-            sel = np.zeros((cell_chunk, p), dtype=bool)
-            sel[:c1 - c0] = mask_by_cell[c0:c1]
+            if single_chunk:
+                w_re, w_im, slots, mask = cached
+            else:
+                w_re, w_im = chunk_weights(c0)
+                slots, mask = chunk_slots(c0)
             win_start = c0 - (plan.w // 2 - 1)
             for pol in range(3):
-                vals = data[start:stop, :, pol][:, order_slice]    # (Tc, Na)
-                packed = np.zeros((cell_chunk, tc, p), dtype=np.float32)
-                packed.transpose(1, 0, 2)[:, sel] = vals
-                win_re, win_im = _spread_cells(
-                    dev(packed), w_re, w_im, gy=plan.gy, w=plan.w,
-                    precision=precision)
+                win_re, win_im = _pack_and_spread(
+                    data_dev[start:stop, :, pol], slots, mask, w_re, w_im,
+                    gy=plan.gy, w=plan.w, precision=precision)
                 grid_re, grid_im = grids[pol]
                 grids[pol] = (_add_cyclic(grid_re, win_re, win_start),
                               _add_cyclic(grid_im, win_im, win_start))

@@ -150,6 +150,77 @@ def sed_projection_pallas(data2d: jnp.ndarray, mp_hi: jnp.ndarray,
     )(data2d, mp_hi, mp_lo, k_vectors)
 
 
+def _projection_kernel_v2(data_ref, mp_hi_ref, mp_lo_ref, kv_ref,
+                          out_re_ref, out_im_ref, cs_scratch):
+    """v2 grid step (k, a, m): the [cos|sin] tile is built in VMEM scratch
+    ONCE per (k, a) pair (when the m loop restarts) and reused by every
+    M-block — v1 regenerated it per (m, k, a) step, amplifying the
+    transcendental cost M/bm ≈ 24×.  One fused (bm, ba)×(ba, 2bk) MXU matmul
+    produces both halves; data/out tiles stream through Pallas's pipelined
+    block fetches."""
+    a_idx = pl.program_id(1)
+    m_idx = pl.program_id(2)
+    bk = out_re_ref.shape[1]
+
+    @pl.when(m_idx == 0)
+    def _():
+        angles = _angles_tile(mp_hi_ref[:], mp_lo_ref[:], kv_ref[:])
+        cs_scratch[:, :bk] = jnp.cos(angles)
+        cs_scratch[:, bk:] = jnp.sin(angles)
+
+    @pl.when(a_idx == 0)
+    def _():
+        out_re_ref[:] = jnp.zeros_like(out_re_ref)
+        out_im_ref[:] = jnp.zeros_like(out_im_ref)
+
+    y = jnp.dot(data_ref[:], cs_scratch[:], preferred_element_type=jnp.float32,
+                precision=lax.Precision.HIGHEST)
+    out_re_ref[:] += y[:, :bk]
+    out_im_ref[:] += y[:, bk:]
+
+
+@functools.partial(jax.jit, static_argnames=('bm', 'bk', 'ba', 'interpret'))
+def sed_projection_pallas_v2(data2d: jnp.ndarray, mp_hi: jnp.ndarray,
+                             mp_lo: jnp.ndarray, k_vectors: jnp.ndarray,
+                             bm: int = 1024, bk: int = 256, ba: int = 512,
+                             interpret: bool = False
+                             ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Fused projection, v2 schedule (see :func:`_projection_kernel_v2`).
+
+    Same contract as :func:`sed_projection_pallas`.
+    """
+    m, a = data2d.shape
+    k = k_vectors.shape[0]
+    if m % bm or k % bk or a % ba:
+        raise ValueError(f"shapes (M={m}, K={k}, A={a}) must tile by "
+                         f"(bm={bm}, bk={bk}, ba={ba}); pad at the caller")
+
+    grid = (k // bk, a // ba, m // bm)
+    return pl.pallas_call(
+        _projection_kernel_v2,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((bm, ba), lambda j, r, i: (i, r)),
+            pl.BlockSpec((ba, 3), lambda j, r, i: (r, 0)),
+            pl.BlockSpec((ba, 3), lambda j, r, i: (r, 0)),
+            pl.BlockSpec((bk, 3), lambda j, r, i: (j, 0)),
+        ],
+        out_specs=[
+            pl.BlockSpec((bm, bk), lambda j, r, i: (i, j)),
+            pl.BlockSpec((bm, bk), lambda j, r, i: (i, j)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((m, k), jnp.float32),
+            jax.ShapeDtypeStruct((m, k), jnp.float32),
+        ],
+        scratch_shapes=[pltpu.VMEM((ba, 2 * bk), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary", "arbitrary"),
+        ),
+        interpret=interpret,
+    )(data2d, mp_hi, mp_lo, k_vectors)
+
+
 def sed_spectrum_pallas(data: jnp.ndarray, mp_hi: jnp.ndarray, mp_lo: jnp.ndarray,
                         k_vectors: jnp.ndarray, interpret: bool = False
                         ) -> Tuple[jnp.ndarray, jnp.ndarray]:
