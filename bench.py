@@ -16,12 +16,23 @@ environment's host↔device tunnel moves ~0.1 GB/s where a production v5e host
 moves ~16 GB/s over PCIe); compute is timed with jax.block_until_ready on
 device-held results.  Totals including upload are reported on stderr.
 
+Besides the headline op-level rate, the JSON line carries the USER-FACING
+path numbers as extra fields (VERDICT r1 item 5):
+    calculate_browse_kps — SEDCalculator.calculate_kgrid_browse end-to-end
+        (the GUI's default k-grid path: on-device intensity reduction,
+        filtered planes fetched to host — d2h included);
+    browse_d2h_reduction — full-complex-Φ bytes / browse-path bytes;
+    kpath_calculate_kps — SEDCalculator.calculate on a 250-point k-path
+        with the full complex spectrum fetched (the library default path);
+    gridded_kps — calculate_gridded (NUFFT engine) on the same grid.
+
 Environment knobs:
     PSA_BENCH_ATOMS   (default 100000)
     PSA_BENCH_STEPS   (default 10000)
     PSA_BENCH_GRID    (default 50 -> 50x50 k-points)
     PSA_BENCH_BASELINE_K (default 8; k-subsample for the NumPy reference pass)
     PSA_BENCH_PRECISION  (default 'parity'; or 'fast' for bf16 MXU passes)
+    PSA_BENCH_EXTRAS  (default 1; 0 skips the user-facing path benches)
 """
 import json
 import os
@@ -155,13 +166,92 @@ def main():
     log(f"(upload one-time cost: {upload_s:.1f}s; "
         f"grid incl. upload would be {sweep_s + upload_s:.1f}s)")
 
+    extras = {}
+    if os.environ.get('PSA_BENCH_EXTRAS', '1') != '0':
+        del data_dev, hi_dev, lo_dev, k_blocks  # free HBM for the extras
+        try:
+            extras = user_path_benches(velocities, mean_pos64, k_vectors,
+                                       grid, precision)
+        except Exception as e:  # never lose the headline to an extra bench
+            log(f"user-path benches failed: {type(e).__name__}: {e}")
+
     print(json.dumps({
         "metric": f"k-points/sec, coherent SED, {grid}x{grid} grid, "
                   f"{n_atoms} atoms x {n_steps} steps, precision={precision}",
         "value": round(kps, 2),
         "unit": "k-points/sec",
         "vs_baseline": round(speedup, 2),
+        **extras,
     }))
+
+
+def user_path_benches(velocities, mean_pos64, k_vectors, grid, precision):
+    """End-to-end SEDCalculator paths (what library/GUI users actually call)."""
+    import numpy as np
+    from psa_tpu.core.calculator import SEDCalculator
+    from psa_tpu.core.trajectory import Trajectory, make_box_arrays
+
+    n_steps, n_atoms, _ = velocities.shape
+    # broadcast view: zero extra host memory for positions (the engine only
+    # reads their time-mean; velocities drive the SED)
+    positions = np.broadcast_to(mean_pos64.astype(np.float32),
+                                (n_steps, n_atoms, 3))
+    side = float(np.max(mean_pos64)) + 5.43
+    box = np.diag([side] * 3).astype(np.float32)
+    lengths, tilts = make_box_arrays(box)
+    traj = Trajectory(positions, velocities, np.ones(n_atoms, dtype=np.int32),
+                      np.arange(n_steps, dtype=np.float32), box_matrix=box,
+                      box_lengths=lengths, box_tilts=tilts, dt_ps=0.01)
+    calc = SEDCalculator(traj, nx=1, ny=1, nz=1, precision=precision,
+                         max_device_bytes=int(13e9))
+    extras = {}
+
+    # -- GUI-default grid browse: on-device reduction, filtered d2h ---------
+    n_k = k_vectors.shape[0]
+    log("user path 1/3: calculate_kgrid_browse (on-device reduction)...")
+    t0 = time.time()
+    freqs, inten, _ = calc.calculate_kgrid_browse(k_vectors, k_chunk_size=1280)
+    dt = time.time() - t0
+    warm0 = time.time()
+    freqs, inten, _ = calc.calculate_kgrid_browse(k_vectors, k_chunk_size=1280)
+    warm = time.time() - warm0
+    full_bytes = n_steps * n_k * 3 * 8
+    browse_bytes = inten.nbytes
+    extras["calculate_browse_kps"] = round(n_k / warm, 2)
+    extras["browse_d2h_reduction"] = round(full_bytes / browse_bytes, 1)
+    log(f"  browse: {warm:.2f}s warm ({n_k / warm:.1f} k-points/s; first call "
+        f"incl. compile {dt:.1f}s); d2h {browse_bytes/1e6:.0f} MB vs "
+        f"{full_bytes/1e9:.1f} GB full complex = {full_bytes/browse_bytes:.0f}x less")
+
+    # -- library default: k-path calculate with full complex readback -------
+    log("user path 2/3: calculate() on a 250-point k-path...")
+    k_mags, k_vecs_path = calc.get_k_path('x', bz_coverage=1.0, n_k=250,
+                                          lat_param=5.43)
+    t0 = time.time()
+    sed = calc.calculate(k_mags, k_vecs_path, k_chunk_size=1280)
+    dt = time.time() - t0
+    t0 = time.time()
+    sed = calc.calculate(k_mags, k_vecs_path, k_chunk_size=1280)
+    warm = time.time() - t0
+    extras["kpath_calculate_kps"] = round(250 / warm, 2)
+    log(f"  k-path calculate: {warm:.2f}s warm ({250 / warm:.1f} k-points/s; "
+        f"first {dt:.1f}s; {sed.sed.nbytes/1e6:.0f} MB complex fetched)")
+
+    # -- gridded (NUFFT) engine on the same grid ----------------------------
+    log("user path 3/3: calculate_gridded (NUFFT engine)...")
+    try:
+        t0 = time.time()
+        gsed = calc.calculate_gridded(k_vectors, (grid, grid), t_chunk=2048)
+        dt = time.time() - t0
+        t0 = time.time()
+        gsed = calc.calculate_gridded(k_vectors, (grid, grid), t_chunk=2048)
+        warm = time.time() - t0
+        extras["gridded_kps"] = round(n_k / warm, 2)
+        log(f"  gridded: {warm:.2f}s warm ({n_k / warm:.1f} k-points/s; "
+            f"first {dt:.1f}s)")
+    except Exception as e:
+        log(f"  gridded bench failed: {type(e).__name__}: {e}")
+    return extras
 
 
 if __name__ == "__main__":

@@ -322,6 +322,12 @@ class SEDCalculator:
                     else self.traj.velocities[:, group_idx, :])
         return data, mp_hi, mp_lo
 
+    def clear_device_cache(self) -> None:
+        """Drop cached device-resident group data (frees HBM)."""
+        with self._cache_lock:
+            self._device_cache.clear()
+            self._device_cache_order.clear()
+
     def _group_device_arrays(self, group_idx: np.ndarray):
         """Device-resident (data, mp_hi, mp_lo) for a group, 2-entry LRU cache."""
         key = group_idx.tobytes() + (b'D' if self.use_displacements else b'V') \
@@ -765,15 +771,12 @@ class SEDCalculator:
         plan = gridded.plan_kgrid(mean64, kx_vals, ky_vals, k_fixed=k_fixed,
                                   axes=(slow_col, fast_col, fixed_col))
 
-        if self.use_displacements:
-            data = (self.traj.positions[:, union, :].astype(np.float64)
-                    - mean64[None]).astype(np.float32)
-        else:
-            data = self.traj.velocities[:, union, :]
-        if self.mass_weighted:
-            data = data * np.sqrt(self.traj.masses[union]).astype(np.float32)[None, :, None]
-
-        re, im = gridded.gridded_kgrid_spectrum(np.ascontiguousarray(data), plan,
+        # Reuse the calculator's device-resident group data (displacement /
+        # mass-weight transforms already applied on device) — the trajectory
+        # is uploaded once and shared with the direct engine instead of a
+        # second 12 GB copy living beside it.
+        data_dev, _, _ = self._group_device_arrays(union)
+        re, im = gridded.gridded_kgrid_spectrum(data_dev, plan,
                                                 t_chunk=t_chunk,
                                                 cell_chunk=cell_chunk,
                                                 precision=self.precision)
