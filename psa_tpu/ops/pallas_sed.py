@@ -12,17 +12,25 @@ same arithmetic as :mod:`psa_tpu.ops.spectral`), cos/sin run on the VPU, and
 the two accumulating matmuls run on the MXU.  The (A, 2K) phase table that the
 XLA path materializes in HBM never exists.
 
-Reality check (measured on a v5e, M=6144/A=20480/K=512, f32-exact):
-XLA path 13.9 TF/s, this kernel 8.0 TF/s (numerics agree to f32 matmul
-tolerance).  The XLA path is already matmul-bound — the phase table's HBM
-traffic is ~0.2% of the matmul time at production shapes — and this kernel
-re-generates each angle tile once per M-block (M/bm ≈ 24× transcendental
-recompute), which XLA avoids by materializing the table once.  The XLA path
-therefore remains the production default; this kernel is (a) the fusion hook
-for streaming variants where the table would not fit in HBM, and (b) a
-self-contained reference for the kernel-level programming model.  A faster
-variant would hold the angle tile in VMEM scratch and loop M-blocks inside
-the kernel body with manual double-buffered DMA of the data tiles.
+Reality check — round-2 shootout on this v5e (M=30720/A=20480/K=512,
+f32-exact, value-dependent-readback fence; scripts/tpu_campaign/):
+
+    XLA materialize-table path      17.7 TF/s   (production default)
+    this kernel, old 256/256/512     9.6 TF/s
+    this kernel, 1024/256/512       15.5 TF/s   (vmem limit raised to 64 MB)
+    this kernel, 2048/128/512       15.6 TF/s   (best fused config)
+
+Raising bm divides the per-M-block angle/cos/sin recompute (the kernel's
+only overhead vs XLA) and recovers most of the gap, but the XLA path still
+wins by ~13% at production shapes because it generates each angle exactly
+once.  A "v2" schedule that cached the [cos|sin] tile in VMEM scratch with
+the M loop innermost measured FASTER at small M but was numerically WRONG on
+hardware: its output blocks are revisited at non-consecutive grid steps,
+which Pallas TPU's pipelining does not support for accumulation (rel err ~1
+vs XLA; the interpreter hid it).  Keep the reduction dimension innermost.
+Decision: the XLA path remains production; this kernel is (a) the fusion
+hook for streaming variants where the (N, 2K) table would not fit in HBM,
+and (b) a self-contained reference for the kernel-level programming model.
 ``sed_projection_pallas`` is drop-in interchangeable with the XLA projection
 and is cross-checked against it in the test suite.
 """
@@ -41,10 +49,12 @@ from jax.experimental.pallas import tpu as pltpu
 from .spectral import _INV_2PI, _PI2_A, _PI2_B, _PI2_C, _SPLITTER
 
 # Block sizes: bm×ba data tile, ba×bk angle/cos/sin tiles, 2×(bm×bk) outputs.
-# VMEM at the defaults: 256·512·4 + 3·512·256·4 + 2·256·256·4 ≈ 2.6 MB.
-DEFAULT_BM = 256
+# Best measured config (15.5 TF/s at M=30720/A=20480/K=512; see module
+# docstring) — needs the raised VMEM limit below under double-buffering.
+DEFAULT_BM = 1024
 DEFAULT_BK = 256
 DEFAULT_BA = 512
+DEFAULT_VMEM_LIMIT = 64 << 20
 
 
 def _angles_tile(mp_hi, mp_lo, kv):
@@ -99,11 +109,13 @@ def _projection_kernel(data_ref, mp_hi_ref, mp_lo_ref, kv_ref,
                              precision=lax.Precision.HIGHEST)
 
 
-@functools.partial(jax.jit, static_argnames=('bm', 'bk', 'ba', 'interpret'))
+@functools.partial(jax.jit, static_argnames=('bm', 'bk', 'ba', 'interpret',
+                                             'vmem_limit_bytes'))
 def sed_projection_pallas(data2d: jnp.ndarray, mp_hi: jnp.ndarray,
                           mp_lo: jnp.ndarray, k_vectors: jnp.ndarray,
                           bm: int = DEFAULT_BM, bk: int = DEFAULT_BK,
-                          ba: int = DEFAULT_BA, interpret: bool = False
+                          ba: int = DEFAULT_BA, interpret: bool = False,
+                          vmem_limit_bytes: int = DEFAULT_VMEM_LIMIT
                           ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Fused projection.
 
@@ -145,77 +157,7 @@ def sed_projection_pallas(data2d: jnp.ndarray, mp_hi: jnp.ndarray,
         ],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "parallel", "arbitrary"),
-        ),
-        interpret=interpret,
-    )(data2d, mp_hi, mp_lo, k_vectors)
-
-
-def _projection_kernel_v2(data_ref, mp_hi_ref, mp_lo_ref, kv_ref,
-                          out_re_ref, out_im_ref, cs_scratch):
-    """v2 grid step (k, a, m): the [cos|sin] tile is built in VMEM scratch
-    ONCE per (k, a) pair (when the m loop restarts) and reused by every
-    M-block — v1 regenerated it per (m, k, a) step, amplifying the
-    transcendental cost M/bm ≈ 24×.  One fused (bm, ba)×(ba, 2bk) MXU matmul
-    produces both halves; data/out tiles stream through Pallas's pipelined
-    block fetches."""
-    a_idx = pl.program_id(1)
-    m_idx = pl.program_id(2)
-    bk = out_re_ref.shape[1]
-
-    @pl.when(m_idx == 0)
-    def _():
-        angles = _angles_tile(mp_hi_ref[:], mp_lo_ref[:], kv_ref[:])
-        cs_scratch[:, :bk] = jnp.cos(angles)
-        cs_scratch[:, bk:] = jnp.sin(angles)
-
-    @pl.when(a_idx == 0)
-    def _():
-        out_re_ref[:] = jnp.zeros_like(out_re_ref)
-        out_im_ref[:] = jnp.zeros_like(out_im_ref)
-
-    y = jnp.dot(data_ref[:], cs_scratch[:], preferred_element_type=jnp.float32,
-                precision=lax.Precision.HIGHEST)
-    out_re_ref[:] += y[:, :bk]
-    out_im_ref[:] += y[:, bk:]
-
-
-@functools.partial(jax.jit, static_argnames=('bm', 'bk', 'ba', 'interpret'))
-def sed_projection_pallas_v2(data2d: jnp.ndarray, mp_hi: jnp.ndarray,
-                             mp_lo: jnp.ndarray, k_vectors: jnp.ndarray,
-                             bm: int = 1024, bk: int = 256, ba: int = 512,
-                             interpret: bool = False
-                             ) -> Tuple[jnp.ndarray, jnp.ndarray]:
-    """Fused projection, v2 schedule (see :func:`_projection_kernel_v2`).
-
-    Same contract as :func:`sed_projection_pallas`.
-    """
-    m, a = data2d.shape
-    k = k_vectors.shape[0]
-    if m % bm or k % bk or a % ba:
-        raise ValueError(f"shapes (M={m}, K={k}, A={a}) must tile by "
-                         f"(bm={bm}, bk={bk}, ba={ba}); pad at the caller")
-
-    grid = (k // bk, a // ba, m // bm)
-    return pl.pallas_call(
-        _projection_kernel_v2,
-        grid=grid,
-        in_specs=[
-            pl.BlockSpec((bm, ba), lambda j, r, i: (i, r)),
-            pl.BlockSpec((ba, 3), lambda j, r, i: (r, 0)),
-            pl.BlockSpec((ba, 3), lambda j, r, i: (r, 0)),
-            pl.BlockSpec((bk, 3), lambda j, r, i: (j, 0)),
-        ],
-        out_specs=[
-            pl.BlockSpec((bm, bk), lambda j, r, i: (i, j)),
-            pl.BlockSpec((bm, bk), lambda j, r, i: (i, j)),
-        ],
-        out_shape=[
-            jax.ShapeDtypeStruct((m, k), jnp.float32),
-            jax.ShapeDtypeStruct((m, k), jnp.float32),
-        ],
-        scratch_shapes=[pltpu.VMEM((ba, 2 * bk), jnp.float32)],
-        compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("parallel", "arbitrary", "arbitrary"),
+            vmem_limit_bytes=vmem_limit_bytes,
         ),
         interpret=interpret,
     )(data2d, mp_hi, mp_lo, k_vectors)

@@ -54,41 +54,3 @@ def test_shape_validation():
                               jnp.zeros((128, 3)), jnp.zeros((64, 3)),
                               bm=8, bk=64, ba=128, interpret=True)
 
-
-def test_projection_v2_matches_xla(small_problem):
-    from psa_tpu.ops.pallas_sed import sed_projection_pallas_v2
-    data, hi, lo, kv, _ = small_problem
-    n_t, n_a, _ = data.shape
-    data2d = np.transpose(data, (0, 2, 1)).reshape(n_t * 3, n_a)
-    re, im = sed_projection_pallas_v2(jnp.asarray(data2d), jnp.asarray(hi),
-                                      jnp.asarray(lo), jnp.asarray(kv),
-                                      bm=8, bk=64, ba=128, interpret=True)
-    cs = spectral._phase_table(jnp.asarray(hi), jnp.asarray(lo), jnp.asarray(kv))
-    proj = jnp.dot(jnp.asarray(data2d), cs,
-                   precision='highest', preferred_element_type=jnp.float32)
-    k = kv.shape[0]
-    np.testing.assert_allclose(np.asarray(re), np.asarray(proj[:, :k]),
-                               rtol=2e-5, atol=2e-4)
-    np.testing.assert_allclose(np.asarray(im), np.asarray(proj[:, k:]),
-                               rtol=2e-5, atol=2e-4)
-
-
-def test_projection_v2_multiple_m_blocks(small_problem):
-    """m is the innermost grid dim in v2 — the scratch [cos|sin] tile must be
-    regenerated exactly when the m loop restarts, never stale."""
-    from psa_tpu.ops.pallas_sed import sed_projection_pallas_v2
-    data, hi, lo, kv, _ = small_problem
-    n_t, n_a, _ = data.shape
-    data2d = np.transpose(data, (0, 2, 1)).reshape(n_t * 3, n_a)
-    # bm=4 -> 6 m-blocks; ba=128 -> 5 a-blocks; bk=32 -> 2 k-blocks
-    re, im = sed_projection_pallas_v2(jnp.asarray(data2d), jnp.asarray(hi),
-                                      jnp.asarray(lo), jnp.asarray(kv),
-                                      bm=4, bk=32, ba=128, interpret=True)
-    cs = spectral._phase_table(jnp.asarray(hi), jnp.asarray(lo), jnp.asarray(kv))
-    proj = jnp.dot(jnp.asarray(data2d), cs,
-                   precision='highest', preferred_element_type=jnp.float32)
-    k = kv.shape[0]
-    np.testing.assert_allclose(np.asarray(re), np.asarray(proj[:, :k]),
-                               rtol=2e-5, atol=2e-4)
-    np.testing.assert_allclose(np.asarray(im), np.asarray(proj[:, k:]),
-                               rtol=2e-5, atol=2e-4)
