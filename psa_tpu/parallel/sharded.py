@@ -253,17 +253,21 @@ def _write_rows_step(mesh: Mesh):
 
 
 @functools.lru_cache(maxsize=None)
-def _fft_step(mesh: Mesh, want_intensity: bool):
-    def fft_fn(proj_l):                                   # (n_t, 3, 2K/k)
+def _fft_step(mesh: Mesh, want_intensity: bool, filtered: bool):
+    def fft_fn(proj_l, *freq_idx):                        # (n_t, 3, 2K/k)
         re, im = spectral._fft_spectrum(proj_l, proj_l.shape[0])
+        if filtered:  # keep only the requested frequency rows (browse d2h)
+            re = jnp.take(re, freq_idx[0], axis=0)
+            im = jnp.take(im, freq_idx[0], axis=0)
         if want_intensity:
             return jnp.sum(re * re + im * im, axis=-1).astype(jnp.float32)
         return re, im
 
     out = P(None, AXIS_K) if want_intensity else (P(None, AXIS_K, None),
                                                   P(None, AXIS_K, None))
-    return jax.jit(jax.shard_map(fft_fn, mesh=mesh,
-                                 in_specs=P(None, None, AXIS_K),
+    in_specs = (P(None, None, AXIS_K), P(None)) if filtered \
+        else P(None, None, AXIS_K)
+    return jax.jit(jax.shard_map(fft_fn, mesh=mesh, in_specs=in_specs,
                                  out_specs=out, check_vma=False))
 
 
@@ -271,7 +275,8 @@ def sharded_sed_spectrum(mesh: Mesh, data, mean_pos64: np.ndarray,
                          k_vectors: np.ndarray, precision: str = 'parity',
                          want_intensity: bool = False,
                          t_superchunk: Optional[int] = None,
-                         prefetch: bool = True):
+                         prefetch: bool = True,
+                         freq_indices: Optional[np.ndarray] = None):
     """SED spectrum over a device mesh, streamed in time-superchunks.
 
     Args:
@@ -290,9 +295,13 @@ def sharded_sed_spectrum(mesh: Mesh, data, mean_pos64: np.ndarray,
             cannot.
         prefetch: overlap the next superchunk's host->device fill with the
             current superchunk's projection (double buffering).
+        freq_indices: optional (n_keep,) frequency-row indices — the spectrum
+            is filtered ON DEVICE and only the kept rows transfer to host
+            (the pod analog of the single-chip browse reduction).
 
     Returns:
-        Host NumPy: intensity (n_t, n_k) f32, or (re, im) pair of (n_t, n_k, 3).
+        Host NumPy: intensity (n_f, n_k) f32, or (re, im) pair of
+        (n_f, n_k, 3), where n_f = n_t or len(freq_indices).
         Padding added for divisibility is stripped before returning.
     """
     source = _as_source(data)
@@ -359,7 +368,12 @@ def sharded_sed_spectrum(mesh: Mesh, data, mean_pos64: np.ndarray,
             elif i + 1 < len(starts):
                 chunk = load(starts[i + 1])
 
-    out = _fft_step(mesh, want_intensity)(proj_full)
+    if freq_indices is not None:
+        idx = jax.device_put(np.asarray(freq_indices, dtype=np.int32),
+                             NamedSharding(mesh, P(None)))
+        out = _fft_step(mesh, want_intensity, True)(proj_full, idx)
+    else:
+        out = _fft_step(mesh, want_intensity, False)(proj_full)
 
     if want_intensity:
         return np.asarray(out)[:, :n_k]

@@ -183,3 +183,21 @@ class TestBoundedIngestion:
                                       t_superchunk=4)
         oracle = reference_sed_oracle(traj, k_vectors)
         assert np.max(np.abs(re + 1j * im - oracle)) / np.max(np.abs(oracle)) < 1e-6
+
+
+class TestFilteredReadback:
+    def test_freq_indices_filter_matches_full(self, traj):
+        mesh = make_mesh(shape=(2, 2, 2))
+        k_vectors = np.outer(np.linspace(0, 1.1, 5), [1, 0, 0]).astype(np.float32)
+        mean64 = traj.positions.astype(np.float64).mean(axis=0)
+        full_re, full_im = sharded_sed_spectrum(mesh, traj.velocities, mean64,
+                                                k_vectors)
+        idx = np.array([0, 2, 5, 7], dtype=np.int32)
+        re, im = sharded_sed_spectrum(mesh, traj.velocities, mean64, k_vectors,
+                                      freq_indices=idx)
+        np.testing.assert_allclose(re, full_re[idx], atol=0)
+        np.testing.assert_allclose(im, full_im[idx], atol=0)
+        inten = sharded_sed_spectrum(mesh, traj.velocities, mean64, k_vectors,
+                                     want_intensity=True, freq_indices=idx)
+        expected = np.sum(full_re[idx] ** 2 + full_im[idx] ** 2, axis=-1)
+        np.testing.assert_allclose(inten, expected, rtol=1e-6)
