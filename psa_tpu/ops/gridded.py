@@ -108,8 +108,15 @@ def plan_kgrid(mean_pos64: np.ndarray, kx_vals: np.ndarray, ky_vals: np.ndarray,
     n_atoms = mean_pos64.shape[0]
     gx, gy = len(kx_vals), len(ky_vals)
     if gx > 1:
-        dkx = float(kx_vals[1] - kx_vals[0])
-        if not np.allclose(np.diff(kx_vals), dkx, rtol=1e-6):
+        # Uniformity check tolerant of float32 quantization: grids from
+        # get_k_grid are f32 linspaces whose per-step jitter is ~eps·|k|,
+        # which easily exceeds a relative-diff test at fine spacings.  Fit
+        # the affine grid and bound the deviation by a few f32 ulps.
+        dkx = (float(kx_vals[-1]) - float(kx_vals[0])) / (gx - 1)
+        fit = float(kx_vals[0]) + dkx * np.arange(gx)
+        tol = 32 * np.finfo(np.float32).eps * max(
+            abs(float(kx_vals[0])), abs(float(kx_vals[-1])), abs(dkx))
+        if np.max(np.abs(np.asarray(kx_vals, dtype=np.float64) - fit)) > tol:
             raise ValueError("kx_vals must be uniformly spaced for the gridded path")
     else:
         dkx = 1.0

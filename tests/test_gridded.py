@@ -144,3 +144,21 @@ class TestPrecisionAndCache:
         finally:
             g.gridded_kgrid_spectrum = orig
         np.testing.assert_allclose(a.sed, b.sed, atol=0)
+
+
+def test_fine_f32_grid_accepted():
+    """Regression: 50+-point float32 linspaces carry ~eps*|k| per-step jitter
+    and used to be falsely rejected as non-uniform."""
+    rng = np.random.default_rng(2)
+    mean64 = rng.uniform(0, 50, (200, 3))
+    a0 = 5.43
+    kx = np.linspace(-2 * np.pi / a0, 2 * np.pi / a0, 50).astype(np.float32)
+    ky = np.linspace(-2 * np.pi / a0, 2 * np.pi / a0, 50).astype(np.float32)
+    plan = plan_kgrid(mean64, kx, ky)        # must not raise
+    data = rng.normal(size=(4, 200, 3)).astype(np.float32)
+    re, im = gridded_kgrid_spectrum(data, plan)
+    kv = np.stack([np.repeat(kx, 50), np.tile(ky, 50),
+                   np.zeros(2500, np.float32)], 1)
+    oracle = np.einsum('tac,ka->tkc', data.astype(np.float64),
+                       np.exp(1j * (kv.astype(np.float64) @ mean64.T)))
+    assert rel(re + 1j * im, oracle) < 1e-5  # affine-fit deviation is ~1e-6
