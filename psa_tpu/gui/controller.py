@@ -192,8 +192,15 @@ class AnalysisController:
                           k_chunk_size: int = 2048,
                           engine: str = 'auto',
                           reduced: bool = True) -> KGridState:
-        """``engine``: 'direct', 'gridded' (NUFFT), or 'auto' (gridded for
-        coherent sweeps over grids ≥ 100×100 where it measures faster).
+        """``engine``: 'direct', 'gridded' (NUFFT), or 'auto'.
+
+        'auto' resolves to DIRECT at every size: the round-2 crossover sweep
+        (scripts/tpu_campaign/endtoend_crossover.json, v5e, N=1e5, n_t=2500)
+        measured the device-reduced direct browse at ~3,800-3,960 k-points/s
+        from 50×50 through 150×150 while the gridded engine — which must ship
+        its full pre-FFT signal to host — never beat it (196 k-points/s at
+        50×50, 132 at 100×100 on this host link).  The gridded engine remains
+        selectable for hosts with fast PCIe where its ~Gx/12 FLOP cut can win.
 
         ``reduced`` (default): intensity and chiral phase are reduced on
         device and only the ω-filtered float32 planes transfer to host —
@@ -206,9 +213,7 @@ class AnalysisController:
                                            n_k1, n_k2, k_fixed_val=k_fixed)
         if chiral:
             summation_mode = 'coherent'
-        use_gridded = (engine == 'gridded'
-                       or (engine == 'auto' and summation_mode == 'coherent'
-                           and min(n_k1, n_k2) >= 100))
+        use_gridded = engine == 'gridded'
         if reduced and not use_gridded:
             freqs, intensity, phase = calc.calculate_kgrid_browse(
                 k_vecs, basis_atom_types=basis_atom_types,

@@ -324,7 +324,8 @@ def gridded_kgrid_spectrum(data: np.ndarray, plan: GridPlan,
     Args:
         data: (n_t, N, 3) float32 velocities/displacements (host).
         plan: from :func:`plan_kgrid`.
-        t_chunk: frames per device batch (None = all at once).
+        t_chunk: frames per device batch (None = sized so the spread
+            intermediates stay under ~2 GB).
         cell_chunk: fine-grid cells per weight-tensor chunk (None = sized so
             one chunk's weights stay under ~2 GB; the weight tensor for ALL
             cells is ~16·w·N·Gy bytes and cannot build at pod scale).
@@ -336,7 +337,11 @@ def gridded_kgrid_spectrum(data: np.ndarray, plan: GridPlan,
     """
     data = np.asarray(data) if not isinstance(data, jnp.ndarray) else data
     n_t, n_atoms, _ = data.shape
-    t_chunk = t_chunk or n_t
+    if t_chunk is None:
+        # Bound the (C, Tc, w·gy) spread intermediates (the largest transient:
+        # 2 of them, f32) to ~2 GB — unbounded Tc OOMs at ~130² grids.
+        per_frame = plan.n_cells * plan.w * plan.gy * 4 * 2
+        t_chunk = max(64, min(n_t, (2 << 30) // max(per_frame, 1)))
     if cell_chunk is None:
         cell_chunk = cells_per_chunk(plan)
     out_re = np.empty((n_t, plan.gx * plan.gy, 3), dtype=np.float32)
