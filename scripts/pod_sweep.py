@@ -53,7 +53,14 @@ def main():
                    default='parity')
     p.add_argument('--engine', choices=['sharded', 'gridded'], default='sharded',
                    help="'sharded' = multi-device mesh sweep; 'gridded' = "
-                        "single-device NUFFT engine (faster for grids >= ~100x100)")
+                        "single-device NUFFT engine (only competitive on "
+                        "fast-PCIe hosts; see docs/PERF_NOTES.md)")
+    p.add_argument('--browse', action='store_true',
+                   help='reduce to omega>=0 intensity ON DEVICE and store '
+                        'float32 planes instead of complex spectra '
+                        '(~12x less readback + disk; sharded engine only)')
+    p.add_argument('--max-freq', type=float, default=None,
+                   help='with --browse: also cap retained frequencies (THz)')
     p.add_argument('--out', default='pod_sweep_out')
     p.add_argument('--multihost', action='store_true',
                    help='initialize jax.distributed before building the mesh')
@@ -93,17 +100,33 @@ def main():
                                 else 'auto'))
     logger.info("mesh: %s over %d devices", dict(mesh.shape), len(jax.devices()))
 
+    if args.browse and args.engine != 'sharded':
+        p.error("--browse requires the sharded engine")
+    all_freqs = spectral.fftfreq_thz(traj.n_frames, traj.dt_ps)
+    freq_idx = None
+    if args.browse:
+        mask = all_freqs >= 0
+        if args.max_freq is not None:
+            mask &= all_freqs <= args.max_freq
+        freq_idx = np.flatnonzero(mask).astype(np.int32)
+
     cache = ShardedSEDCache(out_dir / "chunks", workload={
         'traj': trajectory_fingerprint(traj),
-        'k_vectors': k_vecs, 'mode': 'coherent-grid',
+        'k_vectors': k_vecs,
+        'mode': 'browse-intensity-grid' if args.browse else 'coherent-grid',
+        'max_freq': args.max_freq if args.browse else None,
         'precision': args.precision, 'mesh': str(dict(mesh.shape))})
 
     n_k = k_vecs.shape[0]
     chunk = args.k_chunk
     n_chunks = (n_k + chunk - 1) // chunk
     mean64 = calc.mean_positions64
-    freqs = spectral.fftfreq_thz(traj.n_frames, traj.dt_ps)
-    full = np.zeros((traj.n_frames, n_k, 3), dtype=np.complex64)
+    if args.browse:
+        freqs = all_freqs[freq_idx]
+        full = np.zeros((len(freq_idx), n_k), dtype=np.float32)
+    else:
+        freqs = all_freqs
+        full = np.zeros((traj.n_frames, n_k, 3), dtype=np.complex64)
 
     def bounds(ci):
         return ci * chunk, min((ci + 1) * chunk, n_k)
@@ -134,19 +157,30 @@ def main():
             s, e = bounds(ci)
             cached = cache.load(ci)
             if cached is not None and cached.shape[1] == e - s:
-                full[:, s:e, :] = cached
+                if args.browse:
+                    full[:, s:e] = cached
+                else:
+                    full[:, s:e, :] = cached
                 continue
-            re, im = sharded_sed_spectrum(mesh, traj.velocities, mean64,
-                                          k_vecs[s:e], precision=args.precision,
-                                          t_superchunk=args.t_superchunk)
-            block = (re + 1j * im).astype(np.complex64)
+            if args.browse:
+                block = sharded_sed_spectrum(
+                    mesh, traj.velocities, mean64, k_vecs[s:e],
+                    precision=args.precision, t_superchunk=args.t_superchunk,
+                    want_intensity=True, freq_indices=freq_idx)
+                full[:, s:e] = block
+            else:
+                re, im = sharded_sed_spectrum(
+                    mesh, traj.velocities, mean64, k_vecs[s:e],
+                    precision=args.precision, t_superchunk=args.t_superchunk)
+                block = (re + 1j * im).astype(np.complex64)
+                full[:, s:e, :] = block
             cache.store(ci, block)
-            full[:, s:e, :] = block
             computed += e - s
             logger.info("chunk %d/%d done (%d k-points)", ci + 1, n_chunks, e - s)
     dt = time.time() - t0
 
-    sed = SED(full, freqs, np.array([]), k_vecs, k_grid_shape=shape)
+    sed = SED(full, freqs, np.array([]), k_vecs, k_grid_shape=shape,
+              is_complex=not args.browse)
     sed.save(out_dir / "kgrid_sed")
     rep = throughput_report(n_k=max(computed, 1), seconds=max(dt, 1e-9),
                             n_atoms=traj.n_atoms, n_t=traj.n_frames)
