@@ -591,7 +591,9 @@ class SEDCalculator:
                                max_freq: Optional[float] = None,
                                chiral: bool = False, chiral_axis: str = 'z',
                                angle_range_opt: str = 'C',
-                               k_chunk_size: int = 2048):
+                               k_chunk_size: int = 2048,
+                               engine: str = 'direct',
+                               k_grid_shape: Optional[Tuple[int, int]] = None):
         """K-grid sweep reduced ON DEVICE to what a heatmap browser reads.
 
         The full complex spectrum of a large grid is ~10 GB of device->host
@@ -604,6 +606,12 @@ class SEDCalculator:
         Group semantics match :meth:`calculate`: coherent (or single-group)
         reduces the union group's complex spectrum; incoherent sums per-group
         intensities (chiral is meaningless there and raises).
+
+        ``engine='gridded'`` routes uniform grids through the NUFFT engine
+        with the same fused reduction (requires ``k_grid_shape``; coherent
+        only) — unlike :meth:`calculate_gridded`, the signal never crosses
+        the host boundary, so the engine's ~Gx/12 FLOP cut survives slow
+        host links.
 
         Returns:
             (freqs_kept (n_keep,), intensity (n_keep, n_k) f32,
@@ -626,6 +634,27 @@ class SEDCalculator:
             raise ValueError("Chiral phase needs a single complex spectrum; "
                              "use coherent summation.")
         comp_pair = spectral.CHIRAL_AXIS_COMPONENTS[chiral_axis] if chiral else None
+
+        if engine == 'gridded':
+            if not single_spectrum:
+                raise ValueError("engine='gridded' supports coherent "
+                                 "(single-spectrum) sweeps only.")
+            if k_grid_shape is None:
+                raise ValueError("engine='gridded' needs k_grid_shape.")
+            from ..ops import gridded
+            kx_vals, ky_vals, k_fixed, axes = self._detect_grid_axes(
+                np.asarray(k_vectors_3d, dtype=np.float32), k_grid_shape)
+            union = (np.unique(np.concatenate(atom_groups)).astype(int)
+                     if len(atom_groups) > 1 else atom_groups[0])
+            plan = gridded.plan_kgrid(self.mean_positions64[union], kx_vals,
+                                      ky_vals, k_fixed=k_fixed, axes=axes)
+            data_dev, _, _ = self._group_device_arrays(union)
+            intensity, phase = gridded.gridded_kgrid_browse(
+                data_dev, plan, freq_idx, comp_pair=comp_pair,
+                angle_range_opt=angle_range_opt, precision=self.precision)
+            return freqs_kept, intensity, phase
+        if engine != 'direct':
+            raise ValueError(f"engine must be 'direct' or 'gridded', got {engine!r}")
 
         num_k = len(k_vectors_3d)
         block = min(max(1, k_chunk_size), num_k) if num_k > 0 else 1
@@ -672,44 +701,24 @@ class SEDCalculator:
     # Gridded (NUFFT-accelerated) k-grid sweep
     # ------------------------------------------------------------------
 
-    def calculate_gridded(self, k_vectors_3d: np.ndarray,
-                          k_grid_shape: Tuple[int, int],
-                          basis_atom_indices=None, basis_atom_types=None,
-                          t_chunk: Optional[int] = None,
-                          cell_chunk: Optional[int] = None,
-                          cache_dir: Optional[Union[str, Path]] = None) -> SED:
-        """Coherent SED over a UNIFORM k-grid via the hybrid gridded engine.
+    @staticmethod
+    def _detect_grid_axes(k_vectors_3d: np.ndarray, k_grid_shape):
+        """Classify a tensor-product k-grid's columns as (slow, fast, fixed).
 
-        ~Gx/12 fewer FLOPs than :meth:`calculate` at ~1e-6 accuracy (exact
-        phases along the fast grid axis, Kaiser-Bessel NUFFT along the slow
-        axis; see :mod:`psa_tpu.ops.gridded`).  Restrictions: tensor-product
-        uniformly spaced grids (anything from :meth:`get_k_grid`), coherent
-        summation, one (union) atom group.
+        Detection is by which grid axis each component varies along.  A
+        degenerate grid (n1==1 or n2==1 from get_k_grid) leaves its plane
+        column globally constant — indistinguishable from the fixed column by
+        value — so unassigned roles are filled by the cyclic plane convention
+        get_k_grid uses (xy->(0,1,2), yz->(1,2,0), zx->(2,0,1)); any constant
+        column is a valid choice for a constant role, the convention just
+        makes it deterministic.
 
-        ``cell_chunk`` bounds the spreading-weight tensor (default ~2 GB per
-        chunk — the full tensor is ~16·w·N·Gy bytes and cannot build at
-        N=10⁶).  Matmuls honor the calculator's ``precision``.  ``cache_dir``
-        checkpoints the result (the engine is one-shot, so the cache is
-        all-or-nothing: a complete cached result is returned without
-        recomputing).
+        Returns (kx_vals f64, ky_vals f64, k_fixed, (slow, fast, fixed)).
         """
-        from ..ops import gridded
-
-        n_t = self.traj.n_frames
-        k_vectors_3d = np.asarray(k_vectors_3d, dtype=np.float32)
         n1, n2 = k_grid_shape
         if n1 * n2 != len(k_vectors_3d):
             raise ValueError("k_grid_shape does not match k_vectors_3d")
-
-        # Detect the slow/fast plane columns and the fixed column by which
-        # grid axis each component varies along.  A degenerate grid (n1==1 or
-        # n2==1 from get_k_grid) leaves its plane column globally constant —
-        # indistinguishable from the fixed column by value — so unassigned
-        # roles are filled by the cyclic plane convention get_k_grid uses
-        # (xy->(0,1,2), yz->(1,2,0), zx->(2,0,1)); any constant column is a
-        # valid choice for a constant role, the convention just makes it
-        # deterministic.
-        mat = k_vectors_3d.reshape(n1, n2, 3)
+        mat = np.asarray(k_vectors_3d, dtype=np.float32).reshape(n1, n2, 3)
         slow_col = fast_col = None
         for c in range(3):
             col = mat[:, :, c]
@@ -736,9 +745,40 @@ class SEDCalculator:
             fast_col, fixed_col = (slow_col + 1) % 3, (slow_col + 2) % 3
         else:                               # 1 x 1 grid
             slow_col, fast_col, fixed_col = 0, 1, 2
-        kx_vals = mat[:, 0, slow_col].astype(np.float64)
-        ky_vals = mat[0, :, fast_col].astype(np.float64)
-        k_fixed = float(mat[0, 0, fixed_col])
+        return (mat[:, 0, slow_col].astype(np.float64),
+                mat[0, :, fast_col].astype(np.float64),
+                float(mat[0, 0, fixed_col]),
+                (slow_col, fast_col, fixed_col))
+
+    def calculate_gridded(self, k_vectors_3d: np.ndarray,
+                          k_grid_shape: Tuple[int, int],
+                          basis_atom_indices=None, basis_atom_types=None,
+                          t_chunk: Optional[int] = None,
+                          cell_chunk: Optional[int] = None,
+                          cache_dir: Optional[Union[str, Path]] = None) -> SED:
+        """Coherent SED over a UNIFORM k-grid via the hybrid gridded engine.
+
+        ~Gx/12 fewer FLOPs than :meth:`calculate` at ~1e-6 accuracy (exact
+        phases along the fast grid axis, Kaiser-Bessel NUFFT along the slow
+        axis; see :mod:`psa_tpu.ops.gridded`).  Restrictions: tensor-product
+        uniformly spaced grids (anything from :meth:`get_k_grid`), coherent
+        summation, one (union) atom group.
+
+        ``cell_chunk`` bounds the spreading-weight tensor (default ~2 GB per
+        chunk — the full tensor is ~16·w·N·Gy bytes and cannot build at
+        N=10⁶).  Matmuls honor the calculator's ``precision``.  ``cache_dir``
+        checkpoints the result (the engine is one-shot, so the cache is
+        all-or-nothing: a complete cached result is returned without
+        recomputing).
+        """
+        from ..ops import gridded
+
+        n_t = self.traj.n_frames
+        k_vectors_3d = np.asarray(k_vectors_3d, dtype=np.float32)
+        n1, n2 = k_grid_shape
+
+        kx_vals, ky_vals, k_fixed, (slow_col, fast_col, fixed_col) = \
+            self._detect_grid_axes(k_vectors_3d, k_grid_shape)
 
         groups = self._resolve_atom_groups(basis_atom_indices, basis_atom_types,
                                            'coherent')

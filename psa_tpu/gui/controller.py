@@ -214,12 +214,14 @@ class AnalysisController:
         if chiral:
             summation_mode = 'coherent'
         use_gridded = engine == 'gridded'
-        if reduced and not use_gridded:
+        if reduced:
             freqs, intensity, phase = calc.calculate_kgrid_browse(
                 k_vecs, basis_atom_types=basis_atom_types,
                 summation_mode=summation_mode, max_freq=max_freq,
                 chiral=chiral, chiral_axis=chiral_axis,
-                k_chunk_size=k_chunk_size)
+                k_chunk_size=k_chunk_size,
+                engine='gridded' if use_gridded else 'direct',
+                k_grid_shape=shape)
             # Reduced container: carries the filtered intensity as a
             # non-complex SED (the browser only reads k_grid_shape from it).
             sed = SED(intensity, freqs, np.array([], dtype=np.float32), k_vecs,

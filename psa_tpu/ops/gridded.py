@@ -281,20 +281,23 @@ def _finish_grid(grid_re, grid_im, deconv_re, gx: int):
             jnp.imag(spec).astype(jnp.float32))
 
 
-def build_weights(plan: GridPlan, c0: int = 0, c1: Optional[int] = None
+def build_weights(plan: GridPlan, c0: int = 0, c1: Optional[int] = None,
+                  g0: int = 0, g1: Optional[int] = None
                   ) -> Tuple[np.ndarray, np.ndarray]:
-    """Host-side combined weight tensors W_re/W_im (c1-c0, P, w·Gy) f32 for
-    cells [c0, c1):
+    """Host-side combined weight tensors W_re/W_im (c1-c0, P, w·(g1-g0)) f32
+    for cells [c0, c1) and ky columns [g0, g1):
 
         W = (base · ψx_offset) ⊗ wy     (complex product, split re/im)
 
-    Built per cell-chunk so the full (n_cells, P, w·Gy) tensor — ~16·w·N·Gy
-    bytes, 60+ GB at the pod's N=10⁶ — never exists at once.
+    Built per cell-chunk (and optionally per ky-chunk) so the full
+    (n_cells, P, w·Gy) tensor — ~16·w·N·Gy bytes, 60+ GB at the pod's N=10⁶ —
+    never exists at once.
     """
     c1 = plan.base_re.shape[0] if c1 is None else c1
+    g1 = plan.gy if g1 is None else g1
     bwx_re = plan.base_re[c0:c1, :, None] * plan.wx[c0:c1]     # (Cc, P, w)
     bwx_im = plan.base_im[c0:c1, :, None] * plan.wx[c0:c1]
-    wy_re, wy_im = plan.wy_re[c0:c1], plan.wy_im[c0:c1]
+    wy_re, wy_im = plan.wy_re[c0:c1, :, g0:g1], plan.wy_im[c0:c1, :, g0:g1]
     w_re = (bwx_re[:, :, :, None] * wy_re[:, :, None, :]
             - bwx_im[:, :, :, None] * wy_im[:, :, None, :])
     w_im = (bwx_re[:, :, :, None] * wy_im[:, :, None, :]
@@ -312,6 +315,151 @@ def cells_per_chunk(plan: GridPlan, weight_bytes: int = DEFAULT_WEIGHT_BYTES) ->
     """Largest cell-chunk whose (W_re, W_im) pair fits ``weight_bytes``."""
     per_cell = 2 * 4 * plan.bucket_size * plan.w * plan.gy
     return max(1, min(plan.n_cells, weight_bytes // max(per_cell, 1)))
+
+
+@functools.partial(jax.jit, donate_argnums=(0, 1))
+def _write_sig_rows(sig_re, sig_im, re, im, row):
+    return (jax.lax.dynamic_update_slice(sig_re, re, (row, 0)),
+            jax.lax.dynamic_update_slice(sig_im, im, (row, 0)))
+
+
+@jax.jit
+def _fft_take(sig_re, sig_im, freq_idx):
+    spec = jnp.fft.fft(jax.lax.complex(sig_re, sig_im), axis=0) / sig_re.shape[0]
+    return (jnp.take(jnp.real(spec).astype(jnp.float32), freq_idx, axis=0),
+            jnp.take(jnp.imag(spec).astype(jnp.float32), freq_idx, axis=0))
+
+
+def gridded_kgrid_browse(data, plan: GridPlan, freq_idx: np.ndarray,
+                         comp_pair: Optional[Tuple[int, int]] = None,
+                         angle_range_opt: str = 'C',
+                         t_chunk: Optional[int] = None,
+                         cell_chunk: Optional[int] = None,
+                         gy_chunk: Optional[int] = None,
+                         precision: str = 'parity'):
+    """NUFFT k-grid sweep fused with the time FFT and browse reduction.
+
+    :func:`gridded_kgrid_spectrum` must ship its full pre-FFT signal to host
+    (the time FFT needs every frame), which is what erased the engine's
+    ~Gx/12 FLOP advantage on slow host links (43 k-points/s at 200² on a
+    0.007 GB/s tunnel).  Here the projected signal stays ON DEVICE in
+    ky-column blocks — assembled across time-chunks, FFT'd, filtered to
+    ``freq_idx`` rows and reduced to intensity (and the chiral phase for
+    ``comp_pair``) — so only the filtered float32 planes transfer.
+
+    Args:
+        data: (n_t, N, 3) float32 — host array or device-resident jax array.
+        plan: from :func:`plan_kgrid`.
+        freq_idx: (n_keep,) int32 retained frequency-row indices.
+        comp_pair: polarization pair for the chiral phase, or None.
+        gy_chunk: ky columns per device-resident signal block (None = sized
+            so the three per-polarization signal buffers stay under ~2 GB).
+
+    Returns:
+        (intensity (n_keep, Gx·Gy) f32, phase (n_keep, Gx·Gy) f32 or None).
+    """
+    data = np.asarray(data) if not isinstance(data, jnp.ndarray) else data
+    n_t = data.shape[0]
+    gx, gy = plan.gx, plan.gy
+    n_f = int(len(freq_idx))
+    n_cells, p = plan.base_re.shape
+    if cell_chunk is None:
+        cell_chunk = cells_per_chunk(plan)
+    cell_chunk = min(cell_chunk, n_cells)
+    cell_starts = list(range(0, n_cells, cell_chunk))
+    if gy_chunk is None:
+        per_col = 6 * n_t * gx * 4          # 3 pol x (re, im) f32 per ky col
+        gy_chunk = max(1, min(gy, (2 << 30) // max(per_col, 1)))
+    if t_chunk is None:
+        per_frame = n_cells * plan.w * min(gy_chunk, gy) * 4 * 2
+        t_chunk = max(64, min(n_t, (2 << 30) // max(per_frame, 1)))
+
+    dev = jax.device_put
+    data_dev = dev(data)
+    deconv = dev(plan.deconv_re)
+    freq_dev = jnp.asarray(np.asarray(freq_idx, dtype=np.int32))
+
+    inten_full = np.empty((n_f, gx, gy), dtype=np.float32)
+    phase_full = (np.empty((n_f, gx, gy), dtype=np.float32)
+                  if comp_pair is not None else None)
+
+    single = len(cell_starts) == 1 and gy_chunk >= gy
+    cached = None
+
+    def chunk_weights(c0, g0, g1):
+        c1 = min(c0 + cell_chunk, n_cells)
+        w_re_h, w_im_h = build_weights(plan, c0, c1, g0, g1)
+        if c1 - c0 < cell_chunk:
+            padc = cell_chunk - (c1 - c0)
+            w_re_h = np.pad(w_re_h, [(0, padc), (0, 0), (0, 0)])
+            w_im_h = np.pad(w_im_h, [(0, padc), (0, 0), (0, 0)])
+        return dev(w_re_h), dev(w_im_h)
+
+    def chunk_slots(c0):
+        c1 = min(c0 + cell_chunk, n_cells)
+        slots = np.zeros((cell_chunk, p), dtype=np.int32)
+        mask = np.zeros((cell_chunk, p), dtype=np.float32)
+        slots[:c1 - c0] = plan.atom_of_slot[c0:c1]
+        mask[:c1 - c0] = plan.pad_mask[c0:c1]
+        return dev(slots), dev(mask)
+
+    slot_cache = {c0: chunk_slots(c0) for c0 in cell_starts} \
+        if len(cell_starts) <= 16 else None
+
+    for g0 in range(0, gy, gy_chunk):
+        g1 = min(g0 + gy_chunk, gy)
+        gyc = g1 - g0
+        sigs = [(jnp.zeros((n_t, gx * gyc), jnp.float32),
+                 jnp.zeros((n_t, gx * gyc), jnp.float32)) for _ in range(3)]
+        for start in range(0, n_t, t_chunk):
+            stop = min(start + t_chunk, n_t)
+            tc = stop - start
+            grids = [(jnp.zeros((n_cells, tc, gyc), jnp.float32),
+                      jnp.zeros((n_cells, tc, gyc), jnp.float32))
+                     for _ in range(3)]
+            for c0 in cell_starts:
+                if single:
+                    if cached is None:
+                        cached = chunk_weights(c0, g0, g1)
+                    w_re, w_im = cached
+                else:
+                    w_re, w_im = chunk_weights(c0, g0, g1)
+                slots, mask = (slot_cache[c0] if slot_cache is not None
+                               else chunk_slots(c0))
+                win_start = c0 - (plan.w // 2 - 1)
+                for pol in range(3):
+                    win_re, win_im = _pack_and_spread(
+                        data_dev[start:stop, :, pol], slots, mask, w_re, w_im,
+                        gy=gyc, w=plan.w, precision=precision)
+                    grid_re, grid_im = grids[pol]
+                    grids[pol] = (_add_cyclic(grid_re, win_re, win_start),
+                                  _add_cyclic(grid_im, win_im, win_start))
+            for pol in range(3):
+                re, im = _finish_grid(grids[pol][0], grids[pol][1], deconv,
+                                      gx=gx)                   # (tc, gx, gyc)
+                sigs[pol] = _write_sig_rows(sigs[pol][0], sigs[pol][1],
+                                            re.reshape(tc, -1),
+                                            im.reshape(tc, -1), start)
+        inten_dev = jnp.zeros((n_f, gx * gyc), jnp.float32)
+        kept = {}
+        for pol in range(3):
+            re_f, im_f = _fft_take(sigs[pol][0], sigs[pol][1], freq_dev)
+            inten_dev = inten_dev + re_f * re_f + im_f * im_f
+            if comp_pair is not None and pol in comp_pair:
+                kept[pol] = (re_f, im_f)
+        sigs = None
+        inten_full[:, :, g0:g1] = np.asarray(inten_dev).reshape(n_f, gx, gyc)
+        if comp_pair is not None:
+            c1p, c2p = comp_pair
+            ph = spectral.chiral_phase(kept[c1p][0], kept[c1p][1],
+                                       kept[c2p][0], kept[c2p][1],
+                                       angle_range_opt=angle_range_opt)
+            phase_full[:, :, g0:g1] = np.asarray(ph).reshape(n_f, gx, gyc)
+
+    inten_out = inten_full.reshape(n_f, gx * gy)
+    phase_out = (phase_full.reshape(n_f, gx * gy)
+                 if phase_full is not None else None)
+    return inten_out, phase_out
 
 
 def gridded_kgrid_spectrum(data: np.ndarray, plan: GridPlan,

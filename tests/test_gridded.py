@@ -162,3 +162,63 @@ def test_fine_f32_grid_accepted():
     oracle = np.einsum('tac,ka->tkc', data.astype(np.float64),
                        np.exp(1j * (kv.astype(np.float64) @ mean64.T)))
     assert rel(re + 1j * im, oracle) < 1e-5  # affine-fit deviation is ~1e-6
+
+
+class TestGriddedBrowse:
+    """Fused NUFFT + time FFT + browse reduction, all on device."""
+
+    @pytest.fixture(scope='class')
+    def setup(self, traj):
+        calc = SEDCalculator(traj, nx=4, ny=3, nz=2)
+        _, k_vecs, shape = calc.get_k_grid('xy', (-1.2, 1.2), (-0.8, 0.8),
+                                           10, 8, k_fixed_val=0.3)
+        return calc, k_vecs, shape
+
+    def test_matches_direct_browse(self, setup):
+        calc, k_vecs, shape = setup
+        f_d, i_d, _ = calc.calculate_kgrid_browse(k_vecs)
+        f_g, i_g, p_g = calc.calculate_kgrid_browse(k_vecs, engine='gridded',
+                                                    k_grid_shape=shape)
+        np.testing.assert_allclose(f_g, f_d)
+        assert rel(i_g, i_d) < 1e-5
+        assert p_g is None
+
+    def test_chiral_and_max_freq(self, setup):
+        calc, k_vecs, shape = setup
+        f_d, i_d, p_d = calc.calculate_kgrid_browse(k_vecs, max_freq=10.0,
+                                                    chiral=True, chiral_axis='z')
+        f_g, i_g, p_g = calc.calculate_kgrid_browse(k_vecs, max_freq=10.0,
+                                                    chiral=True, chiral_axis='z',
+                                                    engine='gridded',
+                                                    k_grid_shape=shape)
+        np.testing.assert_allclose(f_g, f_d)
+        assert rel(i_g, i_d) < 1e-5
+        # phase compares where intensity is non-negligible (phases of ~zero
+        # amplitudes are noise in both engines)
+        sig = i_d > 1e-6 * i_d.max()
+        np.testing.assert_allclose(p_g[sig], p_d[sig], rtol=0, atol=1e-3)
+
+    def test_chunked_paths_match(self, traj):
+        calc = SEDCalculator(traj, nx=4, ny=3, nz=2)
+        _, k_vecs, shape = calc.get_k_grid('xy', (-1, 1), (-1, 1), 8, 6)
+        from psa_tpu.ops.gridded import gridded_kgrid_browse
+        union = np.arange(traj.n_atoms)
+        kx, ky, kf, axes = calc._detect_grid_axes(k_vecs, shape)
+        plan = plan_kgrid(calc.mean_positions64, kx, ky, k_fixed=kf, axes=axes)
+        freq_idx = np.arange(0, traj.n_frames // 2, dtype=np.int32)
+        ref_i, _ = gridded_kgrid_browse(traj.velocities, plan, freq_idx)
+        for kwargs in ({'t_chunk': 7}, {'cell_chunk': 3}, {'gy_chunk': 2},
+                       {'t_chunk': 5, 'cell_chunk': 4, 'gy_chunk': 3}):
+            got_i, _ = gridded_kgrid_browse(traj.velocities, plan, freq_idx,
+                                            **kwargs)
+            assert rel(got_i, ref_i) < 1e-5, kwargs
+
+    def test_requires_shape_and_coherent(self, setup):
+        calc, k_vecs, shape = setup
+        with pytest.raises(ValueError, match="k_grid_shape"):
+            calc.calculate_kgrid_browse(k_vecs, engine='gridded')
+        with pytest.raises(ValueError, match="coherent"):
+            calc.calculate_kgrid_browse(k_vecs, engine='gridded',
+                                        k_grid_shape=shape,
+                                        basis_atom_types=[1, 2],
+                                        summation_mode='incoherent')
