@@ -129,3 +129,118 @@ long psa_parse_table_select(const char *buf, long len, long n_rows, long n_cols,
     }
     return n_rows * n_sel;
 }
+
+/* ------------------------------------------------------------------------
+ * Whole-file parallel dump ingestion.
+ *
+ * psa_scan_dump: one sequential pass locating every frame's ATOMS body
+ * (byte ranges) — bounded by memory bandwidth, not parsing.
+ * psa_parse_blocks: a pthread pool converts all bodies in parallel with the
+ * hand-rolled number parser above, each frame writing into its own slice of
+ * one preallocated (n_frames x vals_per_frame) float64 buffer, so the
+ * gigabytes-of-ASCII -> floats stage scales with cores instead of running
+ * under the Python GIL one frame at a time.
+ * ---------------------------------------------------------------------- */
+#include <pthread.h>
+#include <string.h>
+
+static const char *find_line(const char *buf, long len, long from,
+                             const char *needle, long nlen) {
+    const char *p = buf + from;
+    const char *end = buf + len;
+    while (p < end) {
+        const char *nl = memchr(p, '\n', (size_t)(end - p));
+        long linelen = nl ? (long)(nl - p) : (long)(end - p);
+        if (linelen >= nlen && memcmp(p, needle, (size_t)nlen) == 0)
+            return p;
+        if (!nl) break;
+        p = nl + 1;
+    }
+    return 0;
+}
+
+/* Locate frames: for each "ITEM: ATOMS" header, record the body byte range
+ * [start, end) (end = next "ITEM:" line or EOF) and the header line range so
+ * the caller can read the column list.  Returns the frame count (may exceed
+ * max_frames; only the first max_frames entries are filled). */
+long psa_scan_dump(const char *buf, long len,
+                   long *body_start, long *body_end,
+                   long *hdr_start, long *hdr_end, long max_frames) {
+    long n = 0;
+    long pos = 0;
+    while (pos < len) {
+        const char *hdr = find_line(buf, len, pos, "ITEM: ATOMS", 11);
+        if (!hdr) break;
+        const char *hnl = memchr(hdr, '\n', (size_t)(len - (hdr - buf)));
+        long bstart = hnl ? (long)(hnl - buf) + 1 : len;
+        const char *nxt = find_line(buf, len, bstart, "ITEM:", 5);
+        long bend = nxt ? (long)(nxt - buf) : len;
+        if (n < max_frames) {
+            hdr_start[n] = (long)(hdr - buf);
+            hdr_end[n] = bstart - 1;
+            body_start[n] = bstart;
+            body_end[n] = bend;
+        }
+        n++;
+        pos = bend;
+    }
+    return n;
+}
+
+typedef struct {
+    const char *buf;
+    const long *starts;
+    const long *ends;
+    long n_frames;
+    long vals_per_frame;
+    double *out;
+    long next;                /* shared work index */
+    pthread_mutex_t lock;
+    long error;               /* -(frame+1) on first failure */
+} parse_job;
+
+static void *parse_worker(void *arg) {
+    parse_job *job = (parse_job *)arg;
+    for (;;) {
+        pthread_mutex_lock(&job->lock);
+        long f = job->next++;
+        long err = job->error;
+        pthread_mutex_unlock(&job->lock);
+        if (f >= job->n_frames || err) break;
+        long got = psa_parse_doubles(job->buf + job->starts[f],
+                                     job->ends[f] - job->starts[f],
+                                     job->out + f * job->vals_per_frame,
+                                     job->vals_per_frame);
+        if (got != job->vals_per_frame) {
+            pthread_mutex_lock(&job->lock);
+            if (!job->error) job->error = -(f + 1);
+            pthread_mutex_unlock(&job->lock);
+            break;
+        }
+    }
+    return 0;
+}
+
+/* Parse every frame body into out (n_frames x vals_per_frame, row-major).
+ * Returns 0, or -(frame+1) for the first frame whose body did not contain
+ * exactly vals_per_frame numbers. */
+long psa_parse_blocks(const char *buf, const long *starts, const long *ends,
+                      long n_frames, long vals_per_frame, double *out,
+                      long n_threads) {
+    if (n_threads < 1) n_threads = 1;
+    if (n_threads > 64) n_threads = 64;
+    if (n_threads > n_frames) n_threads = n_frames;
+    parse_job job = {buf, starts, ends, n_frames, vals_per_frame, out,
+                     0, PTHREAD_MUTEX_INITIALIZER, 0};
+    pthread_t tids[64];
+    long spawned = 0;
+    for (long t = 0; t < n_threads; t++) {
+        if (pthread_create(&tids[t], 0, parse_worker, &job) != 0) break;
+        spawned++;
+    }
+    if (spawned == 0)
+        parse_worker(&job);
+    for (long t = 0; t < spawned; t++)
+        pthread_join(tids[t], 0);
+    return job.error;
+}

@@ -79,6 +79,9 @@ class GridPlan:
     slot_cell: np.ndarray      # (n_cells,) == arange (bucket b covers cell b)
     pad_mask: np.ndarray       # (n_cells, P) f32 1/0 valid-slot mask
     atom_of_slot: np.ndarray   # (n_cells, P) i32 atom feeding each slot (0 if pad)
+    y_hi: np.ndarray           # (n_cells, P) f32 hi word of packed y coords
+    y_lo: np.ndarray           # (n_cells, P) f32 lo word (double-single split)
+    ky_vals: np.ndarray        # (Gy,) f64 fast-axis grid values
     wx: np.ndarray             # (n_cells, P, w) f32 window weights (masked)
     base_re: np.ndarray        # (n_cells, P) f32 Re exp(i(kx0·x + kf·z))
     base_im: np.ndarray        # (n_cells, P) f32
@@ -153,6 +156,9 @@ def plan_kgrid(mean_pos64: np.ndarray, kx_vals: np.ndarray, ky_vals: np.ndarray,
     pad_mask = packed(np.ones(n_atoms))
     atom_of_slot = np.zeros((n_cells, bucket_size), dtype=np.int32)
     atom_of_slot[cell_sorted, slot_of] = order
+    y_packed64 = packed(y[order])
+    y_hi = y_packed64.astype(np.float32)
+    y_lo = (y_packed64 - y_hi.astype(np.float64)).astype(np.float32)
 
     offsets = np.arange(-(w // 2 - 1), w // 2 + 1)        # e.g. -3..4
     # window weights per atom/offset: ψ(cell + off − ux)
@@ -186,7 +192,8 @@ def plan_kgrid(mean_pos64: np.ndarray, kx_vals: np.ndarray, ky_vals: np.ndarray,
 
     return GridPlan(order=order, n_cells=n_cells, bucket_size=bucket_size,
                     slot_cell=np.arange(n_cells), pad_mask=pad_mask.astype(np.float32),
-                    atom_of_slot=atom_of_slot,
+                    atom_of_slot=atom_of_slot, y_hi=y_hi, y_lo=y_lo,
+                    ky_vals=np.asarray(ky_vals, dtype=np.float64),
                     wx=wx.astype(np.float32),
                     base_re=base_re.astype(np.float32), base_im=base_im.astype(np.float32),
                     wy_re=wy_re.astype(np.float32), wy_im=wy_im.astype(np.float32),
@@ -317,10 +324,59 @@ def cells_per_chunk(plan: GridPlan, weight_bytes: int = DEFAULT_WEIGHT_BYTES) ->
     return max(1, min(plan.n_cells, weight_bytes // max(per_cell, 1)))
 
 
-@functools.partial(jax.jit, donate_argnums=(0, 1))
-def _write_sig_rows(sig_re, sig_im, re, im, row):
-    return (jax.lax.dynamic_update_slice(sig_re, re, (row, 0)),
-            jax.lax.dynamic_update_slice(sig_im, im, (row, 0)))
+@functools.partial(jax.jit, static_argnames=('gy', 'w'))
+def _device_weights(base_re, base_im, wx, y_hi, y_lo, ky, gy: int, w: int):
+    """Build one cell-chunk's spreading weights ON DEVICE.
+
+    The host-side :func:`build_weights` materializes ~16·w·N·Gy bytes of
+    numpy and ships them over the host link every call — which dominated the
+    gridded sweep on slow links (weights are as big as the trajectory).
+    Here only N-sized packed tables cross the link once (base phases, window
+    weights, split y coordinates); the exact-y phase factors come from the
+    same compensated-angle machinery as the direct engine, and the ⊗ products
+    run on the VPU.
+
+    Args:
+        base_re/base_im: (Cc, P) f32 packed Re/Im of exp(i(kx0·x + kf·z + m0·φ)).
+        wx: (Cc, P, w) f32 packed Kaiser-Bessel window weights.
+        y_hi/y_lo: (Cc, P) f32 double-single split of the packed y coords.
+        ky: (gy,) f32 fast-axis grid values.
+
+    Returns:
+        (W_re, W_im) of shape (Cc, P, w·gy) f32.
+    """
+    cc, p = base_re.shape
+    zeros = jnp.zeros((cc * p, 2), jnp.float32)
+    mp_hi3 = jnp.concatenate([y_hi.reshape(-1, 1), zeros], axis=1)
+    mp_lo3 = jnp.concatenate([y_lo.reshape(-1, 1), zeros], axis=1)
+    kv3 = jnp.concatenate([ky.reshape(-1, 1), jnp.zeros((gy, 2), jnp.float32)],
+                          axis=1)
+    ang = spectral._accurate_angles(mp_hi3, mp_lo3, kv3)      # (Cc·P, gy)
+    wy_re = jnp.cos(ang).reshape(cc, p, gy)
+    wy_im = jnp.sin(ang).reshape(cc, p, gy)
+    bwx_re = base_re[:, :, None] * wx                          # (Cc, P, w)
+    bwx_im = base_im[:, :, None] * wx
+    w_re = (bwx_re[:, :, :, None] * wy_re[:, :, None, :]
+            - bwx_im[:, :, :, None] * wy_im[:, :, None, :])
+    w_im = (bwx_re[:, :, :, None] * wy_im[:, :, None, :]
+            + bwx_im[:, :, :, None] * wy_re[:, :, None, :])
+    return (w_re.reshape(cc, p, w * gy), w_im.reshape(cc, p, w * gy))
+
+
+def _add_cyclic_rows(grid: jnp.ndarray, window: jnp.ndarray, start: int,
+                     t0: int) -> jnp.ndarray:
+    """grid[(start + i) % C, t0:t0+Tc] += window[i] (device, eager ops)."""
+    c = grid.shape[0]
+    tc = window.shape[1]
+    length = window.shape[0]
+    start %= c
+    i = 0
+    while i < length:
+        n = min(length - i, c - start)
+        grid = grid.at[start:start + n, t0:t0 + tc].add(window[i:i + n])
+        i += n
+        start = (start + n) % c
+    return grid
 
 
 @jax.jit
@@ -368,10 +424,13 @@ def gridded_kgrid_browse(data, plan: GridPlan, freq_idx: np.ndarray,
     cell_chunk = min(cell_chunk, n_cells)
     cell_starts = list(range(0, n_cells, cell_chunk))
     if gy_chunk is None:
-        per_col = 6 * n_t * gx * 4          # 3 pol x (re, im) f32 per ky col
+        # bound the 3-pol full-time grid accumulators (the largest residents)
+        per_col = 6 * n_t * n_cells * 4
         gy_chunk = max(1, min(gy, (2 << 30) // max(per_col, 1)))
+    gyc_max = min(gy_chunk, gy)
     if t_chunk is None:
-        per_frame = n_cells * plan.w * min(gy_chunk, gy) * 4 * 2
+        # bound the (Cc, Tc, w·gyc) spread transients
+        per_frame = cell_chunk * plan.w * gyc_max * 4 * 2
         t_chunk = max(64, min(n_t, (2 << 30) // max(per_frame, 1)))
 
     dev = jax.device_put
@@ -383,71 +442,61 @@ def gridded_kgrid_browse(data, plan: GridPlan, freq_idx: np.ndarray,
     phase_full = (np.empty((n_f, gx, gy), dtype=np.float32)
                   if comp_pair is not None else None)
 
-    single = len(cell_starts) == 1 and gy_chunk >= gy
-    cached = None
-
-    def chunk_weights(c0, g0, g1):
+    # N-sized packed tables cross the host link ONCE; weight tiles are built
+    # on device per cell-chunk (see _device_weights) and reused across every
+    # time-chunk and polarization.
+    def chunk_packed(c0):
         c1 = min(c0 + cell_chunk, n_cells)
-        w_re_h, w_im_h = build_weights(plan, c0, c1, g0, g1)
-        if c1 - c0 < cell_chunk:
-            padc = cell_chunk - (c1 - c0)
-            w_re_h = np.pad(w_re_h, [(0, padc), (0, 0), (0, 0)])
-            w_im_h = np.pad(w_im_h, [(0, padc), (0, 0), (0, 0)])
-        return dev(w_re_h), dev(w_im_h)
+        def padc(arr, extra=()):
+            out = np.zeros((cell_chunk, p) + extra, dtype=arr.dtype)
+            out[:c1 - c0] = arr[c0:c1]
+            return dev(out)
+        return {'slots': padc(plan.atom_of_slot), 'mask': padc(plan.pad_mask),
+                'base_re': padc(plan.base_re), 'base_im': padc(plan.base_im),
+                'wx': padc(plan.wx, (plan.w,)),
+                'y_hi': padc(plan.y_hi), 'y_lo': padc(plan.y_lo)}
 
-    def chunk_slots(c0):
-        c1 = min(c0 + cell_chunk, n_cells)
-        slots = np.zeros((cell_chunk, p), dtype=np.int32)
-        mask = np.zeros((cell_chunk, p), dtype=np.float32)
-        slots[:c1 - c0] = plan.atom_of_slot[c0:c1]
-        mask[:c1 - c0] = plan.pad_mask[c0:c1]
-        return dev(slots), dev(mask)
-
-    slot_cache = {c0: chunk_slots(c0) for c0 in cell_starts} \
-        if len(cell_starts) <= 16 else None
+    packed_tabs = {c0: chunk_packed(c0) for c0 in cell_starts}
 
     for g0 in range(0, gy, gy_chunk):
         g1 = min(g0 + gy_chunk, gy)
         gyc = g1 - g0
-        sigs = [(jnp.zeros((n_t, gx * gyc), jnp.float32),
-                 jnp.zeros((n_t, gx * gyc), jnp.float32)) for _ in range(3)]
-        for start in range(0, n_t, t_chunk):
-            stop = min(start + t_chunk, n_t)
-            tc = stop - start
-            grids = [(jnp.zeros((n_cells, tc, gyc), jnp.float32),
-                      jnp.zeros((n_cells, tc, gyc), jnp.float32))
-                     for _ in range(3)]
-            for c0 in cell_starts:
-                if single:
-                    if cached is None:
-                        cached = chunk_weights(c0, g0, g1)
-                    w_re, w_im = cached
-                else:
-                    w_re, w_im = chunk_weights(c0, g0, g1)
-                slots, mask = (slot_cache[c0] if slot_cache is not None
-                               else chunk_slots(c0))
-                win_start = c0 - (plan.w // 2 - 1)
+        ky_dev = dev(plan.ky_vals[g0:g1].astype(np.float32))
+        # full-time grid accumulators so each cell-chunk's device weights are
+        # built once and reused by every (t-chunk, polarization)
+        grids = [(jnp.zeros((n_cells, n_t, gyc), jnp.float32),
+                  jnp.zeros((n_cells, n_t, gyc), jnp.float32))
+                 for _ in range(3)]
+        for c0 in cell_starts:
+            tabs = packed_tabs[c0]
+            w_re, w_im = _device_weights(tabs['base_re'], tabs['base_im'],
+                                         tabs['wx'], tabs['y_hi'],
+                                         tabs['y_lo'], ky_dev,
+                                         gy=gyc, w=plan.w)
+            win_start = c0 - (plan.w // 2 - 1)
+            for start in range(0, n_t, t_chunk):
+                stop = min(start + t_chunk, n_t)
                 for pol in range(3):
                     win_re, win_im = _pack_and_spread(
-                        data_dev[start:stop, :, pol], slots, mask, w_re, w_im,
-                        gy=gyc, w=plan.w, precision=precision)
+                        data_dev[start:stop, :, pol], tabs['slots'],
+                        tabs['mask'], w_re, w_im, gy=gyc, w=plan.w,
+                        precision=precision)
                     grid_re, grid_im = grids[pol]
-                    grids[pol] = (_add_cyclic(grid_re, win_re, win_start),
-                                  _add_cyclic(grid_im, win_im, win_start))
-            for pol in range(3):
-                re, im = _finish_grid(grids[pol][0], grids[pol][1], deconv,
-                                      gx=gx)                   # (tc, gx, gyc)
-                sigs[pol] = _write_sig_rows(sigs[pol][0], sigs[pol][1],
-                                            re.reshape(tc, -1),
-                                            im.reshape(tc, -1), start)
+                    grids[pol] = (
+                        _add_cyclic_rows(grid_re, win_re, win_start, start),
+                        _add_cyclic_rows(grid_im, win_im, win_start, start))
+            del w_re, w_im
         inten_dev = jnp.zeros((n_f, gx * gyc), jnp.float32)
         kept = {}
         for pol in range(3):
-            re_f, im_f = _fft_take(sigs[pol][0], sigs[pol][1], freq_dev)
+            re, im = _finish_grid(grids[pol][0], grids[pol][1], deconv,
+                                  gx=gx)                       # (n_t, gx, gyc)
+            grids[pol] = None
+            re_f, im_f = _fft_take(re.reshape(n_t, -1), im.reshape(n_t, -1),
+                                   freq_dev)
             inten_dev = inten_dev + re_f * re_f + im_f * im_f
             if comp_pair is not None and pol in comp_pair:
                 kept[pol] = (re_f, im_f)
-        sigs = None
         inten_full[:, :, g0:g1] = np.asarray(inten_dev).reshape(n_f, gx, gyc)
         if comp_pair is not None:
             c1p, c2p = comp_pair

@@ -269,3 +269,57 @@ class TestMassColumn:
         k_mags, k_vecs = calc.get_k_path('x', 0.5, 3, lat_param=10.0)
         sed = calc.calculate(k_mags, k_vecs)
         assert np.all(np.isfinite(sed.intensity))
+
+
+class TestBulkDumpParser:
+    """Native parallel whole-file parser vs the streaming per-frame reader."""
+
+    def _write_dump(self, tmp_path, n_frames=5, n_atoms=17, vel=True, seed=3):
+        rng = np.random.default_rng(seed)
+        path = tmp_path / "bulk.dump"
+        with open(path, "w") as f:
+            for t in range(n_frames):
+                f.write(f"ITEM: TIMESTEP\n{t * 10}\nITEM: NUMBER OF ATOMS\n{n_atoms}\n")
+                f.write("ITEM: BOX BOUNDS pp pp pp\n0 12\n0 13\n0 14\n")
+                cols = "id type x y z" + (" vx vy vz" if vel else "")
+                f.write(f"ITEM: ATOMS {cols}\n")
+                order = rng.permutation(n_atoms)      # shuffled ids
+                for a in order:
+                    row = [a + 1, (a % 2) + 1] + list(rng.uniform(0, 12, 3))
+                    if vel:
+                        row += list(rng.normal(0, 1, 3))
+                    f.write(" ".join(f"{v:.6f}" if isinstance(v, float) else str(v)
+                                     for v in row) + "\n")
+        return path
+
+    def test_bulk_matches_streaming(self, tmp_path, monkeypatch):
+        from psa_tpu.io import lammps as L
+        monkeypatch.setenv('PSA_BULK_PARSER', '1')   # gate opens on >=4 cores
+        path = self._write_dump(tmp_path)
+        if not native.bulk_dump_available():
+            pytest.skip("native parallel parser unavailable")
+        bulk = read_lammps_dump(path, unwrap=True, with_masses=True)
+        monkeypatch.setattr(L, '_read_dump_bulk', lambda *a, **k: None)
+        stream = read_lammps_dump(path, unwrap=True, with_masses=True)
+        for b, s in zip(bulk, stream):
+            if b is None:
+                assert s is None
+            else:
+                np.testing.assert_allclose(b, s, atol=0)
+
+    def test_bulk_no_velocities(self, tmp_path, monkeypatch):
+        monkeypatch.setenv('PSA_BULK_PARSER', '1')
+        path = self._write_dump(tmp_path, vel=False)
+        pos, vel_arr, types, steps, box = read_lammps_dump(path, unwrap=False)
+        assert np.all(vel_arr == 0)
+        np.testing.assert_array_equal(steps, [0, 10, 20, 30, 40])
+
+    def test_malformed_frame_falls_back(self, tmp_path, monkeypatch):
+        """A truncated body must not crash the bulk path — the streaming
+        reader takes over and reports the real error."""
+        monkeypatch.setenv('PSA_BULK_PARSER', '1')
+        path = self._write_dump(tmp_path, n_frames=3)
+        text = path.read_text().splitlines(keepends=True)
+        path.write_text("".join(text[:-2]))    # drop 2 atom rows of last frame
+        with pytest.raises(ValueError):
+            read_lammps_dump(path)
