@@ -324,6 +324,40 @@ def sed_grid_browse(data: jnp.ndarray, mp_hi: jnp.ndarray, mp_lo: jnp.ndarray,
                          angle_range_opt=angle_range_opt)
 
 
+@functools.partial(jax.jit,
+                   static_argnames=('precision', 'comp_pair', 'angle_range_opt'))
+def sed_grid_browse_scan(data: jnp.ndarray, mp_hi: jnp.ndarray,
+                         mp_lo: jnp.ndarray, k_chunks: jnp.ndarray,
+                         freq_idx: jnp.ndarray, precision: str = 'parity',
+                         comp_pair: Optional[Tuple[int, int]] = None,
+                         angle_range_opt: str = 'C'):
+    """Whole-sweep browse in ONE dispatch: :func:`sed_grid_browse` mapped
+    over a stack of fixed-size k-chunks with ``lax.map``.
+
+    On runtimes with high per-dispatch latency (remote/tunneled TPUs), a
+    Python chunk loop costs one round trip per chunk; here the entire
+    multi-chunk sweep — phase tables, projections, FFTs, reductions —
+    executes as a single compiled program, with the per-chunk phase table
+    (the only large transient) reused in place across iterations.
+
+    Args:
+        k_chunks: (n_chunks, block, 3) float32 stacked k-vector chunks
+            (pad the tail chunk with zeros; padded rows are discarded by the
+            caller).
+
+    Returns:
+        (intensity (n_chunks, n_keep, block) f32,
+         phase (n_chunks, n_keep, block) f32 or None).
+    """
+    def one(kc):
+        return sed_grid_browse(data, mp_hi, mp_lo, kc, freq_idx,
+                               precision=precision, comp_pair=comp_pair,
+                               angle_range_opt=angle_range_opt)
+
+    inten, ph = lax.map(one, k_chunks)
+    return inten, ph
+
+
 # ---------------------------------------------------------------------------
 # Chiral phase (reference sed_calculator.py:338-371), fully vectorized.
 # ---------------------------------------------------------------------------

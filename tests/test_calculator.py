@@ -488,3 +488,35 @@ class TestKGridBrowse:
         with pytest.raises(ValueError, match="coherent"):
             calc.calculate_kgrid_browse(k_vecs, basis_atom_types=[1, 2],
                                         summation_mode='incoherent', chiral=True)
+
+
+class TestBrowseScanPath:
+    """Multi-chunk browses take the single-dispatch lax.map path; it must
+    match the per-chunk path exactly."""
+
+    def test_scan_matches_loop(self):
+        traj = make_random_crystal_trajectory(n_cells_xyz=(3, 2, 2), basis=2,
+                                              n_frames=16, dt_ps=0.02, seed=13)
+        calc = SEDCalculator(traj, nx=3, ny=2, nz=2)
+        _, k_vecs, shape = calc.get_k_grid('xy', (-1, 1), (-1, 1), 13, 11)
+        # k_chunk_size=40 -> padded block 64, 143 points -> 4 chunks (scan)
+        f_s, i_s, p_s = calc.calculate_kgrid_browse(k_vecs, k_chunk_size=40,
+                                                    chiral=True, chiral_axis='y')
+        # huge chunk -> 1 chunk -> per-chunk loop path
+        f_l, i_l, p_l = calc.calculate_kgrid_browse(k_vecs, k_chunk_size=4096,
+                                                    chiral=True, chiral_axis='y')
+        np.testing.assert_allclose(f_s, f_l)
+        np.testing.assert_allclose(i_s, i_l, rtol=1e-6, atol=1e-8)
+        np.testing.assert_allclose(p_s, p_l, rtol=0, atol=1e-5)
+
+    def test_scan_skipped_for_streamed_groups(self):
+        """Groups over the device budget must fall back to the per-chunk
+        (atom-streamed) path and still be correct."""
+        traj = make_random_crystal_trajectory(n_cells_xyz=(3, 2, 2), basis=2,
+                                              n_frames=16, dt_ps=0.02, seed=13)
+        small = SEDCalculator(traj, nx=3, ny=2, nz=2, max_device_bytes=1 << 12)
+        big = SEDCalculator(traj, nx=3, ny=2, nz=2)
+        _, k_vecs, _ = small.get_k_grid('xy', (-1, 1), (-1, 1), 9, 9)
+        f1, i1, _ = small.calculate_kgrid_browse(k_vecs, k_chunk_size=30)
+        f2, i2, _ = big.calculate_kgrid_browse(k_vecs, k_chunk_size=30)
+        np.testing.assert_allclose(i1, i2, rtol=2e-5, atol=1e-8)
