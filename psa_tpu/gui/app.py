@@ -83,6 +83,7 @@ class PSAMainWindow:
         v.k_fixed_var = tk.DoubleVar(value=0.0)
         v.grid_max_freq_var = tk.StringVar(value='')
         v.grid_chiral_var = tk.BooleanVar(value=False)
+        v.grid_engine_var = tk.StringVar(value='auto')
 
         v.scale_var = tk.StringVar(value='dsqrt')
         v.cmap_var = tk.StringVar(value='inferno')
@@ -216,6 +217,11 @@ class PSAMainWindow:
                               "reference reused the kx-max entry for this)")
         labeled_entry(ggrid, "Max freq (THz):", self.grid_max_freq_var, row=8,
                       tooltip="Blank = keep all positive frequencies")
+        labeled_combo(ggrid, "Engine:", self.grid_engine_var,
+                      ('auto', 'direct', 'gridded'), row=9,
+                      tooltip="auto = direct (never loses on this hardware); "
+                              "gridded = NUFFT engine for uniform grids on "
+                              "fast-PCIe hosts (see docs/PERF_NOTES.md)")
         ttk.Checkbutton(gf, text="Chiral phase on grid",
                         variable=self.grid_chiral_var).pack(anchor='w', padx=4)
         self.grid_btn = ttk.Button(gf, text="Calculate k-grid", state='disabled',
@@ -463,7 +469,8 @@ class PSAMainWindow:
                     basis_atom_types=self._basis_types(),
                     summation_mode=self.mode_var.get(),
                     chiral=self.grid_chiral_var.get(),
-                    chiral_axis=self.chiral_axis_var.get())
+                    chiral_axis=self.chiral_axis_var.get(),
+                    engine=self.grid_engine_var.get())
                 err = None
             except Exception as e:
                 err = str(e)
