@@ -187,3 +187,65 @@ def make_diatomic_chain_trajectory(n_cells: int = 32, n_frames: int = 512,
                       timesteps=np.arange(n_frames, dtype=np.float32),
                       box_matrix=box, box_lengths=lengths, box_tilts=tilts,
                       dt_ps=dt_ps, masses=masses)
+
+
+def square_lattice_dispersion(kx: np.ndarray, ky: np.ndarray, a: float = 2.5,
+                              nu_max_thz: float = 10.0) -> np.ndarray:
+    """Analytic dispersion surface of the nearest-neighbor square lattice:
+
+        ν(k) = ν_max · √( sin²(kx a/2) + sin²(ky a/2) ) / √2      (THz)
+
+    ν_max is the zone-corner (M-point) frequency.
+    """
+    return nu_max_thz * np.sqrt(
+        (np.sin(kx * a / 2.0) ** 2 + np.sin(ky * a / 2.0) ** 2) / 2.0)
+
+
+def make_square_lattice_trajectory(n_cells: int = 16, n_frames: int = 256,
+                                   dt_ps: float = 0.01, a: float = 2.5,
+                                   nu_max_thz: float = 10.0, seed: int = 0
+                                   ) -> Trajectory:
+    """2D square monatomic lattice (z-polarized modes) with the analytic
+    dispersion of :func:`square_lattice_dispersion` — the grid-engine
+    analog of :func:`make_chain_trajectory`: the k-GRID SED of this
+    trajectory must peak on ν(kx, ky) at every reciprocal-lattice-allowed
+    grid point.
+
+    Atoms sit on (i·a, j·a, 0); each allowed mode k = 2π(m, n)/(N a)
+    contributes z displacement u(t) = A cos(k·r − 2π ν t + φ).
+    """
+    rng = np.random.default_rng(seed + 1)
+    n_atoms = n_cells * n_cells
+    ii, jj = np.meshgrid(np.arange(n_cells), np.arange(n_cells), indexing='ij')
+    r = np.stack([ii.ravel() * a, jj.ravel() * a], axis=1).astype(np.float64)
+
+    # all allowed modes except Γ (no restoring force there)
+    ms, ns = np.meshgrid(np.arange(n_cells), np.arange(n_cells), indexing='ij')
+    sel = ~((ms == 0) & (ns == 0))
+    kxy = (2.0 * np.pi / (n_cells * a)) * np.stack(
+        [ms[sel].ravel(), ns[sel].ravel()], axis=1)             # (M, 2)
+    nu = square_lattice_dispersion(kxy[:, 0], kxy[:, 1], a, nu_max_thz)
+    amps = rng.uniform(0.5, 1.0, size=len(kxy)) * 0.01
+    phases = rng.uniform(0, 2 * np.pi, size=len(kxy))
+
+    t = np.arange(n_frames, dtype=np.float64) * dt_ps
+    arg = (r @ kxy.T)[None, :, :] - 2 * np.pi * nu[None, None, :] * t[:, None, None] \
+        + phases[None, None, :]
+    disp_z = np.sum(amps[None, None, :] * np.cos(arg), axis=-1)   # (T, N)
+    vel_z = np.sum(amps[None, None, :] * 2 * np.pi * nu[None, None, :]
+                   * np.sin(arg), axis=-1)
+
+    positions = np.zeros((n_frames, n_atoms, 3), dtype=np.float32)
+    velocities = np.zeros((n_frames, n_atoms, 3), dtype=np.float32)
+    positions[:, :, 0] = r[None, :, 0]
+    positions[:, :, 1] = r[None, :, 1]
+    positions[:, :, 2] = disp_z.astype(np.float32)
+    velocities[:, :, 2] = vel_z.astype(np.float32)
+
+    box = np.diag([n_cells * a, n_cells * a, 10.0]).astype(np.float32)
+    lengths, tilts = make_box_arrays(box)
+    return Trajectory(
+        positions=positions, velocities=velocities,
+        types=np.ones(n_atoms, dtype=np.int32),
+        timesteps=np.arange(n_frames, dtype=np.float32),
+        box_matrix=box, box_lengths=lengths, box_tilts=tilts, dt_ps=dt_ps)

@@ -520,3 +520,52 @@ class TestBrowseScanPath:
         f1, i1, _ = small.calculate_kgrid_browse(k_vecs, k_chunk_size=30)
         f2, i2, _ = big.calculate_kgrid_browse(k_vecs, k_chunk_size=30)
         np.testing.assert_allclose(i1, i2, rtol=2e-5, atol=1e-8)
+
+
+class TestSquareLatticePhysics:
+    """2D grid-engine physics oracle: the k-grid SED of a synthetic square
+    lattice must peak on the analytic dispersion surface ν(kx, ky) at every
+    allowed grid point — through the direct browse, the fused gridded browse,
+    and the full calculate() path."""
+
+    @pytest.fixture(scope='class')
+    def lattice(self):
+        from psa_tpu.models import make_square_lattice_trajectory
+        n_cells = 12
+        traj = make_square_lattice_trajectory(n_cells=n_cells, n_frames=256,
+                                              dt_ps=0.01, a=2.5,
+                                              nu_max_thz=10.0, seed=4)
+        calc = SEDCalculator(traj, nx=n_cells, ny=n_cells, nz=1)
+        # grid exactly on the allowed modes: k = 2π m / (N a), m = 0..N/2
+        kmax = 2 * np.pi / 2.5 / 2          # zone boundary π/a
+        n_half = n_cells // 2 + 1
+        _, k_vecs, shape = calc.get_k_grid('xy', (0.0, kmax), (0.0, kmax),
+                                           n_half, n_half)
+        return traj, calc, k_vecs, shape
+
+    def _check_peaks(self, freqs, intensity, k_vecs, traj):
+        from psa_tpu.models import square_lattice_dispersion
+        analytic = square_lattice_dispersion(k_vecs[:, 0], k_vecs[:, 1],
+                                             a=2.5, nu_max_thz=10.0)
+        peak = freqs[np.argmax(intensity, axis=0)]
+        df = 1.0 / (traj.n_frames * traj.dt_ps)
+        ok = analytic > df          # skip Γ (no mode content below resolution)
+        assert np.all(np.abs(peak[ok] - analytic[ok]) <= df + 1e-6), \
+            np.max(np.abs(peak[ok] - analytic[ok]))
+
+    def test_direct_browse_peaks_on_surface(self, lattice):
+        traj, calc, k_vecs, shape = lattice
+        freqs, inten, _ = calc.calculate_kgrid_browse(k_vecs)
+        self._check_peaks(freqs, inten, k_vecs, traj)
+
+    def test_gridded_browse_peaks_on_surface(self, lattice):
+        traj, calc, k_vecs, shape = lattice
+        freqs, inten, _ = calc.calculate_kgrid_browse(k_vecs, engine='gridded',
+                                                      k_grid_shape=shape)
+        self._check_peaks(freqs, inten, k_vecs, traj)
+
+    def test_full_calculate_peaks_on_surface(self, lattice):
+        traj, calc, k_vecs, shape = lattice
+        sed = calc.calculate(np.array([]), k_vecs, k_grid_shape=shape)
+        mask = sed.freqs >= 0
+        self._check_peaks(sed.freqs[mask], sed.intensity[mask], k_vecs, traj)
