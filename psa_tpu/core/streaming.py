@@ -33,8 +33,28 @@ from .sed import SED
 logger = logging.getLogger(__name__)
 
 
-def _mean_positions_pass(dump_path: Path) -> Tuple[np.ndarray, int, np.ndarray]:
+def _open_mmap_source(dump_path: Path):
+    """Native chunked random-access source, or None (fall back to the
+    line iterator)."""
+    try:
+        return lammps_io.MmapDumpFrames(dump_path)
+    except (ValueError, OSError) as e:
+        logger.info("Native mmap dump source unavailable for %s (%s); "
+                    "using the line iterator.", Path(dump_path).name, e)
+        return None
+
+
+def _mean_positions_pass(dump_path: Path, source=None,
+                         frame_chunk: int = 128
+                         ) -> Tuple[np.ndarray, int, np.ndarray]:
     """One streaming pass: (mean_pos64, n_frames, types)."""
+    if source is not None:
+        acc = np.zeros((source.n_atoms, 3), dtype=np.float64)
+        for i in range(0, source.n_frames, frame_chunk):
+            j = min(i + frame_chunk, source.n_frames)
+            pos, _ = source.frames(i, j)
+            acc += pos.astype(np.float64).sum(axis=0)
+        return acc / source.n_frames, source.n_frames, source.types
     acc = None
     count = 0
     types = None
@@ -79,9 +99,13 @@ def sed_from_dump_streaming(dump_path, dt_ps: float, k_vectors: np.ndarray,
     k_vectors = np.asarray(k_vectors, dtype=np.float32)
     n_k = k_vectors.shape[0]
 
+    source = _open_mmap_source(dump_path)
     if mean_pos64 is None:
         logger.info("Streaming pass 1/2: mean positions over %s", dump_path.name)
-        mean_pos64, n_t, _ = _mean_positions_pass(dump_path)
+        mean_pos64, n_t, _ = _mean_positions_pass(dump_path, source=source,
+                                                  frame_chunk=frame_chunk)
+    elif source is not None:
+        n_t = source.n_frames
     else:
         n_t = sum(1 for _ in lammps_io.iter_lammps_frames(dump_path))
     mp_hi, mp_lo = spectral.split_f64(mean_pos64)
@@ -95,37 +119,55 @@ def sed_from_dump_streaming(dump_path, dt_ps: float, k_vectors: np.ndarray,
                 "(projected signal: %.2f GB)", n_t, frame_chunk,
                 proj_host.nbytes / 1e9)
 
-    buf = None
-    filled = 0
-    row = 0
-
-    def flush(buf, filled, row):
-        chunk = buf[:filled]
-        if filled < buf.shape[0]:  # pad to the compiled chunk shape
+    def flush(chunk, filled, row):
+        if filled < chunk.shape[0]:  # pad to the compiled chunk shape
             chunk = np.concatenate(
-                [chunk, np.zeros((buf.shape[0] - filled,) + buf.shape[1:], np.float32)])
+                [chunk[:filled],
+                 np.zeros((chunk.shape[0] - filled,) + chunk.shape[1:],
+                          np.float32)])
         out = _project_chunk(jnp.asarray(chunk), cs)
         proj_host[row:row + filled] = np.asarray(out)[:filled]
         return row + filled
 
-    for frame in lammps_io.iter_lammps_frames(dump_path):
-        if buf is None:
-            n_atoms = frame.positions.shape[0]
-            buf = np.empty((frame_chunk, n_atoms, 3), dtype=np.float32)
-        if use_displacements:
-            data = (frame.positions.astype(np.float64) - mean_pos64).astype(np.float32)
-        else:
-            if frame.velocities is None:
-                raise ValueError(f"{dump_path.name} has no velocity columns; "
-                                 "use use_displacements=True")
-            data = frame.velocities
-        buf[filled] = data
-        filled += 1
-        if filled == frame_chunk:
+    row = 0
+    if source is not None:
+        # native path: parallel-parsed frame windows straight off the mmap
+        if not use_displacements and not source.has_velocities:
+            raise ValueError(f"{dump_path.name} has no velocity columns; "
+                             "use use_displacements=True")
+        buf = np.zeros((frame_chunk, source.n_atoms, 3), dtype=np.float32)
+        for i in range(0, n_t, frame_chunk):
+            j = min(i + frame_chunk, n_t)
+            pos, vel = source.frames(i, j)
+            if use_displacements:
+                buf[:j - i] = (pos.astype(np.float64)
+                               - mean_pos64[None]).astype(np.float32)
+            else:
+                buf[:j - i] = vel
+            row = flush(buf, j - i, row)
+        source.close()
+    else:
+        buf = None
+        filled = 0
+        for frame in lammps_io.iter_lammps_frames(dump_path):
+            if buf is None:
+                n_atoms = frame.positions.shape[0]
+                buf = np.empty((frame_chunk, n_atoms, 3), dtype=np.float32)
+            if use_displacements:
+                data = (frame.positions.astype(np.float64)
+                        - mean_pos64).astype(np.float32)
+            else:
+                if frame.velocities is None:
+                    raise ValueError(f"{dump_path.name} has no velocity columns; "
+                                     "use use_displacements=True")
+                data = frame.velocities
+            buf[filled] = data
+            filled += 1
+            if filled == frame_chunk:
+                row = flush(buf, filled, row)
+                filled = 0
+        if filled:
             row = flush(buf, filled, row)
-            filled = 0
-    if filled:
-        row = flush(buf, filled, row)
     assert row == n_t, (row, n_t)
 
     # FFT on device (rows already there is not retained; re-upload in k-chunks

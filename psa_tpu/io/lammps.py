@@ -169,6 +169,91 @@ def unwrap_positions(positions: np.ndarray, box_matrix: np.ndarray) -> np.ndarra
     return (unwrapped_frac @ h.T).astype(np.float32)     # r = H s
 
 
+class MmapDumpFrames:
+    """Chunked random access to a consistent-layout dump without loading it.
+
+    The file is memory-mapped (copy-on-write pages; the OS reads only what a
+    chunk touches) and scanned once with the native frame locator; frame
+    ranges then parse on demand through the parallel C parser.  This is the
+    out-of-core text-ingest backend: a TB-scale dump streams through
+    ``frames(i, j)`` windows in O(window) memory.
+
+    Raises ValueError when the native library is unavailable or the dump's
+    layout varies between frames (callers fall back to the line iterator).
+    """
+
+    def __init__(self, filepath: Path):
+        import mmap as _mmap
+        if not native.bulk_dump_available():
+            raise ValueError("native parallel parser unavailable")
+        self.filepath = Path(filepath)
+        self._fh = open(self.filepath, 'rb')
+        self._mm = _mmap.mmap(self._fh.fileno(), 0, access=_mmap.ACCESS_COPY)
+        scan = native.scan_dump(self._mm)
+        if scan is None or len(scan[0]) == 0:
+            raise ValueError(f"no frames found in {filepath}")
+        self._bs, self._be, hs, he = scan
+        hdr0 = bytes(self._mm[hs[0]:he[0]])
+        for i in range(1, len(hs)):
+            if bytes(self._mm[hs[i]:he[i]]) != hdr0:
+                raise ValueError("per-frame column layouts differ")
+        self.columns = hdr0.decode('ascii', errors='replace').split()[2:]
+        self._col_idx = {c: i for i, c in enumerate(self.columns)}
+        body0 = bytes(self._mm[self._bs[0]:self._be[0]])
+        self.n_atoms = body0.count(b'\n') + (0 if body0.endswith(b'\n')
+                                             or not body0 else 1)
+        self.n_frames = len(self._bs)
+        prelude = bytes(self._mm[:hs[0]]).decode('ascii',
+                                                 errors='replace').splitlines()
+        self.box_matrix = None
+        for i, ln in enumerate(prelude):
+            if ln.startswith('ITEM: BOX BOUNDS'):
+                self.box_matrix = _parse_box(prelude[i + 1:i + 4], 'xy' in ln)
+                break
+        if self.box_matrix is None:
+            raise ValueError("no BOX BOUNDS before the first frame")
+        self._pos_cols = None
+        self._scaled = False
+        for cand in _POS_CANDIDATES:
+            if all(c in self._col_idx for c in cand):
+                self._pos_cols = [self._col_idx[c] for c in cand]
+                self._scaled = cand[0] == 'xs'
+                break
+        if self._pos_cols is None:
+            raise ValueError(f"no position columns in {self.columns}")
+        self.has_velocities = all(c in self._col_idx for c in _VEL_COLS)
+        f0 = self._table(0, 1)[0]
+        self.types = (f0[:, self._col_idx['type']].astype(np.int32)
+                      if 'type' in self._col_idx
+                      else np.ones(self.n_atoms, dtype=np.int32))
+
+    def _table(self, i: int, j: int) -> np.ndarray:
+        tbl = native.parse_blocks(self._mm, self._bs[i:j], self._be[i:j],
+                                  self.n_atoms * len(self.columns))
+        tbl = tbl.reshape(j - i, self.n_atoms, len(self.columns))
+        if 'id' in self._col_idx:
+            ids = tbl[:, :, self._col_idx['id']]
+            if np.any(np.diff(ids, axis=1) <= 0):
+                order = np.argsort(ids.astype(np.int64), axis=1, kind='stable')
+                tbl = np.take_along_axis(tbl, order[:, :, None], axis=1)
+        return tbl
+
+    def frames(self, i: int, j: int):
+        """(positions (j-i, N, 3) f32, velocities (j-i, N, 3) f32 or None)
+        for the frame window [i, j)."""
+        tbl = self._table(i, j)
+        pos = tbl[:, :, self._pos_cols].astype(np.float32)
+        if self._scaled:
+            pos = (pos @ self.box_matrix.T).astype(np.float32)
+        vel = (tbl[:, :, [self._col_idx[c] for c in _VEL_COLS]].astype(np.float32)
+               if self.has_velocities else None)
+        return pos, vel
+
+    def close(self):
+        self._mm.close()
+        self._fh.close()
+
+
 def _read_dump_bulk(filepath: Path, unwrap: bool):
     """Whole-file parallel ingestion through the native library.
 

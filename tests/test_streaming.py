@@ -72,3 +72,36 @@ def test_streaming_precomputed_mean(dump_with_velocities):
     b = sed_from_dump_streaming(dump, 0.02, k_vecs)
     # pass-1 mean from text positions vs exact mean: tiny differences only
     assert np.abs(a.sed - b.sed).max() / np.abs(b.sed).max() < 1e-3
+
+
+def test_mmap_source_matches_iterator(dump_with_velocities):
+    """The native mmap frame source must produce identical windows to the
+    line iterator."""
+    from psa_tpu.io import native
+    from psa_tpu.io.lammps import MmapDumpFrames, iter_lammps_frames
+    dump, traj = dump_with_velocities
+    if not native.bulk_dump_available():
+        pytest.skip("native parallel parser unavailable")
+    src = MmapDumpFrames(dump)
+    assert src.n_frames == traj.n_frames and src.n_atoms == traj.n_atoms
+    frames = list(iter_lammps_frames(dump))
+    pos, vel = src.frames(10, 23)
+    for k, f in enumerate(frames[10:23]):
+        np.testing.assert_allclose(pos[k], f.positions, atol=0)
+        np.testing.assert_allclose(vel[k], f.velocities, atol=0)
+    np.testing.assert_array_equal(src.types, frames[0].types)
+    src.close()
+
+
+def test_streaming_without_native_matches(dump_with_velocities, monkeypatch):
+    """Force the line-iterator fallback; results must match the native path."""
+    import psa_tpu.core.streaming as S
+    dump, traj = dump_with_velocities
+    calc = SEDCalculator(traj, nx=12, ny=1, nz=1)
+    k_mags, k_vecs = calc.get_k_path('x', bz_coverage=0.5, n_k=5)
+    native_sed = sed_from_dump_streaming(dump, dt_ps=0.02, k_vectors=k_vecs,
+                                         frame_chunk=16)
+    monkeypatch.setattr(S, '_open_mmap_source', lambda p: None)
+    fallback_sed = sed_from_dump_streaming(dump, dt_ps=0.02, k_vectors=k_vecs,
+                                           frame_chunk=16)
+    np.testing.assert_allclose(native_sed.sed, fallback_sed.sed, atol=1e-7)
