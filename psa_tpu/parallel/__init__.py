@@ -1,6 +1,6 @@
 """Multi-device sharding: mesh construction, sharded SED sweeps."""
-from .sharded import (ArrayBlockSource, BlockSource, make_mesh, mesh_shape_for,
-                      sharded_sed_spectrum)
+from .sharded import (ArrayBlockSource, BlockSource, DumpBlockSource,
+                      make_mesh, mesh_shape_for, sharded_sed_spectrum)
 
-__all__ = ["ArrayBlockSource", "BlockSource", "make_mesh", "mesh_shape_for",
-           "sharded_sed_spectrum"]
+__all__ = ["ArrayBlockSource", "BlockSource", "DumpBlockSource", "make_mesh",
+           "mesh_shape_for", "sharded_sed_spectrum"]

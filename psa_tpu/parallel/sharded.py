@@ -175,6 +175,65 @@ class ArrayBlockSource(BlockSource):
         return np.asarray(self._data[t0:t1, a0:a1, :], dtype=np.float32)
 
 
+class DumpBlockSource(BlockSource):
+    """Blocks parsed on demand from a LAMMPS text dump — text straight into
+    the mesh, no intermediate .npy conversion.
+
+    Backed by :class:`psa_tpu.io.lammps.MmapDumpFrames` (native scan +
+    parallel parse over a copy-on-write mmap).  Atom shards of the same time
+    window share one parse through a single-window memo, so a (t, a, k) mesh
+    costs one parse per time window, not one per device.
+
+    Args:
+        filepath: dump path (must have velocities unless ``field='positions'``).
+        field: 'velocities' (default) or 'positions'.
+    """
+
+    def __init__(self, filepath, field: str = 'velocities'):
+        from ..io.lammps import MmapDumpFrames
+        if field not in ('velocities', 'positions'):
+            raise ValueError("field must be 'velocities' or 'positions'")
+        self._src = MmapDumpFrames(filepath)
+        if field == 'velocities' and not self._src.has_velocities:
+            raise ValueError(f"{filepath} has no velocity columns; use "
+                             "field='positions' with displacement-mode SED")
+        self._field = field
+        self.n_frames = self._src.n_frames
+        self.n_atoms = self._src.n_atoms
+        self._memo_key = None
+        self._memo = None
+        self._memo_lock = threading.Lock()
+
+    @property
+    def types(self):
+        return self._src.types
+
+    @property
+    def box_matrix(self):
+        return self._src.box_matrix
+
+    def mean_positions64(self, frame_chunk: int = 256) -> np.ndarray:
+        """Streaming f64 mean of the positions (one pass over the dump)."""
+        acc = np.zeros((self.n_atoms, 3), dtype=np.float64)
+        for i in range(0, self.n_frames, frame_chunk):
+            j = min(i + frame_chunk, self.n_frames)
+            pos, _ = self._src.frames(i, j)
+            acc += pos.astype(np.float64).sum(axis=0)
+        return acc / self.n_frames
+
+    def read_block(self, t0, t1, a0, a1):
+        with self._memo_lock:
+            if self._memo_key != (t0, t1):
+                pos, vel = self._src.frames(t0, t1)
+                self._memo = pos if self._field == 'positions' else vel
+                self._memo_key = (t0, t1)
+            return np.ascontiguousarray(self._memo[:, a0:a1, :],
+                                        dtype=np.float32)
+
+    def close(self):
+        self._src.close()
+
+
 def _as_source(data) -> BlockSource:
     return data if isinstance(data, BlockSource) else ArrayBlockSource(data)
 
@@ -375,7 +434,17 @@ def sharded_sed_spectrum(mesh: Mesh, data, mean_pos64: np.ndarray,
     else:
         out = _fft_step(mesh, want_intensity, False)(proj_full)
 
+    def fetch(arr):
+        # Multi-process meshes shard k across hosts: the output is not fully
+        # addressable, so gather it before materializing on every host (the
+        # spectra are tiny next to the trajectory).
+        if jax.process_count() > 1 and not arr.is_fully_addressable:
+            from jax.experimental import multihost_utils
+            return np.asarray(multihost_utils.process_allgather(
+                arr, tiled=True))
+        return np.asarray(arr)
+
     if want_intensity:
-        return np.asarray(out)[:, :n_k]
+        return fetch(out)[:, :n_k]
     re, im = out
-    return np.asarray(re)[:, :n_k, :], np.asarray(im)[:, :n_k, :]
+    return fetch(re)[:, :n_k, :], fetch(im)[:, :n_k, :]

@@ -201,3 +201,38 @@ class TestFilteredReadback:
                                      want_intensity=True, freq_indices=idx)
         expected = np.sum(full_re[idx] ** 2 + full_im[idx] ** 2, axis=-1)
         np.testing.assert_allclose(inten, expected, rtol=1e-6)
+
+
+class TestDumpBlockSource:
+    """Text dump -> sharded mesh with no .npy conversion in between."""
+
+    def test_dump_feeds_mesh(self, traj, tmp_path):
+        from psa_tpu.io import native
+        from psa_tpu.parallel import DumpBlockSource
+        if not native.bulk_dump_available():
+            pytest.skip("native parallel parser unavailable")
+        dump = tmp_path / "mesh.dump"
+        with open(dump, "w") as f:
+            for t in range(traj.n_frames):
+                f.write(f"ITEM: TIMESTEP\n{t}\nITEM: NUMBER OF ATOMS\n{traj.n_atoms}\n")
+                f.write("ITEM: BOX BOUNDS pp pp pp\n")
+                for d in range(3):
+                    f.write(f"0.0 {traj.box_matrix[d, d]:.6f}\n")
+                f.write("ITEM: ATOMS id type x y z vx vy vz\n")
+                for a in range(traj.n_atoms):
+                    p, v = traj.positions[t, a], traj.velocities[t, a]
+                    f.write(f"{a+1} {traj.types[a]} "
+                            f"{p[0]:.8f} {p[1]:.8f} {p[2]:.8f} "
+                            f"{v[0]:.8f} {v[1]:.8f} {v[2]:.8f}\n")
+        src = DumpBlockSource(dump)
+        assert src.n_frames == traj.n_frames and src.n_atoms == traj.n_atoms
+        mesh = make_mesh(shape=(2, 2, 2))
+        k_vectors = np.outer(np.linspace(0, 1.0, 5), [1, 0, 0]).astype(np.float32)
+        mean64 = src.mean_positions64()
+        re, im = sharded_sed_spectrum(mesh, src, mean64, k_vectors,
+                                      t_superchunk=4)
+        src.close()
+        oracle = reference_sed_oracle(traj, k_vectors)
+        # velocities round-trip through 8-decimal text
+        err = np.max(np.abs(re + 1j * im - oracle)) / np.max(np.abs(oracle))
+        assert err < 1e-5, err
