@@ -212,6 +212,10 @@ class DumpBlockSource(BlockSource):
     def box_matrix(self):
         return self._src.box_matrix
 
+    def frames(self, i: int, j: int):
+        """(positions, velocities) window passthrough (see MmapDumpFrames)."""
+        return self._src.frames(i, j)
+
     def mean_positions64(self, frame_chunk: int = 256) -> np.ndarray:
         """Streaming f64 mean of the positions (one pass over the dump)."""
         acc = np.zeros((self.n_atoms, 3), dtype=np.float64)

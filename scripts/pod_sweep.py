@@ -59,6 +59,10 @@ def main():
                    help='reduce to omega>=0 intensity ON DEVICE and store '
                         'float32 planes instead of complex spectra '
                         '(~12x less readback + disk; sharded engine only)')
+    p.add_argument('--from-dump', action='store_true',
+                   help='stream the text dump straight into the mesh via the '
+                        'native parallel parser (no .npy conversion pass; '
+                        'sharded engine only)')
     p.add_argument('--max-freq', type=float, default=None,
                    help='with --browse: also cap retained frequencies (THz)')
     p.add_argument('--out', default='pod_sweep_out')
@@ -76,33 +80,58 @@ def main():
     from psa_tpu.io.loader import TrajectoryLoader
     from psa_tpu.io.shard_cache import ShardedSEDCache, trajectory_fingerprint
     from psa_tpu.ops import spectral
-    from psa_tpu.parallel import make_mesh, sharded_sed_spectrum
+    from psa_tpu.core.trajectory import Trajectory, make_box_arrays
+    from psa_tpu.parallel import DumpBlockSource, make_mesh, sharded_sed_spectrum
     from psa_tpu.utils.profiling import throughput_report
 
     out_dir = Path(args.out)
     out_dir.mkdir(parents=True, exist_ok=True)
 
-    traj = TrajectoryLoader(args.trajectory, dt=args.dt, mmap=True).load()
-    logger.info("trajectory: %d frames x %d atoms (memory-mapped)",
-                traj.n_frames, traj.n_atoms)
-    if not np.any(traj.velocities):
-        logger.warning("velocities are all zero (dump without vx/vy/vz?) — "
-                       "the velocity-SED of this sweep will be zero; "
-                       "re-dump with velocities or use displacement mode")
+    if args.browse and args.engine != 'sharded':
+        p.error("--browse requires the sharded engine")
+    if args.from_dump and args.engine != 'sharded':
+        p.error("--from-dump requires the sharded engine")
+
+    if args.from_dump:
+        # text straight into the mesh: no .npy conversion, no host residency
+        source = DumpBlockSource(args.trajectory)
+        pos0, _ = source.frames(0, 1)
+        lengths, tilts = make_box_arrays(source.box_matrix)
+        traj = Trajectory(pos0, np.zeros_like(pos0), source.types,
+                          np.zeros(1, dtype=np.float32),
+                          box_matrix=source.box_matrix, box_lengths=lengths,
+                          box_tilts=tilts, dt_ps=args.dt)
+        n_frames, n_atoms = source.n_frames, source.n_atoms
+        data = source
+        mean64 = source.mean_positions64()
+        traj_key = f"dump:{Path(args.trajectory).stat().st_size}:{n_frames}x{n_atoms}"
+        logger.info("trajectory: %d frames x %d atoms (native text streaming)",
+                    n_frames, n_atoms)
+    else:
+        traj = TrajectoryLoader(args.trajectory, dt=args.dt, mmap=True).load()
+        n_frames, n_atoms = traj.n_frames, traj.n_atoms
+        data = traj.velocities
+        logger.info("trajectory: %d frames x %d atoms (memory-mapped)",
+                    n_frames, n_atoms)
+        if not np.any(traj.velocities):
+            logger.warning("velocities are all zero (dump without vx/vy/vz?) — "
+                           "the velocity-SED of this sweep will be zero; "
+                           "re-dump with velocities or use displacement mode")
+        traj_key = trajectory_fingerprint(traj)
 
     calc = SEDCalculator(traj, nx=args.nx, ny=args.ny, nz=args.nz,
                          precision=args.precision)
+    if not args.from_dump:
+        mean64 = calc.mean_positions64
     _, k_vecs, shape = calc.get_k_grid(args.plane, (args.k_min, args.k_max),
                                        (args.k_min, args.k_max),
                                        args.grid, args.grid)
-    mesh = make_mesh(n_t=traj.n_frames, n_atoms=traj.n_atoms,
+    mesh = make_mesh(n_t=n_frames, n_atoms=n_atoms,
                      hbm_bytes=(int(args.hbm_gb * 2 ** 30) if args.hbm_gb
                                 else 'auto'))
     logger.info("mesh: %s over %d devices", dict(mesh.shape), len(jax.devices()))
 
-    if args.browse and args.engine != 'sharded':
-        p.error("--browse requires the sharded engine")
-    all_freqs = spectral.fftfreq_thz(traj.n_frames, traj.dt_ps)
+    all_freqs = spectral.fftfreq_thz(n_frames, args.dt)
     freq_idx = None
     if args.browse:
         mask = all_freqs >= 0
@@ -111,7 +140,7 @@ def main():
         freq_idx = np.flatnonzero(mask).astype(np.int32)
 
     cache = ShardedSEDCache(out_dir / "chunks", workload={
-        'traj': trajectory_fingerprint(traj),
+        'traj': traj_key,
         'k_vectors': k_vecs,
         'mode': 'browse-intensity-grid' if args.browse else 'coherent-grid',
         'max_freq': args.max_freq if args.browse else None,
@@ -120,13 +149,12 @@ def main():
     n_k = k_vecs.shape[0]
     chunk = args.k_chunk
     n_chunks = (n_k + chunk - 1) // chunk
-    mean64 = calc.mean_positions64
     if args.browse:
         freqs = all_freqs[freq_idx]
         full = np.zeros((len(freq_idx), n_k), dtype=np.float32)
     else:
         freqs = all_freqs
-        full = np.zeros((traj.n_frames, n_k, 3), dtype=np.complex64)
+        full = np.zeros((n_frames, n_k, 3), dtype=np.complex64)
 
     def bounds(ci):
         return ci * chunk, min((ci + 1) * chunk, n_k)
@@ -164,13 +192,13 @@ def main():
                 continue
             if args.browse:
                 block = sharded_sed_spectrum(
-                    mesh, traj.velocities, mean64, k_vecs[s:e],
+                    mesh, data, mean64, k_vecs[s:e],
                     precision=args.precision, t_superchunk=args.t_superchunk,
                     want_intensity=True, freq_indices=freq_idx)
                 full[:, s:e] = block
             else:
                 re, im = sharded_sed_spectrum(
-                    mesh, traj.velocities, mean64, k_vecs[s:e],
+                    mesh, data, mean64, k_vecs[s:e],
                     precision=args.precision, t_superchunk=args.t_superchunk)
                 block = (re + 1j * im).astype(np.complex64)
                 full[:, s:e, :] = block
@@ -183,7 +211,7 @@ def main():
               is_complex=not args.browse)
     sed.save(out_dir / "kgrid_sed")
     rep = throughput_report(n_k=max(computed, 1), seconds=max(dt, 1e-9),
-                            n_atoms=traj.n_atoms, n_t=traj.n_frames)
+                            n_atoms=n_atoms, n_t=n_frames)
     logger.info("sweep complete: %d/%d k-points computed in %.1f s "
                 "(%.1f k-points/s, %.2f effective TFLOP/s)", computed, n_k, dt,
                 rep['k_points_per_sec'], rep['effective_tflops'])
