@@ -513,6 +513,21 @@ class SEDCalculator:
                 logger.info("SED shard cache %s: %d/%d chunks already computed.",
                             cache.key, done, num_chunks)
 
+        # One-deep device pipeline for the resident coherent path: chunk i+1's
+        # projection is enqueued BEFORE chunk i's spectra cross back to host,
+        # so the (large, slow-link) device-to-host copy overlaps the next
+        # chunk's matmul instead of serializing with it.
+        pipeline = (is_complex_output and union.size > 0
+                    and self._group_bytes(union) <= self.max_device_bytes)
+        pending = None      # (i_chunk, start, end, re_dev, im_dev)
+
+        def drain(p):
+            i_c, s, e, re_dev, im_dev = p
+            chunk_out = _assemble_complex(np.asarray(re_dev), np.asarray(im_dev))
+            full_sed[:, s:e, :] = chunk_out[:, :e - s, :]
+            if cache is not None:
+                cache.store(i_c, chunk_out[:, :e - s, :])
+
         for i_chunk in range(num_chunks):
             start = i_chunk * block
             end = min(start + block, num_k)
@@ -535,7 +550,16 @@ class SEDCalculator:
                         full_sed[:, start:end] = cached
                     continue
 
-            if is_complex_output:
+            if pipeline:
+                data_dev, hi_dev, lo_dev = self._group_device_arrays(union)
+                re_dev, im_dev = spectral.sed_spectrum(
+                    data_dev, hi_dev, lo_dev,
+                    jnp.asarray(k_chunk, dtype=jnp.float32),
+                    precision=self.precision)
+                if pending is not None:
+                    drain(pending)
+                pending = (i_chunk, start, end, re_dev, im_dev)
+            elif is_complex_output:
                 if union.size == 0:
                     logger.warning("Final atom group for SED k-chunk %d is empty; chunk stays zero.",
                                    i_chunk + 1)
@@ -554,6 +578,9 @@ class SEDCalculator:
                 full_sed[:, start:end] = acc
                 if cache is not None:
                     cache.store(i_chunk, acc)
+
+        if pending is not None:
+            drain(pending)
 
         return SED(full_sed, freqs, k_points_mags, k_vectors_3d,
                    k_grid_shape=k_grid_shape, is_complex=is_complex_output, phase=None,
