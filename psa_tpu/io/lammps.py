@@ -26,6 +26,7 @@ unscaled through the box matrix.
 from __future__ import annotations
 
 import logging
+import re
 from pathlib import Path
 from typing import Dict, List, Optional, Tuple
 
@@ -413,6 +414,116 @@ def read_lammps_dump(filepath: Path, unwrap: bool = True, with_masses: bool = Fa
     if with_masses:
         return positions, velocities, types, timesteps, box_matrix, frames[0].masses
     return positions, velocities, types, timesteps, box_matrix
+
+
+def read_extxyz(filepath: Path
+                ) -> Tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
+    """Extended-XYZ trajectory reader (ASE-style comment metadata).
+
+    Covers the common MD interchange format the reference could only reach
+    through OVITO's importer.  Supported per-frame comment fields:
+    ``Lattice="ax ay az bx by bz cx cy cz"`` (row vectors; stored in the
+    package's column-vector convention) and ``Properties=...`` column specs
+    (``species``/``pos``/``vel``/``velocities``/``forces``/``mass`` etc.).
+    Plain XYZ (no Properties) parses as species + 3 position columns.
+    Species map to integer types by first appearance.  Velocities default to
+    zeros when absent (use displacement-mode SED).
+    """
+    positions_frames: List[np.ndarray] = []
+    velocities_frames: List[np.ndarray] = []
+    types: Optional[np.ndarray] = None
+    lattice = None
+    species_ids: Dict[str, int] = {}
+
+    with open(filepath, 'r') as f:
+        while True:
+            header = f.readline()
+            if not header.strip():
+                if not header:
+                    break
+                continue
+            try:
+                n_atoms = int(header.split()[0])
+            except (ValueError, IndexError):
+                raise ValueError(f"extxyz {filepath}: bad atom-count line "
+                                 f"{header!r}")
+            comment = f.readline()
+
+            m = re.search(r'Lattice\s*=\s*"([^"]+)"', comment)
+            if m and lattice is None:
+                v = np.array([float(x) for x in m.group(1).split()],
+                             dtype=np.float64)
+                if v.size != 9:
+                    raise ValueError(f"extxyz {filepath}: Lattice needs 9 "
+                                     f"values, got {v.size}")
+                # rows of the extxyz lattice are the cell vectors; store as
+                # columns (Cartesian = H @ fractional, Trajectory convention)
+                lattice = v.reshape(3, 3).T.astype(np.float32)
+
+            # column layout from Properties=species:S:1:pos:R:3:vel:R:3:...
+            fields = []          # (name, kind, n_cols)
+            m = re.search(r'Properties\s*=\s*(\S+)', comment)
+            if m:
+                parts = m.group(1).split(':')
+                for i in range(0, len(parts) - 2, 3):
+                    fields.append((parts[i].lower(), parts[i + 1],
+                                   int(parts[i + 2])))
+            else:
+                fields = [('species', 'S', 1), ('pos', 'R', 3)]
+
+            col = 0
+            spans = {}
+            for name, _kind, n in fields:
+                spans[name] = (col, col + n)
+                col += n
+            n_cols = col
+            if 'pos' not in spans:
+                raise ValueError(f"extxyz {filepath}: no 'pos' field in "
+                                 f"Properties ({fields})")
+
+            rows = [f.readline().split() for _ in range(n_atoms)]
+            if any(len(r) < n_cols for r in rows):
+                raise ValueError(f"extxyz {filepath}: atom line shorter than "
+                                 f"the declared {n_cols} columns")
+
+            if types is None:
+                frame_types = np.empty(n_atoms, dtype=np.int32)
+                if 'species' in spans:
+                    s0 = spans['species'][0]
+                    for a, r in enumerate(rows):
+                        sp = r[s0]
+                        frame_types[a] = species_ids.setdefault(
+                            sp, len(species_ids) + 1)
+                else:
+                    frame_types[:] = 1
+                types = frame_types
+
+            p0, p1 = spans['pos']
+            positions_frames.append(np.array(
+                [[float(v) for v in r[p0:p1]] for r in rows], dtype=np.float32))
+            vspan = spans.get('vel') or spans.get('velo') or spans.get('velocities')
+            if vspan:
+                v0, v1 = vspan
+                velocities_frames.append(np.array(
+                    [[float(v) for v in r[v0:v1]] for r in rows],
+                    dtype=np.float32))
+
+    if not positions_frames:
+        raise ValueError(f"No frames found in {filepath}")
+    positions = np.stack(positions_frames)
+    if velocities_frames and len(velocities_frames) == len(positions_frames):
+        velocities = np.stack(velocities_frames)
+    else:
+        velocities = np.zeros_like(positions)
+        logger.warning("No velocity data found in %s. Velocities set to zero.",
+                       filepath)
+    if lattice is None:
+        span = positions.max(axis=(0, 1)) - positions.min(axis=(0, 1))
+        lattice = np.diag(np.maximum(span, 1.0)).astype(np.float32)
+        logger.warning("extxyz %s has no Lattice; using the coordinate "
+                       "bounding box as the cell.", filepath)
+    timesteps = np.arange(len(positions_frames), dtype=np.int64)
+    return positions, velocities, types, timesteps, lattice
 
 
 def _outcar_dashed(line: str) -> bool:

@@ -24,7 +24,7 @@ from . import lammps as lammps_io
 
 logger = logging.getLogger(__name__)
 
-_VALID_FORMATS = ('auto', 'lammps', 'vasp_outcar')
+_VALID_FORMATS = ('auto', 'lammps', 'vasp_outcar', 'extxyz')
 _CACHE_PARTS = ('positions', 'velocities', 'types', 'box_matrix')
 
 
@@ -60,8 +60,11 @@ class TrajectoryLoader:
     def _detect_file_format(self) -> str:
         if self.file_format != 'auto':
             return self.file_format
-        if self.filepath.suffix.lower() == '.outcar':
+        suffix = self.filepath.suffix.lower()
+        if suffix == '.outcar':
             return 'vasp_outcar'
+        if suffix in ('.xyz', '.extxyz'):
+            return 'extxyz'
         return 'lammps'
 
     def _cache_files(self) -> dict:
@@ -107,6 +110,8 @@ class TrajectoryLoader:
         if fmt == 'lammps':
             pos, vel, types, steps, box, masses = lammps_io.read_lammps_dump(
                 self.filepath, unwrap=self.unwrap, with_masses=True)
+        elif fmt == 'extxyz':
+            pos, vel, types, steps, box = lammps_io.read_extxyz(self.filepath)
         else:
             pos, vel, types, steps, box = lammps_io.read_vasp_outcar(self.filepath)
         box_len, box_tilt = make_box_arrays(box)

@@ -323,3 +323,62 @@ class TestBulkDumpParser:
         path.write_text("".join(text[:-2]))    # drop 2 atom rows of last frame
         with pytest.raises(ValueError):
             read_lammps_dump(path)
+
+
+class TestExtxyz:
+    def _write(self, tmp_path, with_vel=True, with_lattice=True, plain=False):
+        rng = np.random.default_rng(5)
+        n_t, n_a = 3, 4
+        pos = rng.uniform(0, 8, (n_t, n_a, 3))
+        vel = rng.normal(0, 1, (n_t, n_a, 3))
+        species = ['Si', 'O', 'Si', 'O']
+        path = tmp_path / "t.extxyz"
+        with open(path, "w") as f:
+            for t in range(n_t):
+                f.write(f"{n_a}\n")
+                if plain:
+                    f.write(f"frame {t}\n")
+                else:
+                    parts = []
+                    if with_lattice:
+                        parts.append('Lattice="8 0 0 0 9 0 0 0 10"')
+                    props = "Properties=species:S:1:pos:R:3"
+                    if with_vel:
+                        props += ":vel:R:3"
+                    parts.append(props)
+                    f.write(" ".join(parts) + f" Time={t}\n")
+                for a in range(n_a):
+                    row = [species[a]] + [f"{v:.8f}" for v in pos[t, a]]
+                    if with_vel and not plain:
+                        row += [f"{v:.8f}" for v in vel[t, a]]
+                    f.write(" ".join(row) + "\n")
+        return path, pos, vel
+
+    def test_full_extxyz(self, tmp_path):
+        from psa_tpu.io.lammps import read_extxyz
+        path, pos, vel = self._write(tmp_path)
+        rpos, rvel, types, steps, box = read_extxyz(path)
+        np.testing.assert_allclose(rpos, pos, atol=1e-6)
+        np.testing.assert_allclose(rvel, vel, atol=1e-6)
+        np.testing.assert_array_equal(types, [1, 2, 1, 2])   # by appearance
+        np.testing.assert_allclose(box, np.diag([8., 9., 10.]), atol=1e-6)
+
+    def test_plain_xyz_and_loader_autodetect(self, tmp_path):
+        path, pos, _ = self._write(tmp_path, plain=True)
+        traj = TrajectoryLoader(str(path), dt=0.01, unwrap=False).load()
+        assert traj.n_frames == 3 and traj.n_atoms == 4
+        np.testing.assert_allclose(traj.positions, pos, atol=1e-6)
+        assert np.all(traj.velocities == 0)
+
+    def test_lattice_rows_become_columns(self, tmp_path):
+        """Triclinic extxyz Lattice rows are cell vectors; Trajectory stores
+        columns (Cartesian = H @ frac)."""
+        from psa_tpu.io.lammps import read_extxyz
+        path = tmp_path / "tri.extxyz"
+        path.write_text(
+            '1\nLattice="10 0 0 1.5 11 0 0.5 2 12" Properties=species:S:1:pos:R:3\n'
+            'Si 1.0 2.0 3.0\n')
+        _, _, _, _, box = read_extxyz(path)
+        expected = np.array([[10, 1.5, 0.5], [0, 11, 2], [0, 0, 12]],
+                            dtype=np.float32)
+        np.testing.assert_allclose(box, expected, atol=1e-6)
