@@ -24,7 +24,8 @@ path numbers as extra fields (VERDICT r1 item 5):
     browse_d2h_reduction — full-complex-Φ bytes / browse-path bytes;
     kpath_calculate_kps — SEDCalculator.calculate on a 250-point k-path
         with the full complex spectrum fetched (the library default path);
-    gridded_kps — calculate_gridded (NUFFT engine) on the same grid.
+    gridded_browse_kps — the fused NUFFT browse (device-built weights,
+        on-device time FFT + reduction) on the same grid.
 
 Environment knobs:
     PSA_BENCH_ATOMS   (default 100000)
@@ -237,20 +238,23 @@ def user_path_benches(velocities, mean_pos64, k_vectors, grid, precision):
     log(f"  k-path calculate: {warm:.2f}s warm ({250 / warm:.1f} k-points/s; "
         f"first {dt:.1f}s; {sed.sed.nbytes/1e6:.0f} MB complex fetched)")
 
-    # -- gridded (NUFFT) engine on the same grid ----------------------------
-    log("user path 3/3: calculate_gridded (NUFFT engine)...")
+    # -- fused gridded (NUFFT) browse on the same grid ----------------------
+    log("user path 3/3: calculate_kgrid_browse(engine='gridded') — fused "
+        "NUFFT with device-built weights + on-device FFT/reduction...")
     try:
         t0 = time.time()
-        gsed = calc.calculate_gridded(k_vectors, (grid, grid), t_chunk=2048)
+        calc.calculate_kgrid_browse(k_vectors, engine='gridded',
+                                    k_grid_shape=(grid, grid))
         dt = time.time() - t0
         t0 = time.time()
-        gsed = calc.calculate_gridded(k_vectors, (grid, grid), t_chunk=2048)
+        calc.calculate_kgrid_browse(k_vectors, engine='gridded',
+                                    k_grid_shape=(grid, grid))
         warm = time.time() - t0
-        extras["gridded_kps"] = round(n_k / warm, 2)
-        log(f"  gridded: {warm:.2f}s warm ({n_k / warm:.1f} k-points/s; "
+        extras["gridded_browse_kps"] = round(n_k / warm, 2)
+        log(f"  gridded browse: {warm:.2f}s warm ({n_k / warm:.1f} k-points/s; "
             f"first {dt:.1f}s)")
     except Exception as e:
-        log(f"  gridded bench failed: {type(e).__name__}: {e}")
+        log(f"  gridded browse bench failed: {type(e).__name__}: {e}")
     return extras
 
 
