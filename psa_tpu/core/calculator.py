@@ -700,29 +700,35 @@ class SEDCalculator:
         else:
             groups = atom_groups
 
-        # Single-dispatch fast path: a device-resident single group sweeps
-        # ALL chunks through one lax.map program — a Python chunk loop pays
-        # one dispatch round trip per chunk, which dominates on tunneled
-        # runtimes (~77 ms/dispatch measured).
-        if (single_spectrum and num_chunks > 1 and groups[0].size > 0
-                and self._group_bytes(groups[0]) <= self.max_device_bytes):
+        # Single-dispatch fast path: a device-resident group sweeps ALL
+        # chunks through one lax.map program — a Python chunk loop pays one
+        # dispatch round trip per chunk, which dominates on tunneled runtimes
+        # (~77 ms/dispatch measured).  Incoherent mode runs one scan per
+        # group and accumulates the intensity planes.
+        scannable = (num_chunks > 1 and all(g.size > 0 for g in groups)
+                     and all(self._group_bytes(g) <= self.max_device_bytes
+                             for g in groups))
+        if scannable:
             k_stack = np.zeros((num_chunks, padded_block, 3), dtype=np.float32)
             flat = np.asarray(k_vectors_3d, dtype=np.float32)
             for i in range(num_chunks):
                 s, e = i * block, min((i + 1) * block, num_k)
                 k_stack[i, :e - s] = flat[s:e]
-            data_dev, hi_dev, lo_dev = self._group_device_arrays(groups[0])
-            inten_st, ph_st = spectral.sed_grid_browse_scan(
-                data_dev, hi_dev, lo_dev, jnp.asarray(k_stack), freq_idx_dev,
-                precision=self.precision, comp_pair=comp_pair,
-                angle_range_opt=angle_range_opt)
-            inten_st = np.asarray(inten_st)
-            ph_st = np.asarray(ph_st) if ph_st is not None else None
-            for i in range(num_chunks):
-                s, e = i * block, min((i + 1) * block, num_k)
-                intensity[:, s:e] = inten_st[i][:, :e - s]
-                if ph_st is not None:
-                    phase[:, s:e] = ph_st[i][:, :e - s]
+            k_stack_dev = jnp.asarray(k_stack)
+            for grp_idx in groups:
+                data_dev, hi_dev, lo_dev = self._group_device_arrays(grp_idx)
+                inten_st, ph_st = spectral.sed_grid_browse_scan(
+                    data_dev, hi_dev, lo_dev, k_stack_dev, freq_idx_dev,
+                    precision=self.precision,
+                    comp_pair=comp_pair if single_spectrum else None,
+                    angle_range_opt=angle_range_opt)
+                inten_st = np.asarray(inten_st)
+                ph_st = np.asarray(ph_st) if ph_st is not None else None
+                for i in range(num_chunks):
+                    s, e = i * block, min((i + 1) * block, num_k)
+                    intensity[:, s:e] += inten_st[i][:, :e - s]
+                    if ph_st is not None:
+                        phase[:, s:e] = ph_st[i][:, :e - s]
             return freqs_kept, intensity, phase
 
         for i_chunk in range(num_chunks):

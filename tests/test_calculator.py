@@ -569,3 +569,16 @@ class TestSquareLatticePhysics:
         sed = calc.calculate(np.array([]), k_vecs, k_grid_shape=shape)
         mask = sed.freqs >= 0
         self._check_peaks(sed.freqs[mask], sed.intensity[mask], k_vecs, traj)
+
+    def test_incoherent_scan_matches_loop(self):
+        traj = make_random_crystal_trajectory(n_cells_xyz=(3, 2, 2), basis=2,
+                                              n_frames=16, dt_ps=0.02, seed=13)
+        calc = SEDCalculator(traj, nx=3, ny=2, nz=2)
+        _, k_vecs, _ = calc.get_k_grid('xy', (-1, 1), (-1, 1), 13, 11)
+        f_s, i_s, _ = calc.calculate_kgrid_browse(
+            k_vecs, basis_atom_types=[1, 2], summation_mode='incoherent',
+            k_chunk_size=40)                               # 4 chunks -> scan
+        f_l, i_l, _ = calc.calculate_kgrid_browse(
+            k_vecs, basis_atom_types=[1, 2], summation_mode='incoherent',
+            k_chunk_size=4096)                             # 1 chunk -> loop
+        np.testing.assert_allclose(i_s, i_l, rtol=1e-5, atol=1e-8)
