@@ -426,12 +426,15 @@ def gridded_kgrid_browse(data, plan: GridPlan, freq_idx: np.ndarray,
     if gy_chunk is None:
         # bound the 3-pol full-time grid accumulators (the largest residents)
         per_col = 6 * n_t * n_cells * 4
-        gy_chunk = max(1, min(gy, (2 << 30) // max(per_col, 1)))
+        gy_chunk = max(1, min(gy, (1 << 30) // max(per_col, 1)))
     gyc_max = min(gy_chunk, gy)
     if t_chunk is None:
-        # bound the (Cc, Tc, w·gyc) spread transients
-        per_frame = cell_chunk * plan.w * gyc_max * 4 * 2
-        t_chunk = max(64, min(n_t, (2 << 30) // max(per_frame, 1)))
+        # bound the per-t-chunk transients: the packed data gather
+        # (Cc, Tc, P) is data-sized and coexists with the resident
+        # trajectory, and the spread intermediates are (Cc, Tc, w·gyc) ×2
+        per_frame = (cell_chunk * p * 4                     # packed gather
+                     + cell_chunk * plan.w * gyc_max * 4 * 2)
+        t_chunk = max(64, min(n_t, (1 << 30) // max(per_frame, 1)))
 
     dev = jax.device_put
     data_dev = dev(data)
