@@ -662,6 +662,11 @@ class SEDCalculator:
                              "use coherent summation.")
         comp_pair = spectral.CHIRAL_AXIS_COMPONENTS[chiral_axis] if chiral else None
 
+        if engine == 'auto':
+            # measured: the direct browse never loses on this hardware
+            # (scripts/tpu_campaign/*.json); 'gridded' is an explicit opt-in
+            # for many-core fast-link hosts
+            engine = 'direct'
         if engine == 'gridded':
             if not single_spectrum:
                 raise ValueError("engine='gridded' supports coherent "

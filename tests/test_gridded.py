@@ -222,3 +222,16 @@ class TestGriddedBrowse:
                                         k_grid_shape=shape,
                                         basis_atom_types=[1, 2],
                                         summation_mode='incoherent')
+
+
+def test_gridded_browse_displacement_and_auto(traj):
+    """Displacement-mode data flows through the device cache into the fused
+    gridded browse; engine='auto' resolves to direct."""
+    calc_d = SEDCalculator(traj, nx=4, ny=3, nz=2, use_displacements=True)
+    _, k_vecs, shape = calc_d.get_k_grid('xy', (-1, 1), (-1, 1), 8, 6)
+    f_d, i_d, _ = calc_d.calculate_kgrid_browse(k_vecs)
+    f_g, i_g, _ = calc_d.calculate_kgrid_browse(k_vecs, engine='gridded',
+                                                k_grid_shape=shape)
+    assert rel(i_g, i_d) < 1e-5
+    f_a, i_a, _ = calc_d.calculate_kgrid_browse(k_vecs, engine='auto')
+    np.testing.assert_allclose(i_a, i_d, atol=0)
