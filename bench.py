@@ -167,23 +167,35 @@ def main():
     log(f"(upload one-time cost: {upload_s:.1f}s; "
         f"grid incl. upload would be {sweep_s + upload_s:.1f}s)")
 
+    headline = {
+        "metric": f"k-points/sec, coherent SED, {grid}x{grid} grid, "
+                  f"{n_atoms} atoms x {n_steps} steps, precision={precision}",
+        "value": round(kps, 2),
+        "unit": "k-points/sec",
+        "vs_baseline": round(speedup, 2),
+    }
+
+    # The extras re-jit several user-facing programs; on a slow remote compile
+    # service that can add many minutes.  If the harness kills us mid-extras,
+    # still emit the headline line on the way out.
+    def _emit_headline_and_exit(signum, frame):
+        log(f"signal {signum} during extras — emitting headline only")
+        print(json.dumps(headline), flush=True)
+        os._exit(0)
+
     extras = {}
     if os.environ.get('PSA_BENCH_EXTRAS', '1') != '0':
+        import signal
+        prev = signal.signal(signal.SIGTERM, _emit_headline_and_exit)
         del data_dev, hi_dev, lo_dev, k_blocks  # free HBM for the extras
         try:
             extras = user_path_benches(velocities, mean_pos64, k_vectors,
                                        grid, precision)
         except Exception as e:  # never lose the headline to an extra bench
             log(f"user-path benches failed: {type(e).__name__}: {e}")
+        signal.signal(signal.SIGTERM, prev)
 
-    print(json.dumps({
-        "metric": f"k-points/sec, coherent SED, {grid}x{grid} grid, "
-                  f"{n_atoms} atoms x {n_steps} steps, precision={precision}",
-        "value": round(kps, 2),
-        "unit": "k-points/sec",
-        "vs_baseline": round(speedup, 2),
-        **extras,
-    }))
+    print(json.dumps({**headline, **extras}))
 
 
 def user_path_benches(velocities, mean_pos64, k_vectors, grid, precision):

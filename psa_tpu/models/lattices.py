@@ -189,6 +189,56 @@ def make_diatomic_chain_trajectory(n_cells: int = 32, n_frames: int = 512,
                       dt_ps=dt_ps, masses=masses)
 
 
+def make_chiral_chain_trajectory(n_cells: int = 64, n_frames: int = 512,
+                                 dt_ps: float = 0.02, a: float = 2.5,
+                                 nu_thz: float = 5.0, mode_index: int = 8,
+                                 handedness: int = +1, amp: float = 0.02,
+                                 seed: int = 0) -> Trajectory:
+    """1D chain carrying ONE circularly polarized transverse phonon mode.
+
+    Atoms on x_i = i·a move on circles in the y–z plane:
+
+        u_y(t) = A cos(k x − 2π ν t + φ)
+        u_z(t) = −h · A sin(k x − 2π ν t + φ),    h = handedness ∈ {+1, −1}
+
+    so u_z lags (h=+1) or leads (h=−1) u_y by exactly π/2.  The chiral phase
+    Δφ = ∠Φ_y − ∠Φ_z of the SED at the synthesized (k, ν) is therefore
+    **h · π/2 exactly** — an analytic oracle for the sign convention and
+    quadrant folding of ``calculate_chiral_phase`` (reference
+    sed_calculator.py:344-350) and for the browse path's
+    ``chiral_axis='x' → (y, z)`` component mapping (psa_gui.py:976-982).
+
+    Args:
+        mode_index: chain mode m; k = 2π·m / (n_cells·a).
+        handedness: +1 (u_z lags) or −1 (u_z leads).
+    """
+    if handedness not in (+1, -1):
+        raise ValueError(f"handedness must be +1 or -1, got {handedness}")
+    rng = np.random.default_rng(seed)
+    k = 2.0 * np.pi * mode_index / (n_cells * a)
+    phi = rng.uniform(0, 2 * np.pi)
+    x0 = np.arange(n_cells, dtype=np.float64) * a
+    t = np.arange(n_frames, dtype=np.float64) * dt_ps
+    arg = k * x0[None, :] - 2.0 * np.pi * nu_thz * t[:, None] + phi  # (T, N)
+
+    w = 2.0 * np.pi * nu_thz
+    positions = np.zeros((n_frames, n_cells, 3), dtype=np.float32)
+    velocities = np.zeros((n_frames, n_cells, 3), dtype=np.float32)
+    positions[:, :, 0] = x0[None, :].astype(np.float32)
+    positions[:, :, 1] = (amp * np.cos(arg)).astype(np.float32)
+    positions[:, :, 2] = (-handedness * amp * np.sin(arg)).astype(np.float32)
+    velocities[:, :, 1] = (amp * w * np.sin(arg)).astype(np.float32)
+    velocities[:, :, 2] = (handedness * amp * w * np.cos(arg)).astype(np.float32)
+
+    box = np.diag([n_cells * a, 10.0, 10.0]).astype(np.float32)
+    lengths, tilts = make_box_arrays(box)
+    return Trajectory(
+        positions=positions, velocities=velocities,
+        types=np.ones(n_cells, dtype=np.int32),
+        timesteps=np.arange(n_frames, dtype=np.float32),
+        box_matrix=box, box_lengths=lengths, box_tilts=tilts, dt_ps=dt_ps)
+
+
 def square_lattice_dispersion(kx: np.ndarray, ky: np.ndarray, a: float = 2.5,
                               nu_max_thz: float = 10.0) -> np.ndarray:
     """Analytic dispersion surface of the nearest-neighbor square lattice:

@@ -582,3 +582,58 @@ class TestSquareLatticePhysics:
             k_vecs, basis_atom_types=[1, 2], summation_mode='incoherent',
             k_chunk_size=4096)                             # 1 chunk -> loop
         np.testing.assert_allclose(i_s, i_l, rtol=1e-5, atol=1e-8)
+
+
+class TestChiralPhononPhysics:
+    """Analytic chiral-phonon oracle: a chain carrying ONE circularly
+    polarized transverse mode (u_z lagging/leading u_y by π/2) must show a
+    chiral phase of exactly handedness·π/2 at the synthesized (k, ν) — this
+    pins the SIGN convention of calculate_chiral_phase (reference
+    sed_calculator.py:344-350) and the chiral_axis='x' → (y, z) component
+    mapping, which parity tests alone cannot distinguish from a global
+    sign flip."""
+
+    N_CELLS, A, NU, MODE = 32, 2.5, 5.0, 8
+
+    def _mode_kvec(self):
+        k = 2 * np.pi * self.MODE / (self.N_CELLS * self.A)
+        return np.array([[k, 0.0, 0.0]], dtype=np.float32)
+
+    @pytest.mark.parametrize('h', [+1, -1])
+    def test_phase_sign_tracks_handedness(self, h):
+        from psa_tpu.models import make_chiral_chain_trajectory
+        traj = make_chiral_chain_trajectory(n_cells=self.N_CELLS, n_frames=250,
+                                            dt_ps=0.02, a=self.A,
+                                            nu_thz=self.NU, mode_index=self.MODE,
+                                            handedness=h, seed=3)
+        calc = SEDCalculator(traj, nx=self.N_CELLS, ny=1, nz=1)
+        k_vecs = self._mode_kvec()
+        sed = calc.calculate(np.array([np.linalg.norm(k_vecs[0])]), k_vecs)
+
+        # peak must sit at +ν with the energy in the transverse components
+        pos = sed.freqs >= 0
+        inten = sed.intensity[pos]
+        peak_row = int(np.argmax(inten[:, 0]))
+        df = 1.0 / (traj.n_frames * traj.dt_ps)
+        assert abs(sed.freqs[pos][peak_row] - self.NU) <= df + 1e-6
+        amp2 = np.abs(sed.sed[pos][peak_row, 0, :]) ** 2
+        assert amp2[0] < 1e-3 * (amp2[1] + amp2[2])   # x is silent
+        np.testing.assert_allclose(amp2[1], amp2[2], rtol=1e-3)  # circular
+
+        phase = calc.calculate_chiral_phase(sed.sed[:, :, 1], sed.sed[:, :, 2],
+                                            angle_range_opt='C')
+        got = phase[pos][peak_row, 0]
+        assert abs(got - h * np.pi / 2) < 0.05, (h, got)
+
+    @pytest.mark.parametrize('h', [+1, -1])
+    def test_browse_chiral_axis_x_matches(self, h):
+        from psa_tpu.models import make_chiral_chain_trajectory
+        traj = make_chiral_chain_trajectory(n_cells=self.N_CELLS, n_frames=250,
+                                            dt_ps=0.02, a=self.A,
+                                            nu_thz=self.NU, mode_index=self.MODE,
+                                            handedness=h, seed=3)
+        calc = SEDCalculator(traj, nx=self.N_CELLS, ny=1, nz=1)
+        freqs, inten, phase = calc.calculate_kgrid_browse(
+            self._mode_kvec(), chiral=True, chiral_axis='x')
+        peak_row = int(np.argmax(inten[:, 0]))
+        assert abs(phase[peak_row, 0] - h * np.pi / 2) < 0.05
