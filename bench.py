@@ -43,6 +43,9 @@ import time
 import numpy as np
 
 
+_RUN_START = time.time()
+
+
 def log(msg):
     print(msg, file=sys.stderr, flush=True)
 
@@ -188,9 +191,14 @@ def main():
         import signal
         prev = signal.signal(signal.SIGTERM, _emit_headline_and_exit)
         del data_dev, hi_dev, lo_dev, k_blocks  # free HBM for the extras
+        # Remote-compile latency varies 10-500+ s per program; each extra
+        # compiles 1-2 new ones.  Stop starting extras once the whole run
+        # passes the budget so the headline always lands.
+        budget_s = float(os.environ.get('PSA_BENCH_BUDGET_S', 3000))
+        deadline = _RUN_START + budget_s
         try:
             extras = user_path_benches(velocities, mean_pos64, k_vectors,
-                                       grid, precision)
+                                       grid, precision, deadline)
         except Exception as e:  # never lose the headline to an extra bench
             log(f"user-path benches failed: {type(e).__name__}: {e}")
         signal.signal(signal.SIGTERM, prev)
@@ -198,8 +206,11 @@ def main():
     print(json.dumps({**headline, **extras}))
 
 
-def user_path_benches(velocities, mean_pos64, k_vectors, grid, precision):
-    """End-to-end SEDCalculator paths (what library/GUI users actually call)."""
+def user_path_benches(velocities, mean_pos64, k_vectors, grid, precision,
+                      deadline=float('inf')):
+    """End-to-end SEDCalculator paths (what library/GUI users actually call).
+
+    Phases that would START after ``deadline`` (unix time) are skipped."""
     import numpy as np
     from psa_tpu.core.calculator import SEDCalculator
     from psa_tpu.core.trajectory import Trajectory, make_box_arrays
@@ -219,8 +230,16 @@ def user_path_benches(velocities, mean_pos64, k_vectors, grid, precision):
                          max_device_bytes=int(13e9))
     extras = {}
 
+    def over_budget(phase):
+        if time.time() > deadline:
+            log(f"skipping {phase}: past PSA_BENCH_BUDGET_S")
+            return True
+        return False
+
     # -- GUI-default grid browse: on-device reduction, filtered d2h ---------
     n_k = k_vectors.shape[0]
+    if over_budget("user-path extras"):
+        return extras
     log("user path 1/3: calculate_kgrid_browse (on-device reduction)...")
     t0 = time.time()
     freqs, inten, _ = calc.calculate_kgrid_browse(k_vectors, k_chunk_size=1280)
@@ -237,6 +256,8 @@ def user_path_benches(velocities, mean_pos64, k_vectors, grid, precision):
         f"{full_bytes/1e9:.1f} GB full complex = {full_bytes/browse_bytes:.0f}x less")
 
     # -- library default: k-path calculate with full complex readback -------
+    if over_budget("k-path calculate bench"):
+        return extras
     log("user path 2/3: calculate() on a 250-point k-path...")
     k_mags, k_vecs_path = calc.get_k_path('x', bz_coverage=1.0, n_k=250,
                                           lat_param=5.43)
@@ -251,6 +272,8 @@ def user_path_benches(velocities, mean_pos64, k_vectors, grid, precision):
         f"first {dt:.1f}s; {sed.sed.nbytes/1e6:.0f} MB complex fetched)")
 
     # -- fused gridded (NUFFT) browse on the same grid ----------------------
+    if over_budget("gridded browse bench"):
+        return extras
     log("user path 3/3: calculate_kgrid_browse(engine='gridded') — fused "
         "NUFFT with device-built weights + on-device FFT/reduction...")
     try:
