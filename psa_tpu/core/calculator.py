@@ -46,6 +46,32 @@ def _assemble_complex(re: np.ndarray, im: np.ndarray) -> np.ndarray:
     return out
 
 
+def peaks_np(intensity: np.ndarray, freqs_kept: np.ndarray, n_peaks: int = 1,
+             exclusion_bins: int = 4):
+    """NumPy mirror of :func:`psa_tpu.ops.spectral.peak_reduce` over
+    (n_freq_kept, n_k) intensity planes.  Used for oversize-group fallback
+    and as the oracle for the on-device implementation."""
+    inten = np.array(intensity, dtype=np.float64, copy=True)
+    fk = np.asarray(freqs_kept, dtype=np.float64)
+    n_f, n_k = inten.shape
+    row = np.arange(n_f)
+    pf = np.zeros((n_peaks, n_k), dtype=np.float32)
+    ph = np.zeros((n_peaks, n_k), dtype=np.float32)
+    pw = np.zeros((n_peaks, n_k), dtype=np.float32)
+    for p in range(n_peaks):
+        idx = np.argmax(inten, axis=0)
+        ph[p] = inten[idx, np.arange(n_k)]
+        in_win = np.abs(row[:, None] - idx[None, :]) <= exclusion_bins
+        w = np.where(in_win, inten, 0.0)
+        wsum = np.maximum(w.sum(axis=0), 1e-30)
+        mu = (w * fk[:, None]).sum(axis=0) / wsum
+        var = (w * (fk[:, None] - mu[None, :]) ** 2).sum(axis=0) / wsum
+        pf[p] = fk[idx]
+        pw[p] = np.sqrt(np.maximum(var, 0.0))
+        inten[in_win] = 0.0
+    return pf, ph, pw
+
+
 class SEDCalculator:
     """Spectral-energy-density engine over a :class:`Trajectory`.
 
@@ -759,6 +785,104 @@ class SEDCalculator:
                     intensity[:, start:end] += inten[:, :end - start]
 
         return freqs_kept, intensity, phase
+
+    # ------------------------------------------------------------------
+    # Public: on-device peak extraction (dispersion surfaces)
+    # ------------------------------------------------------------------
+
+    def calculate_kgrid_peaks(self, k_vectors_3d: np.ndarray,
+                              basis_atom_indices=None, basis_atom_types=None,
+                              summation_mode: str = 'coherent',
+                              max_freq: Optional[float] = None,
+                              n_peaks: int = 1, exclusion_bins: int = 4,
+                              k_chunk_size: int = 2048):
+        """Top-``n_peaks`` spectral peaks per k-point, extracted ON DEVICE.
+
+        The dispersion-analysis workflow reads only the peaks of I(ω, k) —
+        their frequency (the dispersion surface), height, and linewidth
+        (∝ inverse phonon lifetime).  This computes the same intensity
+        planes as :meth:`calculate_kgrid_browse` but never ships them:
+        ``ops.spectral.peak_reduce`` finds the peaks on device and only
+        3·n_peaks·n_k floats transfer (~150× less than the planes for a
+        200² grid).  Incoherent mode accumulates the per-group intensity
+        on device before peak-finding.
+
+        Returns:
+            (peak_freqs, peak_heights, peak_widths): each (n_peaks, n_k)
+            float32, ordered by descending height per k-column.  Width is
+            the intensity-weighted RMS frequency spread within
+            ±``exclusion_bins`` rows of each peak (THz).
+        """
+        if summation_mode not in ('coherent', 'incoherent'):
+            raise ValueError(f"summation_mode must be 'coherent' or 'incoherent', got {summation_mode}")
+        if n_peaks < 1:
+            raise ValueError(f"n_peaks must be >= 1, got {n_peaks}")
+        n_t = self.traj.n_frames
+        freqs = spectral.fftfreq_thz(n_t, self.dt_ps)
+        mask = freqs >= 0
+        if max_freq is not None:
+            mask &= freqs <= max_freq
+        freq_idx = np.flatnonzero(mask).astype(np.int32)
+        freqs_kept = freqs[mask].astype(np.float32)
+        if freq_idx.size == 0:
+            raise ValueError("No frequencies retained; check max_freq.")
+
+        atom_groups = self._resolve_atom_groups(basis_atom_indices,
+                                                basis_atom_types, summation_mode)
+        if summation_mode == 'coherent' or len(atom_groups) <= 1:
+            groups = [np.unique(np.concatenate(atom_groups)).astype(int)
+                      if len(atom_groups) > 1 else
+                      (atom_groups[0] if atom_groups else np.array([], dtype=int))]
+        else:
+            groups = atom_groups
+
+        num_k = len(k_vectors_3d)
+        block = min(max(1, k_chunk_size), num_k) if num_k > 0 else 1
+        padded_block = ((block + 63) // 64) * 64
+        num_chunks = (num_k + block - 1) // block if num_k > 0 else 0
+        if num_chunks == 0:
+            empty = np.zeros((n_peaks, 0), dtype=np.float32)
+            return empty, empty.copy(), empty.copy()
+
+        on_device = all(g.size > 0 and
+                        self._group_bytes(g) <= self.max_device_bytes
+                        for g in groups)
+        if on_device:
+            k_stack = np.zeros((num_chunks, padded_block, 3), dtype=np.float32)
+            flat = np.asarray(k_vectors_3d, dtype=np.float32)
+            for i in range(num_chunks):
+                s, e = i * block, min((i + 1) * block, num_k)
+                k_stack[i, :e - s] = flat[s:e]
+            k_stack_dev = jnp.asarray(k_stack)
+            freq_idx_dev = jnp.asarray(freq_idx)
+            inten_dev = None
+            for grp_idx in groups:
+                data_dev, hi_dev, lo_dev = self._group_device_arrays(grp_idx)
+                inten_st, _ = spectral.sed_grid_browse_scan(
+                    data_dev, hi_dev, lo_dev, k_stack_dev, freq_idx_dev,
+                    precision=self.precision)
+                inten_dev = inten_st if inten_dev is None else inten_dev + inten_st
+            pf, ph, pw = spectral.peak_reduce(inten_dev,
+                                              jnp.asarray(freqs_kept),
+                                              n_peaks=n_peaks,
+                                              exclusion_bins=exclusion_bins)
+            pf, ph, pw = np.asarray(pf), np.asarray(ph), np.asarray(pw)
+            out = [np.zeros((n_peaks, num_k), dtype=np.float32) for _ in range(3)]
+            for i in range(num_chunks):
+                s, e = i * block, min((i + 1) * block, num_k)
+                out[0][:, s:e] = pf[i][:, :e - s]
+                out[1][:, s:e] = ph[i][:, :e - s]
+                out[2][:, s:e] = pw[i][:, :e - s]
+            return tuple(out)
+
+        # Streamed/oversize groups: reuse the browse path's planes and
+        # extract on host with the same algorithm.
+        _, intensity, _ = self.calculate_kgrid_browse(
+            k_vectors_3d, basis_atom_indices=basis_atom_indices,
+            basis_atom_types=basis_atom_types, summation_mode=summation_mode,
+            max_freq=max_freq, k_chunk_size=k_chunk_size)
+        return peaks_np(intensity, freqs_kept, n_peaks=n_peaks,
+                        exclusion_bins=exclusion_bins)
 
     # ------------------------------------------------------------------
     # Gridded (NUFFT-accelerated) k-grid sweep

@@ -359,6 +359,65 @@ def sed_grid_browse_scan(data: jnp.ndarray, mp_hi: jnp.ndarray,
 
 
 # ---------------------------------------------------------------------------
+# On-device peak extraction: the dispersion surface without the planes.
+# ---------------------------------------------------------------------------
+#
+# Dispersion analysis reads ONLY the spectral peaks — their frequency,
+# height, and linewidth (phonon lifetime ~ 1/width).  Extracting them on
+# device shrinks the readback from the (n_freq_kept, K) intensity planes
+# (~200 MB for a 200^2 grid) to 3*n_peaks*K floats (~1.4 MB): the browse
+# path's only remaining off-roofline cost on slow host links
+# (docs/PERF_NOTES.md "Browse-path overhead attribution").
+
+@functools.partial(jax.jit, static_argnames=('n_peaks', 'exclusion_bins'))
+def peak_reduce(inten_stack: jnp.ndarray, freqs_kept: jnp.ndarray,
+                n_peaks: int = 1, exclusion_bins: int = 4):
+    """Top-``n_peaks`` spectral peaks of stacked intensity planes, on device.
+
+    Peaks are found greedily per k-column: take the global argmax, record
+    (frequency, height, local width), zero out ±``exclusion_bins`` rows
+    around it, repeat.  The local width is the intensity-weighted RMS
+    frequency spread inside the exclusion window — a linewidth proxy
+    proportional to the mode's inverse lifetime.
+
+    Args:
+        inten_stack: (n_chunks, n_freq_kept, block) float32 intensity
+            (the layout :func:`sed_grid_browse_scan` produces).
+        freqs_kept: (n_freq_kept,) float32 frequencies of the kept rows (THz).
+        n_peaks: number of peaks per k-column, by descending height.
+        exclusion_bins: half-width (in frequency rows) of the masking /
+            width-estimation window around each found peak.
+
+    Returns:
+        (peak_freq, peak_height, peak_width): each (n_chunks, n_peaks, block)
+        float32.
+    """
+    n_f = inten_stack.shape[1]
+    row = jnp.arange(n_f, dtype=jnp.int32)
+
+    def per_chunk(inten):                                   # (F, B)
+        def body(carry, _):
+            cur = carry                                     # (F, B)
+            idx = jnp.argmax(cur, axis=0)                   # (B,)
+            height = jnp.take_along_axis(cur, idx[None, :], axis=0)[0]
+            in_win = jnp.abs(row[:, None] - idx[None, :]) <= exclusion_bins
+            w = jnp.where(in_win, cur, 0.0)                 # (F, B)
+            wsum = jnp.maximum(jnp.sum(w, axis=0), 1e-30)
+            mu = jnp.sum(w * freqs_kept[:, None], axis=0) / wsum
+            var = jnp.sum(w * (freqs_kept[:, None] - mu[None, :]) ** 2,
+                          axis=0) / wsum
+            peak_f = jnp.take(freqs_kept, idx)
+            width = jnp.sqrt(jnp.maximum(var, 0.0))
+            nxt = jnp.where(in_win, 0.0, cur)
+            return nxt, (peak_f, height, width)
+
+        _, (pf, ph, pw) = lax.scan(body, inten, None, length=n_peaks)
+        return pf.astype(jnp.float32), ph.astype(jnp.float32), pw.astype(jnp.float32)
+
+    return lax.map(per_chunk, inten_stack)
+
+
+# ---------------------------------------------------------------------------
 # Chiral phase (reference sed_calculator.py:338-371), fully vectorized.
 # ---------------------------------------------------------------------------
 

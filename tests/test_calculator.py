@@ -637,3 +637,112 @@ class TestChiralPhononPhysics:
             self._mode_kvec(), chiral=True, chiral_axis='x')
         peak_row = int(np.argmax(inten[:, 0]))
         assert abs(phase[peak_row, 0] - h * np.pi / 2) < 0.05
+
+
+class TestKGridPeaks:
+    """On-device peak extraction (calculate_kgrid_peaks / ops.peak_reduce):
+    device output must match the NumPy mirror exactly, and the extracted
+    peak surface must reproduce the analytic physics oracles."""
+
+    def test_peak_reduce_matches_numpy_mirror(self):
+        from psa_tpu.core.calculator import peaks_np
+        from psa_tpu.ops import spectral
+        import jax.numpy as jnp
+        rng = np.random.default_rng(7)
+        n_chunks, n_f, block = 3, 40, 64
+        planes = rng.uniform(0, 1, size=(n_chunks, n_f, block)).astype(np.float32)
+        freqs = np.linspace(0, 20, n_f).astype(np.float32)
+        pf_d, ph_d, pw_d = spectral.peak_reduce(jnp.asarray(planes),
+                                                jnp.asarray(freqs),
+                                                n_peaks=3, exclusion_bins=4)
+        for c in range(n_chunks):
+            pf_n, ph_n, pw_n = peaks_np(planes[c], freqs, n_peaks=3,
+                                        exclusion_bins=4)
+            np.testing.assert_allclose(np.asarray(pf_d)[c], pf_n, atol=0)
+            np.testing.assert_allclose(np.asarray(ph_d)[c], ph_n, rtol=1e-6)
+            np.testing.assert_allclose(np.asarray(pw_d)[c], pw_n,
+                                       rtol=1e-4, atol=1e-5)
+
+    def test_square_lattice_peak_surface(self):
+        from psa_tpu.models import (make_square_lattice_trajectory,
+                                    square_lattice_dispersion)
+        n_cells = 12
+        traj = make_square_lattice_trajectory(n_cells=n_cells, n_frames=256,
+                                              dt_ps=0.01, a=2.5,
+                                              nu_max_thz=10.0, seed=4)
+        calc = SEDCalculator(traj, nx=n_cells, ny=n_cells, nz=1)
+        kmax = 2 * np.pi / 2.5 / 2
+        n_half = n_cells // 2 + 1
+        _, k_vecs, _ = calc.get_k_grid('xy', (0.0, kmax), (0.0, kmax),
+                                       n_half, n_half)
+        pf, ph, pw = calc.calculate_kgrid_peaks(k_vecs, n_peaks=1,
+                                                k_chunk_size=17)
+        analytic = square_lattice_dispersion(k_vecs[:, 0], k_vecs[:, 1],
+                                             a=2.5, nu_max_thz=10.0)
+        df = 1.0 / (traj.n_frames * traj.dt_ps)
+        ok = analytic > df
+        assert np.all(np.abs(pf[0][ok] - analytic[ok]) <= df + 1e-6)
+        assert np.all(ph[0][ok] > 0)
+        assert np.all(pw[0][ok] >= 0)
+
+    def test_diatomic_two_peaks_hit_both_branches(self):
+        from psa_tpu.models import (diatomic_chain_branches,
+                                    make_diatomic_chain_trajectory)
+        n_cells, a, kappa, m1, m2 = 32, 5.0, 800.0, 1.0, 3.0
+        traj = make_diatomic_chain_trajectory(n_cells=n_cells, n_frames=1024,
+                                              dt_ps=0.01, a=a, kappa=kappa,
+                                              m1=m1, m2=m2, seed=2)
+        calc = SEDCalculator(traj, nx=n_cells, ny=1, nz=1)
+        k_mags, k_vecs = calc.get_k_path('x', bz_coverage=0.5,
+                                         n_k=n_cells // 2 + 1)
+        pf, ph, _ = calc.calculate_kgrid_peaks(k_vecs, n_peaks=2,
+                                               exclusion_bins=6)
+        w_ac, w_op, _, _ = diatomic_chain_branches(k_mags * a, kappa, m1, m2)
+        f_ac, f_op = w_ac / (2 * np.pi), w_op / (2 * np.pi)
+        df = 1.0 / (traj.n_frames * traj.dt_ps)
+        for i in range(2, len(k_mags), 4):
+            got = np.sort(pf[:, i])
+            want = np.sort([f_ac[i], f_op[i]])
+            # each branch within a few frequency bins (finite windowing)
+            assert np.all(np.abs(got - want) <= 3 * df + 1e-6), (i, got, want)
+
+    def test_incoherent_peaks_match_browse_planes(self):
+        from psa_tpu.core.calculator import peaks_np
+        traj = make_random_crystal_trajectory(n_cells_xyz=(3, 2, 2), basis=2,
+                                              n_frames=32, dt_ps=0.02, seed=13)
+        calc = SEDCalculator(traj, nx=3, ny=2, nz=2)
+        _, k_vecs, _ = calc.get_k_grid('xy', (-1, 1), (-1, 1), 9, 9)
+        pf, ph, pw = calc.calculate_kgrid_peaks(
+            k_vecs, basis_atom_types=[1, 2], summation_mode='incoherent',
+            n_peaks=2, k_chunk_size=30)
+        freqs, inten, _ = calc.calculate_kgrid_browse(
+            k_vecs, basis_atom_types=[1, 2], summation_mode='incoherent',
+            k_chunk_size=30)
+        pf_n, ph_n, pw_n = peaks_np(inten, freqs, n_peaks=2)
+        np.testing.assert_allclose(pf, pf_n, atol=0)
+        np.testing.assert_allclose(ph, ph_n, rtol=1e-4)
+        np.testing.assert_allclose(pw, pw_n, rtol=1e-3, atol=1e-5)
+
+    def test_oversize_group_falls_back_to_host(self):
+        traj = make_random_crystal_trajectory(n_cells_xyz=(3, 2, 2), basis=2,
+                                              n_frames=16, dt_ps=0.02, seed=13)
+        small = SEDCalculator(traj, nx=3, ny=2, nz=2, max_device_bytes=1 << 12)
+        big = SEDCalculator(traj, nx=3, ny=2, nz=2)
+        _, k_vecs, _ = small.get_k_grid('xy', (-1, 1), (-1, 1), 9, 9)
+        pf1, ph1, _ = small.calculate_kgrid_peaks(k_vecs, n_peaks=2)
+        pf2, ph2, _ = big.calculate_kgrid_peaks(k_vecs, n_peaks=2)
+        np.testing.assert_allclose(pf1, pf2, atol=0)
+        np.testing.assert_allclose(ph1, ph2, rtol=2e-4)
+
+    def test_max_freq_and_validation(self):
+        traj = make_random_crystal_trajectory(n_cells_xyz=(2, 2, 2), basis=1,
+                                              n_frames=16, dt_ps=0.02, seed=1)
+        calc = SEDCalculator(traj, nx=2, ny=2, nz=2)
+        _, k_vecs, _ = calc.get_k_grid('xy', (-1, 1), (-1, 1), 5, 5)
+        nyq = 1.0 / (2 * 0.02)
+        pf, _, _ = calc.calculate_kgrid_peaks(k_vecs, max_freq=nyq / 2)
+        assert np.all(pf <= nyq / 2 + 1e-6)
+        with pytest.raises(ValueError, match="n_peaks"):
+            calc.calculate_kgrid_peaks(k_vecs, n_peaks=0)
+        with pytest.raises(ValueError, match="summation_mode"):
+            calc.calculate_kgrid_peaks(k_vecs, summation_mode='bogus')
