@@ -57,3 +57,18 @@ sed_g = calc.calculate_gridded(k_vecs, shape, cache_dir=OUT / "gridded_cache")
 direct = calc.calculate(np.array([]), k_vecs, k_grid_shape=shape)
 rel = (np.max(np.abs(sed_g.sed - direct.sed)) / np.max(np.abs(direct.sed)))
 print(f"gridded vs direct engine agreement: {rel:.2e} (expect ~1e-6)")
+
+# -- on-device peak extraction: the dispersion surface directly ---------------
+# Dispersion analysis needs only each k-point's spectral peaks; extracting
+# them on device ships 3*n_peaks*K floats instead of the full planes.
+pk_f, pk_h, pk_w = calc.calculate_kgrid_peaks(k_vecs, n_peaks=1, max_freq=15.0)
+fig, axes = plt.subplots(1, 2, figsize=(9, 4))
+for ax, data, title, cmap in (
+        (axes[0], pk_f[0].reshape(shape).T, "peak frequency (THz)", 'viridis'),
+        (axes[1], pk_w[0].reshape(shape).T, "linewidth (THz)", 'magma')):
+    im = ax.pcolormesh(data, cmap=cmap, shading='gouraud')
+    ax.set_title(title)
+    fig.colorbar(im, ax=ax)
+fig.savefig(OUT / "peak_surface.png", dpi=120, bbox_inches='tight')
+print(f"wrote {OUT / 'peak_surface.png'} "
+      f"({(pk_f.nbytes + pk_h.nbytes + pk_w.nbytes) / 1e3:.1f} kB fetched)")
