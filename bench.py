@@ -240,7 +240,7 @@ def user_path_benches(velocities, mean_pos64, k_vectors, grid, precision,
     n_k = k_vectors.shape[0]
     if over_budget("user-path extras"):
         return extras
-    log("user path 1/3: calculate_kgrid_browse (on-device reduction)...")
+    log("user path 1/4: calculate_kgrid_browse (on-device reduction)...")
     t0 = time.time()
     freqs, inten, _ = calc.calculate_kgrid_browse(k_vectors, k_chunk_size=1280)
     dt = time.time() - t0
@@ -258,7 +258,7 @@ def user_path_benches(velocities, mean_pos64, k_vectors, grid, precision,
     # -- library default: k-path calculate with full complex readback -------
     if over_budget("k-path calculate bench"):
         return extras
-    log("user path 2/3: calculate() on a 250-point k-path...")
+    log("user path 2/4: calculate() on a 250-point k-path...")
     k_mags, k_vecs_path = calc.get_k_path('x', bz_coverage=1.0, n_k=250,
                                           lat_param=5.43)
     t0 = time.time()
@@ -272,9 +272,26 @@ def user_path_benches(velocities, mean_pos64, k_vectors, grid, precision,
         f"first {dt:.1f}s; {sed.sed.nbytes/1e6:.0f} MB complex fetched)")
 
     # -- fused gridded (NUFFT) browse on the same grid ----------------------
+    # -- on-device peak extraction: tiny readback, ~device-side rate --------
+    if over_budget("peaks bench"):
+        return extras
+    log("user path 3/4: calculate_kgrid_peaks (on-device dispersion surface)...")
+    try:
+        t0 = time.time()
+        calc.calculate_kgrid_peaks(k_vectors, n_peaks=3, k_chunk_size=1280)
+        dt = time.time() - t0
+        t0 = time.time()
+        pk = calc.calculate_kgrid_peaks(k_vectors, n_peaks=3, k_chunk_size=1280)
+        warm = time.time() - t0
+        extras["peaks_kps"] = round(n_k / warm, 2)
+        log(f"  peaks: {warm:.2f}s warm ({n_k / warm:.1f} k-points/s; "
+            f"first {dt:.1f}s; {sum(p.nbytes for p in pk)/1e3:.0f} kB fetched)")
+    except Exception as e:
+        log(f"  peaks bench failed: {type(e).__name__}: {e}")
+
     if over_budget("gridded browse bench"):
         return extras
-    log("user path 3/3: calculate_kgrid_browse(engine='gridded') — fused "
+    log("user path 4/4: calculate_kgrid_browse(engine='gridded') — fused "
         "NUFFT with device-built weights + on-device FFT/reduction...")
     try:
         t0 = time.time()
