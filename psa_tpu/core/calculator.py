@@ -942,6 +942,7 @@ class SEDCalculator:
                           basis_atom_indices=None, basis_atom_types=None,
                           t_chunk: Optional[int] = None,
                           cell_chunk: Optional[int] = None,
+                          gy_chunk: Optional[int] = None,
                           cache_dir: Optional[Union[str, Path]] = None) -> SED:
         """Coherent SED over a UNIFORM k-grid via the hybrid gridded engine.
 
@@ -1006,6 +1007,7 @@ class SEDCalculator:
         re, im = gridded.gridded_kgrid_spectrum(data_dev, plan,
                                                 t_chunk=t_chunk,
                                                 cell_chunk=cell_chunk,
+                                                gy_chunk=gy_chunk,
                                                 precision=self.precision)
         signal = np.empty(re.shape, dtype=np.complex64)
         signal.real = re

@@ -92,6 +92,44 @@ def _parse_box(bounds_lines: List[str], triclinic: bool) -> np.ndarray:
                      [0.0, 0.0, zhi - zlo]], dtype=np.float32)
 
 
+def _frame_headers(buf, be, hs) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Per-frame (timestep, atom count, box) from the header text between
+    frame bodies.
+
+    ``buf`` is the whole dump (bytes or mmap); ``be``/``hs`` are the
+    body-end / ATOMS-header-start offsets from the native scan.  Each frame's
+    header window — the few lines between the previous body and its own
+    ATOMS header — is decoded and scanned; bodies are never touched, so the
+    cost is O(n_frames), not O(file).
+
+    Returns (timesteps i64 (n_t,), counts i64 (n_t,) with -1 where NUMBER OF
+    ATOMS is absent, boxes f32 (n_t, 3, 3)).  Raises ValueError on malformed
+    headers (missing TIMESTEP/BOX BOUNDS, unparsable numbers).
+    """
+    n_t = len(hs)
+    timesteps = np.zeros(n_t, dtype=np.int64)
+    counts = np.full(n_t, -1, dtype=np.int64)
+    boxes = np.zeros((n_t, 3, 3), dtype=np.float32)
+    start = 0
+    for i in range(n_t):
+        win = bytes(buf[start:hs[i]]).decode('ascii',
+                                             errors='replace').splitlines()
+        got_t = got_box = False
+        for j, ln in enumerate(win):
+            if ln.startswith('ITEM: TIMESTEP'):
+                timesteps[i] = int(win[j + 1].split()[0])
+                got_t = True
+            elif ln.startswith('ITEM: NUMBER OF ATOMS'):
+                counts[i] = int(win[j + 1].split()[0])
+            elif ln.startswith('ITEM: BOX BOUNDS'):
+                boxes[i] = _parse_box(win[j + 1:j + 4], 'xy' in ln)
+                got_box = True
+        if not (got_t and got_box):
+            raise ValueError(f"frame {i}: missing TIMESTEP or BOX BOUNDS header")
+        start = be[i]
+    return timesteps, counts, boxes
+
+
 def iter_lammps_frames(filepath: Path):
     """Yield LammpsDumpFrame objects one by one (streaming; O(frame) memory)."""
     filepath = Path(filepath)
@@ -204,15 +242,15 @@ class MmapDumpFrames:
         self.n_atoms = body0.count(b'\n') + (0 if body0.endswith(b'\n')
                                              or not body0 else 1)
         self.n_frames = len(self._bs)
-        prelude = bytes(self._mm[:hs[0]]).decode('ascii',
-                                                 errors='replace').splitlines()
-        self.box_matrix = None
-        for i, ln in enumerate(prelude):
-            if ln.startswith('ITEM: BOX BOUNDS'):
-                self.box_matrix = _parse_box(prelude[i + 1:i + 4], 'xy' in ln)
-                break
-        if self.box_matrix is None:
-            raise ValueError("no BOX BOUNDS before the first frame")
+        self.timesteps, counts, self._boxes = _frame_headers(
+            self._mm, self._be, hs)
+        if counts[0] >= 0 and counts[0] != self.n_atoms:
+            raise ValueError(f"frame 0 declares {counts[0]} atoms but its "
+                             f"body holds {self.n_atoms} rows")
+        if np.any((counts >= 0) & (counts != self.n_atoms)):
+            raise ValueError("per-frame atom counts differ")
+        self.box_matrix = self._boxes[0]
+        self._box_varies = not np.allclose(self._boxes, self._boxes[0])
         self._pos_cols = None
         self._scaled = False
         for cand in _POS_CANDIDATES:
@@ -245,7 +283,11 @@ class MmapDumpFrames:
         tbl = self._table(i, j)
         pos = tbl[:, :, self._pos_cols].astype(np.float32)
         if self._scaled:
-            pos = (pos @ self.box_matrix.T).astype(np.float32)
+            if self._box_varies:   # each frame through its own cell (NPT)
+                pos = np.matmul(pos, self._boxes[i:j].transpose(0, 2, 1)
+                                ).astype(np.float32)
+            else:
+                pos = (pos @ self.box_matrix.T).astype(np.float32)
         vel = (tbl[:, :, [self._col_idx[c] for c in _VEL_COLS]].astype(np.float32)
                if self.has_velocities else None)
         return pos, vel
@@ -299,37 +341,23 @@ def _read_dump_bulk(filepath: Path, unwrap: bool):
         return None
 
     try:
+        timesteps, counts, boxes = _frame_headers(raw, be, hs)
+    except (ValueError, IndexError):
+        return None
+    if np.any((counts >= 0) & (counts != n_atoms)):
+        logger.warning("Per-frame atom counts vary in %s; falling back to the "
+                       "streaming reader.", filepath)
+        return None
+    box_matrix = boxes[0]
+    box_varies = not np.allclose(boxes, boxes[0])
+
+    try:
         table = native.parse_blocks(raw, bs, be, n_atoms * n_cols)
     except ValueError as e:
         logger.warning("Bulk dump parse failed (%s); falling back to the "
                        "streaming reader.", e)
         return None
     table = table.reshape(n_t, n_atoms, n_cols)
-
-    # frame-0 box from the prelude text (the scan stops at the ATOMS header)
-    prelude = raw[:hs[0]].decode('ascii', errors='replace').splitlines()
-    box_matrix = None
-    for i, ln in enumerate(prelude):
-        if ln.startswith('ITEM: BOX BOUNDS') and i + 3 < len(prelude) + 1:
-            try:
-                box_matrix = _parse_box(prelude[i + 1:i + 4], 'xy' in ln)
-            except (ValueError, IndexError):
-                return None
-            break
-    if box_matrix is None:
-        return None
-
-    timesteps = np.zeros(n_t, dtype=np.int64)
-    marker = b'ITEM: TIMESTEP'
-    pos_b = 0
-    for i in range(n_t):
-        j = raw.find(marker, pos_b, hs[i])
-        if j < 0:
-            return None
-        nl = raw.index(b'\n', j)
-        nl2 = raw.index(b'\n', nl + 1)
-        timesteps[i] = int(raw[nl:nl2].split()[0])
-        pos_b = hs[i]
 
     # batched per-frame id sort (stable, matching the streaming reader);
     # skipped when ids are already ascending (the common writer layout)
@@ -348,8 +376,12 @@ def _read_dump_bulk(filepath: Path, unwrap: bool):
     for cand in _POS_CANDIDATES:
         if all(c in col_idx for c in cand):
             pos = table[:, :, [col_idx[c] for c in cand]].astype(np.float32)
-            if cand[0] == 'xs':       # scaled -> Cartesian: r = H @ s
-                pos = (pos @ box_matrix.T).astype(np.float32)
+            if cand[0] == 'xs':       # scaled -> Cartesian: r = H @ s,
+                if box_varies:        # each frame through its OWN cell (NPT)
+                    pos = np.matmul(pos, boxes.transpose(0, 2, 1)
+                                    ).astype(np.float32)
+                else:
+                    pos = (pos @ box_matrix.T).astype(np.float32)
             break
     if pos is None:
         return None
@@ -362,6 +394,10 @@ def _read_dump_bulk(filepath: Path, unwrap: bool):
                        filepath)
 
     if unwrap and n_t > 1:
+        if box_varies:
+            logger.warning("Box changes across frames in %s (NPT run?); "
+                           "minimum-image unwrapping uses the frame-0 cell.",
+                           filepath)
         pos = unwrap_positions(pos, box_matrix)
     return pos, vel, types, timesteps, box_matrix, masses
 

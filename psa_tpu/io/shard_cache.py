@@ -42,6 +42,24 @@ def trajectory_fingerprint(traj) -> str:
     return h.hexdigest()[:16]
 
 
+def file_fingerprint(path) -> str:
+    """Content hash of a file the caller streams rather than loads: size,
+    mtime, and sampled stripes (head / middle / tail, 1 MB each) — so an
+    in-place overwrite with same-sized different content changes the key."""
+    from pathlib import Path as _Path
+    p = _Path(path)
+    st = p.stat()
+    h = hashlib.sha256()
+    h.update(f"{st.st_size}:{st.st_mtime_ns}".encode())
+    stripe = 1 << 20
+    with open(p, 'rb') as f:
+        for off in (0, max(0, st.st_size // 2 - stripe // 2),
+                    max(0, st.st_size - stripe)):
+            f.seek(off)
+            h.update(f.read(stripe))
+    return h.hexdigest()[:16]
+
+
 class ShardedSEDCache:
     """Directory of per-chunk .npy files plus a manifest.
 

@@ -85,8 +85,6 @@ class GridPlan:
     wx: np.ndarray             # (n_cells, P, w) f32 window weights (masked)
     base_re: np.ndarray        # (n_cells, P) f32 Re exp(i(kx0·x + kf·z))
     base_im: np.ndarray        # (n_cells, P) f32
-    wy_re: np.ndarray          # (n_cells, P, Gy) f32 Re exp(i ky_j y)
-    wy_im: np.ndarray          # (n_cells, P, Gy) f32
     deconv_re: np.ndarray      # (Gx,) f64->f32 Re of e^{...}/ψ̂ per mode
     deconv_im: np.ndarray      # (Gx,) f32
     gx: int
@@ -175,12 +173,6 @@ def plan_kgrid(mean_pos64: np.ndarray, kx_vals: np.ndarray, ky_vals: np.ndarray,
     base_re = packed(base.real)
     base_im = packed(base.imag)
 
-    wy = np.exp(1j * np.outer(y[order], ky_vals))          # (N, Gy) complex128
-    wy_re = np.zeros((n_cells, bucket_size, gy), dtype=np.float64)
-    wy_im = np.zeros((n_cells, bucket_size, gy), dtype=np.float64)
-    wy_re[cell_sorted, slot_of] = wy.real
-    wy_im[cell_sorted, slot_of] = wy.imag
-
     # deconvolution per shifted mode m' = m − m0: 1/ψ̂(2πm'/Fx); |m'| ≤ Fx/4
     modes = np.arange(gx) - m0
     xi = 2.0 * np.pi * modes / n_cells
@@ -196,7 +188,6 @@ def plan_kgrid(mean_pos64: np.ndarray, kx_vals: np.ndarray, ky_vals: np.ndarray,
                     ky_vals=np.asarray(ky_vals, dtype=np.float64),
                     wx=wx.astype(np.float32),
                     base_re=base_re.astype(np.float32), base_im=base_im.astype(np.float32),
-                    wy_re=wy_re.astype(np.float32), wy_im=wy_im.astype(np.float32),
                     deconv_re=deconv.astype(np.float32),
                     deconv_im=np.zeros_like(deconv, dtype=np.float32),
                     gx=gx, gy=gy, w=w, offsets=offsets)
@@ -260,23 +251,6 @@ def _spread_cells(data_packed, w_re, w_im, gy: int, w: int,
     return win_re, win_im
 
 
-def _add_cyclic(grid: jnp.ndarray, window: jnp.ndarray, start: int) -> jnp.ndarray:
-    """grid[(start + i) % C] += window[i] along axis 0 (device, eager ops).
-
-    Handles windows longer than the cell axis (the single-chunk case has
-    window length C + w) by adding in wrap-around pieces."""
-    c = grid.shape[0]
-    length = window.shape[0]
-    start %= c
-    i = 0
-    while i < length:
-        n = min(length - i, c - start)
-        grid = grid.at[start:start + n].add(window[i:i + n])
-        i += n
-        start = (start + n) % c
-    return grid
-
-
 @functools.partial(jax.jit, static_argnames=('gx',))
 def _finish_grid(grid_re, grid_im, deconv_re, gx: int):
     """x-axis modes over the CELL axis: S_m' = ifft·Fx at m' = m − Gx/2."""
@@ -286,32 +260,6 @@ def _finish_grid(grid_re, grid_im, deconv_re, gx: int):
     spec = jnp.transpose(spec, (1, 0, 2))                 # -> (n_t, gx, gy)
     return (jnp.real(spec).astype(jnp.float32),
             jnp.imag(spec).astype(jnp.float32))
-
-
-def build_weights(plan: GridPlan, c0: int = 0, c1: Optional[int] = None,
-                  g0: int = 0, g1: Optional[int] = None
-                  ) -> Tuple[np.ndarray, np.ndarray]:
-    """Host-side combined weight tensors W_re/W_im (c1-c0, P, w·(g1-g0)) f32
-    for cells [c0, c1) and ky columns [g0, g1):
-
-        W = (base · ψx_offset) ⊗ wy     (complex product, split re/im)
-
-    Built per cell-chunk (and optionally per ky-chunk) so the full
-    (n_cells, P, w·Gy) tensor — ~16·w·N·Gy bytes, 60+ GB at the pod's N=10⁶ —
-    never exists at once.
-    """
-    c1 = plan.base_re.shape[0] if c1 is None else c1
-    g1 = plan.gy if g1 is None else g1
-    bwx_re = plan.base_re[c0:c1, :, None] * plan.wx[c0:c1]     # (Cc, P, w)
-    bwx_im = plan.base_im[c0:c1, :, None] * plan.wx[c0:c1]
-    wy_re, wy_im = plan.wy_re[c0:c1, :, g0:g1], plan.wy_im[c0:c1, :, g0:g1]
-    w_re = (bwx_re[:, :, :, None] * wy_re[:, :, None, :]
-            - bwx_im[:, :, :, None] * wy_im[:, :, None, :])
-    w_im = (bwx_re[:, :, :, None] * wy_im[:, :, None, :]
-            + bwx_im[:, :, :, None] * wy_re[:, :, None, :])
-    cc, p = c1 - c0, plan.base_re.shape[1]
-    return (w_re.reshape(cc, p, -1).astype(np.float32),
-            w_im.reshape(cc, p, -1).astype(np.float32))
 
 
 #: Default host/device budget for one cell-chunk's weight tensor pair.
@@ -328,8 +276,8 @@ def cells_per_chunk(plan: GridPlan, weight_bytes: int = DEFAULT_WEIGHT_BYTES) ->
 def _device_weights(base_re, base_im, wx, y_hi, y_lo, ky, gy: int, w: int):
     """Build one cell-chunk's spreading weights ON DEVICE.
 
-    The host-side :func:`build_weights` materializes ~16·w·N·Gy bytes of
-    numpy and ships them over the host link every call — which dominated the
+    A host-side weight build would materialize ~16·w·N·Gy bytes of numpy
+    and ship them over the host link every call — which dominated the
     gridded sweep on slow links (weights are as big as the trajectory).
     Here only N-sized packed tables cross the link once (base phases, window
     weights, split y coordinates); the exact-y phase factors come from the
@@ -384,6 +332,60 @@ def _fft_take(sig_re, sig_im, freq_idx):
     spec = jnp.fft.fft(jax.lax.complex(sig_re, sig_im), axis=0) / sig_re.shape[0]
     return (jnp.take(jnp.real(spec).astype(jnp.float32), freq_idx, axis=0),
             jnp.take(jnp.imag(spec).astype(jnp.float32), freq_idx, axis=0))
+
+
+def _chunk_packed_tables(plan: GridPlan, cell_starts, cell_chunk: int):
+    """Upload each cell-chunk's packed tables (slot map, mask, base phases,
+    window weights, split-y coords) — N-sized data crossing the host link
+    exactly ONCE for the whole sweep."""
+    n_cells, p = plan.base_re.shape
+    dev = jax.device_put
+
+    def chunk_packed(c0):
+        c1 = min(c0 + cell_chunk, n_cells)
+        def padc(arr, extra=()):
+            out = np.zeros((cell_chunk, p) + extra, dtype=arr.dtype)
+            out[:c1 - c0] = arr[c0:c1]
+            return dev(out)
+        return {'slots': padc(plan.atom_of_slot), 'mask': padc(plan.pad_mask),
+                'base_re': padc(plan.base_re), 'base_im': padc(plan.base_im),
+                'wx': padc(plan.wx, (plan.w,)),
+                'y_hi': padc(plan.y_hi), 'y_lo': padc(plan.y_lo)}
+
+    return {c0: chunk_packed(c0) for c0 in cell_starts}
+
+
+def _spread_gy_block(data_dev, plan: GridPlan, packed_tabs, cell_starts,
+                     ky_dev, gyc: int, n_t: int, t_chunk: int,
+                     precision: str):
+    """Full-time (n_cells, n_t, gyc) re/im accumulators per polarization for
+    one ky block.  Cells outer, time-chunks and polarizations inner, so each
+    cell-chunk's device-built weights are constructed once and reused by
+    every (t-chunk, polarization) pass."""
+    n_cells = plan.base_re.shape[0]
+    grids = [(jnp.zeros((n_cells, n_t, gyc), jnp.float32),
+              jnp.zeros((n_cells, n_t, gyc), jnp.float32))
+             for _ in range(3)]
+    for c0 in cell_starts:
+        tabs = packed_tabs[c0]
+        w_re, w_im = _device_weights(tabs['base_re'], tabs['base_im'],
+                                     tabs['wx'], tabs['y_hi'],
+                                     tabs['y_lo'], ky_dev,
+                                     gy=gyc, w=plan.w)
+        win_start = c0 - (plan.w // 2 - 1)
+        for start in range(0, n_t, t_chunk):
+            stop = min(start + t_chunk, n_t)
+            for pol in range(3):
+                win_re, win_im = _pack_and_spread(
+                    data_dev[start:stop, :, pol], tabs['slots'],
+                    tabs['mask'], w_re, w_im, gy=gyc, w=plan.w,
+                    precision=precision)
+                grid_re, grid_im = grids[pol]
+                grids[pol] = (
+                    _add_cyclic_rows(grid_re, win_re, win_start, start),
+                    _add_cyclic_rows(grid_im, win_im, win_start, start))
+        del w_re, w_im
+    return grids
 
 
 def gridded_kgrid_browse(data, plan: GridPlan, freq_idx: np.ndarray,
@@ -448,47 +450,14 @@ def gridded_kgrid_browse(data, plan: GridPlan, freq_idx: np.ndarray,
     # N-sized packed tables cross the host link ONCE; weight tiles are built
     # on device per cell-chunk (see _device_weights) and reused across every
     # time-chunk and polarization.
-    def chunk_packed(c0):
-        c1 = min(c0 + cell_chunk, n_cells)
-        def padc(arr, extra=()):
-            out = np.zeros((cell_chunk, p) + extra, dtype=arr.dtype)
-            out[:c1 - c0] = arr[c0:c1]
-            return dev(out)
-        return {'slots': padc(plan.atom_of_slot), 'mask': padc(plan.pad_mask),
-                'base_re': padc(plan.base_re), 'base_im': padc(plan.base_im),
-                'wx': padc(plan.wx, (plan.w,)),
-                'y_hi': padc(plan.y_hi), 'y_lo': padc(plan.y_lo)}
-
-    packed_tabs = {c0: chunk_packed(c0) for c0 in cell_starts}
+    packed_tabs = _chunk_packed_tables(plan, cell_starts, cell_chunk)
 
     for g0 in range(0, gy, gy_chunk):
         g1 = min(g0 + gy_chunk, gy)
         gyc = g1 - g0
         ky_dev = dev(plan.ky_vals[g0:g1].astype(np.float32))
-        # full-time grid accumulators so each cell-chunk's device weights are
-        # built once and reused by every (t-chunk, polarization)
-        grids = [(jnp.zeros((n_cells, n_t, gyc), jnp.float32),
-                  jnp.zeros((n_cells, n_t, gyc), jnp.float32))
-                 for _ in range(3)]
-        for c0 in cell_starts:
-            tabs = packed_tabs[c0]
-            w_re, w_im = _device_weights(tabs['base_re'], tabs['base_im'],
-                                         tabs['wx'], tabs['y_hi'],
-                                         tabs['y_lo'], ky_dev,
-                                         gy=gyc, w=plan.w)
-            win_start = c0 - (plan.w // 2 - 1)
-            for start in range(0, n_t, t_chunk):
-                stop = min(start + t_chunk, n_t)
-                for pol in range(3):
-                    win_re, win_im = _pack_and_spread(
-                        data_dev[start:stop, :, pol], tabs['slots'],
-                        tabs['mask'], w_re, w_im, gy=gyc, w=plan.w,
-                        precision=precision)
-                    grid_re, grid_im = grids[pol]
-                    grids[pol] = (
-                        _add_cyclic_rows(grid_re, win_re, win_start, start),
-                        _add_cyclic_rows(grid_im, win_im, win_start, start))
-            del w_re, w_im
+        grids = _spread_gy_block(data_dev, plan, packed_tabs, cell_starts,
+                                 ky_dev, gyc, n_t, t_chunk, precision)
         inten_dev = jnp.zeros((n_f, gx * gyc), jnp.float32)
         kept = {}
         for pol in range(3):
@@ -517,18 +486,27 @@ def gridded_kgrid_browse(data, plan: GridPlan, freq_idx: np.ndarray,
 def gridded_kgrid_spectrum(data: np.ndarray, plan: GridPlan,
                            t_chunk: Optional[int] = None,
                            cell_chunk: Optional[int] = None,
+                           gy_chunk: Optional[int] = None,
                            precision: str = 'parity'
                            ) -> Tuple[np.ndarray, np.ndarray]:
     """SED projection S[t, i·Gy+j, pol] over the planned k-grid.
 
+    Shares the browse path's loop structure (ky blocks → cells → t-chunks →
+    polarizations) so each cell-chunk's spreading weights are built ON DEVICE
+    once and reused by every (t-chunk, polarization) pass — the host-side
+    weight build (minutes per call at pod scale) never runs here, and only
+    N-sized packed tables cross the host link.
+
     Args:
         data: (n_t, N, 3) float32 velocities/displacements (host).
         plan: from :func:`plan_kgrid`.
-        t_chunk: frames per device batch (None = sized so the spread
-            intermediates stay under ~2 GB).
+        t_chunk: frames per device batch (None = sized so the packed-gather
+            and spread transients stay under ~1 GB).
         cell_chunk: fine-grid cells per weight-tensor chunk (None = sized so
             one chunk's weights stay under ~2 GB; the weight tensor for ALL
             cells is ~16·w·N·Gy bytes and cannot build at pod scale).
+        gy_chunk: ky columns per full-time accumulator block (None = sized
+            so the three per-polarization blocks stay under ~1 GB).
         precision: 'parity' | 'balanced' | 'fast' matmul precision.
 
     Returns:
@@ -536,81 +514,48 @@ def gridded_kgrid_spectrum(data: np.ndarray, plan: GridPlan,
         BEFORE the time FFT.
     """
     data = np.asarray(data) if not isinstance(data, jnp.ndarray) else data
-    n_t, n_atoms, _ = data.shape
-    if t_chunk is None:
-        # Bound the (C, Tc, w·gy) spread intermediates (the largest transient:
-        # 2 of them, f32) to ~2 GB — unbounded Tc OOMs at ~130² grids.
-        per_frame = plan.n_cells * plan.w * plan.gy * 4 * 2
-        t_chunk = max(64, min(n_t, (2 << 30) // max(per_frame, 1)))
+    n_t = data.shape[0]
+    gx, gy = plan.gx, plan.gy
+    n_cells, p = plan.base_re.shape
     if cell_chunk is None:
         cell_chunk = cells_per_chunk(plan)
-    out_re = np.empty((n_t, plan.gx * plan.gy, 3), dtype=np.float32)
-    out_im = np.empty((n_t, plan.gx * plan.gy, 3), dtype=np.float32)
-
-    dev = jax.device_put
-    deconv = dev(plan.deconv_re)
-
-    n_cells, p = plan.base_re.shape
     cell_chunk = min(cell_chunk, n_cells)
     cell_starts = list(range(0, n_cells, cell_chunk))
-    single_chunk = len(cell_starts) == 1
+    if gy_chunk is None:
+        # bound the 3-pol full-time grid accumulators (the largest residents)
+        per_col = 6 * n_t * n_cells * 4
+        gy_chunk = max(1, min(gy, (1 << 30) // max(per_col, 1)))
+    gyc_max = min(gy_chunk, gy)
+    if t_chunk is None:
+        # bound the per-t-chunk transients: the packed data gather
+        # (Cc, Tc, P) plus the spread intermediates (Cc, Tc, w·gyc) ×2
+        per_frame = (cell_chunk * p * 4
+                     + cell_chunk * plan.w * gyc_max * 4 * 2)
+        t_chunk = max(64, min(n_t, (1 << 30) // max(per_frame, 1)))
 
-    if not single_chunk:
-        logger.info("gridded: %d cells in %d chunks of %d (weights %.2f GB/chunk)",
-                    n_cells, len(cell_starts), cell_chunk,
-                    2 * 4 * cell_chunk * p * plan.w * plan.gy / 1e9)
+    if len(cell_starts) > 1:
+        logger.info("gridded: %d cells in %d chunks of %d (device weights "
+                    "%.2f GB/chunk)", n_cells, len(cell_starts), cell_chunk,
+                    2 * 4 * cell_chunk * p * plan.w * gyc_max / 1e9)
 
-    def chunk_weights(c0):
-        c1 = min(c0 + cell_chunk, n_cells)
-        w_re_h, w_im_h = build_weights(plan, c0, c1)
-        if c1 - c0 < cell_chunk:           # pad to the compiled chunk shape
-            padc = cell_chunk - (c1 - c0)
-            w_re_h = np.pad(w_re_h, [(0, padc), (0, 0), (0, 0)])
-            w_im_h = np.pad(w_im_h, [(0, padc), (0, 0), (0, 0)])
-        return dev(w_re_h), dev(w_im_h)
-
-    def chunk_slots(c0):
-        """(slots, mask) device arrays for cells [c0, c0+cell_chunk)."""
-        c1 = min(c0 + cell_chunk, n_cells)
-        slots = np.zeros((cell_chunk, p), dtype=np.int32)
-        mask = np.zeros((cell_chunk, p), dtype=np.float32)
-        slots[:c1 - c0] = plan.atom_of_slot[c0:c1]
-        mask[:c1 - c0] = plan.pad_mask[c0:c1]
-        return dev(slots), dev(mask)
-
-    # Single-chunk: weights + slot maps stay on device for every (t, pol)
-    # pass.  Multi-chunk: rebuild per time-chunk (cells outer, pols inner) so
-    # at most one chunk's weights exist at a time.
-    cached = (chunk_weights(0) + chunk_slots(0)) if single_chunk else None
-
-    # The trajectory is uploaded ONCE; per-chunk packing is a device-side
-    # gather (on a slow host link, re-uploading host-packed slices dominated
-    # the sweep).
+    dev = jax.device_put
     data_dev = dev(data)
+    deconv = dev(plan.deconv_re)
+    out_re = np.empty((n_t, gx, gy, 3), dtype=np.float32)
+    out_im = np.empty((n_t, gx, gy, 3), dtype=np.float32)
 
-    for start in range(0, n_t, t_chunk):
-        stop = min(start + t_chunk, n_t)
-        tc = stop - start
-        grids = [(jnp.zeros((n_cells, tc, plan.gy), dtype=jnp.float32),
-                  jnp.zeros((n_cells, tc, plan.gy), dtype=jnp.float32))
-                 for _ in range(3)]
-        for c0 in cell_starts:
-            if single_chunk:
-                w_re, w_im, slots, mask = cached
-            else:
-                w_re, w_im = chunk_weights(c0)
-                slots, mask = chunk_slots(c0)
-            win_start = c0 - (plan.w // 2 - 1)
-            for pol in range(3):
-                win_re, win_im = _pack_and_spread(
-                    data_dev[start:stop, :, pol], slots, mask, w_re, w_im,
-                    gy=plan.gy, w=plan.w, precision=precision)
-                grid_re, grid_im = grids[pol]
-                grids[pol] = (_add_cyclic(grid_re, win_re, win_start),
-                              _add_cyclic(grid_im, win_im, win_start))
+    packed_tabs = _chunk_packed_tables(plan, cell_starts, cell_chunk)
+    for g0 in range(0, gy, gy_chunk):
+        g1 = min(g0 + gy_chunk, gy)
+        gyc = g1 - g0
+        ky_dev = dev(plan.ky_vals[g0:g1].astype(np.float32))
+        grids = _spread_gy_block(data_dev, plan, packed_tabs, cell_starts,
+                                 ky_dev, gyc, n_t, t_chunk, precision)
         for pol in range(3):
             re, im = _finish_grid(grids[pol][0], grids[pol][1], deconv,
-                                  gx=plan.gx)
-            out_re[start:stop, :, pol] = np.asarray(re).reshape(tc, -1)
-            out_im[start:stop, :, pol] = np.asarray(im).reshape(tc, -1)
-    return out_re, out_im
+                                  gx=gx)                     # (n_t, gx, gyc)
+            grids[pol] = None
+            out_re[:, :, g0:g1, pol] = np.asarray(re)
+            out_im[:, :, g0:g1, pol] = np.asarray(im)
+    return (out_re.reshape(n_t, gx * gy, 3),
+            out_im.reshape(n_t, gx * gy, 3))

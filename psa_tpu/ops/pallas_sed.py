@@ -49,8 +49,10 @@ from jax.experimental.pallas import tpu as pltpu
 from .spectral import _INV_2PI, _PI2_A, _PI2_B, _PI2_C, _SPLITTER
 
 # Block sizes: bm×ba data tile, ba×bk angle/cos/sin tiles, 2×(bm×bk) outputs.
-# Best measured config (15.5 TF/s at M=30720/A=20480/K=512; see module
-# docstring) — needs the raised VMEM limit below under double-buffering.
+# The shootout's top two configs measured within noise (1024/256/512 at
+# 15.5 TF/s vs 2048/128/512 at 15.6 TF/s on a ±30% tunnel; see module
+# docstring); this default takes the smaller-bm one for its smaller VMEM
+# working set — it needs the raised limit below under double-buffering.
 DEFAULT_BM = 1024
 DEFAULT_BK = 256
 DEFAULT_BA = 512

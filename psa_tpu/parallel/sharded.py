@@ -409,14 +409,20 @@ def sharded_sed_spectrum(mesh: Mesh, data, mean_pos64: np.ndarray,
         proj_full = jax.jit(zeros, out_shardings=NamedSharding(
             mesh, P(None, None, AXIS_K)))()
 
-        next_chunk = [None]
+        # (exception, value) holder: a failed prefetch must surface in the
+        # main thread, never silently reuse the previous superchunk.
+        next_chunk = [None, None]
 
         def load(t0):
             return _superchunk_array(mesh, source, t0, t0 + t_superchunk, n_atoms_p)
 
         def load_async(t0):
-            th = threading.Thread(
-                target=lambda: next_chunk.__setitem__(0, load(t0)), daemon=True)
+            def run():
+                try:
+                    next_chunk[:] = [None, load(t0)]
+                except BaseException as e:      # noqa: BLE001 — re-raised below
+                    next_chunk[:] = [e, None]
+            th = threading.Thread(target=run, daemon=True)
             th.start()
             return th
 
@@ -427,7 +433,11 @@ def sharded_sed_spectrum(mesh: Mesh, data, mean_pos64: np.ndarray,
             proj_full = write_rows(proj_full, project(chunk, cs), t0)
             if loader is not None:
                 loader.join()
-                chunk = next_chunk[0]
+                if next_chunk[0] is not None:
+                    raise RuntimeError(
+                        f"prefetch of superchunk t0={starts[i + 1]} failed"
+                    ) from next_chunk[0]
+                chunk = next_chunk[1]
             elif i + 1 < len(starts):
                 chunk = load(starts[i + 1])
 

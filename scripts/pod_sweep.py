@@ -78,7 +78,8 @@ def main():
     from psa_tpu.core.calculator import SEDCalculator
     from psa_tpu.core.sed import SED
     from psa_tpu.io.loader import TrajectoryLoader
-    from psa_tpu.io.shard_cache import ShardedSEDCache, trajectory_fingerprint
+    from psa_tpu.io.shard_cache import (ShardedSEDCache, file_fingerprint,
+                                        trajectory_fingerprint)
     from psa_tpu.ops import spectral
     from psa_tpu.core.trajectory import Trajectory, make_box_arrays
     from psa_tpu.parallel import DumpBlockSource, make_mesh, sharded_sed_spectrum
@@ -104,7 +105,8 @@ def main():
         n_frames, n_atoms = source.n_frames, source.n_atoms
         data = source
         mean64 = source.mean_positions64()
-        traj_key = f"dump:{Path(args.trajectory).stat().st_size}:{n_frames}x{n_atoms}"
+        traj_key = (f"dump:{file_fingerprint(args.trajectory)}:"
+                    f"{n_frames}x{n_atoms}")
         logger.info("trajectory: %d frames x %d atoms (native text streaming)",
                     n_frames, n_atoms)
     else:

@@ -40,6 +40,17 @@ class TestShardCache:
         assert cache.load(3) is None          # purged, will recompute
         assert not cache.has(3)
 
+    def test_file_fingerprint_sees_same_size_overwrites(self, tmp_path):
+        """An in-place rewrite with identical size/frame-count must change
+        the key (pod_sweep --from-dump resume safety)."""
+        from psa_tpu.io.shard_cache import file_fingerprint
+        p = tmp_path / "t.dump"
+        p.write_bytes(b"A" * 4096)
+        f1 = file_fingerprint(p)
+        assert f1 == file_fingerprint(p)              # deterministic
+        p.write_bytes(b"A" * 2048 + b"B" + b"A" * 2047)   # same size
+        assert file_fingerprint(p) != f1
+
     def test_fingerprint_changes_with_data(self, traj):
         f1 = trajectory_fingerprint(traj)
         other = make_random_crystal_trajectory(n_cells_xyz=(3, 2, 2), basis=2,

@@ -106,6 +106,84 @@ class TestTriclinicScaled:
                                    rtol=0, atol=2e-3)
 
 
+class TestPerFrameBoxes:
+    """NPT-style dumps: scaled coordinates must unscale through each frame's
+    OWN cell, in every reader (streaming, bulk, mmap)."""
+
+    def _write_npt_scaled(self, tmp_path, n_t=3, n_a=5):
+        rng = np.random.default_rng(11)
+        frac = rng.uniform(0, 1, (n_t, n_a, 3))
+        boxes = np.stack([np.diag([10. + f, 11. + 2 * f, 12. - f])
+                          for f in range(n_t)])            # cell grows per frame
+        cart_true = np.einsum('tij,taj->tai', boxes, frac)
+        path = tmp_path / "npt.dump"
+        with open(path, "w") as f:
+            for t in range(n_t):
+                f.write(f"ITEM: TIMESTEP\n{t}\nITEM: NUMBER OF ATOMS\n{n_a}\n")
+                f.write("ITEM: BOX BOUNDS pp pp pp\n")
+                for d in range(3):
+                    f.write(f"0 {boxes[t, d, d]}\n")
+                f.write("ITEM: ATOMS id type xs ys zs\n")
+                for a in range(n_a):
+                    f.write(f"{a+1} 1 " + " ".join(
+                        f"{v:.10f}" for v in frac[t, a]) + "\n")
+        return path, cart_true.astype(np.float32)
+
+    def test_streaming_and_bulk_use_each_frames_cell(self, tmp_path, monkeypatch):
+        from psa_tpu.io import lammps as L
+        path, cart_true = self._write_npt_scaled(tmp_path)
+        if native.bulk_dump_available():
+            monkeypatch.setenv('PSA_BULK_PARSER', '1')
+            pos_bulk, *_ = read_lammps_dump(path, unwrap=False)
+            np.testing.assert_allclose(pos_bulk, cart_true, rtol=0, atol=1e-4)
+        monkeypatch.setattr(L, '_read_dump_bulk', lambda *a, **k: None)
+        pos_stream, *_ = read_lammps_dump(path, unwrap=False)
+        np.testing.assert_allclose(pos_stream, cart_true, rtol=0, atol=1e-4)
+
+    def test_mmap_source_uses_each_frames_cell(self, tmp_path):
+        from psa_tpu.io.lammps import MmapDumpFrames
+        if not native.bulk_dump_available():
+            pytest.skip("native parallel parser unavailable")
+        path, cart_true = self._write_npt_scaled(tmp_path)
+        src = MmapDumpFrames(path)
+        try:
+            pos, _ = src.frames(1, 3)
+            np.testing.assert_allclose(pos, cart_true[1:3], rtol=0, atol=1e-4)
+            np.testing.assert_array_equal(src.timesteps, [0, 1, 2])
+        finally:
+            src.close()
+
+
+class TestVaryingAtomCounts:
+    """Dumps whose per-frame atom count differs from frame 0 must error (or
+    fall back to the erroring streaming reader) — never silently truncate."""
+
+    def _write_growing(self, tmp_path):
+        path = tmp_path / "grow.dump"
+        with open(path, "w") as f:
+            for t, n_a in enumerate([3, 3, 5]):     # frame 2 grows
+                f.write(f"ITEM: TIMESTEP\n{t}\nITEM: NUMBER OF ATOMS\n{n_a}\n")
+                f.write("ITEM: BOX BOUNDS pp pp pp\n0 10\n0 10\n0 10\n")
+                f.write("ITEM: ATOMS id type x y z\n")
+                for a in range(n_a):
+                    f.write(f"{a+1} 1 {a}.0 {a}.5 {t}.0\n")
+        return path
+
+    def test_growing_frame_raises(self, tmp_path, monkeypatch):
+        monkeypatch.setenv('PSA_BULK_PARSER', '1')
+        path = self._write_growing(tmp_path)
+        with pytest.raises(ValueError, match="atoms"):
+            read_lammps_dump(path, unwrap=False)
+
+    def test_mmap_source_rejects_at_construction(self, tmp_path):
+        from psa_tpu.io.lammps import MmapDumpFrames
+        if not native.bulk_dump_available():
+            pytest.skip("native parallel parser unavailable")
+        path = self._write_growing(tmp_path)
+        with pytest.raises(ValueError, match="atom counts differ"):
+            MmapDumpFrames(path)
+
+
 class TestUnwrap:
     def test_wrapped_crossing_recovered(self):
         box = np.diag([10., 10., 10.]).astype(np.float32)

@@ -149,6 +149,33 @@ class TestStreamedSuperchunks:
         assert np.max(np.abs(inten - expected)) / expected.max() < 1e-6
 
 
+class FailingSource(RecordingSource):
+    """Source whose reads fail from a given frame on (I/O error mid-stream)."""
+
+    def __init__(self, data, fail_from_t):
+        super().__init__(data)
+        self.fail_from_t = fail_from_t
+
+    def read_block(self, t0, t1, a0, a1):
+        if t0 >= self.fail_from_t:
+            raise OSError(f"injected read failure at t0={t0}")
+        return super().read_block(t0, t1, a0, a1)
+
+
+class TestPrefetchFailure:
+    def test_prefetch_error_propagates(self, traj):
+        """A failed background superchunk load must raise, not silently
+        reuse the previous chunk's data."""
+        mesh = make_mesh(shape=(2, 2, 2))
+        src = FailingSource(traj.velocities, fail_from_t=8)
+        k_vectors = np.outer(np.linspace(0, 1.0, 5), [1, 0, 0]).astype(np.float32)
+        mean64 = traj.positions.astype(np.float64).mean(axis=0)
+        with pytest.raises(RuntimeError, match="prefetch of superchunk") as ei:
+            sharded_sed_spectrum(mesh, src, mean64, k_vectors,
+                                 t_superchunk=4, prefetch=True)
+        assert isinstance(ei.value.__cause__, OSError)
+
+
 class TestBoundedIngestion:
     """The pod data path: per-shard reads only, never the global array."""
 
