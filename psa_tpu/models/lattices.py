@@ -239,6 +239,166 @@ def make_chiral_chain_trajectory(n_cells: int = 64, n_frames: int = 512,
         box_matrix=box, box_lengths=lengths, box_tilts=tilts, dt_ps=dt_ps)
 
 
+def honeycomb_structure_factor(kx: np.ndarray, ky: np.ndarray,
+                               a: float = 2.46) -> np.ndarray:
+    """Nearest-neighbor structure factor f(k) = Σ_j exp(i k·δ_j) of the
+    honeycomb lattice (complex), with the three A→B bond vectors
+    δ = (a/2, a√3/6), (−a/2, a√3/6), (0, −a/√3) for lattice constant ``a``
+    (the A–A distance; bond length a/√3).  |f| = 3 at Γ and 0 at the K
+    points (Dirac points)."""
+    d1x, d1y = a / 2.0, a * np.sqrt(3.0) / 6.0
+    d3y = -a / np.sqrt(3.0)
+    return (np.exp(1j * (kx * d1x + ky * d1y))
+            + np.exp(1j * (-kx * d1x + ky * d1y))
+            + np.exp(1j * ky * d3y))
+
+
+def honeycomb_dispersion(kx: np.ndarray, ky: np.ndarray, a: float = 2.46,
+                         nu_K_thz: float = 8.0
+                         ) -> Tuple[np.ndarray, np.ndarray]:
+    """Analytic out-of-plane (flexural) bands of the nearest-neighbor
+    honeycomb lattice:
+
+        ν∓(k) = ν_K · √((3 ∓ |f(k)|) / 3)         (THz)
+
+    where f is :func:`honeycomb_structure_factor` and ν_K the frequency at
+    the K point, where the two bands touch (|f| = 0).  Returns
+    (ν_acoustic, ν_optical); ν_acoustic(Γ) = 0, ν_optical(Γ) = ν_K·√2.
+    """
+    absf = np.abs(honeycomb_structure_factor(kx, ky, a))
+    nu_ac = nu_K_thz * np.sqrt(np.maximum(3.0 - absf, 0.0) / 3.0)
+    nu_op = nu_K_thz * np.sqrt((3.0 + absf) / 3.0)
+    return nu_ac, nu_op
+
+
+def honeycomb_K_point(a: float = 2.46) -> np.ndarray:
+    """Cartesian K (Dirac) point of the honeycomb lattice: (4π/3a, 0, 0)."""
+    return np.array([4.0 * np.pi / (3.0 * a), 0.0, 0.0])
+
+
+def make_honeycomb_trajectory(n_cells: int = 8, n_frames: int = 512,
+                              dt_ps: float = 0.01, a: float = 2.46,
+                              nu_K_thz: float = 8.0,
+                              bands: Tuple[str, ...] = ('acoustic', 'optical'),
+                              chiral: Optional[int] = None,
+                              chiral_nu_thz: Optional[float] = None,
+                              amp: float = 0.01, seed: int = 0) -> Trajectory:
+    """Honeycomb (graphene-like) lattice: 2-atom basis on a NON-ORTHOGONAL
+    cell, out-of-plane bands synthesized with their exact Bloch eigenvectors,
+    and optionally ONE circularly polarized in-plane mode at the K point —
+    the chiral-phonon geometry of the 2D-materials literature.
+
+    Cell vectors a1 = a(1,0,0), a2 = a(1/2, √3/2, 0); sublattice B offset
+    d = (a1+a2)/3.  The triclinic supercell box is stored column-major
+    ([[lx,xy,0],[0,ly,0],[0,0,lz]]) per the Trajectory convention.  For each
+    allowed k = (m·b1 + n·b2)/n_cells and band s ∈ {−,+}, the z motion is
+
+        u_A = A cos(k·R_A − ωt + φ),  u_B = ±A cos(k·R_B − ωt + φ − θ)
+
+    with f(k) = |f| e^{iθ} — the eigenvector (1, ±e^{−iθ})/√2 of the NN
+    dynamical matrix — so the k-grid SED peaks exactly on
+    :func:`honeycomb_dispersion`.  Note the coherent visibility rule: a mode
+    probed at its own k carries weight |1 ± e^{iθ}|², so the optical branch
+    is invisible at Γ (the (1,−1) sublattice sum cancels) and fades wherever
+    θ → 0; type-resolved (incoherent) SED sees both branches everywhere.
+
+    With ``chiral=±1``, sublattice A additionally circles in the x–y plane
+    at :func:`honeycomb_K_point` with frequency ``chiral_nu_thz`` (default
+    0.6·ν_K, spectrally clear of nothing — the z bands live in Φ_z only):
+    u_x = A cos(K·R − 2πνt), u_y = −h·A sin(K·R − 2πνt), so the chiral
+    phase Δφ = ∠Φ_x − ∠Φ_y at (K, ν) is **h·π/2 exactly** (the
+    ``chiral_axis='z' → (x, y)`` component pair, psa_gui.py:976-982).
+
+    Types: 1 = sublattice A, 2 = sublattice B.
+    """
+    if chiral not in (None, +1, -1):
+        raise ValueError(f"chiral must be None, +1 or -1, got {chiral}")
+    rng = np.random.default_rng(seed + 2)
+    a1 = np.array([a, 0.0])
+    a2 = np.array([a / 2.0, a * np.sqrt(3.0) / 2.0])
+    d = (a1 + a2) / 3.0
+    mm, nn = np.meshgrid(np.arange(n_cells), np.arange(n_cells), indexing='ij')
+    r_a = (mm.ravel()[:, None] * a1[None, :]
+           + nn.ravel()[:, None] * a2[None, :])              # (C, 2)
+    r_b = r_a + d[None, :]
+    n_atoms = 2 * r_a.shape[0]
+
+    # reciprocal vectors of the 2D cell: b_i·a_j = 2π δ_ij
+    b1 = (2.0 * np.pi / a) * np.array([1.0, -1.0 / np.sqrt(3.0)])
+    b2 = (2.0 * np.pi / a) * np.array([0.0, 2.0 / np.sqrt(3.0)])
+    kxy = (mm.ravel()[:, None] * b1[None, :]
+           + nn.ravel()[:, None] * b2[None, :]) / n_cells    # (C, 2) allowed k
+    f = honeycomb_structure_factor(kxy[:, 0], kxy[:, 1], a)
+    theta = np.angle(f)
+    nu_ac, nu_op = honeycomb_dispersion(kxy[:, 0], kxy[:, 1], a, nu_K_thz)
+
+    t = np.arange(n_frames, dtype=np.float64) * dt_ps
+    disp = np.zeros((n_frames, n_atoms))
+    vel = np.zeros((n_frames, n_atoms))
+    for band in bands:
+        if band == 'acoustic':
+            nu, sgn, sel = nu_ac, +1.0, nu_ac > 1e-9         # skip Γ (ω=0)
+        elif band == 'optical':
+            nu, sgn, sel = nu_op, -1.0, np.ones(len(nu_op), bool)
+        else:
+            raise ValueError(f"unknown band {band!r}")
+        amps = amp * rng.uniform(0.5, 1.0, size=int(sel.sum()))
+        phases = rng.uniform(0, 2 * np.pi, size=int(sel.sum()))
+        w = 2.0 * np.pi * nu[sel]
+        # mode-chunked accumulation bounds the (T, N, M) transient
+        idx = np.flatnonzero(sel)
+        for c0 in range(0, len(idx), 64):
+            sl = idx[c0:c0 + 64]
+            asl = amps[c0:c0 + 64][None, None, :]
+            wsl = w[c0:c0 + 64]
+            arg_a = (r_a @ kxy[sl].T)[None, :, :] \
+                - wsl[None, None, :] * t[:, None, None] \
+                + phases[c0:c0 + 64][None, None, :]
+            arg_b = (r_b @ kxy[sl].T)[None, :, :] \
+                - wsl[None, None, :] * t[:, None, None] \
+                + (phases[c0:c0 + 64] - theta[sl])[None, None, :]
+            disp[:, 0::2] += np.sum(asl * np.cos(arg_a), axis=-1)
+            disp[:, 1::2] += sgn * np.sum(asl * np.cos(arg_b), axis=-1)
+            vel[:, 0::2] += np.sum(asl * wsl[None, None, :] * np.sin(arg_a),
+                                   axis=-1)
+            vel[:, 1::2] += sgn * np.sum(asl * wsl[None, None, :]
+                                         * np.sin(arg_b), axis=-1)
+
+    positions = np.zeros((n_frames, n_atoms, 3), dtype=np.float32)
+    velocities = np.zeros((n_frames, n_atoms, 3), dtype=np.float32)
+    positions[:, 0::2, 0] = r_a[None, :, 0]
+    positions[:, 0::2, 1] = r_a[None, :, 1]
+    positions[:, 1::2, 0] = r_b[None, :, 0]
+    positions[:, 1::2, 1] = r_b[None, :, 1]
+    positions[:, :, 2] = disp.astype(np.float32)
+    velocities[:, :, 2] = vel.astype(np.float32)
+
+    if chiral is not None:
+        nu_c = chiral_nu_thz if chiral_nu_thz is not None else 0.6 * nu_K_thz
+        w_c = 2.0 * np.pi * nu_c
+        kpt = honeycomb_K_point(a)
+        arg = (r_a @ kpt[:2])[None, :] - w_c * t[:, None]    # (T, C)
+        ua_x, ua_y = amp * np.cos(arg), -chiral * amp * np.sin(arg)
+        positions[:, 0::2, 0] += ua_x.astype(np.float32)
+        positions[:, 0::2, 1] += ua_y.astype(np.float32)
+        velocities[:, 0::2, 0] = (amp * w_c * np.sin(arg)).astype(np.float32)
+        velocities[:, 0::2, 1] = (chiral * amp * w_c
+                                  * np.cos(arg)).astype(np.float32)
+
+    lx = n_cells * a
+    box = np.array([[lx, lx / 2.0, 0.0],
+                    [0.0, lx * np.sqrt(3.0) / 2.0, 0.0],
+                    [0.0, 0.0, 10.0]], dtype=np.float32)
+    types = np.empty(n_atoms, dtype=np.int32)
+    types[0::2] = 1
+    types[1::2] = 2
+    lengths, tilts = make_box_arrays(box)
+    return Trajectory(
+        positions=positions, velocities=velocities, types=types,
+        timesteps=np.arange(n_frames, dtype=np.float32),
+        box_matrix=box, box_lengths=lengths, box_tilts=tilts, dt_ps=dt_ps)
+
+
 def square_lattice_dispersion(kx: np.ndarray, ky: np.ndarray, a: float = 2.5,
                               nu_max_thz: float = 10.0) -> np.ndarray:
     """Analytic dispersion surface of the nearest-neighbor square lattice:

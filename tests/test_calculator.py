@@ -746,3 +746,82 @@ class TestKGridPeaks:
             calc.calculate_kgrid_peaks(k_vecs, n_peaks=0)
         with pytest.raises(ValueError, match="summation_mode"):
             calc.calculate_kgrid_peaks(k_vecs, summation_mode='bogus')
+
+
+class TestHoneycombPhysics:
+    """Honeycomb (graphene-like) oracle: 2-atom basis on a non-orthogonal
+    cell.  Each out-of-plane band, synthesized with its exact Bloch
+    eigenvector, must peak on the analytic two-band dispersion at every
+    allowed k; a circularly polarized K-point mode must show chiral phase
+    handedness·π/2 — the 2D chiral-phonon geometry (K-point phonons of
+    hBN/TMD materials) the 1D chain oracle cannot reach."""
+
+    N, A, NUK = 8, 2.46, 8.0
+
+    def _allowed_kvecs(self):
+        b1 = (2 * np.pi / self.A) * np.array([1.0, -1 / np.sqrt(3.0), 0.0])
+        b2 = (2 * np.pi / self.A) * np.array([0.0, 2 / np.sqrt(3.0), 0.0])
+        mm, nn = np.meshgrid(np.arange(self.N), np.arange(self.N),
+                             indexing='ij')
+        return ((mm.ravel()[:, None] * b1 + nn.ravel()[:, None] * b2)
+                / self.N).astype(np.float32)
+
+    def test_dispersion_endpoints(self):
+        from psa_tpu.models import honeycomb_dispersion, honeycomb_K_point
+        kpt = honeycomb_K_point(self.A)
+        ac, op = honeycomb_dispersion(kpt[0], kpt[1], self.A, self.NUK)
+        np.testing.assert_allclose([ac, op], [self.NUK, self.NUK], rtol=1e-12)
+        ac0, op0 = honeycomb_dispersion(0.0, 0.0, self.A, self.NUK)
+        np.testing.assert_allclose([ac0, op0],
+                                   [0.0, self.NUK * np.sqrt(2.0)], atol=1e-12)
+
+    @pytest.mark.parametrize('band', ['acoustic', 'optical'])
+    def test_band_peaks_on_analytic_surface(self, band):
+        from psa_tpu.models import (honeycomb_dispersion,
+                                    honeycomb_structure_factor,
+                                    make_honeycomb_trajectory)
+        traj = make_honeycomb_trajectory(n_cells=self.N, n_frames=512,
+                                         dt_ps=0.01, a=self.A,
+                                         nu_K_thz=self.NUK, bands=(band,),
+                                         seed=1)
+        calc = SEDCalculator(traj, nx=self.N, ny=self.N, nz=1)
+        k_vecs = self._allowed_kvecs()
+        freqs, inten, _ = calc.calculate_kgrid_browse(k_vecs)
+        nu_ac, nu_op = honeycomb_dispersion(k_vecs[:, 0], k_vecs[:, 1],
+                                            self.A, self.NUK)
+        analytic = nu_ac if band == 'acoustic' else nu_op
+        peak = freqs[np.argmax(inten, axis=0)]
+        df = 1.0 / (traj.n_frames * traj.dt_ps)
+        # The coherent SED weight of a two-sublattice Bloch mode probed at
+        # its own k is |1 ± e^{iθ}|² (θ = arg f): the acoustic branch fades
+        # where θ → π, the optical where θ → 0 (e.g. exactly zero at Γ —
+        # the (1,−1) sublattice sum cancels).  Check only visible modes.
+        theta = np.angle(honeycomb_structure_factor(k_vecs[:, 0],
+                                                    k_vecs[:, 1], self.A))
+        s = +1.0 if band == 'acoustic' else -1.0
+        weight = np.abs(1.0 + s * np.exp(1j * theta)) ** 2
+        ok = (analytic > df) & (weight > 1.0)
+        assert ok.sum() >= 20            # the mask must not hollow the test
+        assert np.all(np.abs(peak[ok] - analytic[ok]) <= df + 1e-6), \
+            np.max(np.abs(peak[ok] - analytic[ok]))
+
+    @pytest.mark.parametrize('h', [+1, -1])
+    def test_K_point_chiral_phase(self, h):
+        from psa_tpu.models import make_honeycomb_trajectory, honeycomb_K_point
+        traj = make_honeycomb_trajectory(n_cells=self.N, n_frames=512,
+                                         dt_ps=0.01, a=self.A,
+                                         nu_K_thz=self.NUK, bands=(),
+                                         chiral=h, seed=3)
+        calc = SEDCalculator(traj, nx=self.N, ny=self.N, nz=1)
+        kpt = honeycomb_K_point(self.A).astype(np.float32)[None, :]
+        # full path: calculate + chiral phase of the (x, y) pair
+        sed = calc.calculate(np.zeros(1), kpt)
+        phase = calc.calculate_chiral_phase(sed.sed[:, :, 0], sed.sed[:, :, 1],
+                                            angle_range_opt='C')
+        fi = int(np.argmin(np.abs(sed.freqs - 0.6 * self.NUK)))
+        assert abs(phase[fi, 0] - h * np.pi / 2) < 0.05
+        # browse path: chiral_axis='z' → (x, y) component mapping
+        freqs, inten, bphase = calc.calculate_kgrid_browse(
+            kpt, chiral=True, chiral_axis='z')
+        peak_row = int(np.argmax(inten[:, 0]))
+        assert abs(bphase[peak_row, 0] - h * np.pi / 2) < 0.05
