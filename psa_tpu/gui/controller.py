@@ -76,6 +76,28 @@ class KGridState:
         return self._vrange_cache[key]
 
 
+@dataclass
+class KGridPeaksState:
+    """Dispersion-surface state from on-device peak extraction: per-rank
+    peak frequency / intensity / linewidth surfaces over the k-plane —
+    ~150× less host transfer than the full browse planes, so surfaces stay
+    interactive even on slow host links."""
+    plane: str
+    freq_surfaces: np.ndarray         # (n_peaks, n_kx, n_ky) THz
+    intensity_surfaces: np.ndarray    # (n_peaks, n_kx, n_ky)
+    linewidth_surfaces: np.ndarray    # (n_peaks, n_kx, n_ky) THz FWHM
+    k1_axis: np.ndarray
+    k2_axis: np.ndarray
+    labels: Tuple[str, str]
+
+    def surface(self, rank: int = 0, kind: str = 'freq') -> np.ndarray:
+        """(n_ky, n_kx) plot-oriented surface (transposed like slice_at)."""
+        data = {'freq': self.freq_surfaces,
+                'intensity': self.intensity_surfaces,
+                'linewidth': self.linewidth_surfaces}[kind]
+        return data[rank].T
+
+
 def apply_scale(values: np.ndarray, scale: str) -> np.ndarray:
     """GUI intensity scaling (reference psa_gui.py:2988-2997)."""
     scale = (scale or 'linear').lower()
@@ -268,6 +290,40 @@ class AnalysisController:
                                 k1_axis=k1_axis, k2_axis=k2_axis,
                                 labels=(comp[2], comp[3]))
         return self.kgrid
+
+    def compute_kgrid_peaks(self, plane: str, k_range_1: Tuple[float, float],
+                            k_range_2: Tuple[float, float], n_k1: int,
+                            n_k2: int, k_fixed: float = 0.0, n_peaks: int = 1,
+                            max_freq: Optional[float] = None,
+                            basis_atom_types: Optional[list] = None,
+                            summation_mode: str = 'coherent',
+                            k_chunk_size: int = 2048) -> KGridPeaksState:
+        """Dispersion surface(s) over a k-plane via on-device peak
+        extraction (:meth:`SEDCalculator.calculate_kgrid_peaks`): only the
+        (n_peaks, n_k) float32 triplet crosses the host link."""
+        calc = self._require_calc()
+        _, k_vecs, shape = calc.get_k_grid(plane, k_range_1, k_range_2,
+                                           n_k1, n_k2, k_fixed_val=k_fixed)
+        pf, pi, pw = calc.calculate_kgrid_peaks(
+            k_vecs, n_peaks=n_peaks, max_freq=max_freq,
+            basis_atom_types=basis_atom_types, summation_mode=summation_mode,
+            k_chunk_size=k_chunk_size)
+        comp = {'xy': (0, 1, 'k_x', 'k_y'), 'yz': (1, 2, 'k_y', 'k_z'),
+                'zx': (2, 0, 'k_z', 'k_x')}[plane.lower()]
+        k1_axis = np.unique(k_vecs[:, comp[0]])
+        k2_axis = np.unique(k_vecs[:, comp[1]])
+        if len(k1_axis) != shape[0]:
+            k1_axis = np.linspace(k_vecs[:, comp[0]].min(),
+                                  k_vecs[:, comp[0]].max(), shape[0])
+        if len(k2_axis) != shape[1]:
+            k2_axis = np.linspace(k_vecs[:, comp[1]].min(),
+                                  k_vecs[:, comp[1]].max(), shape[1])
+        return KGridPeaksState(
+            plane=plane.lower(),
+            freq_surfaces=pf.reshape((-1,) + tuple(shape)),
+            intensity_surfaces=pi.reshape((-1,) + tuple(shape)),
+            linewidth_surfaces=pw.reshape((-1,) + tuple(shape)),
+            k1_axis=k1_axis, k2_axis=k2_axis, labels=(comp[2], comp[3]))
 
     # -- iSED (reference psa_gui.py:1265-1368) -------------------------------
 

@@ -98,6 +98,19 @@ class TestKGridFlow:
         # cache hit returns identical object
         assert kg.global_vrange(scale='sqrt') == (vmin, vmax)
 
+    def test_peaks_state(self, loaded):
+        pk = loaded.compute_kgrid_peaks('xy', (-1, 1), (-1, 1), 6, 5,
+                                        n_peaks=2, max_freq=10.0)
+        assert pk.freq_surfaces.shape == (2, 6, 5)
+        assert pk.intensity_surfaces.shape == (2, 6, 5)
+        assert pk.linewidth_surfaces.shape == (2, 6, 5)
+        assert pk.surface(0, 'freq').shape == (5, 6)   # plot orientation
+        assert np.all(pk.freq_surfaces >= 0)
+        assert np.all(pk.freq_surfaces <= 10.0 + 1e-6)
+        assert pk.labels == ('k_x', 'k_y')
+        # rank order: top peak carries at least rank-2's intensity
+        assert np.all(pk.intensity_surfaces[0] >= pk.intensity_surfaces[1])
+
     def test_grid_chiral_phase_same_mask(self, loaded):
         """Phase must be filtered with the same freq mask as intensity
         (the reference's off-by-mask bug, psa_gui.py:2382)."""
