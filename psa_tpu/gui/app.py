@@ -224,9 +224,20 @@ class PSAMainWindow:
                               "fast-PCIe hosts (see docs/PERF_NOTES.md)")
         ttk.Checkbutton(gf, text="Chiral phase on grid",
                         variable=self.grid_chiral_var).pack(anchor='w', padx=4)
-        self.grid_btn = ttk.Button(gf, text="Calculate k-grid", state='disabled',
+        btns = ttk.Frame(gf)
+        btns.pack(pady=4)
+        self.grid_btn = ttk.Button(btns, text="Calculate k-grid",
+                                   state='disabled',
                                    command=self._calculate_kgrid)
-        self.grid_btn.pack(pady=4)
+        self.grid_btn.pack(side='left', padx=2)
+        self.peaks_btn = ttk.Button(btns, text="Peak surface",
+                                    state='disabled',
+                                    command=self._calculate_kgrid_peaks)
+        self.peaks_btn.pack(side='left', padx=2)
+        ToolTip(self.peaks_btn,
+                "Dispersion surface via on-device peak extraction — only "
+                "the per-k peak frequency/intensity/linewidth transfer, "
+                "~150× less than the full browse planes")
 
     def _build_plot_tab(self):
         tab = ttk.Frame(self.control_nb)
@@ -357,7 +368,7 @@ class PSAMainWindow:
                     messagebox.showerror("PSA", f"Load failed: {err}")
                 else:
                     self.status_var.set(msg)
-                    for b in (self.calc_btn, self.grid_btn):
+                    for b in (self.calc_btn, self.grid_btn, self.peaks_btn):
                         b.state(['!disabled'])
             self.root.after(0, done)
 
@@ -490,6 +501,54 @@ class PSAMainWindow:
             self.root.after(0, done)
 
         threading.Thread(target=work, daemon=True).start()
+
+    def _calculate_kgrid_peaks(self):
+        dialog = ProgressDialog(self.root, "Calculating",
+                                "Extracting dispersion surface on device…")
+
+        def work():
+            try:
+                mf = self.grid_max_freq_var.get().strip()
+                pk = self.controller.compute_kgrid_peaks(
+                    self.plane_var.get(),
+                    (self.k1_min_var.get(), self.k1_max_var.get()),
+                    (self.k2_min_var.get(), self.k2_max_var.get()),
+                    self.nk1_var.get(), self.nk2_var.get(),
+                    k_fixed=self.k_fixed_var.get(),
+                    max_freq=float(mf) if mf else None,
+                    basis_atom_types=self._basis_types(),
+                    summation_mode=self.mode_var.get())
+                err = None
+            except Exception as e:
+                pk, err = None, str(e)
+
+            def done():
+                dialog.close()
+                if err:
+                    messagebox.showerror("PSA",
+                                         f"Peak extraction failed: {err}")
+                    return
+                self._draw_peak_surface(pk)
+                n1, n2 = pk.freq_surfaces.shape[1:]
+                self.status_var.set(
+                    f"Dispersion surface extracted: {n1}×{n2} k-points.")
+            self.root.after(0, done)
+
+        threading.Thread(target=work, daemon=True).start()
+
+    def _draw_peak_surface(self, pk):
+        self.recip_fig.clear()
+        ax = self.recip_fig.add_subplot(111)
+        pcm = ax.pcolormesh(pk.k1_axis, pk.k2_axis, pk.surface(0, 'freq'),
+                            cmap=self.cmap_var.get(), shading='gouraud')
+        self.recip_fig.colorbar(pcm, ax=ax, label="peak frequency (THz)")
+        ax.set_xlabel(f"{pk.labels[0]} (2π/Å)")
+        ax.set_ylabel(f"{pk.labels[1]} (2π/Å)")
+        ax.set_title("Dispersion surface (top peak)")
+        ax.set_aspect('equal', adjustable='box')
+        self.recip_fig.tight_layout()
+        self.recip_canvas.draw_idle()
+        self.plot_nb.select(0)
 
     def _on_freq_slider(self, _value):
         if self.controller.kgrid is not None:
