@@ -334,12 +334,35 @@ def _fft_step(mesh: Mesh, want_intensity: bool, filtered: bool):
                                  out_specs=out, check_vma=False))
 
 
+def _peaks_step(mesh: Mesh, n_peaks: int, exclusion_bins: int):
+    """FFT + intensity + per-k peak extraction, all inside the k shard —
+    peak-finding is column-local, so no collectives are added and only the
+    (3, n_peaks, n_k) float32 triplet leaves the mesh."""
+    def fn(proj_l, freq_idx, freqs_kept):                 # (n_t, 3, 2K/k)
+        re, im = spectral._fft_spectrum(proj_l, proj_l.shape[0])
+        re = jnp.take(re, freq_idx, axis=0)
+        im = jnp.take(im, freq_idx, axis=0)
+        inten = jnp.sum(re * re + im * im, axis=-1).astype(jnp.float32)
+        pf, ph, pw = spectral.peak_reduce(inten[None], freqs_kept,
+                                          n_peaks=n_peaks,
+                                          exclusion_bins=exclusion_bins)
+        return pf[0], ph[0], pw[0]                        # (n_peaks, k_local)
+
+    out = (P(None, AXIS_K),) * 3
+    in_specs = (P(None, None, AXIS_K), P(None), P(None))
+    return jax.jit(jax.shard_map(fn, mesh=mesh, in_specs=in_specs,
+                                 out_specs=out, check_vma=False))
+
+
 def sharded_sed_spectrum(mesh: Mesh, data, mean_pos64: np.ndarray,
                          k_vectors: np.ndarray, precision: str = 'parity',
                          want_intensity: bool = False,
                          t_superchunk: Optional[int] = None,
                          prefetch: bool = True,
-                         freq_indices: Optional[np.ndarray] = None):
+                         freq_indices: Optional[np.ndarray] = None,
+                         n_peaks: Optional[int] = None,
+                         peak_freqs_thz: Optional[np.ndarray] = None,
+                         exclusion_bins: int = 4):
     """SED spectrum over a device mesh, streamed in time-superchunks.
 
     Args:
@@ -361,12 +384,22 @@ def sharded_sed_spectrum(mesh: Mesh, data, mean_pos64: np.ndarray,
         freq_indices: optional (n_keep,) frequency-row indices — the spectrum
             is filtered ON DEVICE and only the kept rows transfer to host
             (the pod analog of the single-chip browse reduction).
+        n_peaks: when set, reduce all the way to the top-``n_peaks`` spectral
+            peaks per k-point ON DEVICE (pod analog of
+            :meth:`SEDCalculator.calculate_kgrid_peaks`): requires
+            ``freq_indices`` and ``peak_freqs_thz`` (the THz values of the
+            kept rows); returns the (peak_freq, peak_height, peak_width)
+            triplet of (n_peaks, n_k) f32 arrays — ~n_f/(3·n_peaks)× less
+            host transfer than the filtered intensity planes.
 
     Returns:
         Host NumPy: intensity (n_f, n_k) f32, or (re, im) pair of
-        (n_f, n_k, 3), where n_f = n_t or len(freq_indices).
+        (n_f, n_k, 3), where n_f = n_t or len(freq_indices); with
+        ``n_peaks`` set, the three (n_peaks, n_k) peak arrays.
         Padding added for divisibility is stripped before returning.
     """
+    if n_peaks is not None and (freq_indices is None or peak_freqs_thz is None):
+        raise ValueError("n_peaks requires freq_indices and peak_freqs_thz")
     source = _as_source(data)
     n_t, n_atoms = source.n_frames, source.n_atoms
     n_k = k_vectors.shape[0]
@@ -441,7 +474,13 @@ def sharded_sed_spectrum(mesh: Mesh, data, mean_pos64: np.ndarray,
             elif i + 1 < len(starts):
                 chunk = load(starts[i + 1])
 
-    if freq_indices is not None:
+    if n_peaks is not None:
+        idx = jax.device_put(np.asarray(freq_indices, dtype=np.int32),
+                             NamedSharding(mesh, P(None)))
+        pfreqs = jax.device_put(np.asarray(peak_freqs_thz, dtype=np.float32),
+                                NamedSharding(mesh, P(None)))
+        out = _peaks_step(mesh, n_peaks, exclusion_bins)(proj_full, idx, pfreqs)
+    elif freq_indices is not None:
         idx = jax.device_put(np.asarray(freq_indices, dtype=np.int32),
                              NamedSharding(mesh, P(None)))
         out = _fft_step(mesh, want_intensity, True)(proj_full, idx)
@@ -458,6 +497,8 @@ def sharded_sed_spectrum(mesh: Mesh, data, mean_pos64: np.ndarray,
                 arr, tiled=True))
         return np.asarray(arr)
 
+    if n_peaks is not None:
+        return tuple(fetch(o)[:, :n_k] for o in out)
     if want_intensity:
         return fetch(out)[:, :n_k]
     re, im = out

@@ -64,7 +64,13 @@ def main():
                         'native parallel parser (no .npy conversion pass; '
                         'sharded engine only)')
     p.add_argument('--max-freq', type=float, default=None,
-                   help='with --browse: also cap retained frequencies (THz)')
+                   help='with --browse/--peaks: also cap retained '
+                        'frequencies (THz)')
+    p.add_argument('--peaks', type=int, default=None, metavar='N',
+                   help='reduce all the way to the top-N spectral peaks per '
+                        'k-point ON DEVICE and store the dispersion-surface '
+                        'triplet (freq/height/width) — ~n_f/(3N)x less '
+                        'readback + disk than --browse (sharded engine only)')
     p.add_argument('--out', default='pod_sweep_out')
     p.add_argument('--multihost', action='store_true',
                    help='initialize jax.distributed before building the mesh')
@@ -133,25 +139,33 @@ def main():
                                 else 'auto'))
     logger.info("mesh: %s over %d devices", dict(mesh.shape), len(jax.devices()))
 
+    if args.peaks is not None and (args.browse or args.engine == 'gridded'):
+        p.error("--peaks is a sharded-engine mode, exclusive with --browse")
+
     all_freqs = spectral.fftfreq_thz(n_frames, args.dt)
     freq_idx = None
-    if args.browse:
+    if args.browse or args.peaks is not None:
         mask = all_freqs >= 0
         if args.max_freq is not None:
             mask &= all_freqs <= args.max_freq
         freq_idx = np.flatnonzero(mask).astype(np.int32)
 
+    mode = (f'peaks-{args.peaks}-grid' if args.peaks is not None else
+            'browse-intensity-grid' if args.browse else 'coherent-grid')
     cache = ShardedSEDCache(out_dir / "chunks", workload={
         'traj': traj_key,
         'k_vectors': k_vecs,
-        'mode': 'browse-intensity-grid' if args.browse else 'coherent-grid',
-        'max_freq': args.max_freq if args.browse else None,
+        'mode': mode,
+        'max_freq': args.max_freq if freq_idx is not None else None,
         'precision': args.precision, 'mesh': str(dict(mesh.shape))})
 
     n_k = k_vecs.shape[0]
     chunk = args.k_chunk
     n_chunks = (n_k + chunk - 1) // chunk
-    if args.browse:
+    if args.peaks is not None:
+        freqs = all_freqs[freq_idx]
+        full = np.zeros((3, args.peaks, n_k), dtype=np.float32)
+    elif args.browse:
         freqs = all_freqs[freq_idx]
         full = np.zeros((len(freq_idx), n_k), dtype=np.float32)
     else:
@@ -186,13 +200,24 @@ def main():
         for ci in range(n_chunks):
             s, e = bounds(ci)
             cached = cache.load(ci)
-            if cached is not None and cached.shape[1] == e - s:
-                if args.browse:
+            if cached is not None and cached.shape[-1 if args.peaks is not None
+                                                  else 1] == e - s:
+                if args.peaks is not None:
+                    full[:, :, s:e] = cached
+                elif args.browse:
                     full[:, s:e] = cached
                 else:
                     full[:, s:e, :] = cached
                 continue
-            if args.browse:
+            if args.peaks is not None:
+                pf, ph, pw = sharded_sed_spectrum(
+                    mesh, data, mean64, k_vecs[s:e],
+                    precision=args.precision, t_superchunk=args.t_superchunk,
+                    freq_indices=freq_idx, n_peaks=args.peaks,
+                    peak_freqs_thz=freqs)
+                block = np.stack([pf, ph, pw])
+                full[:, :, s:e] = block
+            elif args.browse:
                 block = sharded_sed_spectrum(
                     mesh, data, mean64, k_vecs[s:e],
                     precision=args.precision, t_superchunk=args.t_superchunk,
@@ -209,9 +234,16 @@ def main():
             logger.info("chunk %d/%d done (%d k-points)", ci + 1, n_chunks, e - s)
     dt = time.time() - t0
 
-    sed = SED(full, freqs, np.array([]), k_vecs, k_grid_shape=shape,
-              is_complex=not args.browse)
-    sed.save(out_dir / "kgrid_sed")
+    if args.peaks is not None:
+        np.savez(out_dir / "kgrid_peaks.npz", peak_freqs=full[0],
+                 peak_heights=full[1], peak_widths=full[2],
+                 k_vectors=k_vecs, k_grid_shape=np.asarray(shape))
+        logger.info("dispersion surfaces saved: %s (%d peaks x %d k-points)",
+                    out_dir / "kgrid_peaks.npz", args.peaks, n_k)
+    else:
+        sed = SED(full, freqs, np.array([]), k_vecs, k_grid_shape=shape,
+                  is_complex=not args.browse)
+        sed.save(out_dir / "kgrid_sed")
     rep = throughput_report(n_k=max(computed, 1), seconds=max(dt, 1e-9),
                             n_atoms=n_atoms, n_t=n_frames)
     logger.info("sweep complete: %d/%d k-points computed in %.1f s "

@@ -162,6 +162,36 @@ class FailingSource(RecordingSource):
         return super().read_block(t0, t1, a0, a1)
 
 
+class TestShardedPeaks:
+    def test_matches_single_chip_peaks(self, traj):
+        """The mesh peak path must agree with SEDCalculator's single-chip
+        on-device peak extraction (same freq mask, same reduction)."""
+        from psa_tpu.core.calculator import SEDCalculator
+        from psa_tpu.ops import spectral
+        mesh = make_mesh(shape=(2, 2, 2))
+        k_vectors = np.outer(np.linspace(0, 1.0, 6), [1, 0, 0]).astype(np.float32)
+        mean64 = traj.positions.astype(np.float64).mean(axis=0)
+        freqs = spectral.fftfreq_thz(traj.n_frames, traj.dt_ps)
+        mask = freqs >= 0
+        freq_idx = np.flatnonzero(mask).astype(np.int32)
+        pf, ph, pw = sharded_sed_spectrum(
+            mesh, traj.velocities, mean64, k_vectors, t_superchunk=8,
+            freq_indices=freq_idx, n_peaks=2,
+            peak_freqs_thz=freqs[mask].astype(np.float32))
+        calc = SEDCalculator(traj, nx=3, ny=2, nz=2)
+        rf, rh, rw = calc.calculate_kgrid_peaks(k_vectors, n_peaks=2)
+        np.testing.assert_allclose(pf, rf, atol=1e-6)
+        np.testing.assert_allclose(ph, rh, rtol=1e-4)
+        np.testing.assert_allclose(pw, rw, rtol=1e-3, atol=1e-5)
+
+    def test_requires_freq_args(self, traj):
+        mesh = make_mesh(shape=(1, 1, 8))
+        mean64 = traj.positions.astype(np.float64).mean(axis=0)
+        with pytest.raises(ValueError, match="n_peaks requires"):
+            sharded_sed_spectrum(mesh, traj.velocities, mean64,
+                                 np.zeros((4, 3), np.float32), n_peaks=1)
+
+
 class TestPrefetchFailure:
     def test_prefetch_error_propagates(self, traj):
         """A failed background superchunk load must raise, not silently
