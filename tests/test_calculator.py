@@ -825,3 +825,26 @@ class TestHoneycombPhysics:
             kpt, chiral=True, chiral_axis='z')
         peak_row = int(np.argmax(inten[:, 0]))
         assert abs(bphase[peak_row, 0] - h * np.pi / 2) < 0.05
+
+    def test_incoherent_sees_coherently_cancelled_branch(self):
+        """At a θ≈0 mode the optical branch is coherently suppressed
+        (weight |1−e^{iθ}|² ≈ 0) — the coherent top peaks are all acoustic,
+        while type-resolved (incoherent) SED recovers both branches."""
+        from psa_tpu.models import make_honeycomb_trajectory, honeycomb_dispersion
+        traj = make_honeycomb_trajectory(n_cells=self.N, n_frames=512,
+                                         dt_ps=0.01, a=self.A,
+                                         nu_K_thz=self.NUK, seed=1)
+        calc = SEDCalculator(traj, nx=self.N, ny=self.N, nz=1)
+        b1 = (2 * np.pi / self.A) * np.array([1.0, -1 / np.sqrt(3.0), 0.0])
+        kv = (b1 / self.N)[None, :].astype(np.float32)   # θ ≈ 0.006
+        nu_ac, nu_op = honeycomb_dispersion(kv[:, 0], kv[:, 1],
+                                            self.A, self.NUK)
+        df = 1.0 / (traj.n_frames * traj.dt_ps)
+        pfc, _, _ = calc.calculate_kgrid_peaks(kv, n_peaks=2)
+        pfi, _, _ = calc.calculate_kgrid_peaks(kv, n_peaks=2,
+                                               basis_atom_types=[1, 2],
+                                               summation_mode='incoherent')
+        assert np.all(np.abs(pfc[:, 0] - nu_op[0]) > 5 * df)   # optical absent
+        assert np.min(np.abs(pfc[:, 0] - nu_ac[0])) <= df + 1e-6
+        assert np.min(np.abs(pfi[:, 0] - nu_op[0])) <= df + 1e-6  # recovered
+        assert np.min(np.abs(pfi[:, 0] - nu_ac[0])) <= df + 1e-6
