@@ -146,7 +146,8 @@ class PSAMainWindow:
         grid = ttk.Frame(lf)
         grid.pack(fill='x')
         labeled_combo(grid, "Format:", self.file_format,
-                      ('auto', 'lammps', 'vasp_outcar'), row=0)
+                      ('auto', 'lammps', 'vasp_outcar', 'extxyz', 'h5md'),
+                      row=0)
         labeled_entry(grid, "dt (ps):", self.dt_var, row=1,
                       tooltip="Time between stored frames in picoseconds")
         labeled_entry(grid, "nx:", self.nx_var, row=2,

@@ -1,0 +1,152 @@
+"""H5MD trajectory reader (the HDF5 MD-interchange standard).
+
+Covers the format LAMMPS's ``dump h5md``, ESPResSo, and HOOMD emit — which
+the reference could only reach through OVITO's importer (reference:
+src/psa/io/loader.py:81-361).  Layout (de Buyl, Colberg & Höfling, H5MD
+v1.x)::
+
+    /particles/<group>/position/value        (n_t, N, 3)
+    /particles/<group>/position/{step,time}  optional
+    /particles/<group>/velocity/value        (n_t, N, 3), optional
+    /particles/<group>/species[/value]       (N,) or (n_t, N), optional
+    /particles/<group>/mass[/value]          (N,), optional
+    /particles/<group>/box/edges[/value]     (3,), (3, 3), or time-dependent
+
+Time-independent elements may be stored as plain datasets (no ``value``
+child); both spellings are accepted.  For a time-dependent box, the frame-0
+cell is used (the SED engine assumes a fixed box, like the reference) with a
+logged warning.  ``h5py`` is an optional dependency — the loader raises a
+clear error when it is missing.
+"""
+from __future__ import annotations
+
+import logging
+from pathlib import Path
+from typing import Optional, Tuple
+
+import numpy as np
+
+logger = logging.getLogger(__name__)
+
+
+def _fixed_or_value(node, name: str):
+    """Dataset for ``name`` whether stored time-independent (plain dataset)
+    or time-dependent (group with a ``value`` child); None when absent."""
+    if name not in node:
+        return None
+    item = node[name]
+    if hasattr(item, 'keys') and 'value' in item:
+        return item['value']
+    return item if hasattr(item, 'shape') else None
+
+
+def _box_matrix(edges: np.ndarray) -> np.ndarray:
+    """H5MD box edges -> 3x3 cell matrix, columns = cell vectors.
+
+    A (3,) vector is an orthorhombic diagonal; a (3, 3) matrix stores the
+    cell vectors as ROWS (H5MD convention) and is transposed into this
+    package's column convention.
+    """
+    edges = np.asarray(edges, dtype=np.float64)
+    if edges.shape == (3,):
+        return np.diag(edges).astype(np.float32)
+    if edges.shape == (3, 3):
+        return edges.T.astype(np.float32)
+    raise ValueError(f"H5MD box edges have shape {edges.shape}; "
+                     "expected (3,) or (3, 3)")
+
+
+def read_h5md(filepath: Path, particles_group: Optional[str] = None
+              ) -> Tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray,
+                         np.ndarray, Optional[np.ndarray]]:
+    """Read an H5MD file into (positions, velocities, types, timesteps,
+    box_matrix, masses) — the same tuple as the LAMMPS reader (+ masses).
+
+    Args:
+        filepath: path to the .h5/.h5md file.
+        particles_group: name under ``/particles`` (default: the first group,
+            alphabetically, that has a ``position``).
+    """
+    try:
+        import h5py
+    except ImportError as e:
+        raise ImportError(
+            "Reading H5MD trajectories requires h5py (pip install h5py)."
+        ) from e
+
+    with h5py.File(filepath, 'r') as f:
+        if 'particles' not in f:
+            raise ValueError(f"{filepath}: no /particles group (not H5MD?)")
+        particles = f['particles']
+        if particles_group is None:
+            candidates = [g for g in sorted(particles.keys())
+                          if 'position' in particles[g]]
+            if not candidates:
+                raise ValueError(f"{filepath}: no particles group with a "
+                                 "position element")
+            particles_group = candidates[0]
+        if particles_group not in particles:
+            raise ValueError(f"{filepath}: no /particles/{particles_group}")
+        grp = particles[particles_group]
+
+        pos_ds = _fixed_or_value(grp, 'position')
+        if pos_ds is None:
+            raise ValueError(f"{filepath}: /particles/{particles_group} has "
+                             "no position data")
+        positions = np.asarray(pos_ds, dtype=np.float32)
+        if positions.ndim != 3 or positions.shape[2] != 3:
+            raise ValueError(f"{filepath}: position has shape "
+                             f"{positions.shape}; expected (n_t, N, 3)")
+        n_t, n_atoms = positions.shape[:2]
+
+        vel_ds = _fixed_or_value(grp, 'velocity')
+        if vel_ds is not None:
+            velocities = np.asarray(vel_ds, dtype=np.float32)
+            if velocities.shape != positions.shape:
+                raise ValueError(f"{filepath}: velocity shape "
+                                 f"{velocities.shape} != position shape")
+        else:
+            velocities = np.zeros_like(positions)
+            logger.warning("No velocity data found in %s. Velocities set to "
+                           "zero.", filepath)
+
+        sp_ds = _fixed_or_value(grp, 'species')
+        if sp_ds is not None:
+            species = np.asarray(sp_ds)
+            if species.ndim == 2:           # time-dependent: use frame 0
+                species = species[0]
+            types = species.astype(np.int32)
+            if types.shape != (n_atoms,):
+                raise ValueError(f"{filepath}: species shape mismatch")
+        else:
+            types = np.ones(n_atoms, dtype=np.int32)
+
+        mass_ds = _fixed_or_value(grp, 'mass')
+        masses = None
+        if mass_ds is not None:
+            masses = np.asarray(mass_ds, dtype=np.float64)
+            if masses.ndim == 2:
+                masses = masses[0]
+
+        if 'box' not in grp:
+            raise ValueError(f"{filepath}: no box element")
+        edges_ds = _fixed_or_value(grp['box'], 'edges')
+        if edges_ds is None:
+            raise ValueError(f"{filepath}: box has no edges")
+        edges = np.asarray(edges_ds)
+        if edges.ndim in (2, 3) and edges.shape[0] == n_t and n_t > 1 \
+                and edges.shape[-1] == 3 and edges.shape != (3, 3):
+            if not np.allclose(edges, edges[0]):
+                logger.warning("Box changes across frames in %s (NPT run?); "
+                               "using the frame-0 cell.", filepath)
+            edges = edges[0]
+        box_matrix = _box_matrix(edges)
+
+        step_ds = None
+        if 'position' in grp and hasattr(grp['position'], 'keys'):
+            step_ds = grp['position'].get('step')
+        timesteps = (np.asarray(step_ds, dtype=np.int64) if step_ds is not None
+                     and len(step_ds) == n_t
+                     else np.arange(n_t, dtype=np.int64))
+
+    return positions, velocities, types, timesteps, box_matrix, masses

@@ -24,7 +24,7 @@ from . import lammps as lammps_io
 
 logger = logging.getLogger(__name__)
 
-_VALID_FORMATS = ('auto', 'lammps', 'vasp_outcar', 'extxyz')
+_VALID_FORMATS = ('auto', 'lammps', 'vasp_outcar', 'extxyz', 'h5md')
 _CACHE_PARTS = ('positions', 'velocities', 'types', 'box_matrix')
 
 
@@ -32,9 +32,11 @@ class TrajectoryLoader:
     """Load an MD trajectory file into a :class:`Trajectory`.
 
     Args:
-        filename: path to a LAMMPS dump or VASP OUTCAR file.
+        filename: path to a LAMMPS dump, VASP OUTCAR, extended-XYZ, or H5MD
+            trajectory.
         dt: timestep between stored frames, in ps.
-        file_format: 'auto' (by extension), 'lammps', or 'vasp_outcar'.
+        file_format: 'auto' (by extension), 'lammps', 'vasp_outcar',
+            'extxyz', or 'h5md'.
         backend: 'native' (default) or 'ovito' (requires the ovito package).
         unwrap: unwrap periodic positions across frames (native backend).
     """
@@ -65,6 +67,8 @@ class TrajectoryLoader:
             return 'vasp_outcar'
         if suffix in ('.xyz', '.extxyz'):
             return 'extxyz'
+        if suffix in ('.h5', '.hdf5', '.h5md'):
+            return 'h5md'
         return 'lammps'
 
     def _cache_files(self) -> dict:
@@ -112,6 +116,9 @@ class TrajectoryLoader:
                 self.filepath, unwrap=self.unwrap, with_masses=True)
         elif fmt == 'extxyz':
             pos, vel, types, steps, box = lammps_io.read_extxyz(self.filepath)
+        elif fmt == 'h5md':
+            from . import h5md as h5md_io
+            pos, vel, types, steps, box, masses = h5md_io.read_h5md(self.filepath)
         else:
             pos, vel, types, steps, box = lammps_io.read_vasp_outcar(self.filepath)
         box_len, box_tilt = make_box_arrays(box)

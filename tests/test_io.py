@@ -460,3 +460,90 @@ class TestExtxyz:
         expected = np.array([[10, 1.5, 0.5], [0, 11, 2], [0, 0, 12]],
                             dtype=np.float32)
         np.testing.assert_allclose(box, expected, atol=1e-6)
+
+
+class TestH5MD:
+    """H5MD (HDF5 MD-interchange) reader: standard layout, fixed-vs-value
+    element spellings, row->column box transpose, loader autodetect."""
+
+    def _write(self, tmp_path, with_vel=True, box_33=False, fixed_species=True,
+               npt_box=False, with_mass=False):
+        h5py = pytest.importorskip("h5py")
+        rng = np.random.default_rng(8)
+        n_t, n_a = 4, 6
+        pos = rng.uniform(0, 9, (n_t, n_a, 3)).astype(np.float32)
+        vel = rng.normal(0, 1, (n_t, n_a, 3)).astype(np.float32)
+        path = tmp_path / "t.h5md"
+        with h5py.File(path, "w") as f:
+            g = f.create_group("particles/all")
+            p = g.create_group("position")
+            p.create_dataset("value", data=pos)
+            p.create_dataset("step", data=np.arange(n_t) * 10)
+            if with_vel:
+                g.create_group("velocity").create_dataset("value", data=vel)
+            if fixed_species:
+                g.create_dataset("species", data=np.array([1, 2, 1, 2, 1, 2]))
+            else:
+                g.create_group("species").create_dataset(
+                    "value", data=np.tile([1, 2, 1, 2, 1, 2], (n_t, 1)))
+            if with_mass:
+                g.create_dataset("mass", data=np.array([1., 3., 1., 3., 1., 3.]))
+            box = g.create_group("box")
+            if npt_box:
+                edges = np.stack([np.diag([9. + t, 10., 11.]) for t in range(n_t)])
+                box.create_group("edges").create_dataset("value", data=edges)
+            elif box_33:
+                # H5MD stores cell vectors as ROWS
+                box.create_dataset("edges", data=np.array(
+                    [[9., 0., 0.], [1.5, 10., 0.], [0.5, 2.0, 11.]]))
+            else:
+                box.create_dataset("edges", data=np.array([9., 10., 11.]))
+        return path, pos, vel
+
+    def test_full_layout(self, tmp_path):
+        from psa_tpu.io.h5md import read_h5md
+        path, pos, vel = self._write(tmp_path)
+        rpos, rvel, types, steps, box, masses = read_h5md(path)
+        np.testing.assert_allclose(rpos, pos, atol=0)
+        np.testing.assert_allclose(rvel, vel, atol=0)
+        np.testing.assert_array_equal(types, [1, 2, 1, 2, 1, 2])
+        np.testing.assert_array_equal(steps, [0, 10, 20, 30])
+        np.testing.assert_allclose(box, np.diag([9., 10., 11.]), atol=1e-6)
+        assert masses is None
+
+    def test_row_vectors_become_columns(self, tmp_path):
+        from psa_tpu.io.h5md import read_h5md
+        path, _, _ = self._write(tmp_path, box_33=True)
+        *_, box, _ = read_h5md(path)
+        expect = np.array([[9., 0., 0.], [1.5, 10., 0.], [0.5, 2.0, 11.]]).T
+        np.testing.assert_allclose(box, expect, atol=1e-6)
+
+    def test_no_velocity_and_timedep_species(self, tmp_path):
+        from psa_tpu.io.h5md import read_h5md
+        path, _, _ = self._write(tmp_path, with_vel=False, fixed_species=False)
+        _, rvel, types, *_ = read_h5md(path)
+        assert np.all(rvel == 0)
+        np.testing.assert_array_equal(types, [1, 2, 1, 2, 1, 2])
+
+    def test_npt_box_uses_frame0(self, tmp_path):
+        from psa_tpu.io.h5md import read_h5md
+        path, _, _ = self._write(tmp_path, npt_box=True)
+        *_, box, _ = read_h5md(path)
+        np.testing.assert_allclose(box, np.diag([9., 10., 11.]), atol=1e-6)
+
+    def test_mass_and_loader_autodetect(self, tmp_path):
+        path, pos, _ = self._write(tmp_path, with_mass=True)
+        traj = TrajectoryLoader(str(path), dt=0.02).load()
+        np.testing.assert_allclose(traj.positions, pos, atol=0)
+        assert traj.masses is not None
+        np.testing.assert_allclose(traj.masses, [1., 3., 1., 3., 1., 3.])
+        assert traj.dt_ps == 0.02
+
+    def test_not_h5md_raises(self, tmp_path):
+        h5py = pytest.importorskip("h5py")
+        from psa_tpu.io.h5md import read_h5md
+        path = tmp_path / "empty.h5"
+        with h5py.File(path, "w") as f:
+            f.create_group("not_particles")
+        with pytest.raises(ValueError, match="particles"):
+            read_h5md(path)
