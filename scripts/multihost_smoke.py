@@ -67,8 +67,23 @@ def worker(rank: int) -> None:
     # shards (mesh (2,2,2) over 2 processes -> 1/2 of the t*a windows)
     total_rows = traj.n_frames * traj.n_atoms
     assert src.rows <= total_rows // 2, (src.rows, total_rows)
+
+    # sharded peaks: the k axis spans processes, so the peak triplet readback
+    # also exercises the process_allgather path; verify against the oracle
+    from psa_tpu.ops import spectral
+    freqs = spectral.fftfreq_thz(traj.n_frames, traj.dt_ps)
+    mask = freqs >= 0
+    freq_idx = np.flatnonzero(mask).astype(np.int32)
+    pf, ph, pw = sharded_sed_spectrum(
+        mesh, traj.velocities, mean64, k_vectors, freq_indices=freq_idx,
+        n_peaks=1, peak_freqs_thz=freqs[mask].astype(np.float32))
+    inten_oracle = np.sum(np.abs(oracle[mask]) ** 2, axis=-1)   # (F, K)
+    expect_pf = freqs[mask][np.argmax(inten_oracle, axis=0)]
+    assert pf.shape == (1, len(k_vectors))
+    np.testing.assert_allclose(pf[0], expect_pf, atol=1e-6)
+
     print(f"rank {rank}: OK (rel err {err:.2e}; read {src.rows}/{total_rows} "
-          "trajectory elements)", flush=True)
+          "trajectory elements; peaks gathered)", flush=True)
 
 
 def main() -> int:
