@@ -85,7 +85,9 @@ class KGridPeaksState:
     plane: str
     freq_surfaces: np.ndarray         # (n_peaks, n_kx, n_ky) THz
     intensity_surfaces: np.ndarray    # (n_peaks, n_kx, n_ky)
-    linewidth_surfaces: np.ndarray    # (n_peaks, n_kx, n_ky) THz FWHM
+    linewidth_surfaces: np.ndarray    # (n_peaks, n_kx, n_ky) THz RMS spread
+                                      # (linewidth proxy — NOT FWHM; see
+                                      # ops.spectral.peak_reduce)
     k1_axis: np.ndarray
     k2_axis: np.ndarray
     labels: Tuple[str, str]
@@ -96,6 +98,20 @@ class KGridPeaksState:
                 'intensity': self.intensity_surfaces,
                 'linewidth': self.linewidth_surfaces}[kind]
         return data[rank].T
+
+
+def plane_axes(plane: str, k_vecs: np.ndarray, shape: Tuple[int, int]):
+    """(k1_axis, k2_axis, labels) for a k-grid plane — unique component
+    values, with a linspace fallback when float noise breaks uniqueness."""
+    comp = {'xy': (0, 1, 'k_x', 'k_y'), 'yz': (1, 2, 'k_y', 'k_z'),
+            'zx': (2, 0, 'k_z', 'k_x')}[plane.lower()]
+    axes = []
+    for ci, n in zip(comp[:2], shape):
+        vals = np.unique(k_vecs[:, ci])
+        if len(vals) != n:
+            vals = np.linspace(k_vecs[:, ci].min(), k_vecs[:, ci].max(), n)
+        axes.append(vals)
+    return axes[0], axes[1], (comp[2], comp[3])
 
 
 def apply_scale(values: np.ndarray, scale: str) -> np.ndarray:
@@ -276,19 +292,11 @@ class AnalysisController:
             # unfiltered phase array with filtered indices (psa_gui.py:2382).
             phase = phase_full[mask] if phase_full is not None else None
 
-        comp = {'xy': (0, 1, 'k_x', 'k_y'), 'yz': (1, 2, 'k_y', 'k_z'),
-                'zx': (2, 0, 'k_z', 'k_x')}[plane.lower()]
-        k1_axis = np.unique(k_vecs[:, comp[0]])
-        k2_axis = np.unique(k_vecs[:, comp[1]])
-        if len(k1_axis) != shape[0]:
-            k1_axis = np.linspace(k_vecs[:, comp[0]].min(), k_vecs[:, comp[0]].max(), shape[0])
-        if len(k2_axis) != shape[1]:
-            k2_axis = np.linspace(k_vecs[:, comp[1]].min(), k_vecs[:, comp[1]].max(), shape[1])
-
+        k1_axis, k2_axis, labels = plane_axes(plane, k_vecs, shape)
         self.kgrid = KGridState(sed=sed, plane=plane.lower(), freqs=freqs,
                                 intensity=intensity, phase=phase,
                                 k1_axis=k1_axis, k2_axis=k2_axis,
-                                labels=(comp[2], comp[3]))
+                                labels=labels)
         return self.kgrid
 
     def compute_kgrid_peaks(self, plane: str, k_range_1: Tuple[float, float],
@@ -308,22 +316,13 @@ class AnalysisController:
             k_vecs, n_peaks=n_peaks, max_freq=max_freq,
             basis_atom_types=basis_atom_types, summation_mode=summation_mode,
             k_chunk_size=k_chunk_size)
-        comp = {'xy': (0, 1, 'k_x', 'k_y'), 'yz': (1, 2, 'k_y', 'k_z'),
-                'zx': (2, 0, 'k_z', 'k_x')}[plane.lower()]
-        k1_axis = np.unique(k_vecs[:, comp[0]])
-        k2_axis = np.unique(k_vecs[:, comp[1]])
-        if len(k1_axis) != shape[0]:
-            k1_axis = np.linspace(k_vecs[:, comp[0]].min(),
-                                  k_vecs[:, comp[0]].max(), shape[0])
-        if len(k2_axis) != shape[1]:
-            k2_axis = np.linspace(k_vecs[:, comp[1]].min(),
-                                  k_vecs[:, comp[1]].max(), shape[1])
+        k1_axis, k2_axis, labels = plane_axes(plane, k_vecs, shape)
         return KGridPeaksState(
             plane=plane.lower(),
             freq_surfaces=pf.reshape((-1,) + tuple(shape)),
             intensity_surfaces=pi.reshape((-1,) + tuple(shape)),
             linewidth_surfaces=pw.reshape((-1,) + tuple(shape)),
-            k1_axis=k1_axis, k2_axis=k2_axis, labels=(comp[2], comp[3]))
+            k1_axis=k1_axis, k2_axis=k2_axis, labels=labels)
 
     # -- iSED (reference psa_gui.py:1265-1368) -------------------------------
 

@@ -30,14 +30,16 @@ logger = logging.getLogger(__name__)
 
 
 def _fixed_or_value(node, name: str):
-    """Dataset for ``name`` whether stored time-independent (plain dataset)
-    or time-dependent (group with a ``value`` child); None when absent."""
+    """(dataset, time_dependent) for ``name`` whether stored
+    time-independent (plain dataset) or time-dependent (group with a
+    ``value`` child); (None, False) when absent.  The SPELLING decides
+    time-dependence — H5MD prepends a frame axis to ``value`` datasets."""
     if name not in node:
-        return None
+        return None, False
     item = node[name]
     if hasattr(item, 'keys') and 'value' in item:
-        return item['value']
-    return item if hasattr(item, 'shape') else None
+        return item['value'], True
+    return (item if hasattr(item, 'shape') else None), False
 
 
 def _box_matrix(edges: np.ndarray) -> np.ndarray:
@@ -56,7 +58,8 @@ def _box_matrix(edges: np.ndarray) -> np.ndarray:
                      "expected (3,) or (3, 3)")
 
 
-def read_h5md(filepath: Path, particles_group: Optional[str] = None
+def read_h5md(filepath: Path, particles_group: Optional[str] = None,
+              unwrap: bool = False
               ) -> Tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray,
                          np.ndarray, Optional[np.ndarray]]:
     """Read an H5MD file into (positions, velocities, types, timesteps,
@@ -66,6 +69,10 @@ def read_h5md(filepath: Path, particles_group: Optional[str] = None
         filepath: path to the .h5/.h5md file.
         particles_group: name under ``/particles`` (default: the first group,
             alphabetically, that has a ``position``).
+        unwrap: unwrap periodic positions across frames.  An ``image``
+            element, when present, gives the EXACT unwrap (r + H·image);
+            otherwise minimum-image accumulation is used (same as the
+            LAMMPS reader).
     """
     try:
         import h5py
@@ -89,7 +96,7 @@ def read_h5md(filepath: Path, particles_group: Optional[str] = None
             raise ValueError(f"{filepath}: no /particles/{particles_group}")
         grp = particles[particles_group]
 
-        pos_ds = _fixed_or_value(grp, 'position')
+        pos_ds, _ = _fixed_or_value(grp, 'position')
         if pos_ds is None:
             raise ValueError(f"{filepath}: /particles/{particles_group} has "
                              "no position data")
@@ -99,7 +106,7 @@ def read_h5md(filepath: Path, particles_group: Optional[str] = None
                              f"{positions.shape}; expected (n_t, N, 3)")
         n_t, n_atoms = positions.shape[:2]
 
-        vel_ds = _fixed_or_value(grp, 'velocity')
+        vel_ds, _ = _fixed_or_value(grp, 'velocity')
         if vel_ds is not None:
             velocities = np.asarray(vel_ds, dtype=np.float32)
             if velocities.shape != positions.shape:
@@ -110,7 +117,7 @@ def read_h5md(filepath: Path, particles_group: Optional[str] = None
             logger.warning("No velocity data found in %s. Velocities set to "
                            "zero.", filepath)
 
-        sp_ds = _fixed_or_value(grp, 'species')
+        sp_ds, _ = _fixed_or_value(grp, 'species')
         if sp_ds is not None:
             species = np.asarray(sp_ds)
             if species.ndim == 2:           # time-dependent: use frame 0
@@ -121,7 +128,7 @@ def read_h5md(filepath: Path, particles_group: Optional[str] = None
         else:
             types = np.ones(n_atoms, dtype=np.int32)
 
-        mass_ds = _fixed_or_value(grp, 'mass')
+        mass_ds, _ = _fixed_or_value(grp, 'mass')
         masses = None
         if mass_ds is not None:
             masses = np.asarray(mass_ds, dtype=np.float64)
@@ -130,17 +137,30 @@ def read_h5md(filepath: Path, particles_group: Optional[str] = None
 
         if 'box' not in grp:
             raise ValueError(f"{filepath}: no box element")
-        edges_ds = _fixed_or_value(grp['box'], 'edges')
+        edges_ds, edges_timedep = _fixed_or_value(grp['box'], 'edges')
         if edges_ds is None:
             raise ValueError(f"{filepath}: box has no edges")
         edges = np.asarray(edges_ds)
-        if edges.ndim in (2, 3) and edges.shape[0] == n_t and n_t > 1 \
-                and edges.shape[-1] == 3 and edges.shape != (3, 3):
+        if edges_timedep:
+            # value datasets carry a leading frame axis: (n_t', 3) or
+            # (n_t', 3, 3) — use the frame-0 cell (the SED engine assumes a
+            # fixed box, like the reference)
+            if edges.ndim not in (2, 3) or edges.shape[-1] != 3:
+                raise ValueError(f"{filepath}: time-dependent box edges have "
+                                 f"shape {edges.shape}; expected (n_t, 3) or "
+                                 "(n_t, 3, 3)")
             if not np.allclose(edges, edges[0]):
                 logger.warning("Box changes across frames in %s (NPT run?); "
                                "using the frame-0 cell.", filepath)
             edges = edges[0]
         box_matrix = _box_matrix(edges)
+
+        image_ds, _ = _fixed_or_value(grp, 'image')
+        images = (np.asarray(image_ds, dtype=np.float64)
+                  if unwrap and image_ds is not None else None)
+        if images is not None and images.shape != positions.shape:
+            raise ValueError(f"{filepath}: image shape {images.shape} != "
+                             "position shape")
 
         step_ds = None
         if 'position' in grp and hasattr(grp['position'], 'keys'):
@@ -149,4 +169,12 @@ def read_h5md(filepath: Path, particles_group: Optional[str] = None
                      and len(step_ds) == n_t
                      else np.arange(n_t, dtype=np.int64))
 
+    if unwrap and n_t > 1:
+        if images is not None:       # exact: r_unwrapped = r + H @ image
+            h = box_matrix.astype(np.float64)
+            positions = (positions.astype(np.float64)
+                         + images @ h.T).astype(np.float32)
+        else:
+            from .lammps import unwrap_positions
+            positions = unwrap_positions(positions, box_matrix)
     return positions, velocities, types, timesteps, box_matrix, masses

@@ -91,10 +91,14 @@ class TrajectoryLoader:
                 box_mat = np.load(npy_files['box_matrix'])
                 if box_mat.shape != (3, 3):
                     raise ValueError(f"Cached box_matrix has shape {box_mat.shape}, expected (3,3).")
+                masses_file = (self.filepath.parent / self.filepath.stem
+                               ).with_suffix('.masses.npy')
+                masses = np.load(masses_file) if masses_file.exists() else None
                 box_len, box_tilt = make_box_arrays(box_mat)
                 ts = np.arange(pos.shape[0], dtype=np.float32) * self.dt
                 return Trajectory(pos, vel, atom_types, ts, box_matrix=box_mat,
-                                  box_lengths=box_len, box_tilts=box_tilt, dt_ps=self.dt)
+                                  box_lengths=box_len, box_tilts=box_tilt,
+                                  dt_ps=self.dt, masses=masses)
             except Exception as e:
                 logger.warning("Loading .npy cache failed: %s. Falling back to parser.", e)
 
@@ -118,7 +122,8 @@ class TrajectoryLoader:
             pos, vel, types, steps, box = lammps_io.read_extxyz(self.filepath)
         elif fmt == 'h5md':
             from . import h5md as h5md_io
-            pos, vel, types, steps, box, masses = h5md_io.read_h5md(self.filepath)
+            pos, vel, types, steps, box, masses = h5md_io.read_h5md(
+                self.filepath, unwrap=self.unwrap)
         else:
             pos, vel, types, steps, box = lammps_io.read_vasp_outcar(self.filepath)
         box_len, box_tilt = make_box_arrays(box)
@@ -181,6 +186,8 @@ class TrajectoryLoader:
         np.save(npy_files['velocities'], traj.velocities)
         np.save(npy_files['types'], traj.types)
         np.save(npy_files['box_matrix'], traj.box_matrix)
+        if traj.masses is not None:   # optional 5th sidecar; absence = None
+            np.save(cache_stem.with_suffix('.masses.npy'), traj.masses)
         mean_pos = np.mean(traj.positions, axis=0)
         np.save(cache_stem.with_suffix('.mean_positions.npy'), mean_pos)
         np.save(cache_stem.with_suffix('.displacements.npy'),

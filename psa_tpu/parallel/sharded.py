@@ -334,6 +334,7 @@ def _fft_step(mesh: Mesh, want_intensity: bool, filtered: bool):
                                  out_specs=out, check_vma=False))
 
 
+@functools.lru_cache(maxsize=None)
 def _peaks_step(mesh: Mesh, n_peaks: int, exclusion_bins: int):
     """FFT + intensity + per-k peak extraction, all inside the k shard —
     peak-finding is column-local, so no collectives are added and only the

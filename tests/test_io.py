@@ -533,7 +533,8 @@ class TestH5MD:
 
     def test_mass_and_loader_autodetect(self, tmp_path):
         path, pos, _ = self._write(tmp_path, with_mass=True)
-        traj = TrajectoryLoader(str(path), dt=0.02).load()
+        # unwrap=False: raw random positions are not a continuous walk
+        traj = TrajectoryLoader(str(path), dt=0.02, unwrap=False).load()
         np.testing.assert_allclose(traj.positions, pos, atol=0)
         assert traj.masses is not None
         np.testing.assert_allclose(traj.masses, [1., 3., 1., 3., 1., 3.])
@@ -547,3 +548,54 @@ class TestH5MD:
             f.create_group("not_particles")
         with pytest.raises(ValueError, match="particles"):
             read_h5md(path)
+
+    def test_npt_vector_edges_not_mistaken_for_cell_matrix(self, tmp_path):
+        """A 3-frame time-dependent (3, 3)-shaped per-frame DIAGONAL edges
+        value must read as frame-0 orthorhombic — the spelling (group with
+        'value'), not the shape, decides time-dependence."""
+        h5py = pytest.importorskip("h5py")
+        from psa_tpu.io.h5md import read_h5md
+        rng = np.random.default_rng(4)
+        pos = rng.uniform(0, 9, (3, 4, 3)).astype(np.float32)
+        path = tmp_path / "npt3.h5md"
+        with h5py.File(path, "w") as f:
+            g = f.create_group("particles/all")
+            g.create_group("position").create_dataset("value", data=pos)
+            edges = np.array([[9., 10., 11.], [9.1, 10., 11.], [9.2, 10., 11.]])
+            g.create_group("box").create_group("edges").create_dataset(
+                "value", data=edges)
+        *_, box, _ = read_h5md(path)
+        np.testing.assert_allclose(box, np.diag([9., 10., 11.]), atol=1e-6)
+
+    def test_unwrap_uses_image_element(self, tmp_path):
+        """With unwrap=True an H5MD image element gives the exact unwrap
+        r + H·image (a crossing atom, undetectable by minimum-image alone
+        in 2 frames, is recovered exactly)."""
+        h5py = pytest.importorskip("h5py")
+        from psa_tpu.io.h5md import read_h5md
+        L = 10.0
+        true_x = np.array([[9.5], [10.5]])            # crosses the boundary
+        wrapped = true_x % L
+        images = (true_x // L)
+        pos = np.zeros((2, 1, 3), dtype=np.float32)
+        pos[:, 0, 0] = wrapped[:, 0]
+        img = np.zeros((2, 1, 3))
+        img[:, 0, 0] = images[:, 0]
+        path = tmp_path / "img.h5md"
+        with h5py.File(path, "w") as f:
+            g = f.create_group("particles/all")
+            g.create_group("position").create_dataset("value", data=pos)
+            g.create_group("image").create_dataset("value", data=img)
+            g.create_group("box").create_dataset("edges", data=[L, L, L])
+        rpos, *_ = read_h5md(path, unwrap=True)
+        np.testing.assert_allclose(rpos[:, 0, 0], true_x[:, 0], atol=1e-5)
+
+    def test_masses_survive_cache_hit(self, tmp_path):
+        """The .npy sidecar cache must round-trip masses (it gets its own
+        optional sidecar) — mass_weighted workflows kept working only until
+        the second load before this."""
+        path, pos, _ = self._write(tmp_path, with_mass=True)
+        t1 = TrajectoryLoader(str(path), dt=0.02).load()   # parses + caches
+        t2 = TrajectoryLoader(str(path), dt=0.02).load()   # cache hit
+        assert t2.masses is not None
+        np.testing.assert_allclose(t2.masses, t1.masses)
