@@ -693,6 +693,8 @@ class PSAMainWindow:
             return
         if self.controller.kgrid is not None:
             export.export_kgrid_csv(self.controller.kgrid, Path(path))
+        elif self.controller.kgrid_peaks is not None:
+            export.export_peaks_csv(self.controller.kgrid_peaks, Path(path))
         elif self.controller.sed_result is not None:
             export.export_kpath_csv(self.controller.sed_result, Path(path),
                                     scale=self.scale_var.get())

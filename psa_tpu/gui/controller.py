@@ -135,6 +135,7 @@ class AnalysisController:
         self.sed_result: Optional[SED] = None          # k-path result
         self.kpath_mags: Optional[np.ndarray] = None
         self.kgrid: Optional[KGridState] = None
+        self.kgrid_peaks: Optional[KGridPeaksState] = None
         self.selected_point: Optional[Tuple[float, float]] = None  # (k, ω)
         self.ised_dump_path: Optional[Path] = None
         self.temp_dirs: List[tempfile.TemporaryDirectory] = []
@@ -156,6 +157,7 @@ class AnalysisController:
                                         use_displacements=use_displacements)
         self.sed_result = None
         self.kgrid = None
+        self.kgrid_peaks = None
         self.selected_point = None
         return self.trajectory
 
@@ -317,12 +319,13 @@ class AnalysisController:
             basis_atom_types=basis_atom_types, summation_mode=summation_mode,
             k_chunk_size=k_chunk_size)
         k1_axis, k2_axis, labels = plane_axes(plane, k_vecs, shape)
-        return KGridPeaksState(
+        self.kgrid_peaks = KGridPeaksState(
             plane=plane.lower(),
             freq_surfaces=pf.reshape((-1,) + tuple(shape)),
             intensity_surfaces=pi.reshape((-1,) + tuple(shape)),
             linewidth_surfaces=pw.reshape((-1,) + tuple(shape)),
             k1_axis=k1_axis, k2_axis=k2_axis, labels=labels)
+        return self.kgrid_peaks
 
     # -- iSED (reference psa_gui.py:1265-1368) -------------------------------
 

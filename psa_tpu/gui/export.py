@@ -77,6 +77,31 @@ def export_kgrid_csv(kgrid: KGridState, path: Path) -> Path:
     return path
 
 
+def export_peaks_csv(peaks, path: Path) -> Path:
+    """Long-format CSV of dispersion surfaces: one row per (peak rank,
+    k-point) with frequency, intensity, and RMS linewidth."""
+    import pandas as pd
+    path = Path(path)
+    n_peaks, n_kx, n_ky = peaks.freq_surfaces.shape
+    k1 = np.repeat(peaks.k1_axis, n_ky)
+    k2 = np.tile(peaks.k2_axis, n_kx)
+    rows = []
+    for r in range(n_peaks):
+        rows.append(pd.DataFrame({
+            'peak_rank': np.full(n_kx * n_ky, r),
+            peaks.labels[0]: k1,
+            peaks.labels[1]: k2,
+            'frequency_THz': peaks.freq_surfaces[r].ravel(),
+            'intensity': peaks.intensity_surfaces[r].ravel(),
+            'linewidth_THz_rms': peaks.linewidth_surfaces[r].ravel(),
+        }))
+    df = pd.concat(rows, ignore_index=True)
+    path.parent.mkdir(parents=True, exist_ok=True)
+    df.to_csv(path, index=False)
+    logger.info("peak-surface CSV written: %s (%d rows)", path, len(df))
+    return path
+
+
 def export_kgrid_gif(kgrid: KGridState, path: Path, scale: str = 'sqrt',
                      cmap: str = 'inferno', fps: int = 5,
                      max_frames: int = 60, use_phase: bool = False) -> Path:

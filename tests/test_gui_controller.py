@@ -160,6 +160,19 @@ class TestExports:
         gif = export.export_kgrid_gif(kg, tmp_path / "grid.gif", max_frames=5)
         assert gif.exists() and gif.stat().st_size > 1000
 
+    def test_peaks_csv(self, loaded, tmp_path):
+        pk = loaded.compute_kgrid_peaks('xy', (-1, 1), (-1, 1), 4, 4,
+                                        n_peaks=2)
+        csv = export.export_peaks_csv(pk, tmp_path / "peaks.csv")
+        import pandas as pd
+        df = pd.read_csv(csv)
+        assert set(df.columns) == {'peak_rank', 'k_x', 'k_y', 'frequency_THz',
+                                   'intensity', 'linewidth_THz_rms'}
+        assert len(df) == 2 * 16
+        np.testing.assert_allclose(
+            df[df.peak_rank == 0].frequency_THz.to_numpy(),
+            pk.freq_surfaces[0].ravel(), atol=1e-6)
+
     def test_ised_dump_export(self, loaded, tmp_path):
         loaded.compute_kpath_sed("x", n_k=12, bz_coverage=0.5)
         loaded.select_nearest(0.6, 4.0)
