@@ -38,6 +38,7 @@ from typing import Optional, Tuple
 import jax
 import jax.numpy as jnp
 import numpy as np
+from jax import lax
 
 from . import spectral
 
@@ -311,22 +312,6 @@ def _device_weights(base_re, base_im, wx, y_hi, y_lo, ky, gy: int, w: int):
     return (w_re.reshape(cc, p, w * gy), w_im.reshape(cc, p, w * gy))
 
 
-def _add_cyclic_rows(grid: jnp.ndarray, window: jnp.ndarray, start: int,
-                     t0: int) -> jnp.ndarray:
-    """grid[(start + i) % C, t0:t0+Tc] += window[i] (device, eager ops)."""
-    c = grid.shape[0]
-    tc = window.shape[1]
-    length = window.shape[0]
-    start %= c
-    i = 0
-    while i < length:
-        n = min(length - i, c - start)
-        grid = grid.at[start:start + n, t0:t0 + tc].add(window[i:i + n])
-        i += n
-        start = (start + n) % c
-    return grid
-
-
 @jax.jit
 def _fft_take(sig_re, sig_im, freq_idx):
     spec = jnp.fft.fft(jax.lax.complex(sig_re, sig_im), axis=0) / sig_re.shape[0]
@@ -355,13 +340,52 @@ def _chunk_packed_tables(plan: GridPlan, cell_starts, cell_chunk: int):
     return {c0: chunk_packed(c0) for c0 in cell_starts}
 
 
+@functools.partial(jax.jit,
+                   static_argnames=('tc', 'gy', 'w', 'precision'),
+                   donate_argnums=(0, 1))
+def _spread_accumulate(grid_re, grid_im, data, slots, slot_mask, w_re, w_im,
+                       win_start, t0, pol, tc: int, gy: int, w: int,
+                       precision: str = 'parity'):
+    """ONE dispatch for a whole (cell-chunk, t-chunk, polarization) update:
+    time-slice the device trajectory, pack, spread, fold the (Cc + w) window
+    cyclically into the full-time grid accumulators (donated, so the update
+    is in-place).  The eager-op version of this loop cost ~4 dispatches per
+    iteration — at ~77 ms/dispatch on a tunneled TPU that latency, not
+    compute, dominated the fused browse (docs/PERF_NOTES.md).
+
+    ``win_start``/``t0``/``pol`` are traced scalars — chunk positions do not
+    trigger recompiles; only the (tc, gyc) shape bucket does.
+    """
+    c = grid_re.shape[0]
+    data_slice = lax.dynamic_slice(
+        data, (t0, 0, pol), (tc, data.shape[1], 1))[:, :, 0]
+    win_re, win_im = _pack_and_spread(data_slice, slots, slot_mask,
+                                      w_re, w_im, gy=gy, w=w,
+                                      precision=precision)
+
+    def fold(win):                       # (Cc + w, tc, gyc) -> (C, tc, gyc)
+        # wrap the cell axis modulo C: pad to a multiple of C and sum the
+        # C-row blocks (static shapes, one reshape+sum)
+        n_blocks = -(-win.shape[0] // c)
+        win = jnp.pad(win, [(0, n_blocks * c - win.shape[0]), (0, 0), (0, 0)])
+        win = win.reshape(n_blocks, c, *win.shape[1:]).sum(axis=0)
+        return jnp.roll(win, win_start, axis=0)
+
+    def add_rows(grid, win):
+        cur = lax.dynamic_slice(grid, (0, t0, 0), (c, tc, win.shape[2]))
+        return lax.dynamic_update_slice(grid, cur + fold(win), (0, t0, 0))
+
+    return add_rows(grid_re, win_re), add_rows(grid_im, win_im)
+
+
 def _spread_gy_block(data_dev, plan: GridPlan, packed_tabs, cell_starts,
                      ky_dev, gyc: int, n_t: int, t_chunk: int,
                      precision: str):
     """Full-time (n_cells, n_t, gyc) re/im accumulators per polarization for
     one ky block.  Cells outer, time-chunks and polarizations inner, so each
     cell-chunk's device-built weights are constructed once and reused by
-    every (t-chunk, polarization) pass."""
+    every (t-chunk, polarization) pass; each iteration is a single fused
+    dispatch (:func:`_spread_accumulate`) with donated accumulators."""
     n_cells = plan.base_re.shape[0]
     grids = [(jnp.zeros((n_cells, n_t, gyc), jnp.float32),
               jnp.zeros((n_cells, n_t, gyc), jnp.float32))
@@ -372,18 +396,14 @@ def _spread_gy_block(data_dev, plan: GridPlan, packed_tabs, cell_starts,
                                      tabs['wx'], tabs['y_hi'],
                                      tabs['y_lo'], ky_dev,
                                      gy=gyc, w=plan.w)
-        win_start = c0 - (plan.w // 2 - 1)
+        win_start = (c0 - (plan.w // 2 - 1)) % n_cells
         for start in range(0, n_t, t_chunk):
-            stop = min(start + t_chunk, n_t)
+            tc = min(start + t_chunk, n_t) - start
             for pol in range(3):
-                win_re, win_im = _pack_and_spread(
-                    data_dev[start:stop, :, pol], tabs['slots'],
-                    tabs['mask'], w_re, w_im, gy=gyc, w=plan.w,
-                    precision=precision)
-                grid_re, grid_im = grids[pol]
-                grids[pol] = (
-                    _add_cyclic_rows(grid_re, win_re, win_start, start),
-                    _add_cyclic_rows(grid_im, win_im, win_start, start))
+                grids[pol] = _spread_accumulate(
+                    grids[pol][0], grids[pol][1], data_dev, tabs['slots'],
+                    tabs['mask'], w_re, w_im, win_start, start, pol,
+                    tc=tc, gy=gyc, w=plan.w, precision=precision)
         del w_re, w_im
     return grids
 
