@@ -884,6 +884,74 @@ class SEDCalculator:
         return peaks_np(intensity, freqs_kept, n_peaks=n_peaks,
                         exclusion_bins=exclusion_bins)
 
+    def calculate_dos(self, basis_atom_indices=None, basis_atom_types=None,
+                      max_freq: Optional[float] = None,
+                      atom_chunk_size: Optional[int] = None):
+        """Vibrational density of states, computed ON DEVICE.
+
+        DOS(ν) = Σ_{a,α} |FFT_t v_aα(ν)|² / n_t² — the Fourier transform of
+        the velocity autocorrelation (Wiener–Khinchin), the k-independent
+        companion of the SED that phonon workflows pair with dispersion
+        plots.  Group semantics follow the incoherent mode of
+        :meth:`calculate`: a flat ``basis_atom_types`` list yields one DOS
+        PER TYPE (type-projected partial DOS); displacement mode and mass
+        weighting apply as configured on the calculator.
+
+        Args:
+            max_freq: cap on retained frequencies (THz); ω ≥ 0 always.
+            atom_chunk_size: atoms per FFT batch (None = sized so the
+                complex transient stays under ~1 GB).
+
+        Returns:
+            (freqs (n_keep,) THz, dos (n_groups, n_keep) float32) — one row
+            per resolved atom group, in group order.
+        """
+        n_t = self.traj.n_frames
+        freqs = spectral.fftfreq_thz(n_t, self.dt_ps)
+        mask = freqs >= 0
+        if max_freq is not None:
+            mask &= freqs <= max_freq
+        freq_idx = jnp.asarray(np.flatnonzero(mask).astype(np.int32))
+        n_keep = int(freq_idx.shape[0])
+        if n_keep == 0:
+            raise ValueError("No frequencies retained; check max_freq.")
+        if atom_chunk_size is None:
+            atom_chunk_size = max(1, (1 << 30) // (24 * n_t))
+
+        groups = self._resolve_atom_groups(basis_atom_indices,
+                                           basis_atom_types, 'incoherent')
+        out = np.zeros((len(groups), n_keep), dtype=np.float32)
+        for gi, group in enumerate(groups):
+            group = np.asarray(group, dtype=int)
+            if group.size == 0:
+                continue
+            dos = jnp.zeros((n_keep,), dtype=jnp.float32)
+            on_device = self._group_bytes(group) <= self.max_device_bytes
+            if on_device:
+                data_dev, _, _ = self._group_device_arrays(group)
+                for a0 in range(0, group.size, atom_chunk_size):
+                    a1 = min(a0 + atom_chunk_size, group.size)
+                    dos = spectral.dos_accumulate(dos, data_dev[:, a0:a1, :],
+                                                  freq_idx)
+            else:
+                # stream atom chunks from host, applying the calculator's
+                # transforms per chunk (mirrors _group_device_arrays)
+                for a0 in range(0, group.size, atom_chunk_size):
+                    idx = group[a0:a0 + atom_chunk_size]
+                    chunk, hi, lo = self._host_group_data(idx)
+                    chunk = jnp.asarray(np.ascontiguousarray(chunk),
+                                        dtype=jnp.float32)
+                    if self.use_displacements:
+                        chunk = spectral.displacement_data(
+                            chunk, jnp.asarray(hi), jnp.asarray(lo))
+                    if self.mass_weighted:
+                        w = jnp.sqrt(jnp.asarray(self.traj.masses[idx],
+                                                 dtype=jnp.float32))
+                        chunk = chunk * w[None, :, None]
+                    dos = spectral.dos_accumulate(dos, chunk, freq_idx)
+            out[gi] = np.asarray(dos)
+        return freqs[mask], out
+
     # ------------------------------------------------------------------
     # Gridded (NUFFT-accelerated) k-grid sweep
     # ------------------------------------------------------------------

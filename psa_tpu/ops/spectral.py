@@ -227,6 +227,24 @@ def displacement_data(positions: jnp.ndarray, mp_hi: jnp.ndarray,
     return (r - mp_hi.astype(jnp.float32)[None, :, :]) - mp_lo.astype(jnp.float32)[None, :, :]
 
 
+@functools.partial(jax.jit, donate_argnums=(0,))
+def dos_accumulate(dos: jnp.ndarray, data_chunk: jnp.ndarray,
+                   freq_idx: jnp.ndarray) -> jnp.ndarray:
+    """dos += Σ_{a∈chunk, α} |FFT_t data|²/n_t² at the kept frequency rows.
+
+    The vibrational density of states is the k-independent companion of the
+    SED: DOS(ν) = Σ_a,α |v̂_aα(ν)|² (the Fourier transform of the velocity
+    autocorrelation, Wiener–Khinchin).  Normalization matches the SED
+    convention (FFT/n_t), so a one-atom DOS equals the k=0 incoherent SED
+    of that atom.  Donated (n_keep,) accumulator; atoms stream in chunks.
+    """
+    n_t = data_chunk.shape[0]
+    spec = jnp.fft.fft(data_chunk.astype(jnp.complex64), axis=0) / n_t
+    inten = jnp.sum(jnp.real(spec) ** 2 + jnp.imag(spec) ** 2,
+                    axis=(1, 2))                          # (n_t,)
+    return dos + jnp.take(inten, freq_idx).astype(jnp.float32)
+
+
 # ---------------------------------------------------------------------------
 # Atom-streamed projection: for trajectories too large for HBM.
 # ---------------------------------------------------------------------------

@@ -848,3 +848,51 @@ class TestHoneycombPhysics:
         assert np.min(np.abs(pfc[:, 0] - nu_ac[0])) <= df + 1e-6
         assert np.min(np.abs(pfi[:, 0] - nu_op[0])) <= df + 1e-6  # recovered
         assert np.min(np.abs(pfi[:, 0] - nu_ac[0])) <= df + 1e-6
+
+
+class TestDOS:
+    """Vibrational DOS: exact parity vs a float64 NumPy oracle, type
+    partitioning, and peak placement on a known single-mode trajectory."""
+
+    def _oracle(self, data):
+        spec = np.fft.fft(data.astype(np.float64), axis=0) / data.shape[0]
+        return np.sum(np.abs(spec) ** 2, axis=(1, 2))
+
+    def test_matches_numpy_oracle(self, crystal, calc):
+        freqs, dos = calc.calculate_dos()
+        assert dos.shape == (1, len(freqs))
+        full = self._oracle(crystal.velocities)
+        expect = full[np.fft.fftfreq(crystal.n_frames, crystal.dt_ps) >= 0]
+        np.testing.assert_allclose(dos[0], expect, rtol=1e-5, atol=1e-10)
+
+    def test_type_partition_sums_to_total(self, crystal, calc):
+        freqs, total = calc.calculate_dos()
+        _, per_type = calc.calculate_dos(basis_atom_types=[1, 2])
+        assert per_type.shape[0] == 2
+        np.testing.assert_allclose(per_type.sum(axis=0), total[0], rtol=1e-4)
+
+    def test_atom_chunking_invariant(self, crystal, calc):
+        _, a = calc.calculate_dos()
+        _, b = calc.calculate_dos(atom_chunk_size=3)
+        np.testing.assert_allclose(a, b, rtol=1e-5)
+
+    def test_peaks_on_synthesized_mode(self):
+        from psa_tpu.models import make_chiral_chain_trajectory
+        nu = 5.0
+        traj = make_chiral_chain_trajectory(n_cells=32, n_frames=250,
+                                            dt_ps=0.02, nu_thz=nu,
+                                            mode_index=8, seed=3)
+        calc = SEDCalculator(traj, nx=32, ny=1, nz=1)
+        freqs, dos = calc.calculate_dos(max_freq=20.0)
+        df = 1.0 / (traj.n_frames * traj.dt_ps)
+        assert abs(freqs[np.argmax(dos[0])] - nu) <= df + 1e-6
+
+    def test_mass_weighting_scales(self, crystal):
+        import dataclasses
+        masses = np.full(crystal.n_atoms, 4.0)
+        traj_m = dataclasses.replace(crystal, masses=masses)
+        base = SEDCalculator(traj_m, nx=3, ny=3, nz=2)
+        weighted = SEDCalculator(traj_m, nx=3, ny=3, nz=2, mass_weighted=True)
+        _, d0 = base.calculate_dos()
+        _, d1 = weighted.calculate_dos()
+        np.testing.assert_allclose(d1, 4.0 * d0, rtol=1e-5)
