@@ -198,9 +198,19 @@ class PSAMainWindow:
                      values=('x', 'y', 'z'), state='readonly').pack(side='left')
         ttk.Combobox(chiral_row, textvariable=self.angle_opt_var, width=3,
                      values=('A', 'B', 'C'), state='readonly').pack(side='left', padx=4)
-        self.calc_btn = ttk.Button(lf, text="Calculate SED", state='disabled',
+        kbtns = ttk.Frame(lf)
+        kbtns.pack(pady=4)
+        self.calc_btn = ttk.Button(kbtns, text="Calculate SED",
+                                   state='disabled',
                                    command=self._calculate_kpath)
-        self.calc_btn.pack(pady=4)
+        self.calc_btn.pack(side='left', padx=2)
+        self.dos_btn = ttk.Button(kbtns, text="DOS", state='disabled',
+                                  command=self._calculate_dos)
+        self.dos_btn.pack(side='left', padx=2)
+        ToolTip(self.dos_btn,
+                "Vibrational density of states (velocity-autocorrelation "
+                "transform), computed on device; one curve per atom type "
+                "when a flat type list is set")
 
         gf = ttk.LabelFrame(tab, text="k-grid SED")
         gf.pack(fill='x', padx=4, pady=4)
@@ -369,7 +379,8 @@ class PSAMainWindow:
                     messagebox.showerror("PSA", f"Load failed: {err}")
                 else:
                     self.status_var.set(msg)
-                    for b in (self.calc_btn, self.grid_btn, self.peaks_btn):
+                    for b in (self.calc_btn, self.grid_btn, self.peaks_btn,
+                              self.dos_btn):
                         b.state(['!disabled'])
             self.root.after(0, done)
 
@@ -499,6 +510,46 @@ class PSAMainWindow:
                     f"k-grid SED computed: {kg.sed.k_grid_shape[0]}×{kg.sed.k_grid_shape[1]} "
                     f"k-points, {len(kg.freqs)} frequencies.")
                 self._draw_kgrid_heatmap(0)
+            self.root.after(0, done)
+
+        threading.Thread(target=work, daemon=True).start()
+
+    def _calculate_dos(self):
+        dialog = ProgressDialog(self.root, "Calculating",
+                                "Computing vibrational DOS on device…")
+
+        def work():
+            try:
+                mf = self.max_freq_var.get().strip()
+                types = self._basis_types()
+                freqs, dos = self.controller.compute_dos(
+                    basis_atom_types=types,
+                    max_freq=float(mf) if mf else None)
+                err = None
+            except Exception as e:
+                freqs, dos, err = None, None, str(e)
+
+            def done():
+                dialog.close()
+                if err:
+                    messagebox.showerror("PSA", f"DOS failed: {err}")
+                    return
+                self.recip_fig.clear()
+                ax = self.recip_fig.add_subplot(111)
+                labels = ([f"type {t}" for t in types]
+                          if types and dos.shape[0] > 1 else ["total"])
+                for row, lab in zip(dos, labels):
+                    ax.plot(freqs, row, label=lab)
+                ax.set_xlabel("frequency (THz)")
+                ax.set_ylabel("DOS (arb.)")
+                ax.set_title("Vibrational density of states")
+                if len(labels) > 1:
+                    ax.legend()
+                self.recip_fig.tight_layout()
+                self.recip_canvas.draw_idle()
+                self.plot_nb.select(0)
+                self.status_var.set(
+                    f"DOS computed ({dos.shape[0]} curve(s)).")
             self.root.after(0, done)
 
         threading.Thread(target=work, daemon=True).start()

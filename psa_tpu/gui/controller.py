@@ -327,6 +327,14 @@ class AnalysisController:
             k1_axis=k1_axis, k2_axis=k2_axis, labels=labels)
         return self.kgrid_peaks
 
+    def compute_dos(self, basis_atom_types: Optional[list] = None,
+                    max_freq: Optional[float] = None):
+        """(freqs, dos (n_groups, n_keep)) — on-device vibrational DOS,
+        type-projected when ``basis_atom_types`` is a flat type list."""
+        calc = self._require_calc()
+        return calc.calculate_dos(basis_atom_types=basis_atom_types,
+                                  max_freq=max_freq)
+
     # -- iSED (reference psa_gui.py:1265-1368) -------------------------------
 
     def reconstruct_ised(self, direction_text: str, char_len: float,

@@ -111,6 +111,15 @@ class TestKGridFlow:
         # rank order: top peak carries at least rank-2's intensity
         assert np.all(pk.intensity_surfaces[0] >= pk.intensity_surfaces[1])
 
+    def test_dos(self, loaded):
+        freqs, dos = loaded.compute_dos(max_freq=10.0)
+        assert dos.shape == (1, len(freqs))
+        assert np.all(freqs >= 0) and np.all(freqs <= 10.0)
+        assert np.all(dos >= 0) and dos.max() > 0
+        # all atoms are type 1 in this fixture: the type-1 partial IS the total
+        _, per_type = loaded.compute_dos(basis_atom_types=[1], max_freq=10.0)
+        np.testing.assert_allclose(per_type, dos, rtol=1e-5)
+
     def test_grid_chiral_phase_same_mask(self, loaded):
         """Phase must be filtered with the same freq mask as intensity
         (the reference's off-by-mask bug, psa_gui.py:2382)."""
