@@ -399,6 +399,100 @@ def make_honeycomb_trajectory(n_cells: int = 8, n_frames: int = 512,
         box_matrix=box, box_lengths=lengths, box_tilts=tilts, dt_ps=dt_ps)
 
 
+def fcc_dynamical_branches(k_vecs: np.ndarray, a: float = 4.0,
+                           nu_L_X_thz: float = 10.0
+                           ) -> Tuple[np.ndarray, np.ndarray]:
+    """Exact phonon branches of the nearest-neighbor central-force FCC
+    lattice: eigen-decomposition of
+
+        D(k) = (2κ/m) Σ_δ (1 − cos k·δ) ê_δ ê_δᵀ
+
+    over the 12 nearest neighbors δ = (a/2)(±1, ±1, 0) + permutations.
+    Normalized so the LONGITUDINAL frequency at X = (2π/a)(1,0,0) equals
+    ``nu_L_X_thz`` (there ω_L² = 8κ/m).
+
+    Returns (nu (n_k, 3) THz ascending, eigvecs (n_k, 3, 3) with
+    ``eigvecs[i, :, b]`` the branch-b polarization unit vector).
+    """
+    k_vecs = np.atleast_2d(np.asarray(k_vecs, dtype=np.float64))[:, :3]
+    deltas = []
+    for i, j in ((0, 1), (0, 2), (1, 2)):
+        for si in (1, -1):
+            for sj in (1, -1):
+                d = np.zeros(3)
+                d[i], d[j] = si * a / 2.0, sj * a / 2.0
+                deltas.append(d)
+    deltas = np.array(deltas)                              # (12, 3)
+    e_hat = deltas / np.linalg.norm(deltas, axis=1, keepdims=True)
+    outer = np.einsum('di,dj->dij', e_hat, e_hat)          # (12, 3, 3)
+    phase = 1.0 - np.cos(k_vecs @ deltas.T)                # (n_k, 12)
+    d_mat = np.einsum('kd,dij->kij', phase, outer)         # ∝ D(k)·m/(2κ)
+    evals, evecs = np.linalg.eigh(d_mat)
+    # ω² = (2κ/m)·eval; at X the L eval is 4 → scale so ν_L(X) = nu_L_X
+    nu = nu_L_X_thz * np.sqrt(np.maximum(evals, 0.0) / 4.0)
+    return nu, evecs
+
+
+def make_fcc_trajectory(n_cells: int = 6, n_frames: int = 512,
+                        dt_ps: float = 0.01, a: float = 4.0,
+                        nu_L_X_thz: float = 10.0,
+                        branches: Tuple[int, ...] = (0, 1, 2),
+                        amp: float = 0.01, seed: int = 0) -> Trajectory:
+    """FCC monatomic lattice with FULL VECTOR polarizations — every mode is
+    synthesized with the exact eigenvector of the NN dynamical matrix, so
+    longitudinal and transverse branches live in the SED's three Cartesian
+    components exactly as lattice dynamics dictates (the other oracles are
+    scalar-polarized; this one pins the 3-component physics).
+
+    ``branches`` selects which of the three branches (0, 1 ascending =
+    transverse, 2 = longitudinal along high-symmetry lines) to excite.
+    """
+    rng = np.random.default_rng(seed + 3)
+    # FCC sites: cubic cells + 3 face centers
+    base = np.array([[0, 0, 0], [0.5, 0.5, 0], [0.5, 0, 0.5], [0, 0.5, 0.5]])
+    mm = np.stack(np.meshgrid(*[np.arange(n_cells)] * 3,
+                              indexing='ij'), axis=-1).reshape(-1, 3)
+    r = ((mm[:, None, :] + base[None, :, :]).reshape(-1, 3) * a)   # (N, 3)
+    n_atoms = r.shape[0]
+
+    # allowed k of the cubic supercell (the FCC conventional cell repeats
+    # with period a in each direction): k = 2π (m, n, p) / (n_cells·a)
+    ms = np.stack(np.meshgrid(*[np.arange(n_cells)] * 3,
+                              indexing='ij'), axis=-1).reshape(-1, 3)
+    kall = (2.0 * np.pi / (n_cells * a)) * ms
+    kall = kall[np.any(ms != 0, axis=1)]                   # drop Γ
+    nu_all, evec_all = fcc_dynamical_branches(kall, a, nu_L_X_thz)
+
+    t = np.arange(n_frames, dtype=np.float64) * dt_ps
+    disp = np.zeros((n_frames, n_atoms, 3))
+    vel = np.zeros((n_frames, n_atoms, 3))
+    for b in branches:
+        nu_b = nu_all[:, b]
+        sel = np.flatnonzero(nu_b > 1e-9)
+        amps = amp * rng.uniform(0.5, 1.0, size=sel.size)
+        phases = rng.uniform(0, 2 * np.pi, size=sel.size)
+        for c0 in range(0, sel.size, 64):
+            sl = sel[c0:c0 + 64]
+            w = 2.0 * np.pi * nu_b[sl]
+            arg = ((r @ kall[sl].T)[None, :, :]
+                   - w[None, None, :] * t[:, None, None]
+                   + phases[c0:c0 + 64][None, None, :])    # (T, N, M)
+            pol = evec_all[sl, :, b]                       # (M, 3)
+            asl = amps[c0:c0 + 64]
+            disp += np.einsum('tnm,m,mc->tnc', np.cos(arg), asl, pol)
+            vel += np.einsum('tnm,m,mc->tnc', np.sin(arg), asl * w, pol)
+
+    positions = (r[None, :, :] + disp).astype(np.float32)
+    velocities = vel.astype(np.float32)
+    box = np.diag([n_cells * a] * 3).astype(np.float32)
+    lengths, tilts = make_box_arrays(box)
+    return Trajectory(
+        positions=positions, velocities=velocities,
+        types=np.ones(n_atoms, dtype=np.int32),
+        timesteps=np.arange(n_frames, dtype=np.float32),
+        box_matrix=box, box_lengths=lengths, box_tilts=tilts, dt_ps=dt_ps)
+
+
 def square_lattice_dispersion(kx: np.ndarray, ky: np.ndarray, a: float = 2.5,
                               nu_max_thz: float = 10.0) -> np.ndarray:
     """Analytic dispersion surface of the nearest-neighbor square lattice:

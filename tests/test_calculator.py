@@ -896,3 +896,67 @@ class TestDOS:
         _, d0 = base.calculate_dos()
         _, d1 = weighted.calculate_dos()
         np.testing.assert_allclose(d1, 4.0 * d0, rtol=1e-5)
+
+
+class TestFCCPhysics:
+    """3D FCC oracle with FULL VECTOR polarizations: branch frequencies from
+    the exact NN dynamical matrix, and the SED's per-component amplitudes
+    must realize the eigenvector directions (longitudinal vs transverse) —
+    the scalar-polarized oracles cannot distinguish a component swap."""
+
+    A, NULX, N = 4.0, 10.0, 6
+
+    def _path_100(self):
+        k_mags = 2 * np.pi * np.arange(1, self.N // 2 + 1) / (self.N * self.A)
+        kvecs = np.zeros((len(k_mags), 3), dtype=np.float32)
+        kvecs[:, 0] = k_mags
+        return k_mags, kvecs
+
+    def _traj(self, branches):
+        from psa_tpu.models import make_fcc_trajectory
+        return make_fcc_trajectory(n_cells=self.N, n_frames=512, dt_ps=0.01,
+                                   a=self.A, nu_L_X_thz=self.NULX,
+                                   branches=branches, seed=1)
+
+    def _peaks_and_pol(self, traj, kvecs, k_mags):
+        calc = SEDCalculator(traj, nx=self.N, ny=self.N, nz=self.N)
+        sed = calc.calculate(k_mags, kvecs)
+        pos = sed.freqs >= 0
+        inten = sed.intensity[pos]
+        ridx = np.argmax(inten, axis=0)
+        top = sed.freqs[pos][ridx]
+        amp2 = np.abs(sed.sed[pos][ridx, np.arange(len(k_mags)), :]) ** 2
+        frac = amp2 / amp2.sum(axis=1, keepdims=True)
+        df = 1.0 / (traj.n_frames * traj.dt_ps)
+        return top, frac, df
+
+    def test_longitudinal_100(self):
+        from psa_tpu.models import fcc_dynamical_branches
+        k_mags, kvecs = self._path_100()
+        top, frac, df = self._peaks_and_pol(self._traj((2,)), kvecs, k_mags)
+        nu, _ = fcc_dynamical_branches(kvecs, self.A, self.NULX)
+        assert np.all(np.abs(top - nu[:, 2]) <= df + 1e-6)
+        assert np.all(frac[:, 0] > 0.95)          # pure-x polarization
+
+    def test_transverse_100(self):
+        from psa_tpu.models import fcc_dynamical_branches
+        k_mags, kvecs = self._path_100()
+        top, frac, df = self._peaks_and_pol(self._traj((0, 1)), kvecs, k_mags)
+        nu, _ = fcc_dynamical_branches(kvecs, self.A, self.NULX)
+        # T branches are degenerate along [100]
+        np.testing.assert_allclose(nu[:, 0], nu[:, 1], rtol=1e-10)
+        assert np.all(np.abs(top - nu[:, 0]) <= df + 1e-6)
+        assert np.all(frac[:, 0] < 0.05)          # x silent: transverse
+
+    def test_longitudinal_110_polarization(self):
+        """Along [110] the L eigenvector is (1,1,0)/√2 — a non-axis-aligned
+        polarization the component amplitudes must split evenly."""
+        from psa_tpu.models import fcc_dynamical_branches
+        k_mags = 2 * np.pi * np.sqrt(2) * np.arange(1, 3) / (self.N * self.A)
+        kvecs = np.zeros((2, 3), dtype=np.float32)
+        kvecs[:, 0] = kvecs[:, 1] = k_mags / np.sqrt(2)
+        top, frac, df = self._peaks_and_pol(self._traj((2,)), kvecs, k_mags)
+        nu, _ = fcc_dynamical_branches(kvecs, self.A, self.NULX)
+        assert np.all(np.abs(top - nu[:, 2]) <= df + 1e-6)
+        np.testing.assert_allclose(frac[:, 0], frac[:, 1], atol=0.05)
+        assert np.all(frac[:, 2] < 0.05)
