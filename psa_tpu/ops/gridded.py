@@ -340,22 +340,14 @@ def _chunk_packed_tables(plan: GridPlan, cell_starts, cell_chunk: int):
     return {c0: chunk_packed(c0) for c0 in cell_starts}
 
 
-@functools.partial(jax.jit,
-                   static_argnames=('tc', 'gy', 'w', 'precision'),
-                   donate_argnums=(0, 1))
-def _spread_accumulate(grid_re, grid_im, data, slots, slot_mask, w_re, w_im,
-                       win_start, t0, pol, tc: int, gy: int, w: int,
-                       precision: str = 'parity'):
-    """ONE dispatch for a whole (cell-chunk, t-chunk, polarization) update:
-    time-slice the device trajectory, pack, spread, fold the (Cc + w) window
-    cyclically into the full-time grid accumulators (donated, so the update
-    is in-place).  The eager-op version of this loop cost ~4 dispatches per
-    iteration — at ~77 ms/dispatch on a tunneled TPU that latency, not
-    compute, dominated the fused browse (docs/PERF_NOTES.md).
-
-    ``win_start``/``t0``/``pol`` are traced scalars — chunk positions do not
-    trigger recompiles; only the (tc, gyc) shape bucket does.
-    """
+def _spread_update_body(grid_re, grid_im, data, slots, slot_mask, w_re, w_im,
+                        win_start, t0, pol, tc: int, gy: int, w: int,
+                        precision: str):
+    """One (cell-chunk, t-chunk, polarization) update, traceable: time-slice
+    the device trajectory, pack, spread, fold the (Cc + w) window cyclically
+    into the full-time grid accumulators.  ``win_start``/``t0``/``pol`` may
+    be traced scalars — chunk positions do not trigger recompiles; only the
+    (tc, gyc) shape bucket does."""
     c = grid_re.shape[0]
     data_slice = lax.dynamic_slice(
         data, (t0, 0, pol), (tc, data.shape[1], 1))[:, :, 0]
@@ -378,6 +370,38 @@ def _spread_accumulate(grid_re, grid_im, data, slots, slot_mask, w_re, w_im,
     return add_rows(grid_re, win_re), add_rows(grid_im, win_im)
 
 
+@functools.partial(jax.jit,
+                   static_argnames=('tc', 'gy', 'w', 'precision'),
+                   donate_argnums=(0, 1))
+def _spread_accumulate(grid_re, grid_im, data, slots, slot_mask, w_re, w_im,
+                       win_start, t0, pol, tc: int, gy: int, w: int,
+                       precision: str = 'parity'):
+    """ONE dispatch for one (cell-chunk, t-chunk, polarization) update with
+    donated accumulators.  The eager-op version of this loop cost ~4
+    dispatches per iteration — at ~77 ms/dispatch on a tunneled TPU that
+    latency, not compute, dominated the fused browse (docs/PERF_NOTES.md)."""
+    return _spread_update_body(grid_re, grid_im, data, slots, slot_mask,
+                               w_re, w_im, win_start, t0, pol,
+                               tc=tc, gy=gy, w=w, precision=precision)
+
+
+@functools.partial(jax.jit,
+                   static_argnames=('tc', 'n_steps', 'gy', 'w', 'precision'),
+                   donate_argnums=(0, 1))
+def _spread_accumulate_scan(grid_re, grid_im, data, slots, slot_mask,
+                            w_re, w_im, win_start, pol, tc: int,
+                            n_steps: int, gy: int, w: int,
+                            precision: str = 'parity'):
+    """All ``n_steps`` equal-size t-chunks of one (cell-chunk, polarization)
+    in a single dispatch (lax.fori_loop over the update body)."""
+    def body(i, grids):
+        return _spread_update_body(grids[0], grids[1], data, slots,
+                                   slot_mask, w_re, w_im, win_start,
+                                   i * tc, pol, tc=tc, gy=gy, w=w,
+                                   precision=precision)
+    return lax.fori_loop(0, n_steps, body, (grid_re, grid_im))
+
+
 def _spread_gy_block(data_dev, plan: GridPlan, packed_tabs, cell_starts,
                      ky_dev, gyc: int, n_t: int, t_chunk: int,
                      precision: str):
@@ -397,13 +421,19 @@ def _spread_gy_block(data_dev, plan: GridPlan, packed_tabs, cell_starts,
                                      tabs['y_lo'], ky_dev,
                                      gy=gyc, w=plan.w)
         win_start = (c0 - (plan.w // 2 - 1)) % n_cells
-        for start in range(0, n_t, t_chunk):
-            tc = min(start + t_chunk, n_t) - start
-            for pol in range(3):
+        n_full, rem = divmod(n_t, t_chunk)
+        for pol in range(3):
+            if n_full:                   # all equal chunks in one dispatch
+                grids[pol] = _spread_accumulate_scan(
+                    grids[pol][0], grids[pol][1], data_dev, tabs['slots'],
+                    tabs['mask'], w_re, w_im, win_start, pol,
+                    tc=t_chunk, n_steps=n_full, gy=gyc, w=plan.w,
+                    precision=precision)
+            if rem:                      # trailing partial chunk
                 grids[pol] = _spread_accumulate(
                     grids[pol][0], grids[pol][1], data_dev, tabs['slots'],
-                    tabs['mask'], w_re, w_im, win_start, start, pol,
-                    tc=tc, gy=gyc, w=plan.w, precision=precision)
+                    tabs['mask'], w_re, w_im, win_start, n_full * t_chunk,
+                    pol, tc=rem, gy=gyc, w=plan.w, precision=precision)
         del w_re, w_im
     return grids
 
