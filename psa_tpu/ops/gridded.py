@@ -16,10 +16,13 @@ matmuls) — a Gx/12 reduction: ~4× for 50×50 grids, ~16× for 200×200.
 TPU mapping — the classical NUFFT "spreading" scatter is re-expressed with
 dense primitives only:
 
-  1. atoms are sorted by fine-x cell (host, once) and packed into
-     (n_cells, P) buckets (padded with zero-weight slots);
-  2. for each of the w window offsets, one bucket-batched MXU matmul
-     contracts the P axis against the exact-y phase table;
+  1. atoms are sorted by fine-x cell (host, once) and packed into BALANCED
+     (n_rows, P) rows — one cell per row, crowded cells split over several
+     rows — so crystal aliasing cannot inflate the padding (a max-count
+     bucket layout padded lattices 2-5×);
+  2. one row-batched MXU matmul contracts the P axis against the combined
+     (window ⊗ exact-y-phase) weight tensor; rows of the same cell merge
+     via a sorted segment-sum;
   3. the offset shift is a circular `jnp.roll` along the cell axis — no
      scatter anywhere.
 
@@ -73,25 +76,37 @@ def _kb_fourier(xi: np.ndarray, w: int, beta: float) -> np.ndarray:
 
 @dataclass
 class GridPlan:
-    """Host-precomputed spreading plan for one (mean positions, k-grid) pair."""
+    """Host-precomputed spreading plan for one (mean positions, k-grid) pair.
+
+    Atoms are packed into BALANCED rows of width P: each row holds slots of
+    ONE fine cell, and cells with more than P atoms get several consecutive
+    rows (``slot_cell`` maps row → cell, ascending).  A max-count-per-cell
+    bucket layout padded crystals 2–5× (lattice sites alias onto few fine
+    cells); balanced rows keep padding at the last-partial-row level, which
+    shrinks the packing gather, weight tensors, and spread matmuls alike.
+    """
     order: np.ndarray          # (N,) atom permutation (sorted by fine-x cell)
     n_cells: int               # Fx = sigma * Gx
-    bucket_size: int           # P (padded)
-    slot_cell: np.ndarray      # (n_cells,) == arange (bucket b covers cell b)
-    pad_mask: np.ndarray       # (n_cells, P) f32 1/0 valid-slot mask
-    atom_of_slot: np.ndarray   # (n_cells, P) i32 atom feeding each slot (0 if pad)
-    y_hi: np.ndarray           # (n_cells, P) f32 hi word of packed y coords
-    y_lo: np.ndarray           # (n_cells, P) f32 lo word (double-single split)
+    bucket_size: int           # P — slots per row
+    slot_cell: np.ndarray      # (n_rows,) i32 row -> fine cell (ascending)
+    pad_mask: np.ndarray       # (n_rows, P) f32 1/0 valid-slot mask
+    atom_of_slot: np.ndarray   # (n_rows, P) i32 atom feeding each slot (0 if pad)
+    y_hi: np.ndarray           # (n_rows, P) f32 hi word of packed y coords
+    y_lo: np.ndarray           # (n_rows, P) f32 lo word (double-single split)
     ky_vals: np.ndarray        # (Gy,) f64 fast-axis grid values
-    wx: np.ndarray             # (n_cells, P, w) f32 window weights (masked)
-    base_re: np.ndarray        # (n_cells, P) f32 Re exp(i(kx0·x + kf·z))
-    base_im: np.ndarray        # (n_cells, P) f32
+    wx: np.ndarray             # (n_rows, P, w) f32 window weights (masked)
+    base_re: np.ndarray        # (n_rows, P) f32 Re exp(i(kx0·x + kf·z))
+    base_im: np.ndarray        # (n_rows, P) f32
     deconv_re: np.ndarray      # (Gx,) f64->f32 Re of e^{...}/ψ̂ per mode
     deconv_im: np.ndarray      # (Gx,) f32
     gx: int
     gy: int
     w: int
     offsets: np.ndarray        # (w,) int window cell offsets
+
+    @property
+    def n_rows(self) -> int:
+        return self.base_re.shape[0]
 
 
 def plan_kgrid(mean_pos64: np.ndarray, kx_vals: np.ndarray, ky_vals: np.ndarray,
@@ -138,23 +153,41 @@ def plan_kgrid(mean_pos64: np.ndarray, kx_vals: np.ndarray, ky_vals: np.ndarray,
     order = np.argsort(cell, kind='stable')
     cell_sorted = cell[order]
     counts = np.bincount(cell_sorted, minlength=n_cells)
-    bucket_size = int(counts.max())
-    # pad to a lane multiple so the batched matmul tiles cleanly
-    bucket_size = max(8, ((bucket_size + 7) // 8) * 8)
 
-    slot_of = np.zeros(n_atoms, dtype=np.int64)
+    # Balanced rows: pick the row width P (lane-multiple) so total padded
+    # slots Σ_c ceil(count_c / P)·P stay near minimal — crystals alias many
+    # atoms onto few fine cells, so a max-count bucket layout pads 2-5×.
+    # Among near-minimal-padding widths take the LARGEST P: it is the
+    # batched matmul's contraction length, and a narrow one starves the MXU.
+    def total_slots(p):
+        return int(np.sum(-(-counts // p)) * p)
+    candidates = [p for p in (8, 16, 32, 64, 128, 256, 512, 1024)
+                  if p <= max(8, int(counts.max()))]
+    best = min(total_slots(p) for p in candidates)
+    bucket_size = max(p for p in candidates
+                      if total_slots(p) <= 1.25 * best)
+
+    rows_per_cell = -(-counts // bucket_size)              # ceil
+    row_start = np.zeros(n_cells + 1, dtype=np.int64)
+    np.cumsum(rows_per_cell, out=row_start[1:])
+    n_rows = int(row_start[-1])
+    slot_cell = np.repeat(np.arange(n_cells, dtype=np.int32),
+                          rows_per_cell)                   # (n_rows,)
+
     start = np.zeros(n_cells + 1, dtype=np.int64)
     np.cumsum(counts, out=start[1:])
-    slot_of = np.arange(n_atoms) - start[cell_sorted]
+    pos_in_cell = np.arange(n_atoms) - start[cell_sorted]
+    row_of = row_start[cell_sorted] + pos_in_cell // bucket_size
+    slot_of = pos_in_cell % bucket_size
 
     def packed(values, extra_shape=()):
-        out = np.zeros((n_cells, bucket_size) + extra_shape, dtype=np.float64)
-        out[cell_sorted, slot_of] = values
+        out = np.zeros((n_rows, bucket_size) + extra_shape, dtype=np.float64)
+        out[row_of, slot_of] = values
         return out
 
     pad_mask = packed(np.ones(n_atoms))
-    atom_of_slot = np.zeros((n_cells, bucket_size), dtype=np.int32)
-    atom_of_slot[cell_sorted, slot_of] = order
+    atom_of_slot = np.zeros((n_rows, bucket_size), dtype=np.int32)
+    atom_of_slot[row_of, slot_of] = order
     y_packed64 = packed(y[order])
     y_hi = y_packed64.astype(np.float32)
     y_lo = (y_packed64 - y_hi.astype(np.float64)).astype(np.float32)
@@ -163,8 +196,8 @@ def plan_kgrid(mean_pos64: np.ndarray, kx_vals: np.ndarray, ky_vals: np.ndarray,
     # window weights per atom/offset: ψ(cell + off − ux)
     dist = (cell[order][:, None] + offsets[None, :]) - ux[order][:, None]
     wx_vals = _kb_window(dist.astype(np.float64), w, beta)  # (N, w)
-    wx = np.zeros((n_cells, bucket_size, w), dtype=np.float64)
-    wx[cell_sorted, slot_of] = wx_vals
+    wx = np.zeros((n_rows, bucket_size, w), dtype=np.float64)
+    wx[row_of, slot_of] = wx_vals
 
     # Fold a half-band shift into the base weight so the recovered modes are
     # SYMMETRIC around zero (m' = m − Gx/2 ∈ [−Gx/2, Gx/2)): one-sided modes
@@ -179,12 +212,13 @@ def plan_kgrid(mean_pos64: np.ndarray, kx_vals: np.ndarray, ky_vals: np.ndarray,
     xi = 2.0 * np.pi * modes / n_cells
     deconv = 1.0 / _kb_fourier(xi, w, beta)
 
-    logger.info("gridded plan: %d atoms -> %d cells x %d slots (pad %.1f%%), "
-                "window w=%d beta=%.2f", n_atoms, n_cells, bucket_size,
-                100.0 * (n_cells * bucket_size / max(n_atoms, 1) - 1.0), w, beta)
+    logger.info("gridded plan: %d atoms -> %d cells, %d rows x %d slots "
+                "(pad %.1f%%), window w=%d beta=%.2f", n_atoms, n_cells,
+                n_rows, bucket_size,
+                100.0 * (n_rows * bucket_size / max(n_atoms, 1) - 1.0), w, beta)
 
     return GridPlan(order=order, n_cells=n_cells, bucket_size=bucket_size,
-                    slot_cell=np.arange(n_cells), pad_mask=pad_mask.astype(np.float32),
+                    slot_cell=slot_cell, pad_mask=pad_mask.astype(np.float32),
                     atom_of_slot=atom_of_slot, y_hi=y_hi, y_lo=y_lo,
                     ky_vals=np.asarray(ky_vals, dtype=np.float64),
                     wx=wx.astype(np.float32),
@@ -194,62 +228,69 @@ def plan_kgrid(mean_pos64: np.ndarray, kx_vals: np.ndarray, ky_vals: np.ndarray,
                     gx=gx, gy=gy, w=w, offsets=offsets)
 
 
-@functools.partial(jax.jit, static_argnames=('gy', 'w', 'precision'))
-def _pack_and_spread(data_slice, slots, slot_mask, w_re, w_im, gy: int, w: int,
+@functools.partial(jax.jit, static_argnames=('n_seg', 'gy', 'w', 'precision'))
+def _pack_and_spread(data_slice, slots, slot_mask, w_re, w_im, seg_ids,
+                     n_seg: int, gy: int, w: int,
                      precision: str = 'parity'):
-    """Pack one (t-chunk, pol) slice into this cell-chunk's slots ON DEVICE
+    """Pack one (t-chunk, pol) slice into this row-chunk's slots ON DEVICE
     (a gather — the trajectory never re-crosses the host boundary per chunk)
     and spread it (see :func:`_spread_cells`).
 
     data_slice: (Tc, N) f32 device-resident data for one polarization.
-    slots:      (Cc, P) int32 atom index feeding each slot (0 for padding).
-    slot_mask:  (Cc, P) f32 1/0 valid-slot mask.
+    slots:      (R, P) int32 atom index feeding each slot (0 for padding).
+    slot_mask:  (R, P) f32 1/0 valid-slot mask.
+    seg_ids:    (R,) int32 row -> cell-within-chunk (sorted ascending).
+    n_seg:      number of cells the chunk's rows span.
     """
     tc = data_slice.shape[0]
-    cc, p = slots.shape
-    packed = jnp.take(data_slice, slots.reshape(-1), axis=1)     # (Tc, Cc*P)
-    packed = packed.reshape(tc, cc, p) * slot_mask[None, :, :]
-    packed = jnp.transpose(packed, (1, 0, 2))                    # (Cc, Tc, P)
-    return _spread_cells(packed, w_re, w_im, gy=gy, w=w, precision=precision)
+    r, p = slots.shape
+    packed = jnp.take(data_slice, slots.reshape(-1), axis=1)     # (Tc, R*P)
+    packed = packed.reshape(tc, r, p) * slot_mask[None, :, :]
+    packed = jnp.transpose(packed, (1, 0, 2))                    # (R, Tc, P)
+    return _spread_cells(packed, w_re, w_im, seg_ids, n_seg=n_seg,
+                         gy=gy, w=w, precision=precision)
 
 
-@functools.partial(jax.jit, static_argnames=('gy', 'w', 'precision'))
-def _spread_cells(data_packed, w_re, w_im, gy: int, w: int,
-                  precision: str = 'parity'):
-    """Spread one cell-chunk — TWO batched matmuls plus a local window fold.
+@functools.partial(jax.jit, static_argnames=('n_seg', 'gy', 'w', 'precision'))
+def _spread_cells(data_packed, w_re, w_im, seg_ids, n_seg: int, gy: int,
+                  w: int, precision: str = 'parity'):
+    """Spread one row-chunk — TWO batched matmuls plus a local window fold.
 
     The spreading kernel (complex base phase × x-window offsets × exact
-    y-phases) is precomputed on host as one weight tensor
-    ``W[c, p, dx·Gy + g] = (base·ψx_dx)·wy_g``, so the device does exactly one
+    y-phases) is precomputed as one weight tensor
+    ``W[r, p, dx·Gy + g] = (base·ψx_dx)·wy_g``, so the device does exactly one
     real matmul per complex component: the data is read once, no elementwise
     staging arrays exist, and the MXU sees a wide (w·Gy)-lane contraction.
-    Offset contributions fold into a LOCAL (Cc + w, ...) window (contribution
-    of cell c at offset dx lands on window row c + dx); the caller adds the
-    window into the global cell axis cyclically — so the weight tensor never
-    has to exist for all cells at once.
+    Rows of the same cell sum via a sorted segment-sum; offset contributions
+    then fold into a LOCAL (n_seg + w, ...) window (contribution of cell c
+    at offset dx lands on window row c + dx); the caller adds the window
+    into the global cell axis cyclically — so the weight tensor never has to
+    exist for all cells at once.
 
-    data_packed: (Cc, n_t, P) f32 cell-major packed data for this chunk.
-    w_re/w_im:   (Cc, P, w·gy) f32.
-    Returns (win_re, win_im) of shape (Cc + w, n_t, gy) f32.
+    data_packed: (R, n_t, P) f32 row-major packed data for this chunk.
+    w_re/w_im:   (R, P, w·gy) f32.
+    Returns (win_re, win_im) of shape (n_seg + w, n_t, gy) f32.
     """
     prec = spectral.resolve_precision(precision)
-    cc, n_t, p = data_packed.shape
+    r, n_t, p = data_packed.shape
 
     def mm(a, b):
-        # 'ctp,cpq->ctq' batched over cells (batch dims 0/0, no transposes)
+        # 'rtp,rpq->rtq' batched over rows (batch dims 0/0, no transposes)
         return jax.lax.dot_general(
             a, b, dimension_numbers=(((2,), (1,)), ((0,), (0,))),
             precision=prec, preferred_element_type=jnp.float32)
 
-    y_re = mm(data_packed, w_re).reshape(cc, n_t, w, gy)
-    y_im = mm(data_packed, w_im).reshape(cc, n_t, w, gy)
+    def seg_fold(y):                     # (R, n_t, w, gy) -> (n_seg + w, ...)
+        y = jax.ops.segment_sum(y, seg_ids, num_segments=n_seg,
+                                indices_are_sorted=True)
+        win = jnp.zeros((n_seg + w, n_t, gy), dtype=jnp.float32)
+        for di in range(w):
+            win = win.at[di:di + n_seg].add(y[:, :, di, :])
+        return win
 
-    win_re = jnp.zeros((cc + w, n_t, gy), dtype=jnp.float32)
-    win_im = jnp.zeros((cc + w, n_t, gy), dtype=jnp.float32)
-    for di in range(w):
-        win_re = win_re.at[di:di + cc].add(y_re[:, :, di, :])
-        win_im = win_im.at[di:di + cc].add(y_im[:, :, di, :])
-    return win_re, win_im
+    y_re = mm(data_packed, w_re).reshape(r, n_t, w, gy)
+    y_im = mm(data_packed, w_im).reshape(r, n_t, w, gy)
+    return seg_fold(y_re), seg_fold(y_im)
 
 
 @functools.partial(jax.jit, static_argnames=('gx',))
@@ -268,9 +309,9 @@ DEFAULT_WEIGHT_BYTES = 2 * 2 ** 30
 
 
 def cells_per_chunk(plan: GridPlan, weight_bytes: int = DEFAULT_WEIGHT_BYTES) -> int:
-    """Largest cell-chunk whose (W_re, W_im) pair fits ``weight_bytes``."""
-    per_cell = 2 * 4 * plan.bucket_size * plan.w * plan.gy
-    return max(1, min(plan.n_cells, weight_bytes // max(per_cell, 1)))
+    """Largest ROW-chunk whose (W_re, W_im) pair fits ``weight_bytes``."""
+    per_row = 2 * 4 * plan.bucket_size * plan.w * plan.gy
+    return max(1, min(plan.n_rows, weight_bytes // max(per_row, 1)))
 
 
 @functools.partial(jax.jit, static_argnames=('gy', 'w'))
@@ -319,41 +360,58 @@ def _fft_take(sig_re, sig_im, freq_idx):
             jnp.take(jnp.imag(spec).astype(jnp.float32), freq_idx, axis=0))
 
 
-def _chunk_packed_tables(plan: GridPlan, cell_starts, cell_chunk: int):
-    """Upload each cell-chunk's packed tables (slot map, mask, base phases,
-    window weights, split-y coords) — N-sized data crossing the host link
-    exactly ONCE for the whole sweep."""
-    n_cells, p = plan.base_re.shape
+def _chunk_packed_tables(plan: GridPlan, row_starts, row_chunk: int):
+    """Upload each row-chunk's packed tables (slot map, mask, base phases,
+    window weights, split-y coords, segment ids) — N-sized data crossing the
+    host link exactly ONCE for the whole sweep.
+
+    Each chunk carries ``c_lo`` (first cell its rows touch) and relative
+    ``seg`` ids; ``n_seg`` is the plan-wide maximum span so every chunk
+    shares one compiled spread shape (rows beyond a chunk's actual span
+    contribute zero window rows, which fold harmlessly).
+    """
+    n_rows, p = plan.base_re.shape
     dev = jax.device_put
 
-    def chunk_packed(c0):
-        c1 = min(c0 + cell_chunk, n_cells)
+    spans = []
+    for r0 in row_starts:
+        r1 = min(r0 + row_chunk, n_rows)
+        c_lo = int(plan.slot_cell[r0])
+        spans.append(int(plan.slot_cell[r1 - 1]) - c_lo + 1)
+    n_seg = max(spans)
+
+    def chunk_packed(r0):
+        r1 = min(r0 + row_chunk, n_rows)
         def padc(arr, extra=()):
-            out = np.zeros((cell_chunk, p) + extra, dtype=arr.dtype)
-            out[:c1 - c0] = arr[c0:c1]
+            out = np.zeros((row_chunk, p) + extra, dtype=arr.dtype)
+            out[:r1 - r0] = arr[r0:r1]
             return dev(out)
+        c_lo = int(plan.slot_cell[r0])
+        seg = np.full(row_chunk, n_seg - 1, dtype=np.int32)
+        seg[:r1 - r0] = plan.slot_cell[r0:r1].astype(np.int32) - c_lo
         return {'slots': padc(plan.atom_of_slot), 'mask': padc(plan.pad_mask),
                 'base_re': padc(plan.base_re), 'base_im': padc(plan.base_im),
                 'wx': padc(plan.wx, (plan.w,)),
-                'y_hi': padc(plan.y_hi), 'y_lo': padc(plan.y_lo)}
+                'y_hi': padc(plan.y_hi), 'y_lo': padc(plan.y_lo),
+                'seg': dev(seg), 'c_lo': c_lo, 'n_seg': n_seg}
 
-    return {c0: chunk_packed(c0) for c0 in cell_starts}
+    return {r0: chunk_packed(r0) for r0 in row_starts}
 
 
 def _spread_update_body(grid_re, grid_im, data, slots, slot_mask, w_re, w_im,
-                        win_start, t0, pol, tc: int, gy: int, w: int,
-                        precision: str):
-    """One (cell-chunk, t-chunk, polarization) update, traceable: time-slice
-    the device trajectory, pack, spread, fold the (Cc + w) window cyclically
-    into the full-time grid accumulators.  ``win_start``/``t0``/``pol`` may
-    be traced scalars — chunk positions do not trigger recompiles; only the
-    (tc, gyc) shape bucket does."""
+                        seg_ids, n_seg, win_start, t0, pol, tc: int, gy: int,
+                        w: int, precision: str):
+    """One (row-chunk, t-chunk, polarization) update, traceable: time-slice
+    the device trajectory, pack, spread, fold the (n_seg + w) window
+    cyclically into the full-time grid accumulators.  ``win_start``/``t0``/
+    ``pol`` may be traced scalars — chunk positions do not trigger
+    recompiles; only the (tc, gyc) shape bucket does."""
     c = grid_re.shape[0]
     data_slice = lax.dynamic_slice(
         data, (t0, 0, pol), (tc, data.shape[1], 1))[:, :, 0]
     win_re, win_im = _pack_and_spread(data_slice, slots, slot_mask,
-                                      w_re, w_im, gy=gy, w=w,
-                                      precision=precision)
+                                      w_re, w_im, seg_ids, n_seg=n_seg,
+                                      gy=gy, w=w, precision=precision)
 
     def fold(win):                       # (Cc + w, tc, gyc) -> (C, tc, gyc)
         # wrap the cell axis modulo C: pad to a multiple of C and sum the
@@ -371,69 +429,71 @@ def _spread_update_body(grid_re, grid_im, data, slots, slot_mask, w_re, w_im,
 
 
 @functools.partial(jax.jit,
-                   static_argnames=('tc', 'gy', 'w', 'precision'),
+                   static_argnames=('n_seg', 'tc', 'gy', 'w', 'precision'),
                    donate_argnums=(0, 1))
 def _spread_accumulate(grid_re, grid_im, data, slots, slot_mask, w_re, w_im,
-                       win_start, t0, pol, tc: int, gy: int, w: int,
-                       precision: str = 'parity'):
-    """ONE dispatch for one (cell-chunk, t-chunk, polarization) update with
+                       seg_ids, win_start, t0, pol, n_seg: int, tc: int,
+                       gy: int, w: int, precision: str = 'parity'):
+    """ONE dispatch for one (row-chunk, t-chunk, polarization) update with
     donated accumulators.  The eager-op version of this loop cost ~4
     dispatches per iteration — at ~77 ms/dispatch on a tunneled TPU that
     latency, not compute, dominated the fused browse (docs/PERF_NOTES.md)."""
     return _spread_update_body(grid_re, grid_im, data, slots, slot_mask,
-                               w_re, w_im, win_start, t0, pol,
-                               tc=tc, gy=gy, w=w, precision=precision)
+                               w_re, w_im, seg_ids, n_seg, win_start, t0,
+                               pol, tc=tc, gy=gy, w=w, precision=precision)
 
 
 @functools.partial(jax.jit,
-                   static_argnames=('tc', 'n_steps', 'gy', 'w', 'precision'),
+                   static_argnames=('n_seg', 'tc', 'n_steps', 'gy', 'w',
+                                    'precision'),
                    donate_argnums=(0, 1))
 def _spread_accumulate_scan(grid_re, grid_im, data, slots, slot_mask,
-                            w_re, w_im, win_start, pol, tc: int,
-                            n_steps: int, gy: int, w: int,
+                            w_re, w_im, seg_ids, win_start, pol, n_seg: int,
+                            tc: int, n_steps: int, gy: int, w: int,
                             precision: str = 'parity'):
-    """All ``n_steps`` equal-size t-chunks of one (cell-chunk, polarization)
+    """All ``n_steps`` equal-size t-chunks of one (row-chunk, polarization)
     in a single dispatch (lax.fori_loop over the update body)."""
     def body(i, grids):
         return _spread_update_body(grids[0], grids[1], data, slots,
-                                   slot_mask, w_re, w_im, win_start,
-                                   i * tc, pol, tc=tc, gy=gy, w=w,
-                                   precision=precision)
+                                   slot_mask, w_re, w_im, seg_ids, n_seg,
+                                   win_start, i * tc, pol, tc=tc, gy=gy,
+                                   w=w, precision=precision)
     return lax.fori_loop(0, n_steps, body, (grid_re, grid_im))
 
 
-def _spread_gy_block(data_dev, plan: GridPlan, packed_tabs, cell_starts,
+def _spread_gy_block(data_dev, plan: GridPlan, packed_tabs, row_starts,
                      ky_dev, gyc: int, n_t: int, t_chunk: int,
                      precision: str):
     """Full-time (n_cells, n_t, gyc) re/im accumulators per polarization for
-    one ky block.  Cells outer, time-chunks and polarizations inner, so each
-    cell-chunk's device-built weights are constructed once and reused by
+    one ky block.  Rows outer, time-chunks and polarizations inner, so each
+    row-chunk's device-built weights are constructed once and reused by
     every (t-chunk, polarization) pass; each iteration is a single fused
     dispatch (:func:`_spread_accumulate`) with donated accumulators."""
-    n_cells = plan.base_re.shape[0]
+    n_cells = plan.n_cells
     grids = [(jnp.zeros((n_cells, n_t, gyc), jnp.float32),
               jnp.zeros((n_cells, n_t, gyc), jnp.float32))
              for _ in range(3)]
-    for c0 in cell_starts:
-        tabs = packed_tabs[c0]
+    for r0 in row_starts:
+        tabs = packed_tabs[r0]
         w_re, w_im = _device_weights(tabs['base_re'], tabs['base_im'],
                                      tabs['wx'], tabs['y_hi'],
                                      tabs['y_lo'], ky_dev,
                                      gy=gyc, w=plan.w)
-        win_start = (c0 - (plan.w // 2 - 1)) % n_cells
+        win_start = (tabs['c_lo'] - (plan.w // 2 - 1)) % n_cells
         n_full, rem = divmod(n_t, t_chunk)
         for pol in range(3):
             if n_full:                   # all equal chunks in one dispatch
                 grids[pol] = _spread_accumulate_scan(
                     grids[pol][0], grids[pol][1], data_dev, tabs['slots'],
-                    tabs['mask'], w_re, w_im, win_start, pol,
-                    tc=t_chunk, n_steps=n_full, gy=gyc, w=plan.w,
-                    precision=precision)
+                    tabs['mask'], w_re, w_im, tabs['seg'], win_start, pol,
+                    n_seg=tabs['n_seg'], tc=t_chunk, n_steps=n_full,
+                    gy=gyc, w=plan.w, precision=precision)
             if rem:                      # trailing partial chunk
                 grids[pol] = _spread_accumulate(
                     grids[pol][0], grids[pol][1], data_dev, tabs['slots'],
-                    tabs['mask'], w_re, w_im, win_start, n_full * t_chunk,
-                    pol, tc=rem, gy=gyc, w=plan.w, precision=precision)
+                    tabs['mask'], w_re, w_im, tabs['seg'], win_start,
+                    n_full * t_chunk, pol, n_seg=tabs['n_seg'], tc=rem,
+                    gy=gyc, w=plan.w, precision=precision)
         del w_re, w_im
     return grids
 
@@ -470,20 +530,20 @@ def gridded_kgrid_browse(data, plan: GridPlan, freq_idx: np.ndarray,
     n_t = data.shape[0]
     gx, gy = plan.gx, plan.gy
     n_f = int(len(freq_idx))
-    n_cells, p = plan.base_re.shape
+    n_rows, p = plan.base_re.shape
     if cell_chunk is None:
         cell_chunk = cells_per_chunk(plan)
-    cell_chunk = min(cell_chunk, n_cells)
-    cell_starts = list(range(0, n_cells, cell_chunk))
+    cell_chunk = min(cell_chunk, n_rows)                    # rows per chunk
+    row_starts = list(range(0, n_rows, cell_chunk))
     if gy_chunk is None:
         # bound the 3-pol full-time grid accumulators (the largest residents)
-        per_col = 6 * n_t * n_cells * 4
+        per_col = 6 * n_t * plan.n_cells * 4
         gy_chunk = max(1, min(gy, (1 << 30) // max(per_col, 1)))
     gyc_max = min(gy_chunk, gy)
     if t_chunk is None:
         # bound the per-t-chunk transients: the packed data gather
-        # (Cc, Tc, P) is data-sized and coexists with the resident
-        # trajectory, and the spread intermediates are (Cc, Tc, w·gyc) ×2
+        # (R, Tc, P) is data-sized and coexists with the resident
+        # trajectory, and the spread intermediates are (R, Tc, w·gyc) ×2
         per_frame = (cell_chunk * p * 4                     # packed gather
                      + cell_chunk * plan.w * gyc_max * 4 * 2)
         t_chunk = max(64, min(n_t, (1 << 30) // max(per_frame, 1)))
@@ -498,15 +558,15 @@ def gridded_kgrid_browse(data, plan: GridPlan, freq_idx: np.ndarray,
                   if comp_pair is not None else None)
 
     # N-sized packed tables cross the host link ONCE; weight tiles are built
-    # on device per cell-chunk (see _device_weights) and reused across every
+    # on device per row-chunk (see _device_weights) and reused across every
     # time-chunk and polarization.
-    packed_tabs = _chunk_packed_tables(plan, cell_starts, cell_chunk)
+    packed_tabs = _chunk_packed_tables(plan, row_starts, cell_chunk)
 
     for g0 in range(0, gy, gy_chunk):
         g1 = min(g0 + gy_chunk, gy)
         gyc = g1 - g0
         ky_dev = dev(plan.ky_vals[g0:g1].astype(np.float32))
-        grids = _spread_gy_block(data_dev, plan, packed_tabs, cell_starts,
+        grids = _spread_gy_block(data_dev, plan, packed_tabs, row_starts,
                                  ky_dev, gyc, n_t, t_chunk, precision)
         inten_dev = jnp.zeros((n_f, gx * gyc), jnp.float32)
         kept = {}
@@ -566,26 +626,26 @@ def gridded_kgrid_spectrum(data: np.ndarray, plan: GridPlan,
     data = np.asarray(data) if not isinstance(data, jnp.ndarray) else data
     n_t = data.shape[0]
     gx, gy = plan.gx, plan.gy
-    n_cells, p = plan.base_re.shape
+    n_rows, p = plan.base_re.shape
     if cell_chunk is None:
         cell_chunk = cells_per_chunk(plan)
-    cell_chunk = min(cell_chunk, n_cells)
-    cell_starts = list(range(0, n_cells, cell_chunk))
+    cell_chunk = min(cell_chunk, n_rows)                    # rows per chunk
+    cell_starts = list(range(0, n_rows, cell_chunk))
     if gy_chunk is None:
         # bound the 3-pol full-time grid accumulators (the largest residents)
-        per_col = 6 * n_t * n_cells * 4
+        per_col = 6 * n_t * plan.n_cells * 4
         gy_chunk = max(1, min(gy, (1 << 30) // max(per_col, 1)))
     gyc_max = min(gy_chunk, gy)
     if t_chunk is None:
         # bound the per-t-chunk transients: the packed data gather
-        # (Cc, Tc, P) plus the spread intermediates (Cc, Tc, w·gyc) ×2
+        # (R, Tc, P) plus the spread intermediates (R, Tc, w·gyc) ×2
         per_frame = (cell_chunk * p * 4
                      + cell_chunk * plan.w * gyc_max * 4 * 2)
         t_chunk = max(64, min(n_t, (1 << 30) // max(per_frame, 1)))
 
     if len(cell_starts) > 1:
-        logger.info("gridded: %d cells in %d chunks of %d (device weights "
-                    "%.2f GB/chunk)", n_cells, len(cell_starts), cell_chunk,
+        logger.info("gridded: %d rows in %d chunks of %d (device weights "
+                    "%.2f GB/chunk)", n_rows, len(cell_starts), cell_chunk,
                     2 * 4 * cell_chunk * p * plan.w * gyc_max / 1e9)
 
     dev = jax.device_put

@@ -115,11 +115,11 @@ class TestCellChunking:
         from psa_tpu.ops.gridded import cells_per_chunk
         mean64 = calc.mean_positions64
         plan = plan_kgrid(mean64, np.linspace(-1, 1, 10), np.linspace(-1, 1, 8))
-        # one cell's weights: 2 * 4 * P * w * Gy bytes
-        per_cell = 2 * 4 * plan.bucket_size * plan.w * plan.gy
-        assert cells_per_chunk(plan, weight_bytes=per_cell * 3) == 3
+        # one row's weights: 2 * 4 * P * w * Gy bytes
+        per_row = 2 * 4 * plan.bucket_size * plan.w * plan.gy
+        assert cells_per_chunk(plan, weight_bytes=per_row * 3) == 3
         assert cells_per_chunk(plan, weight_bytes=1) == 1  # floor at 1
-        assert cells_per_chunk(plan, weight_bytes=1 << 40) == plan.n_cells
+        assert cells_per_chunk(plan, weight_bytes=1 << 40) == plan.n_rows
 
 
 class TestPrecisionAndCache:
