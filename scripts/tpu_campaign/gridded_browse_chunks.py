@@ -57,12 +57,12 @@ def main():
     freqs = spectral.fftfreq_thz(n_t, 0.01)
     freq_idx = np.flatnonzero(freqs >= 0).astype(np.int32)
 
+    # balanced-row layout: chunks count ROWS now (436 x 256 at this shape)
     configs = [
         {},                                                # auto baseline
-        {'cell_chunk': 100, 'gy_chunk': 44},
-        {'cell_chunk': 50, 'gy_chunk': 44},
-        {'cell_chunk': 50, 'gy_chunk': 22},
-        {'cell_chunk': 25, 'gy_chunk': 22, 't_chunk': 700},
+        {'cell_chunk': 218, 'gy_chunk': 44},
+        {'cell_chunk': 109, 'gy_chunk': 22},
+        {'gy_chunk': 22},
     ]
     out = {"config": {"atoms": n_atoms, "steps": n_t, "grid": g},
            "runs": []}
