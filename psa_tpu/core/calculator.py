@@ -795,7 +795,9 @@ class SEDCalculator:
                               summation_mode: str = 'coherent',
                               max_freq: Optional[float] = None,
                               n_peaks: int = 1, exclusion_bins: int = 4,
-                              k_chunk_size: int = 2048):
+                              k_chunk_size: int = 2048,
+                              engine: str = 'direct',
+                              k_grid_shape: Optional[Tuple[int, int]] = None):
         """Top-``n_peaks`` spectral peaks per k-point, extracted ON DEVICE.
 
         The dispersion-analysis workflow reads only the peaks of I(ω, k) —
@@ -835,6 +837,29 @@ class SEDCalculator:
                       (atom_groups[0] if atom_groups else np.array([], dtype=int))]
         else:
             groups = atom_groups
+
+        if engine == 'gridded':
+            # NUFFT engine with the same on-device peak reduction: the FLOP
+            # cut reaches end-to-end because only the peak triplet transfers
+            # (the ~200 MB browse planes were burying it in d2h time).
+            if len(groups) > 1:
+                raise ValueError("engine='gridded' supports coherent "
+                                 "(single-spectrum) sweeps only.")
+            if k_grid_shape is None:
+                raise ValueError("engine='gridded' needs k_grid_shape.")
+            from ..ops import gridded
+            kx_vals, ky_vals, k_fixed, axes = self._detect_grid_axes(
+                np.asarray(k_vectors_3d, dtype=np.float32), k_grid_shape)
+            plan = gridded.plan_kgrid(self.mean_positions64[groups[0]],
+                                      kx_vals, ky_vals, k_fixed=k_fixed,
+                                      axes=axes)
+            data_dev, _, _ = self._group_device_arrays(groups[0])
+            return gridded.gridded_kgrid_browse(
+                data_dev, plan, freq_idx, precision=self.precision,
+                n_peaks=n_peaks, exclusion_bins=exclusion_bins,
+                freqs_kept=freqs_kept)
+        if engine != 'direct':
+            raise ValueError(f"engine must be 'direct' or 'gridded', got {engine!r}")
 
         num_k = len(k_vectors_3d)
         block = min(max(1, k_chunk_size), num_k) if num_k > 0 else 1

@@ -561,6 +561,7 @@ class PSAMainWindow:
         def work():
             try:
                 mf = self.grid_max_freq_var.get().strip()
+                eng = self.grid_engine_var.get()
                 pk = self.controller.compute_kgrid_peaks(
                     self.plane_var.get(),
                     (self.k1_min_var.get(), self.k1_max_var.get()),
@@ -569,7 +570,8 @@ class PSAMainWindow:
                     k_fixed=self.k_fixed_var.get(),
                     max_freq=float(mf) if mf else None,
                     basis_atom_types=self._basis_types(),
-                    summation_mode=self.mode_var.get())
+                    summation_mode=self.mode_var.get(),
+                    engine='gridded' if eng == 'gridded' else 'direct')
                 err = None
             except Exception as e:
                 pk, err = None, str(e)

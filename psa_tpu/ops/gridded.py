@@ -504,7 +504,10 @@ def gridded_kgrid_browse(data, plan: GridPlan, freq_idx: np.ndarray,
                          t_chunk: Optional[int] = None,
                          cell_chunk: Optional[int] = None,
                          gy_chunk: Optional[int] = None,
-                         precision: str = 'parity'):
+                         precision: str = 'parity',
+                         n_peaks: Optional[int] = None,
+                         exclusion_bins: int = 4,
+                         freqs_kept: Optional[np.ndarray] = None):
     """NUFFT k-grid sweep fused with the time FFT and browse reduction.
 
     :func:`gridded_kgrid_spectrum` must ship its full pre-FFT signal to host
@@ -523,9 +526,23 @@ def gridded_kgrid_browse(data, plan: GridPlan, freq_idx: np.ndarray,
         gy_chunk: ky columns per device-resident signal block (None = sized
             so the three per-polarization signal buffers stay under ~2 GB).
 
+    With ``n_peaks`` set (requires ``freqs_kept``, the THz values of the
+    kept rows; exclusive with ``comp_pair``), the per-block intensity
+    reduces further to the top-``n_peaks`` spectral peaks ON DEVICE and only
+    the (3, n_peaks, Gx·Gy) triplet transfers — the browse planes
+    (~200 MB at 200²) never cross the link, so the engine's FLOP cut is no
+    longer buried under d2h time.
+
     Returns:
-        (intensity (n_keep, Gx·Gy) f32, phase (n_keep, Gx·Gy) f32 or None).
+        (intensity (n_keep, Gx·Gy) f32, phase (n_keep, Gx·Gy) f32 or None),
+        or with ``n_peaks``: (peak_freq, peak_height, peak_width) each
+        (n_peaks, Gx·Gy) f32.
     """
+    if n_peaks is not None:
+        if comp_pair is not None:
+            raise ValueError("peaks mode is exclusive with comp_pair")
+        if freqs_kept is None:
+            raise ValueError("peaks mode needs freqs_kept")
     data = np.asarray(data) if not isinstance(data, jnp.ndarray) else data
     n_t = data.shape[0]
     gx, gy = plan.gx, plan.gy
@@ -553,9 +570,15 @@ def gridded_kgrid_browse(data, plan: GridPlan, freq_idx: np.ndarray,
     deconv = dev(plan.deconv_re)
     freq_dev = jnp.asarray(np.asarray(freq_idx, dtype=np.int32))
 
-    inten_full = np.empty((n_f, gx, gy), dtype=np.float32)
-    phase_full = (np.empty((n_f, gx, gy), dtype=np.float32)
-                  if comp_pair is not None else None)
+    if n_peaks is not None:
+        peaks_full = np.empty((3, n_peaks, gx, gy), dtype=np.float32)
+        freqs_kept_dev = jnp.asarray(np.asarray(freqs_kept, np.float32))
+        inten_full = phase_full = None
+    else:
+        peaks_full = None
+        inten_full = np.empty((n_f, gx, gy), dtype=np.float32)
+        phase_full = (np.empty((n_f, gx, gy), dtype=np.float32)
+                      if comp_pair is not None else None)
 
     # N-sized packed tables cross the host link ONCE; weight tiles are built
     # on device per row-chunk (see _device_weights) and reused across every
@@ -579,6 +602,14 @@ def gridded_kgrid_browse(data, plan: GridPlan, freq_idx: np.ndarray,
             inten_dev = inten_dev + re_f * re_f + im_f * im_f
             if comp_pair is not None and pol in comp_pair:
                 kept[pol] = (re_f, im_f)
+        if n_peaks is not None:
+            pf, ph_, pw = spectral.peak_reduce(
+                inten_dev[None], freqs_kept_dev, n_peaks=n_peaks,
+                exclusion_bins=exclusion_bins)
+            for i, arr in enumerate((pf, ph_, pw)):
+                peaks_full[i, :, :, g0:g1] = np.asarray(arr[0]).reshape(
+                    n_peaks, gx, gyc)
+            continue
         inten_full[:, :, g0:g1] = np.asarray(inten_dev).reshape(n_f, gx, gyc)
         if comp_pair is not None:
             c1p, c2p = comp_pair
@@ -587,6 +618,9 @@ def gridded_kgrid_browse(data, plan: GridPlan, freq_idx: np.ndarray,
                                        angle_range_opt=angle_range_opt)
             phase_full[:, :, g0:g1] = np.asarray(ph).reshape(n_f, gx, gyc)
 
+    if n_peaks is not None:
+        return tuple(peaks_full[i].reshape(n_peaks, gx * gy)
+                     for i in range(3))
     inten_out = inten_full.reshape(n_f, gx * gy)
     phase_out = (phase_full.reshape(n_f, gx * gy)
                  if phase_full is not None else None)

@@ -235,3 +235,23 @@ def test_gridded_browse_displacement_and_auto(traj):
     assert rel(i_g, i_d) < 1e-5
     f_a, i_a, _ = calc_d.calculate_kgrid_browse(k_vecs, engine='auto')
     np.testing.assert_allclose(i_a, i_d, atol=0)
+
+
+class TestGriddedPeaks:
+    def test_matches_direct_peaks(self, calc):
+        """engine='gridded' peak extraction must agree with the direct
+        engine's surfaces (the readback-light path that carries the NUFFT
+        FLOP cut end-to-end)."""
+        _, k_vecs, shape = calc.get_k_grid('xy', (-1.2, 1.2), (-1.2, 1.2),
+                                           10, 10)
+        pf_d, ph_d, pw_d = calc.calculate_kgrid_peaks(k_vecs, n_peaks=2)
+        pf_g, ph_g, pw_g = calc.calculate_kgrid_peaks(
+            k_vecs, n_peaks=2, engine='gridded', k_grid_shape=shape)
+        np.testing.assert_allclose(pf_g, pf_d, atol=1e-6)
+        np.testing.assert_allclose(ph_g, ph_d, rtol=2e-5)
+        np.testing.assert_allclose(pw_g, pw_d, rtol=1e-3, atol=1e-4)
+
+    def test_requires_shape(self, calc):
+        with pytest.raises(ValueError, match="k_grid_shape"):
+            calc.calculate_kgrid_peaks(np.zeros((4, 3), np.float32),
+                                       engine='gridded')
