@@ -809,6 +809,14 @@ class SEDCalculator:
         200² grid).  Incoherent mode accumulates the per-group intensity
         on device before peak-finding.
 
+        ``engine='gridded'`` (needs ``k_grid_shape``; coherent,
+        device-resident groups only) routes through the NUFFT engine with
+        the same reduction — measured FASTER than the direct engine
+        end-to-end at the 200² pod shape (11,512 vs 8,398 k-points/s on a
+        v5e, 100%% identical peak bins; scripts/tpu_campaign/
+        peaks_engines.json) because the tiny readback finally exposes the
+        ~Gx/12 FLOP cut.
+
         Returns:
             (peak_freqs, peak_heights, peak_widths): each (n_peaks, n_k)
             float32, ordered by descending height per k-column.  Width is
@@ -847,6 +855,13 @@ class SEDCalculator:
                                  "(single-spectrum) sweeps only.")
             if k_grid_shape is None:
                 raise ValueError("engine='gridded' needs k_grid_shape.")
+            if groups[0].size > 0 and \
+                    self._group_bytes(groups[0]) > self.max_device_bytes:
+                raise ValueError(
+                    "engine='gridded' needs the group device-resident "
+                    f"({self._group_bytes(groups[0]) / 2**30:.1f} GiB > "
+                    f"max_device_bytes); use engine='direct', which streams "
+                    "oversize groups from host.")
             from ..ops import gridded
             kx_vals, ky_vals, k_fixed, axes = self._detect_grid_axes(
                 np.asarray(k_vectors_3d, dtype=np.float32), k_grid_shape)
@@ -1045,9 +1060,9 @@ class SEDCalculator:
         uniformly spaced grids (anything from :meth:`get_k_grid`), coherent
         summation, one (union) atom group.
 
-        ``cell_chunk`` bounds the spreading-weight tensor (default ~2 GB per
-        chunk — the full tensor is ~16·w·N·Gy bytes and cannot build at
-        N=10⁶).  Matmuls honor the calculator's ``precision``.  ``cache_dir``
+        ``cell_chunk`` (balanced packing ROWS per chunk) bounds the
+        spreading-weight tensor (default ~2 GB per chunk — the full tensor
+        is ~16·w·N·Gy bytes and cannot build at N=10⁶).  Matmuls honor the calculator's ``precision``.  ``cache_dir``
         checkpoints the result (the engine is one-shot, so the cache is
         all-or-nothing: a complete cached result is returned without
         recomputing).

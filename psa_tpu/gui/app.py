@@ -536,8 +536,15 @@ class PSAMainWindow:
                     return
                 self.recip_fig.clear()
                 ax = self.recip_fig.add_subplot(111)
-                labels = ([f"type {t}" for t in types]
-                          if types and dos.shape[0] > 1 else ["total"])
+                # calculate_dos drops types with no atoms, so the raw type
+                # list can be longer than the rows — only attribute labels
+                # when the correspondence is unambiguous
+                if types and dos.shape[0] == len(types) and dos.shape[0] > 1:
+                    labels = [f"type {t}" for t in types]
+                elif dos.shape[0] > 1:
+                    labels = [f"group {i + 1}" for i in range(dos.shape[0])]
+                else:
+                    labels = ["total"]
                 for row, lab in zip(dos, labels):
                     ax.plot(freqs, row, label=lab)
                 ax.set_xlabel("frequency (THz)")

@@ -161,8 +161,10 @@ def plan_kgrid(mean_pos64: np.ndarray, kx_vals: np.ndarray, ky_vals: np.ndarray,
     # batched matmul's contraction length, and a narrow one starves the MXU.
     def total_slots(p):
         return int(np.sum(-(-counts // p)) * p)
+    # include the first lane-multiple ABOVE max-count too: a cell of 12
+    # atoms fits one row of 16 (longer contraction) as cheaply as two of 8
     candidates = [p for p in (8, 16, 32, 64, 128, 256, 512, 1024)
-                  if p <= max(8, int(counts.max()))]
+                  if p // 2 < max(8, int(counts.max() or 1))]
     best = min(total_slots(p) for p in candidates)
     bucket_size = max(p for p in candidates
                       if total_slots(p) <= 1.25 * best)
@@ -523,6 +525,8 @@ def gridded_kgrid_browse(data, plan: GridPlan, freq_idx: np.ndarray,
         plan: from :func:`plan_kgrid`.
         freq_idx: (n_keep,) int32 retained frequency-row indices.
         comp_pair: polarization pair for the chiral phase, or None.
+        cell_chunk: balanced packing ROWS per weight-tensor chunk (None =
+            ~2 GB weight budget).
         gy_chunk: ky columns per device-resident signal block (None = sized
             so the three per-polarization signal buffers stay under ~2 GB).
 
@@ -548,6 +552,12 @@ def gridded_kgrid_browse(data, plan: GridPlan, freq_idx: np.ndarray,
     gx, gy = plan.gx, plan.gy
     n_f = int(len(freq_idx))
     n_rows, p = plan.base_re.shape
+    if n_rows == 0:                       # empty atom set -> zero spectra
+        zeros = np.zeros((n_f, gx * gy), dtype=np.float32)
+        if n_peaks is not None:
+            z = np.zeros((n_peaks, gx * gy), dtype=np.float32)
+            return z, z.copy(), z.copy()
+        return zeros, (np.zeros_like(zeros) if comp_pair is not None else None)
     if cell_chunk is None:
         cell_chunk = cells_per_chunk(plan)
     cell_chunk = min(cell_chunk, n_rows)                    # rows per chunk
@@ -646,9 +656,10 @@ def gridded_kgrid_spectrum(data: np.ndarray, plan: GridPlan,
         plan: from :func:`plan_kgrid`.
         t_chunk: frames per device batch (None = sized so the packed-gather
             and spread transients stay under ~1 GB).
-        cell_chunk: fine-grid cells per weight-tensor chunk (None = sized so
-            one chunk's weights stay under ~2 GB; the weight tensor for ALL
-            cells is ~16·w·N·Gy bytes and cannot build at pod scale).
+        cell_chunk: balanced packing ROWS per weight-tensor chunk (None =
+            sized so one chunk's weights stay under ~2 GB; the weight
+            tensor for ALL rows is ~16·w·N·Gy bytes and cannot build at pod
+            scale).
         gy_chunk: ky columns per full-time accumulator block (None = sized
             so the three per-polarization blocks stay under ~1 GB).
         precision: 'parity' | 'balanced' | 'fast' matmul precision.
@@ -661,6 +672,9 @@ def gridded_kgrid_spectrum(data: np.ndarray, plan: GridPlan,
     n_t = data.shape[0]
     gx, gy = plan.gx, plan.gy
     n_rows, p = plan.base_re.shape
+    if n_rows == 0:                       # empty atom set -> zero signal
+        z = np.zeros((n_t, gx * gy, 3), dtype=np.float32)
+        return z, z.copy()
     if cell_chunk is None:
         cell_chunk = cells_per_chunk(plan)
     cell_chunk = min(cell_chunk, n_rows)                    # rows per chunk

@@ -255,3 +255,42 @@ class TestGriddedPeaks:
         with pytest.raises(ValueError, match="k_grid_shape"):
             calc.calculate_kgrid_peaks(np.zeros((4, 3), np.float32),
                                        engine='gridded')
+
+    def test_oversize_group_raises_clearly(self, calc):
+        _, k_vecs, shape = calc.get_k_grid('xy', (-1, 1), (-1, 1), 6, 6)
+        old = calc.max_device_bytes
+        try:
+            calc.max_device_bytes = 1
+            with pytest.raises(ValueError, match="device-resident"):
+                calc.calculate_kgrid_peaks(k_vecs, engine='gridded',
+                                           k_grid_shape=shape)
+        finally:
+            calc.max_device_bytes = old
+
+
+class TestPlanEdgeCases:
+    def test_zero_atoms_yield_zero_spectra(self):
+        from psa_tpu.ops.gridded import (gridded_kgrid_browse,
+                                         gridded_kgrid_spectrum, plan_kgrid)
+        plan = plan_kgrid(np.zeros((0, 3)), np.linspace(-1, 1, 4),
+                          np.linspace(-1, 1, 4))
+        data = np.zeros((8, 0, 3), dtype=np.float32)
+        re, im = gridded_kgrid_spectrum(data, plan)
+        assert re.shape == (8, 16, 3) and not re.any() and not im.any()
+        inten, ph = gridded_kgrid_browse(data, plan,
+                                         np.arange(4, dtype=np.int32))
+        assert inten.shape == (4, 16) and not inten.any() and ph is None
+
+    def test_row_width_can_exceed_max_count(self):
+        """A 12-atom-per-cell layout must be allowed one row of 16, not
+        forced into two MXU-starving rows of 8."""
+        from psa_tpu.ops.gridded import plan_kgrid
+        # 4 cells x 12 atoms, placed mid-cell to avoid boundary leakage
+        n_cells_coarse = 4
+        x = np.repeat((np.arange(n_cells_coarse) + 0.5), 12)
+        pos = np.zeros((len(x), 3))
+        # kx spacing chosen so one period maps the 4 coarse cells onto the
+        # fine grid exactly
+        pos[:, 0] = x * (2 * np.pi / n_cells_coarse)
+        plan = plan_kgrid(pos, np.linspace(0, 1.5, 2), np.linspace(0, 1, 3))
+        assert plan.bucket_size >= 16
