@@ -25,7 +25,10 @@ path numbers as extra fields (VERDICT r1 item 5):
     kpath_calculate_kps — SEDCalculator.calculate on a 250-point k-path
         with the full complex spectrum fetched (the library default path);
     gridded_browse_kps — the fused NUFFT browse (device-built weights,
-        on-device time FFT + reduction) on the same grid.
+        on-device time FFT + reduction) on the same grid;
+    peaks_kps / gridded_peaks_kps — on-device dispersion-surface
+        extraction through the direct / NUFFT engines (the readback-light
+        path where the gridded FLOP cut shows end-to-end).
 
 Environment knobs:
     PSA_BENCH_ATOMS   (default 100000)
@@ -240,7 +243,7 @@ def user_path_benches(velocities, mean_pos64, k_vectors, grid, precision,
     n_k = k_vectors.shape[0]
     if over_budget("user-path extras"):
         return extras
-    log("user path 1/4: calculate_kgrid_browse (on-device reduction)...")
+    log("user path 1/5: calculate_kgrid_browse (on-device reduction)...")
     t0 = time.time()
     freqs, inten, _ = calc.calculate_kgrid_browse(k_vectors, k_chunk_size=1280)
     dt = time.time() - t0
@@ -258,7 +261,7 @@ def user_path_benches(velocities, mean_pos64, k_vectors, grid, precision,
     # -- library default: k-path calculate with full complex readback -------
     if over_budget("k-path calculate bench"):
         return extras
-    log("user path 2/4: calculate() on a 250-point k-path...")
+    log("user path 2/5: calculate() on a 250-point k-path...")
     k_mags, k_vecs_path = calc.get_k_path('x', bz_coverage=1.0, n_k=250,
                                           lat_param=5.43)
     t0 = time.time()
@@ -275,7 +278,7 @@ def user_path_benches(velocities, mean_pos64, k_vectors, grid, precision,
     # -- on-device peak extraction: tiny readback, ~device-side rate --------
     if over_budget("peaks bench"):
         return extras
-    log("user path 3/4: calculate_kgrid_peaks (on-device dispersion surface)...")
+    log("user path 3/5: calculate_kgrid_peaks (on-device dispersion surface)...")
     try:
         t0 = time.time()
         calc.calculate_kgrid_peaks(k_vectors, n_peaks=3, k_chunk_size=1280)
@@ -291,7 +294,7 @@ def user_path_benches(velocities, mean_pos64, k_vectors, grid, precision,
 
     if over_budget("gridded browse bench"):
         return extras
-    log("user path 4/4: calculate_kgrid_browse(engine='gridded') — fused "
+    log("user path 4/5: calculate_kgrid_browse(engine='gridded') — fused "
         "NUFFT with device-built weights + on-device FFT/reduction...")
     try:
         t0 = time.time()
@@ -307,6 +310,25 @@ def user_path_benches(velocities, mean_pos64, k_vectors, grid, precision,
             f"first {dt:.1f}s)")
     except Exception as e:
         log(f"  gridded browse bench failed: {type(e).__name__}: {e}")
+
+    # -- gridded peaks: the measured-best dispersion-surface path -----------
+    if over_budget("gridded peaks bench"):
+        return extras
+    log("user path 5/5: calculate_kgrid_peaks(engine='gridded')...")
+    try:
+        t0 = time.time()
+        calc.calculate_kgrid_peaks(k_vectors, n_peaks=3, engine='gridded',
+                                   k_grid_shape=(grid, grid))
+        dt = time.time() - t0
+        t0 = time.time()
+        calc.calculate_kgrid_peaks(k_vectors, n_peaks=3, engine='gridded',
+                                   k_grid_shape=(grid, grid))
+        warm = time.time() - t0
+        extras["gridded_peaks_kps"] = round(n_k / warm, 2)
+        log(f"  gridded peaks: {warm:.2f}s warm ({n_k / warm:.1f} "
+            f"k-points/s; first {dt:.1f}s)")
+    except Exception as e:
+        log(f"  gridded peaks bench failed: {type(e).__name__}: {e}")
     return extras
 
 
