@@ -230,9 +230,10 @@ class PSAMainWindow:
                       tooltip="Blank = keep all positive frequencies")
         labeled_combo(ggrid, "Engine:", self.grid_engine_var,
                       ('auto', 'direct', 'gridded'), row=9,
-                      tooltip="auto = direct (never loses on this hardware); "
-                              "gridded = NUFFT engine for uniform grids on "
-                              "fast-PCIe hosts (see docs/PERF_NOTES.md)")
+                      tooltip="auto = direct for browse planes; gridded = "
+                              "NUFFT engine — measured fastest for Peak "
+                              "surface on large uniform grids "
+                              "(see docs/PERF_NOTES.md)")
         ttk.Checkbutton(gf, text="Chiral phase on grid",
                         variable=self.grid_chiral_var).pack(anchor='w', padx=4)
         btns = ttk.Frame(gf)

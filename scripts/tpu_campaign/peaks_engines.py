@@ -28,7 +28,9 @@ def log(msg):
 def main():
     log(f"devices: {jax.devices()}")
     rng = np.random.default_rng(0)
-    n_atoms, n_t = 100_000, 2500
+    import os
+    n_atoms = int(os.environ.get('PSA_PEAKS_ATOMS', 100_000))
+    n_t = int(os.environ.get('PSA_PEAKS_STEPS', 2500))
     a0 = 5.43
     side = int(np.ceil((n_atoms / 8) ** (1 / 3)))
     cells = np.stack(np.meshgrid(*[np.arange(side)] * 3, indexing='ij'),
