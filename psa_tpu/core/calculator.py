@@ -846,6 +846,25 @@ class SEDCalculator:
         else:
             groups = atom_groups
 
+        if engine == 'auto':
+            # Measured crossover (scripts/tpu_campaign/peaks_engines.json +
+            # bench extras): the gridded engine wins the peaks path at 200²
+            # (11,512-12,668 vs 8,398 k-points/s) but loses at 50² (1,070
+            # vs 1,935) — its FLOP cut scales with Gx.  Route to gridded
+            # when the shape is known, big enough, and the engine's
+            # restrictions (coherent, device-resident, uniform grid) hold.
+            engine = 'direct'
+            if (k_grid_shape is not None and min(k_grid_shape) >= 128
+                    and len(groups) == 1 and groups[0].size > 0
+                    and self._group_bytes(groups[0]) <= self.max_device_bytes):
+                try:
+                    self._detect_grid_axes(
+                        np.asarray(k_vectors_3d, dtype=np.float32),
+                        k_grid_shape)
+                    engine = 'gridded'
+                except ValueError:
+                    pass                      # non-uniform grid: direct
+
         if engine == 'gridded':
             # NUFFT engine with the same on-device peak reduction: the FLOP
             # cut reaches end-to-end because only the peak triplet transfers
@@ -874,7 +893,7 @@ class SEDCalculator:
                 n_peaks=n_peaks, exclusion_bins=exclusion_bins,
                 freqs_kept=freqs_kept)
         if engine != 'direct':
-            raise ValueError(f"engine must be 'direct' or 'gridded', got {engine!r}")
+            raise ValueError(f"engine must be 'auto', 'direct' or 'gridded', got {engine!r}")
 
         num_k = len(k_vectors_3d)
         block = min(max(1, k_chunk_size), num_k) if num_k > 0 else 1

@@ -569,7 +569,6 @@ class PSAMainWindow:
         def work():
             try:
                 mf = self.grid_max_freq_var.get().strip()
-                eng = self.grid_engine_var.get()
                 pk = self.controller.compute_kgrid_peaks(
                     self.plane_var.get(),
                     (self.k1_min_var.get(), self.k1_max_var.get()),
@@ -579,7 +578,7 @@ class PSAMainWindow:
                     max_freq=float(mf) if mf else None,
                     basis_atom_types=self._basis_types(),
                     summation_mode=self.mode_var.get(),
-                    engine='gridded' if eng == 'gridded' else 'direct')
+                    engine=self.grid_engine_var.get())
                 err = None
             except Exception as e:
                 pk, err = None, str(e)

@@ -312,18 +312,16 @@ class AnalysisController:
         """Dispersion surface(s) over a k-plane via on-device peak
         extraction (:meth:`SEDCalculator.calculate_kgrid_peaks`): only the
         (n_peaks, n_k) float32 triplet crosses the host link.
-        ``engine='gridded'`` routes through the NUFFT engine (coherent
-        only)."""
+        ``engine``: 'auto' (measured crossover: NUFFT for big uniform
+        grids), 'direct', or 'gridded' (coherent only)."""
         calc = self._require_calc()
         _, k_vecs, shape = calc.get_k_grid(plane, k_range_1, k_range_2,
                                            n_k1, n_k2, k_fixed_val=k_fixed)
-        use_gridded = engine == 'gridded'
         pf, pi, pw = calc.calculate_kgrid_peaks(
             k_vecs, n_peaks=n_peaks, max_freq=max_freq,
             basis_atom_types=basis_atom_types, summation_mode=summation_mode,
-            k_chunk_size=k_chunk_size,
-            engine='gridded' if use_gridded else 'direct',
-            k_grid_shape=shape if use_gridded else None)
+            k_chunk_size=k_chunk_size, engine=engine,
+            k_grid_shape=shape if engine != 'direct' else None)
         k1_axis, k2_axis, labels = plane_axes(plane, k_vecs, shape)
         self.kgrid_peaks = KGridPeaksState(
             plane=plane.lower(),

@@ -294,3 +294,32 @@ class TestPlanEdgeCases:
         pos[:, 0] = x * (2 * np.pi / n_cells_coarse)
         plan = plan_kgrid(pos, np.linspace(0, 1.5, 2), np.linspace(0, 1, 3))
         assert plan.bucket_size >= 16
+
+    def test_auto_routes_by_measured_crossover(self, calc, monkeypatch):
+        """engine='auto' uses the NUFFT engine only for big uniform coherent
+        device-resident grids (measured crossover between 50² and 200²);
+        small grids and non-uniform sets stay on the direct engine."""
+        from psa_tpu.ops import gridded as G
+        calls = {'gridded': 0}
+        orig = G.gridded_kgrid_browse
+
+        def spy(*a, **k):
+            calls['gridded'] += 1
+            return orig(*a, **k)
+        monkeypatch.setattr(G, 'gridded_kgrid_browse', spy)
+
+        _, k_small, sh_small = calc.get_k_grid('xy', (-1, 1), (-1, 1), 6, 6)
+        calc.calculate_kgrid_peaks(k_small, engine='auto',
+                                   k_grid_shape=sh_small)
+        assert calls['gridded'] == 0                   # below the crossover
+
+        _, k_big, sh_big = calc.get_k_grid('xy', (-1, 1), (-1, 1), 128, 128)
+        calc.calculate_kgrid_peaks(k_big, engine='auto', k_grid_shape=sh_big)
+        assert calls['gridded'] == 1                   # routed to gridded
+
+        # non-uniform set: silently direct even at size
+        rng = np.random.default_rng(0)
+        k_rand = rng.uniform(-1, 1, (128 * 128, 3)).astype(np.float32)
+        calc.calculate_kgrid_peaks(k_rand, engine='auto',
+                                   k_grid_shape=(128, 128))
+        assert calls['gridded'] == 1
