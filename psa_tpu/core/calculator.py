@@ -796,7 +796,7 @@ class SEDCalculator:
                               max_freq: Optional[float] = None,
                               n_peaks: int = 1, exclusion_bins: int = 4,
                               k_chunk_size: int = 2048,
-                              engine: str = 'direct',
+                              engine: str = 'auto',
                               k_grid_shape: Optional[Tuple[int, int]] = None):
         """Top-``n_peaks`` spectral peaks per k-point, extracted ON DEVICE.
 
@@ -809,9 +809,11 @@ class SEDCalculator:
         200² grid).  Incoherent mode accumulates the per-group intensity
         on device before peak-finding.
 
-        ``engine='gridded'`` (needs ``k_grid_shape``; coherent,
-        device-resident groups only) routes through the NUFFT engine with
-        the same reduction — measured FASTER than the direct engine
+        ``engine='auto'`` (default) picks by the measured crossover:
+        the NUFFT engine for big uniform coherent device-resident grids
+        (min dim ≥ 128, needs ``k_grid_shape``), the direct engine
+        otherwise.  ``engine='gridded'`` (same restrictions) forces the
+        NUFFT engine with the same reduction — measured FASTER than the direct engine
         end-to-end at the 200² pod shape (11,512 vs 8,398 k-points/s on a
         v5e, 100%% identical peak bins; scripts/tpu_campaign/
         peaks_engines.json) because the tiny readback finally exposes the

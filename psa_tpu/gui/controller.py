@@ -308,7 +308,7 @@ class AnalysisController:
                             basis_atom_types: Optional[list] = None,
                             summation_mode: str = 'coherent',
                             k_chunk_size: int = 2048,
-                            engine: str = 'direct') -> KGridPeaksState:
+                            engine: str = 'auto') -> KGridPeaksState:
         """Dispersion surface(s) over a k-plane via on-device peak
         extraction (:meth:`SEDCalculator.calculate_kgrid_peaks`): only the
         (n_peaks, n_k) float32 triplet crosses the host link.
