@@ -736,9 +736,14 @@ class SEDCalculator:
         # dispatch round trip per chunk, which dominates on tunneled runtimes
         # (~77 ms/dispatch measured).  Incoherent mode runs one scan per
         # group and accumulates the intensity planes.
+        # PSA_TPU_NO_SCAN=1 opts out: the whole-sweep program can take many
+        # minutes to compile on remote-compile runtimes, while the per-chunk
+        # fallback compiles one chunk shape in ~1 min — a better trade for
+        # one-off interactive sessions (steady-state throughput is lower).
         scannable = (num_chunks > 1 and all(g.size > 0 for g in groups)
                      and all(self._group_bytes(g) <= self.max_device_bytes
-                             for g in groups))
+                             for g in groups)
+                     and os.environ.get('PSA_TPU_NO_SCAN') != '1')
         if scannable:
             k_stack = np.zeros((num_chunks, padded_block, 3), dtype=np.float32)
             flat = np.asarray(k_vectors_3d, dtype=np.float32)

@@ -960,3 +960,17 @@ class TestFCCPhysics:
         assert np.all(np.abs(top - nu[:, 2]) <= df + 1e-6)
         np.testing.assert_allclose(frac[:, 0], frac[:, 1], atol=0.05)
         assert np.all(frac[:, 2] < 0.05)
+
+
+def test_no_scan_env_matches_scan_path(monkeypatch):
+    """PSA_TPU_NO_SCAN=1 (fast-compile interactive mode) must produce the
+    same browse planes through the per-chunk dispatch path."""
+    from psa_tpu.models import make_chain_trajectory
+    traj = make_chain_trajectory(n_cells=24, n_frames=64, dt_ps=0.02)
+    calc = SEDCalculator(traj, nx=24, ny=1, nz=1)
+    _, k_vecs, shape = calc.get_k_grid('xy', (-1, 1), (-1, 1), 8, 8)
+    f1, i1, _ = calc.calculate_kgrid_browse(k_vecs, k_chunk_size=16)
+    monkeypatch.setenv('PSA_TPU_NO_SCAN', '1')
+    f2, i2, _ = calc.calculate_kgrid_browse(k_vecs, k_chunk_size=16)
+    np.testing.assert_allclose(f1, f2, atol=0)
+    np.testing.assert_allclose(i1, i2, rtol=1e-6)
