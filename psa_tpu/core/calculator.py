@@ -802,7 +802,9 @@ class SEDCalculator:
                               n_peaks: int = 1, exclusion_bins: int = 4,
                               k_chunk_size: int = 2048,
                               engine: str = 'auto',
-                              k_grid_shape: Optional[Tuple[int, int]] = None):
+                              k_grid_shape: Optional[Tuple[int, int]] = None,
+                              chiral: bool = False, chiral_axis: str = 'z',
+                              angle_range_opt: str = 'C'):
         """Top-``n_peaks`` spectral peaks per k-point, extracted ON DEVICE.
 
         The dispersion-analysis workflow reads only the peaks of I(ω, k) —
@@ -824,8 +826,14 @@ class SEDCalculator:
         peaks_engines.json) because the tiny readback finally exposes the
         ~Gx/12 FLOP cut.
 
+        ``chiral=True`` (coherent, direct engine) additionally gathers the
+        chiral phase AT each peak bin — a chiral dispersion surface at
+        peak-triplet readback cost; a fourth (n_peaks, n_k) array is
+        appended to the return.
+
         Returns:
-            (peak_freqs, peak_heights, peak_widths): each (n_peaks, n_k)
+            (peak_freqs, peak_heights, peak_widths[, peak_phase]): each
+            (n_peaks, n_k)
             float32, ordered by descending height per k-column.  Width is
             the intensity-weighted RMS frequency spread within
             ±``exclusion_bins`` rows of each peak (THz).
@@ -853,6 +861,15 @@ class SEDCalculator:
         else:
             groups = atom_groups
 
+        comp_pair = None
+        if chiral:
+            if summation_mode != 'coherent' and len(atom_groups) > 1:
+                raise ValueError("chiral peaks need coherent summation.")
+            comp_pair = spectral.CHIRAL_AXIS_COMPONENTS[chiral_axis]
+            if engine == 'gridded':
+                raise ValueError("chiral peaks run on the direct engine "
+                                 "(the gridded peaks path carries no phase).")
+
         if engine == 'auto':
             # Measured crossover (scripts/tpu_campaign/peaks_engines.json +
             # bench extras): the gridded engine wins the peaks path at 200²
@@ -861,7 +878,8 @@ class SEDCalculator:
             # when the shape is known, big enough, and the engine's
             # restrictions (coherent, device-resident, uniform grid) hold.
             engine = 'direct'
-            if (k_grid_shape is not None and min(k_grid_shape) >= 128
+            if (not chiral
+                    and k_grid_shape is not None and min(k_grid_shape) >= 128
                     and len(groups) == 1 and groups[0].size > 0
                     and self._group_bytes(groups[0]) <= self.max_device_bytes):
                 try:
@@ -922,27 +940,33 @@ class SEDCalculator:
             k_stack_dev = jnp.asarray(k_stack)
             freq_idx_dev = jnp.asarray(freq_idx)
             inten_dev = None
+            phase_dev = None
             for grp_idx in groups:
                 data_dev, hi_dev, lo_dev = self._group_device_arrays(grp_idx)
-                inten_st, _ = spectral.sed_grid_browse_scan(
+                inten_st, ph_st = spectral.sed_grid_browse_scan(
                     data_dev, hi_dev, lo_dev, k_stack_dev, freq_idx_dev,
-                    precision=self.precision)
+                    precision=self.precision, comp_pair=comp_pair,
+                    angle_range_opt=angle_range_opt)
                 inten_dev = inten_st if inten_dev is None else inten_dev + inten_st
-            pf, ph, pw = spectral.peak_reduce(inten_dev,
-                                              jnp.asarray(freqs_kept),
-                                              n_peaks=n_peaks,
-                                              exclusion_bins=exclusion_bins)
-            pf, ph, pw = np.asarray(pf), np.asarray(ph), np.asarray(pw)
-            out = [np.zeros((n_peaks, num_k), dtype=np.float32) for _ in range(3)]
+                phase_dev = ph_st                     # single group (coherent)
+            res = spectral.peak_reduce(inten_dev, jnp.asarray(freqs_kept),
+                                       n_peaks=n_peaks,
+                                       exclusion_bins=exclusion_bins,
+                                       phase_stack=phase_dev)
+            res = [np.asarray(r) for r in res]
+            out = [np.zeros((n_peaks, num_k), dtype=np.float32)
+                   for _ in range(len(res))]
             for i in range(num_chunks):
                 s, e = i * block, min((i + 1) * block, num_k)
-                out[0][:, s:e] = pf[i][:, :e - s]
-                out[1][:, s:e] = ph[i][:, :e - s]
-                out[2][:, s:e] = pw[i][:, :e - s]
+                for o, r in zip(out, res):
+                    o[:, s:e] = r[i][:, :e - s]
             return tuple(out)
 
         # Streamed/oversize groups: reuse the browse path's planes and
         # extract on host with the same algorithm.
+        if comp_pair is not None:
+            raise ValueError("chiral peaks need a device-resident group "
+                             "(raise max_device_bytes or drop chiral).")
         _, intensity, _ = self.calculate_kgrid_browse(
             k_vectors_3d, basis_atom_indices=basis_atom_indices,
             basis_atom_types=basis_atom_types, summation_mode=summation_mode,

@@ -389,7 +389,8 @@ def sed_grid_browse_scan(data: jnp.ndarray, mp_hi: jnp.ndarray,
 
 @functools.partial(jax.jit, static_argnames=('n_peaks', 'exclusion_bins'))
 def peak_reduce(inten_stack: jnp.ndarray, freqs_kept: jnp.ndarray,
-                n_peaks: int = 1, exclusion_bins: int = 4):
+                n_peaks: int = 1, exclusion_bins: int = 4,
+                phase_stack: Optional[jnp.ndarray] = None):
     """Top-``n_peaks`` spectral peaks of stacked intensity planes, on device.
 
     Peaks are found greedily per k-column: take the global argmax, record
@@ -405,15 +406,23 @@ def peak_reduce(inten_stack: jnp.ndarray, freqs_kept: jnp.ndarray,
         n_peaks: number of peaks per k-column, by descending height.
         exclusion_bins: half-width (in frequency rows) of the masking /
             width-estimation window around each found peak.
+        phase_stack: optional same-shape chiral-phase planes; when given,
+            the phase AT each found peak bin is gathered too — a chiral
+            dispersion surface at peak-triplet readback cost.
 
     Returns:
         (peak_freq, peak_height, peak_width): each (n_chunks, n_peaks, block)
-        float32.
+        float32 — plus peak_phase when ``phase_stack`` is given.
     """
     n_f = inten_stack.shape[1]
     row = jnp.arange(n_f, dtype=jnp.int32)
+    with_phase = phase_stack is not None
+    if not with_phase:                   # keep one scan body for both modes
+        phase_stack = jnp.zeros_like(inten_stack[:, :1, :])
 
-    def per_chunk(inten):                                   # (F, B)
+    def per_chunk(args):
+        inten, phase = args                                 # (F, B), (Fp, B)
+
         def body(carry, _):
             cur = carry                                     # (F, B)
             idx = jnp.argmax(cur, axis=0)                   # (B,)
@@ -426,13 +435,20 @@ def peak_reduce(inten_stack: jnp.ndarray, freqs_kept: jnp.ndarray,
                           axis=0) / wsum
             peak_f = jnp.take(freqs_kept, idx)
             width = jnp.sqrt(jnp.maximum(var, 0.0))
+            pphase = jnp.take_along_axis(
+                phase, jnp.minimum(idx, phase.shape[0] - 1)[None, :],
+                axis=0)[0]
             nxt = jnp.where(in_win, 0.0, cur)
-            return nxt, (peak_f, height, width)
+            return nxt, (peak_f, height, width, pphase)
 
-        _, (pf, ph, pw) = lax.scan(body, inten, None, length=n_peaks)
-        return pf.astype(jnp.float32), ph.astype(jnp.float32), pw.astype(jnp.float32)
+        _, (pf, ph, pw, pp) = lax.scan(body, inten, None, length=n_peaks)
+        return (pf.astype(jnp.float32), ph.astype(jnp.float32),
+                pw.astype(jnp.float32), pp.astype(jnp.float32))
 
-    return lax.map(per_chunk, inten_stack)
+    pf, ph, pw, pp = lax.map(per_chunk, (inten_stack, phase_stack))
+    if with_phase:
+        return pf, ph, pw, pp
+    return pf, ph, pw
 
 
 # ---------------------------------------------------------------------------

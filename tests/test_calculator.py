@@ -974,3 +974,36 @@ def test_no_scan_env_matches_scan_path(monkeypatch):
     f2, i2, _ = calc.calculate_kgrid_browse(k_vecs, k_chunk_size=16)
     np.testing.assert_allclose(f1, f2, atol=0)
     np.testing.assert_allclose(i1, i2, rtol=1e-6)
+
+
+class TestChiralPeaks:
+    """Chiral phase gathered AT the peak bins: a chiral dispersion surface
+    at peak-triplet readback cost — oracle-pinned to handedness·π/2."""
+
+    @pytest.mark.parametrize('h', [+1, -1])
+    def test_phase_at_peak_tracks_handedness(self, h):
+        from psa_tpu.models import make_chiral_chain_trajectory
+        traj = make_chiral_chain_trajectory(n_cells=32, n_frames=250,
+                                            dt_ps=0.02, nu_thz=5.0,
+                                            mode_index=8, handedness=h)
+        calc = SEDCalculator(traj, nx=32, ny=1, nz=1)
+        k = 2 * np.pi * 8 / (32 * 2.5)
+        kv = np.array([[k, 0, 0]], dtype=np.float32)
+        pf, ph, pw, pph = calc.calculate_kgrid_peaks(kv, n_peaks=1,
+                                                     chiral=True,
+                                                     chiral_axis='x')
+        df = 1.0 / (traj.n_frames * traj.dt_ps)
+        assert abs(pf[0, 0] - 5.0) <= df + 1e-6
+        assert abs(pph[0, 0] - h * np.pi / 2) < 0.05
+
+    def test_guards(self):
+        from psa_tpu.models import make_chain_trajectory
+        traj = make_chain_trajectory(n_cells=8, n_frames=32, dt_ps=0.02)
+        calc = SEDCalculator(traj, nx=8, ny=1, nz=1)
+        kv = np.zeros((4, 3), dtype=np.float32)
+        with pytest.raises(ValueError, match="direct engine"):
+            calc.calculate_kgrid_peaks(kv, chiral=True, engine='gridded',
+                                       k_grid_shape=(2, 2))
+        # non-chiral call still returns the triplet (no phase row)
+        out = calc.calculate_kgrid_peaks(kv, n_peaks=1)
+        assert len(out) == 3
