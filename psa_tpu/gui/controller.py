@@ -91,12 +91,17 @@ class KGridPeaksState:
     k1_axis: np.ndarray
     k2_axis: np.ndarray
     labels: Tuple[str, str]
+    phase_surfaces: Optional[np.ndarray] = None   # (n_peaks, n_kx, n_ky)
+                                                  # chiral phase at each peak
 
     def surface(self, rank: int = 0, kind: str = 'freq') -> np.ndarray:
         """(n_ky, n_kx) plot-oriented surface (transposed like slice_at)."""
         data = {'freq': self.freq_surfaces,
                 'intensity': self.intensity_surfaces,
-                'linewidth': self.linewidth_surfaces}[kind]
+                'linewidth': self.linewidth_surfaces,
+                'phase': self.phase_surfaces}[kind]
+        if data is None:
+            raise ValueError("no phase surfaces (compute with chiral=True)")
         return data[rank].T
 
 
@@ -308,27 +313,38 @@ class AnalysisController:
                             basis_atom_types: Optional[list] = None,
                             summation_mode: str = 'coherent',
                             k_chunk_size: int = 2048,
-                            engine: str = 'auto') -> KGridPeaksState:
+                            engine: str = 'auto',
+                            chiral: bool = False,
+                            chiral_axis: str = 'z') -> KGridPeaksState:
         """Dispersion surface(s) over a k-plane via on-device peak
         extraction (:meth:`SEDCalculator.calculate_kgrid_peaks`): only the
         (n_peaks, n_k) float32 triplet crosses the host link.
         ``engine``: 'auto' (measured crossover: NUFFT for big uniform
-        grids), 'direct', or 'gridded' (coherent only)."""
+        grids), 'direct', or 'gridded' (coherent only).  ``chiral=True``
+        also gathers the chiral phase at each peak (direct engine)."""
         calc = self._require_calc()
         _, k_vecs, shape = calc.get_k_grid(plane, k_range_1, k_range_2,
                                            n_k1, n_k2, k_fixed_val=k_fixed)
-        pf, pi, pw = calc.calculate_kgrid_peaks(
+        if chiral:
+            summation_mode = 'coherent'
+            engine = 'direct'
+        res = calc.calculate_kgrid_peaks(
             k_vecs, n_peaks=n_peaks, max_freq=max_freq,
             basis_atom_types=basis_atom_types, summation_mode=summation_mode,
             k_chunk_size=k_chunk_size, engine=engine,
-            k_grid_shape=shape if engine != 'direct' else None)
+            k_grid_shape=shape if engine != 'direct' else None,
+            chiral=chiral, chiral_axis=chiral_axis)
+        pf, pi, pw = res[:3]
+        pphase = res[3] if len(res) == 4 else None
         k1_axis, k2_axis, labels = plane_axes(plane, k_vecs, shape)
         self.kgrid_peaks = KGridPeaksState(
             plane=plane.lower(),
             freq_surfaces=pf.reshape((-1,) + tuple(shape)),
             intensity_surfaces=pi.reshape((-1,) + tuple(shape)),
             linewidth_surfaces=pw.reshape((-1,) + tuple(shape)),
-            k1_axis=k1_axis, k2_axis=k2_axis, labels=labels)
+            k1_axis=k1_axis, k2_axis=k2_axis, labels=labels,
+            phase_surfaces=(pphase.reshape((-1,) + tuple(shape))
+                            if pphase is not None else None))
         return self.kgrid_peaks
 
     def compute_dos(self, basis_atom_types: Optional[list] = None,

@@ -272,3 +272,17 @@ class TestViewCallbackWiring:
         missing = [t for t in sorted(targets)
                    if not callable(getattr(app.PSAMainWindow, t, None))]
         assert not missing, f"dangling GUI callbacks: {missing}"
+
+
+def test_peaks_chiral_phase_surface(loaded):
+    pk = loaded.compute_kgrid_peaks('xy', (-1, 1), (-1, 1), 4, 4,
+                                    chiral=True, chiral_axis='x')
+    assert pk.phase_surfaces is not None
+    assert pk.phase_surfaces.shape == (1, 4, 4)
+    assert pk.surface(0, 'phase').shape == (4, 4)
+    assert np.all(np.abs(pk.phase_surfaces) <= np.pi / 2 + 1e-6)
+    pk2 = loaded.compute_kgrid_peaks('xy', (-1, 1), (-1, 1), 4, 4)
+    assert pk2.phase_surfaces is None
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="phase"):
+        pk2.surface(0, 'phase')
