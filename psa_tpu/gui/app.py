@@ -578,7 +578,9 @@ class PSAMainWindow:
                     max_freq=float(mf) if mf else None,
                     basis_atom_types=self._basis_types(),
                     summation_mode=self.mode_var.get(),
-                    engine=self.grid_engine_var.get())
+                    engine=self.grid_engine_var.get(),
+                    chiral=self.grid_chiral_var.get(),
+                    chiral_axis=self.chiral_axis_var.get())
                 err = None
             except Exception as e:
                 pk, err = None, str(e)
@@ -600,12 +602,22 @@ class PSAMainWindow:
     def _draw_peak_surface(self, pk):
         self.recip_fig.clear()
         ax = self.recip_fig.add_subplot(111)
-        pcm = ax.pcolormesh(pk.k1_axis, pk.k2_axis, pk.surface(0, 'freq'),
-                            cmap=self.cmap_var.get(), shading='gouraud')
-        self.recip_fig.colorbar(pcm, ax=ax, label="peak frequency (THz)")
+        if pk.phase_surfaces is not None:        # chiral: phase at the peaks
+            pcm = ax.pcolormesh(pk.k1_axis, pk.k2_axis,
+                                pk.surface(0, 'phase'), cmap='twilight',
+                                vmin=-np.pi / 2, vmax=np.pi / 2,
+                                shading='gouraud')
+            self.recip_fig.colorbar(pcm, ax=ax,
+                                    label="chiral phase at peak (rad)")
+            ax.set_title("Chiral dispersion surface (top peak)")
+        else:
+            pcm = ax.pcolormesh(pk.k1_axis, pk.k2_axis,
+                                pk.surface(0, 'freq'),
+                                cmap=self.cmap_var.get(), shading='gouraud')
+            self.recip_fig.colorbar(pcm, ax=ax, label="peak frequency (THz)")
+            ax.set_title("Dispersion surface (top peak)")
         ax.set_xlabel(f"{pk.labels[0]} (2π/Å)")
         ax.set_ylabel(f"{pk.labels[1]} (2π/Å)")
-        ax.set_title("Dispersion surface (top peak)")
         ax.set_aspect('equal', adjustable='box')
         self.recip_fig.tight_layout()
         self.recip_canvas.draw_idle()
