@@ -883,12 +883,17 @@ class SEDCalculator:
                     and len(groups) == 1 and groups[0].size > 0
                     and self._group_bytes(groups[0]) <= self.max_device_bytes):
                 try:
-                    self._detect_grid_axes(
+                    from ..ops import gridded
+                    kxv, _, _, _ = self._detect_grid_axes(
                         np.asarray(k_vectors_3d, dtype=np.float32),
                         k_grid_shape)
-                    engine = 'gridded'
+                    # plan_kgrid additionally requires the slow axis to be
+                    # uniformly spaced; a tensor-product but non-uniform grid
+                    # must stay on the direct engine.
+                    if gridded.is_uniform(kxv):
+                        engine = 'gridded'
                 except ValueError:
-                    pass                      # non-uniform grid: direct
+                    pass                      # non-tensor-product grid: direct
 
         if engine == 'gridded':
             # NUFFT engine with the same on-device peak reduction: the FLOP
@@ -926,6 +931,8 @@ class SEDCalculator:
         num_chunks = (num_k + block - 1) // block if num_k > 0 else 0
         if num_chunks == 0:
             empty = np.zeros((n_peaks, 0), dtype=np.float32)
+            if comp_pair is not None:       # chiral contract: 4-tuple
+                return empty, empty.copy(), empty.copy(), empty.copy()
             return empty, empty.copy(), empty.copy()
 
         on_device = all(g.size > 0 and

@@ -763,7 +763,14 @@ class PSAMainWindow:
                                             filetypes=[("CSV", "*.csv")])
         if not path:
             return
-        if self.controller.kgrid is not None:
+        # Export the MOST RECENTLY computed grid result: after
+        # "Calculate k-grid" then "Peak surface", the user expects the
+        # peak-surface CSV, not the stale browse grid (and vice versa).
+        prefer_peaks = (self.controller.last_grid_kind == 'peaks'
+                        and self.controller.kgrid_peaks is not None)
+        if prefer_peaks:
+            export.export_peaks_csv(self.controller.kgrid_peaks, Path(path))
+        elif self.controller.kgrid is not None:
             export.export_kgrid_csv(self.controller.kgrid, Path(path))
         elif self.controller.kgrid_peaks is not None:
             export.export_peaks_csv(self.controller.kgrid_peaks, Path(path))

@@ -141,6 +141,10 @@ class AnalysisController:
         self.kpath_mags: Optional[np.ndarray] = None
         self.kgrid: Optional[KGridState] = None
         self.kgrid_peaks: Optional[KGridPeaksState] = None
+        #: which k-grid result was produced last ('browse' | 'peaks' | None):
+        #: CSV export follows this so "Calculate k-grid" → "Peak surface" →
+        #: export writes the peak surface, not the stale browse grid.
+        self.last_grid_kind: Optional[str] = None
         self.selected_point: Optional[Tuple[float, float]] = None  # (k, ω)
         self.ised_dump_path: Optional[Path] = None
         self.temp_dirs: List[tempfile.TemporaryDirectory] = []
@@ -163,6 +167,7 @@ class AnalysisController:
         self.sed_result = None
         self.kgrid = None
         self.kgrid_peaks = None
+        self.last_grid_kind = None
         self.selected_point = None
         return self.trajectory
 
@@ -304,6 +309,7 @@ class AnalysisController:
                                 intensity=intensity, phase=phase,
                                 k1_axis=k1_axis, k2_axis=k2_axis,
                                 labels=labels)
+        self.last_grid_kind = 'browse'
         return self.kgrid
 
     def compute_kgrid_peaks(self, plane: str, k_range_1: Tuple[float, float],
@@ -345,6 +351,7 @@ class AnalysisController:
             k1_axis=k1_axis, k2_axis=k2_axis, labels=labels,
             phase_surfaces=(pphase.reshape((-1,) + tuple(shape))
                             if pphase is not None else None))
+        self.last_grid_kind = 'peaks'
         return self.kgrid_peaks
 
     def compute_dos(self, basis_atom_types: Optional[list] = None,

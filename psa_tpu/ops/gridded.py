@@ -74,6 +74,25 @@ def _kb_fourier(xi: np.ndarray, w: int, beta: float) -> np.ndarray:
     return out
 
 
+def is_uniform(vals: np.ndarray) -> bool:
+    """True if ``vals`` is uniformly spaced to within f32 quantization.
+
+    Tolerant of float32 jitter: grids from get_k_grid are f32 linspaces whose
+    per-step jitter is ~eps·|k|, which easily exceeds a relative-diff test at
+    fine spacings.  Fit the affine grid and bound the deviation by a few f32
+    ulps.  Engine routing uses this to decide whether the gridded (NUFFT)
+    path applies; :func:`plan_kgrid` enforces it.
+    """
+    n = len(vals)
+    if n <= 1:
+        return True
+    d = (float(vals[-1]) - float(vals[0])) / (n - 1)
+    fit = float(vals[0]) + d * np.arange(n)
+    tol = 32 * np.finfo(np.float32).eps * max(
+        abs(float(vals[0])), abs(float(vals[-1])), abs(d))
+    return float(np.max(np.abs(np.asarray(vals, dtype=np.float64) - fit))) <= tol
+
+
 @dataclass
 class GridPlan:
     """Host-precomputed spreading plan for one (mean positions, k-grid) pair.
@@ -125,16 +144,9 @@ def plan_kgrid(mean_pos64: np.ndarray, kx_vals: np.ndarray, ky_vals: np.ndarray,
     n_atoms = mean_pos64.shape[0]
     gx, gy = len(kx_vals), len(ky_vals)
     if gx > 1:
-        # Uniformity check tolerant of float32 quantization: grids from
-        # get_k_grid are f32 linspaces whose per-step jitter is ~eps·|k|,
-        # which easily exceeds a relative-diff test at fine spacings.  Fit
-        # the affine grid and bound the deviation by a few f32 ulps.
-        dkx = (float(kx_vals[-1]) - float(kx_vals[0])) / (gx - 1)
-        fit = float(kx_vals[0]) + dkx * np.arange(gx)
-        tol = 32 * np.finfo(np.float32).eps * max(
-            abs(float(kx_vals[0])), abs(float(kx_vals[-1])), abs(dkx))
-        if np.max(np.abs(np.asarray(kx_vals, dtype=np.float64) - fit)) > tol:
+        if not is_uniform(kx_vals):
             raise ValueError("kx_vals must be uniformly spaced for the gridded path")
+        dkx = (float(kx_vals[-1]) - float(kx_vals[0])) / (gx - 1)
     else:
         dkx = 1.0
     kx0 = float(kx_vals[0])

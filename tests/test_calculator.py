@@ -734,6 +734,40 @@ class TestKGridPeaks:
         np.testing.assert_allclose(pf1, pf2, atol=0)
         np.testing.assert_allclose(ph1, ph2, rtol=2e-4)
 
+    def test_auto_engine_nonuniform_grid_falls_back_to_direct(self):
+        """A tensor-product but NON-uniform 128x128 grid must route to the
+        direct engine under engine='auto' (plan_kgrid would reject it),
+        not crash with 'kx_vals must be uniformly spaced' (ADVICE r2)."""
+        traj = make_random_crystal_trajectory(n_cells_xyz=(2, 2, 1), basis=1,
+                                              n_frames=8, dt_ps=0.02, seed=5)
+        calc = SEDCalculator(traj, nx=2, ny=2, nz=1)
+        n = 128
+        c1 = (np.linspace(0, 1, n, dtype=np.float32) ** 2) * 2.0  # quadratic
+        c2 = np.linspace(-1, 1, n, dtype=np.float32)              # uniform
+        k_vecs = np.stack([np.repeat(c1, n), np.tile(c2, n),
+                           np.zeros(n * n, np.float32)], axis=1)
+        pf, ph, pw = calc.calculate_kgrid_peaks(k_vecs, n_peaks=1,
+                                                engine='auto',
+                                                k_grid_shape=(n, n))
+        assert pf.shape == (1, n * n)
+        # explicit gridded still refuses the non-uniform grid
+        with pytest.raises(ValueError, match="uniformly spaced"):
+            calc.calculate_kgrid_peaks(k_vecs, n_peaks=1, engine='gridded',
+                                       k_grid_shape=(n, n))
+
+    def test_chiral_empty_grid_returns_four_arrays(self):
+        """chiral=True on an empty k set keeps the documented 4-tuple
+        contract (ADVICE r2)."""
+        traj = make_random_crystal_trajectory(n_cells_xyz=(2, 2, 1), basis=1,
+                                              n_frames=8, dt_ps=0.02, seed=5)
+        calc = SEDCalculator(traj, nx=2, ny=2, nz=1)
+        empty_k = np.zeros((0, 3), dtype=np.float32)
+        pf, ph, pw, pphase = calc.calculate_kgrid_peaks(empty_k, chiral=True)
+        for arr in (pf, ph, pw, pphase):
+            assert arr.shape == (1, 0)
+        pf, ph, pw = calc.calculate_kgrid_peaks(empty_k)
+        assert pf.shape == (1, 0)
+
     def test_max_freq_and_validation(self):
         traj = make_random_crystal_trajectory(n_cells_xyz=(2, 2, 2), basis=1,
                                               n_frames=16, dt_ps=0.02, seed=1)

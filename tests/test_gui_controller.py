@@ -111,6 +111,17 @@ class TestKGridFlow:
         # rank order: top peak carries at least rank-2's intensity
         assert np.all(pk.intensity_surfaces[0] >= pk.intensity_surfaces[1])
 
+    def test_last_grid_kind_tracks_most_recent(self, loaded):
+        """CSV export follows the most recently computed grid result
+        (ADVICE r2: browse state must not shadow a newer peak surface)."""
+        assert loaded.last_grid_kind is None
+        loaded.compute_kgrid_sed('xy', (-1, 1), (-1, 1), 5, 5)
+        assert loaded.last_grid_kind == 'browse'
+        loaded.compute_kgrid_peaks('xy', (-1, 1), (-1, 1), 5, 5)
+        assert loaded.last_grid_kind == 'peaks'
+        loaded.compute_kgrid_sed('xy', (-1, 1), (-1, 1), 5, 5)
+        assert loaded.last_grid_kind == 'browse'
+
     def test_dos(self, loaded):
         freqs, dos = loaded.compute_dos(max_freq=10.0)
         assert dos.shape == (1, len(freqs))
