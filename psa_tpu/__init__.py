@@ -11,6 +11,14 @@ Public API mirrors the reference package root (reference: src/psa/__init__.py).
 
 __version__ = "0.1.0"
 
+# Persistent XLA compilation cache: first compiles of the fused sweep
+# programs cost minutes on remote-compile runtimes; cached reloads take
+# seconds.  Opt out with PSA_TPU_NO_COMPILE_CACHE=1 (see
+# utils/compile_cache.py).
+from .utils.compile_cache import enable_persistent_cache as _epc
+
+_epc()
+
 from .core.trajectory import Trajectory
 from .core.sed import SED
 from .core.calculator import SEDCalculator

@@ -1,0 +1,62 @@
+"""Persistent XLA compilation cache, enabled for the whole library.
+
+First compiles of the big fused programs (the whole-sweep browse scan, the
+gridded-engine spread matmuls) take minutes on remote-compile TPU runtimes —
+the repo's top measured headroom item (docs/ROADMAP.md "Direct-engine scan
+compile time").  XLA can persist compiled executables to disk and reload
+them in seconds in later processes; one config call turns that on.  This
+module makes the cache a library default instead of a per-user incantation.
+
+Called once at ``psa_tpu`` import.  Opt out with ``PSA_TPU_NO_COMPILE_CACHE=1``;
+point the cache elsewhere with ``PSA_TPU_COMPILE_CACHE_DIR`` (default
+``~/.cache/psa_tpu/xla``).  A user who already configured
+``jax_compilation_cache_dir`` (flag, env var ``JAX_COMPILATION_CACHE_DIR``,
+or prior ``jax.config.update``) wins — we never override an explicit choice.
+
+The reference has no analog (pure NumPy, nothing to compile); this is part
+of the TPU-native runtime story.
+"""
+from __future__ import annotations
+
+import logging
+import os
+
+logger = logging.getLogger(__name__)
+
+_enabled_dir: str | None = None
+
+
+def enable_persistent_cache() -> str | None:
+    """Idempotently enable the persistent compilation cache.
+
+    Returns the active cache directory, or None when disabled/unavailable.
+    """
+    global _enabled_dir
+    if _enabled_dir is not None:
+        return _enabled_dir
+    if os.environ.get("PSA_TPU_NO_COMPILE_CACHE") == "1":
+        return None
+    try:
+        import jax
+        current = jax.config.jax_compilation_cache_dir
+        if current:                      # user already chose a cache location
+            _enabled_dir = current
+            return _enabled_dir
+        cache_dir = os.environ.get(
+            "PSA_TPU_COMPILE_CACHE_DIR",
+            os.path.join(os.path.expanduser("~"), ".cache", "psa_tpu", "xla"))
+        os.makedirs(cache_dir, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        # Default threshold skips sub-second programs; keep it but drop the
+        # entry-size floor so medium programs (chunked sweeps) persist too.
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+        try:
+            jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+        except AttributeError:           # older jax: flag absent, fine
+            pass
+        _enabled_dir = cache_dir
+        logger.debug("persistent XLA compilation cache at %s", cache_dir)
+        return _enabled_dir
+    except Exception as e:               # never let cache setup break import
+        logger.debug("compilation cache not enabled: %s", e)
+        return None
