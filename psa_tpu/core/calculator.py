@@ -47,10 +47,13 @@ def _assemble_complex(re: np.ndarray, im: np.ndarray) -> np.ndarray:
 
 
 def peaks_np(intensity: np.ndarray, freqs_kept: np.ndarray, n_peaks: int = 1,
-             exclusion_bins: int = 4):
+             exclusion_bins: int = 4, width_method: str = 'rms'):
     """NumPy mirror of :func:`psa_tpu.ops.spectral.peak_reduce` over
     (n_freq_kept, n_k) intensity planes.  Used for oversize-group fallback
     and as the oracle for the on-device implementation."""
+    if width_method not in ('rms', 'lorentzian'):
+        raise ValueError(f"width_method must be 'rms' or 'lorentzian', "
+                         f"got {width_method!r}")
     inten = np.array(intensity, dtype=np.float64, copy=True)
     fk = np.asarray(freqs_kept, dtype=np.float64)
     n_f, n_k = inten.shape
@@ -63,11 +66,32 @@ def peaks_np(intensity: np.ndarray, freqs_kept: np.ndarray, n_peaks: int = 1,
         ph[p] = inten[idx, np.arange(n_k)]
         in_win = np.abs(row[:, None] - idx[None, :]) <= exclusion_bins
         w = np.where(in_win, inten, 0.0)
-        wsum = np.maximum(w.sum(axis=0), 1e-30)
-        mu = (w * fk[:, None]).sum(axis=0) / wsum
-        var = (w * (fk[:, None] - mu[None, :]) ** 2).sum(axis=0) / wsum
         pf[p] = fk[idx]
-        pw[p] = np.sqrt(np.maximum(var, 0.0))
+        if width_method == 'rms':
+            wsum = np.maximum(w.sum(axis=0), 1e-30)
+            mu = (w * fk[:, None]).sum(axis=0) / wsum
+            var = (w * (fk[:, None] - mu[None, :]) ** 2).sum(axis=0) / wsum
+            pw[p] = np.sqrt(np.maximum(var, 0.0))
+        else:
+            # closed-form Lorentzian FWHM: I²-weighted regression of 1/I on
+            # (ν−ν₀)² (see spectral.peak_reduce)
+            x = (fk[:, None] - pf[p][None, :].astype(np.float64)) ** 2
+            y = 1.0 / np.maximum(w, 1e-30)
+            wt = np.where(in_win, w * w, 0.0)
+            sw = wt.sum(axis=0)
+            sx = (wt * x).sum(axis=0)
+            sy = (wt * y).sum(axis=0)
+            sxx = (wt * x * x).sum(axis=0)
+            sxy = (wt * x * y).sum(axis=0)
+            det = sw * sxx - sx * sx
+            with np.errstate(invalid='ignore', divide='ignore'):
+                slope = np.where(np.abs(det) > 1e-30,
+                                 (sw * sxy - sx * sy) / det, 0.0)
+                intercept = np.where(sw > 1e-30, (sy - slope * sx) / sw, 0.0)
+                gsq = np.where(slope > 1e-30,
+                               np.maximum(intercept, 0.0) / slope, np.inf)
+            df = (fk[-1] - fk[0]) / (n_f - 1) if n_f > 1 else 1.0
+            pw[p] = np.minimum(2.0 * np.sqrt(gsq), 2.0 * exclusion_bins * df)
         inten[in_win] = 0.0
     return pf, ph, pw
 
@@ -804,7 +828,8 @@ class SEDCalculator:
                               engine: str = 'auto',
                               k_grid_shape: Optional[Tuple[int, int]] = None,
                               chiral: bool = False, chiral_axis: str = 'z',
-                              angle_range_opt: str = 'C'):
+                              angle_range_opt: str = 'C',
+                              width_method: str = 'rms'):
         """Top-``n_peaks`` spectral peaks per k-point, extracted ON DEVICE.
 
         The dispersion-analysis workflow reads only the peaks of I(ω, k) —
@@ -921,7 +946,7 @@ class SEDCalculator:
             return gridded.gridded_kgrid_browse(
                 data_dev, plan, freq_idx, precision=self.precision,
                 n_peaks=n_peaks, exclusion_bins=exclusion_bins,
-                freqs_kept=freqs_kept)
+                freqs_kept=freqs_kept, width_method=width_method)
         if engine != 'direct':
             raise ValueError(f"engine must be 'auto', 'direct' or 'gridded', got {engine!r}")
 
@@ -959,7 +984,8 @@ class SEDCalculator:
             res = spectral.peak_reduce(inten_dev, jnp.asarray(freqs_kept),
                                        n_peaks=n_peaks,
                                        exclusion_bins=exclusion_bins,
-                                       phase_stack=phase_dev)
+                                       phase_stack=phase_dev,
+                                       width_method=width_method)
             res = [np.asarray(r) for r in res]
             out = [np.zeros((n_peaks, num_k), dtype=np.float32)
                    for _ in range(len(res))]
@@ -979,7 +1005,159 @@ class SEDCalculator:
             basis_atom_types=basis_atom_types, summation_mode=summation_mode,
             max_freq=max_freq, k_chunk_size=k_chunk_size)
         return peaks_np(intensity, freqs_kept, n_peaks=n_peaks,
-                        exclusion_bins=exclusion_bins)
+                        exclusion_bins=exclusion_bins,
+                        width_method=width_method)
+
+    # ------------------------------------------------------------------
+    # Sharded (device-mesh) sweeps with full group semantics
+    # ------------------------------------------------------------------
+
+    def _group_weights(self, atom_groups: List[np.ndarray],
+                       summation_mode: str):
+        """Group index lists -> per-atom weight vectors for the mesh path.
+
+        Returns (weights | None, single_spectrum): None means the unweighted
+        all-atoms fast path (bit-identical to the pre-group sharded engine);
+        membership weights carry √mass when the calculator is mass-weighted.
+        """
+        n_atoms = self.traj.n_atoms
+        single = summation_mode == 'coherent' or len(atom_groups) <= 1
+        if single:
+            union = (np.unique(np.concatenate(atom_groups)).astype(int)
+                     if len(atom_groups) > 1 else
+                     (atom_groups[0] if atom_groups else np.array([], dtype=int)))
+            groups = [union]
+        else:
+            groups = atom_groups
+        all_atoms = (len(groups) == 1 and groups[0].size == n_atoms
+                     and not self.mass_weighted)
+        if all_atoms:
+            return None, single
+        weights = []
+        for g in groups:
+            w = np.zeros(n_atoms, dtype=np.float32)
+            if g.size:
+                w[g] = (np.sqrt(self.traj.masses[g]).astype(np.float32)
+                        if self.mass_weighted else 1.0)
+            weights.append(w)
+        return weights, single
+
+    def _sharded_freq_mask(self, max_freq):
+        freqs = spectral.fftfreq_thz(self.traj.n_frames, self.dt_ps)
+        mask = freqs >= 0
+        if max_freq is not None:
+            mask &= freqs <= max_freq
+        return (np.flatnonzero(mask).astype(np.int32),
+                freqs[mask].astype(np.float32))
+
+    def _sharded_data(self, data):
+        """Data + projection flags for the mesh path: velocities, or
+        positions with on-device mean subtraction in displacement mode."""
+        if data is not None:
+            return data, self.use_displacements
+        if self.use_displacements:
+            return self.traj.positions, True
+        return self.traj.velocities, False
+
+    def calculate_kgrid_browse_sharded(self, mesh, k_vectors_3d: np.ndarray,
+                                       basis_atom_indices=None,
+                                       basis_atom_types=None,
+                                       summation_mode: str = 'coherent',
+                                       max_freq: Optional[float] = None,
+                                       chiral: bool = False,
+                                       chiral_axis: str = 'z',
+                                       angle_range_opt: str = 'C',
+                                       t_superchunk: Optional[int] = None,
+                                       data=None):
+        """:meth:`calculate_kgrid_browse` over a (t, a, k) device mesh.
+
+        Full single-chip group semantics on the pod path (reference
+        sed_calculator.py:209-327): coherent union / incoherent per-group
+        intensity accumulation (in-mesh), displacement mode, mass weighting,
+        and the fused chiral-phase browse reduction — only the filtered
+        float32 planes leave the mesh.
+
+        Args:
+            mesh: (t, a, k) mesh from :func:`psa_tpu.parallel.make_mesh`.
+            data: optional (n_t, n_atoms, 3) array-like or BlockSource
+                overriding the trajectory data (pod ingest paths); defaults
+                to the trajectory's velocities (positions in displacement
+                mode, with the mean subtracted on device).
+
+        Returns:
+            (freqs_kept, intensity (n_keep, n_k) f32, phase or None) — same
+            contract as :meth:`calculate_kgrid_browse`.
+        """
+        from ..parallel.sharded import sharded_sed_spectrum
+        if summation_mode not in ('coherent', 'incoherent'):
+            raise ValueError(f"summation_mode must be 'coherent' or "
+                             f"'incoherent', got {summation_mode}")
+        atom_groups = self._resolve_atom_groups(basis_atom_indices,
+                                                basis_atom_types,
+                                                summation_mode)
+        weights, single = self._group_weights(atom_groups, summation_mode)
+        if chiral and not single:
+            raise ValueError("Chiral phase needs a single complex spectrum; "
+                             "use coherent summation.")
+        comp_pair = (spectral.CHIRAL_AXIS_COMPONENTS[chiral_axis]
+                     if chiral else None)
+        freq_idx, freqs_kept = self._sharded_freq_mask(max_freq)
+        src, subtract = self._sharded_data(data)
+        out = sharded_sed_spectrum(
+            mesh, src, self.mean_positions64, k_vectors_3d,
+            precision=self.precision, want_intensity=True,
+            t_superchunk=t_superchunk, freq_indices=freq_idx,
+            atom_weights=weights, subtract_mean=subtract,
+            comp_pair=comp_pair, angle_range_opt=angle_range_opt)
+        if comp_pair is not None:
+            intensity, phase = out
+        else:
+            intensity, phase = out, None
+        return freqs_kept, intensity, phase
+
+    def calculate_kgrid_peaks_sharded(self, mesh, k_vectors_3d: np.ndarray,
+                                      basis_atom_indices=None,
+                                      basis_atom_types=None,
+                                      summation_mode: str = 'coherent',
+                                      max_freq: Optional[float] = None,
+                                      n_peaks: int = 1,
+                                      exclusion_bins: int = 4,
+                                      chiral: bool = False,
+                                      chiral_axis: str = 'z',
+                                      angle_range_opt: str = 'C',
+                                      width_method: str = 'rms',
+                                      t_superchunk: Optional[int] = None,
+                                      data=None):
+        """:meth:`calculate_kgrid_peaks` over a (t, a, k) device mesh —
+        dispersion surfaces with full group semantics, peak-triplet
+        readback.  ``chiral=True`` (coherent) appends the phase-at-peak
+        surface.  See :meth:`calculate_kgrid_browse_sharded` for args."""
+        from ..parallel.sharded import sharded_sed_spectrum
+        if summation_mode not in ('coherent', 'incoherent'):
+            raise ValueError(f"summation_mode must be 'coherent' or "
+                             f"'incoherent', got {summation_mode}")
+        if n_peaks < 1:
+            raise ValueError(f"n_peaks must be >= 1, got {n_peaks}")
+        atom_groups = self._resolve_atom_groups(basis_atom_indices,
+                                                basis_atom_types,
+                                                summation_mode)
+        weights, single = self._group_weights(atom_groups, summation_mode)
+        if chiral and not single:
+            raise ValueError("chiral peaks need coherent summation.")
+        comp_pair = (spectral.CHIRAL_AXIS_COMPONENTS[chiral_axis]
+                     if chiral else None)
+        freq_idx, freqs_kept = self._sharded_freq_mask(max_freq)
+        if freq_idx.size == 0:
+            raise ValueError("No frequencies retained; check max_freq.")
+        src, subtract = self._sharded_data(data)
+        return sharded_sed_spectrum(
+            mesh, src, self.mean_positions64, k_vectors_3d,
+            precision=self.precision, t_superchunk=t_superchunk,
+            freq_indices=freq_idx, n_peaks=n_peaks,
+            peak_freqs_thz=freqs_kept, exclusion_bins=exclusion_bins,
+            atom_weights=weights, subtract_mean=subtract,
+            comp_pair=comp_pair, angle_range_opt=angle_range_opt,
+            width_method=width_method)
 
     def calculate_dos(self, basis_atom_indices=None, basis_atom_types=None,
                       max_freq: Optional[float] = None,

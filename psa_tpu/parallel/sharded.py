@@ -290,20 +290,41 @@ def _phase_table_step(mesh: Mesh):
 
 
 @functools.lru_cache(maxsize=None)
-def _projection_step(mesh: Mesh, precision: str):
+def _projection_step(mesh: Mesh, precision: str, weighted: bool = False,
+                     subtract_mean: bool = False):
+    """Projection over the (t, a) shards, optionally weighted per atom.
+
+    ``weighted``: an extra (N/a,) float32 per-atom weight multiplies the
+    data — 0/1 group membership, optionally × √mass (the group semantics of
+    the single-chip path, reference sed_calculator.py:209-266, as a weight
+    vector instead of a gather so shard shapes stay static).
+    ``subtract_mean``: data blocks are POSITIONS; the split-f64 mean is
+    subtracted on device (displacement mode, reference sed_calculator.py:69-70).
+    """
     prec = spectral.resolve_precision(precision)
 
-    def proj_fn(data_l, cs_l):
+    def proj_fn(data_l, cs_l, *rest):
+        i = 0
+        if subtract_mean:
+            hi_l, lo_l = rest[i], rest[i + 1]
+            i += 2
+            data_l = ((data_l - hi_l[None, :, :]) - lo_l[None, :, :])
+        if weighted:
+            data_l = data_l * rest[i][None, :, None]
         proj = spectral._project(data_l, cs_l, prec)       # (Tc/t, 3, 2K/k)
         proj = lax.psum(proj, AXIS_A)                      # reduce atom shards
         return lax.all_gather(proj, AXIS_T, axis=0, tiled=True)   # (Tc, 3, 2K/k)
 
+    in_specs = [P(AXIS_T, AXIS_A, None), P(AXIS_A, AXIS_K)]
+    if subtract_mean:
+        in_specs += [P(AXIS_A, None), P(AXIS_A, None)]
+    if weighted:
+        in_specs += [P(AXIS_A)]
     # check_vma=False: the output IS replicated over 't' and 'a' (psum over
     # atoms, tiled all_gather over time) but the static replication checker
     # cannot infer that through lax.all_gather(tiled=True).
     return jax.jit(jax.shard_map(
-        proj_fn, mesh=mesh,
-        in_specs=(P(AXIS_T, AXIS_A, None), P(AXIS_A, AXIS_K)),
+        proj_fn, mesh=mesh, in_specs=tuple(in_specs),
         out_specs=P(None, None, AXIS_K), check_vma=False))
 
 
@@ -316,18 +337,35 @@ def _write_rows_step(mesh: Mesh):
 
 
 @functools.lru_cache(maxsize=None)
-def _fft_step(mesh: Mesh, want_intensity: bool, filtered: bool):
+def _fft_step(mesh: Mesh, want_intensity: bool, filtered: bool,
+              comp_pair: Optional[Tuple[int, int]] = None,
+              angle_range_opt: str = 'C'):
+    """FFT (+ browse reduction) inside the k shard.
+
+    ``comp_pair`` (requires ``want_intensity`` + ``filtered``): also compute
+    the chiral phase of the two polarization components on device — the pod
+    analog of the single-chip chiral browse (spectral.browse_reduce)."""
     def fft_fn(proj_l, *freq_idx):                        # (n_t, 3, 2K/k)
         re, im = spectral._fft_spectrum(proj_l, proj_l.shape[0])
         if filtered:  # keep only the requested frequency rows (browse d2h)
             re = jnp.take(re, freq_idx[0], axis=0)
             im = jnp.take(im, freq_idx[0], axis=0)
         if want_intensity:
-            return jnp.sum(re * re + im * im, axis=-1).astype(jnp.float32)
+            inten = jnp.sum(re * re + im * im, axis=-1).astype(jnp.float32)
+            if comp_pair is not None:
+                c1, c2 = comp_pair
+                ph = spectral.chiral_phase(re[..., c1], im[..., c1],
+                                           re[..., c2], im[..., c2],
+                                           angle_range_opt=angle_range_opt)
+                return inten, ph
+            return inten
         return re, im
 
-    out = P(None, AXIS_K) if want_intensity else (P(None, AXIS_K, None),
-                                                  P(None, AXIS_K, None))
+    if want_intensity:
+        out = ((P(None, AXIS_K),) * 2 if comp_pair is not None
+               else P(None, AXIS_K))
+    else:
+        out = (P(None, AXIS_K, None), P(None, AXIS_K, None))
     in_specs = (P(None, None, AXIS_K), P(None)) if filtered \
         else P(None, None, AXIS_K)
     return jax.jit(jax.shard_map(fft_fn, mesh=mesh, in_specs=in_specs,
@@ -335,24 +373,61 @@ def _fft_step(mesh: Mesh, want_intensity: bool, filtered: bool):
 
 
 @functools.lru_cache(maxsize=None)
-def _peaks_step(mesh: Mesh, n_peaks: int, exclusion_bins: int):
+def _peaks_step(mesh: Mesh, n_peaks: int, exclusion_bins: int,
+                comp_pair: Optional[Tuple[int, int]] = None,
+                angle_range_opt: str = 'C', width_method: str = 'rms'):
     """FFT + intensity + per-k peak extraction, all inside the k shard —
     peak-finding is column-local, so no collectives are added and only the
-    (3, n_peaks, n_k) float32 triplet leaves the mesh."""
+    (3, n_peaks, n_k) float32 triplet leaves the mesh (plus the chiral
+    phase-at-peak surface when ``comp_pair`` is given)."""
     def fn(proj_l, freq_idx, freqs_kept):                 # (n_t, 3, 2K/k)
         re, im = spectral._fft_spectrum(proj_l, proj_l.shape[0])
         re = jnp.take(re, freq_idx, axis=0)
         im = jnp.take(im, freq_idx, axis=0)
         inten = jnp.sum(re * re + im * im, axis=-1).astype(jnp.float32)
+        if comp_pair is not None:
+            c1, c2 = comp_pair
+            phase = spectral.chiral_phase(re[..., c1], im[..., c1],
+                                          re[..., c2], im[..., c2],
+                                          angle_range_opt=angle_range_opt)
+            pf, ph, pw, pp = spectral.peak_reduce(
+                inten[None], freqs_kept, n_peaks=n_peaks,
+                exclusion_bins=exclusion_bins, phase_stack=phase[None],
+                width_method=width_method)
+            return pf[0], ph[0], pw[0], pp[0]
         pf, ph, pw = spectral.peak_reduce(inten[None], freqs_kept,
                                           n_peaks=n_peaks,
-                                          exclusion_bins=exclusion_bins)
+                                          exclusion_bins=exclusion_bins,
+                                          width_method=width_method)
         return pf[0], ph[0], pw[0]                        # (n_peaks, k_local)
 
-    out = (P(None, AXIS_K),) * 3
+    out = (P(None, AXIS_K),) * (4 if comp_pair is not None else 3)
     in_specs = (P(None, None, AXIS_K), P(None), P(None))
     return jax.jit(jax.shard_map(fn, mesh=mesh, in_specs=in_specs,
                                  out_specs=out, check_vma=False))
+
+
+@functools.lru_cache(maxsize=None)
+def _peaks_from_intensity_step(mesh: Mesh, n_peaks: int, exclusion_bins: int,
+                               width_method: str = 'rms'):
+    """Peak extraction from an already-summed intensity plane (the
+    incoherent multi-group path sums per-group intensities first)."""
+    def fn(inten_l, freqs_kept):                          # (n_f, K/k)
+        pf, ph, pw = spectral.peak_reduce(inten_l[None], freqs_kept,
+                                          n_peaks=n_peaks,
+                                          exclusion_bins=exclusion_bins,
+                                          width_method=width_method)
+        return pf[0], ph[0], pw[0]
+
+    return jax.jit(jax.shard_map(
+        fn, mesh=mesh, in_specs=(P(None, AXIS_K), P(None)),
+        out_specs=(P(None, AXIS_K),) * 3, check_vma=False))
+
+
+@functools.lru_cache(maxsize=None)
+def _add_step(mesh: Mesh):
+    """Sharding-preserving accumulate for per-group intensity planes."""
+    return jax.jit(lambda a, b: a + b, donate_argnums=0)
 
 
 def sharded_sed_spectrum(mesh: Mesh, data, mean_pos64: np.ndarray,
@@ -363,7 +438,12 @@ def sharded_sed_spectrum(mesh: Mesh, data, mean_pos64: np.ndarray,
                          freq_indices: Optional[np.ndarray] = None,
                          n_peaks: Optional[int] = None,
                          peak_freqs_thz: Optional[np.ndarray] = None,
-                         exclusion_bins: int = 4):
+                         exclusion_bins: int = 4,
+                         atom_weights: Optional[Sequence[np.ndarray]] = None,
+                         subtract_mean: bool = False,
+                         comp_pair: Optional[Tuple[int, int]] = None,
+                         angle_range_opt: str = 'C',
+                         width_method: str = 'rms'):
     """SED spectrum over a device mesh, streamed in time-superchunks.
 
     Args:
@@ -392,15 +472,44 @@ def sharded_sed_spectrum(mesh: Mesh, data, mean_pos64: np.ndarray,
             kept rows); returns the (peak_freq, peak_height, peak_width)
             triplet of (n_peaks, n_k) f32 arrays — ~n_f/(3·n_peaks)× less
             host transfer than the filtered intensity planes.
+        atom_weights: optional list of (n_atoms,) float32 per-atom weight
+            vectors — the pod form of the single-chip group semantics
+            (0/1 membership, optionally × √mass).  ONE vector scales a
+            single (coherent) spectrum; SEVERAL mean incoherent summation:
+            per-group intensities are accumulated IN-MESH (requires
+            ``want_intensity`` or ``n_peaks``; the trajectory streams ONCE —
+            each superchunk is projected through every group's weights while
+            resident).  None = unweighted all-atoms (the fast path).
+        subtract_mean: ``data`` holds POSITIONS; subtract the split-f64 mean
+            on device (displacement-mode SED, reference sed_calculator.py:69-70).
+        comp_pair: polarization component pair for the on-device chiral
+            phase (single-spectrum only): with ``freq_indices`` +
+            ``want_intensity`` the return becomes (intensity, phase) browse
+            planes; with ``n_peaks`` a fourth phase-at-peak array is
+            appended (reference chiral flow psa_gui.py:976-988, pod form).
+        angle_range_opt: chiral angle convention 'A' | 'B' | 'C'.
 
     Returns:
         Host NumPy: intensity (n_f, n_k) f32, or (re, im) pair of
         (n_f, n_k, 3), where n_f = n_t or len(freq_indices); with
-        ``n_peaks`` set, the three (n_peaks, n_k) peak arrays.
+        ``n_peaks`` set, the three (n_peaks, n_k) peak arrays (four with
+        ``comp_pair``); with ``comp_pair`` + filtered intensity, the
+        (intensity, phase) plane pair.
         Padding added for divisibility is stripped before returning.
     """
     if n_peaks is not None and (freq_indices is None or peak_freqs_thz is None):
         raise ValueError("n_peaks requires freq_indices and peak_freqs_thz")
+    n_groups = len(atom_weights) if atom_weights is not None else 1
+    incoherent = n_groups > 1
+    if incoherent and not (want_intensity or n_peaks is not None):
+        raise ValueError("multiple atom_weights mean incoherent summation: "
+                         "set want_intensity=True or n_peaks")
+    if incoherent and comp_pair is not None:
+        raise ValueError("chiral phase needs a single (coherent) spectrum")
+    if comp_pair is not None and n_peaks is None and not (
+            want_intensity and freq_indices is not None):
+        raise ValueError("comp_pair requires freq_indices + want_intensity "
+                         "(browse planes) or n_peaks (phase at peak)")
     source = _as_source(data)
     n_t, n_atoms = source.n_frames, source.n_atoms
     n_k = k_vectors.shape[0]
@@ -428,20 +537,45 @@ def sharded_sed_spectrum(mesh: Mesh, data, mean_pos64: np.ndarray,
 
     a_sharding = NamedSharding(mesh, P(AXIS_A, None))
     k_sharding = NamedSharding(mesh, P(AXIS_K, None))
-    cs = _phase_table_step(mesh)(jax.device_put(mp_hi, a_sharding),
-                                 jax.device_put(mp_lo, a_sharding),
+    hi_dev = jax.device_put(mp_hi, a_sharding)
+    lo_dev = jax.device_put(mp_lo, a_sharding)
+    cs = _phase_table_step(mesh)(hi_dev, lo_dev,
                                  jax.device_put(k_p, k_sharding))
 
-    project = _projection_step(mesh, precision)
+    weighted = atom_weights is not None
+    a_vec_sharding = NamedSharding(mesh, P(AXIS_A))
+    if weighted:
+        w_devs = []
+        for w in atom_weights:
+            w = np.asarray(w, dtype=np.float32)
+            if w.shape != (n_atoms,):
+                raise ValueError(f"atom_weights entries must be ({n_atoms},), "
+                                 f"got {w.shape}")
+            w_devs.append(jax.device_put(_pad_rows(w, a_sh), a_vec_sharding))
+    else:
+        w_devs = [None]
+    project = _projection_step(mesh, precision, weighted=weighted,
+                               subtract_mean=subtract_mean)
+
+    def run_project(chunk_arr, w_dev):
+        args = [chunk_arr, cs]
+        if subtract_mean:
+            args += [hi_dev, lo_dev]
+        if weighted:
+            args += [w_dev]
+        return project(*args)
+
     starts = list(range(0, n_t, t_superchunk))
 
     if len(starts) == 1:
-        proj_full = project(_superchunk_array(mesh, source, 0, n_t, n_atoms_p), cs)
+        chunk0 = _superchunk_array(mesh, source, 0, n_t, n_atoms_p)
+        proj_fulls = [run_project(chunk0, w) for w in w_devs]
     else:
         write_rows = _write_rows_step(mesh)
         zeros = functools.partial(jnp.zeros, (n_t, 3, cs.shape[1]), jnp.float32)
-        proj_full = jax.jit(zeros, out_shardings=NamedSharding(
-            mesh, P(None, None, AXIS_K)))()
+        make_zeros = jax.jit(zeros, out_shardings=NamedSharding(
+            mesh, P(None, None, AXIS_K)))
+        proj_fulls = [make_zeros() for _ in w_devs]
 
         # (exception, value) holder: a failed prefetch must surface in the
         # main thread, never silently reuse the previous superchunk.
@@ -464,7 +598,11 @@ def sharded_sed_spectrum(mesh: Mesh, data, mean_pos64: np.ndarray,
         for i, t0 in enumerate(starts):
             loader = (load_async(starts[i + 1])
                       if prefetch and i + 1 < len(starts) else None)
-            proj_full = write_rows(proj_full, project(chunk, cs), t0)
+            # every group projects from the SAME resident superchunk: the
+            # trajectory streams once regardless of group count
+            for g, w_dev in enumerate(w_devs):
+                proj_fulls[g] = write_rows(proj_fulls[g],
+                                           run_project(chunk, w_dev), t0)
             if loader is not None:
                 loader.join()
                 if next_chunk[0] is not None:
@@ -475,18 +613,40 @@ def sharded_sed_spectrum(mesh: Mesh, data, mean_pos64: np.ndarray,
             elif i + 1 < len(starts):
                 chunk = load(starts[i + 1])
 
-    if n_peaks is not None:
+    rep_sharding = NamedSharding(mesh, P(None))
+    if freq_indices is not None:
         idx = jax.device_put(np.asarray(freq_indices, dtype=np.int32),
-                             NamedSharding(mesh, P(None)))
-        pfreqs = jax.device_put(np.asarray(peak_freqs_thz, dtype=np.float32),
-                                NamedSharding(mesh, P(None)))
-        out = _peaks_step(mesh, n_peaks, exclusion_bins)(proj_full, idx, pfreqs)
-    elif freq_indices is not None:
-        idx = jax.device_put(np.asarray(freq_indices, dtype=np.int32),
-                             NamedSharding(mesh, P(None)))
-        out = _fft_step(mesh, want_intensity, True)(proj_full, idx)
+                             rep_sharding)
+
+    if incoherent:
+        # per-group intensities accumulate in-mesh; peaks (if asked) reduce
+        # the summed plane
+        fft = _fft_step(mesh, True, freq_indices is not None)
+        add = _add_step(mesh)
+        inten_sum = None
+        for proj in proj_fulls:
+            inten = fft(proj, idx) if freq_indices is not None else fft(proj)
+            inten_sum = inten if inten_sum is None else add(inten_sum, inten)
+        if n_peaks is not None:
+            pfreqs = jax.device_put(
+                np.asarray(peak_freqs_thz, dtype=np.float32), rep_sharding)
+            out = _peaks_from_intensity_step(
+                mesh, n_peaks, exclusion_bins, width_method)(inten_sum, pfreqs)
+        else:
+            out = inten_sum
     else:
-        out = _fft_step(mesh, want_intensity, False)(proj_full)
+        proj_full = proj_fulls[0]
+        if n_peaks is not None:
+            pfreqs = jax.device_put(
+                np.asarray(peak_freqs_thz, dtype=np.float32), rep_sharding)
+            out = _peaks_step(mesh, n_peaks, exclusion_bins, comp_pair,
+                              angle_range_opt, width_method)(proj_full, idx,
+                                                             pfreqs)
+        elif freq_indices is not None:
+            out = _fft_step(mesh, want_intensity, True, comp_pair,
+                            angle_range_opt)(proj_full, idx)
+        else:
+            out = _fft_step(mesh, want_intensity, False)(proj_full)
 
     def fetch(arr):
         # Multi-process meshes shard k across hosts: the output is not fully
@@ -501,6 +661,9 @@ def sharded_sed_spectrum(mesh: Mesh, data, mean_pos64: np.ndarray,
     if n_peaks is not None:
         return tuple(fetch(o)[:, :n_k] for o in out)
     if want_intensity:
+        if comp_pair is not None:
+            inten, ph = out
+            return fetch(inten)[:, :n_k], fetch(ph)[:, :n_k]
         return fetch(out)[:, :n_k]
     re, im = out
     return fetch(re)[:, :n_k, :], fetch(im)[:, :n_k, :]

@@ -71,6 +71,16 @@ def main():
                         'k-point ON DEVICE and store the dispersion-surface '
                         'triplet (freq/height/width) — ~n_f/(3N)x less '
                         'readback + disk than --browse (sharded engine only)')
+    p.add_argument('--basis-types', default=None,
+                   help='comma-separated atom types forming the basis '
+                        '(default: all atoms); with --summation incoherent, '
+                        'one group per type (reference group semantics)')
+    p.add_argument('--summation', choices=['coherent', 'incoherent'],
+                   default='coherent')
+    p.add_argument('--chiral', action='store_true',
+                   help='with --browse: chiral-phase planes too; with '
+                        '--peaks: phase-at-peak surfaces (coherent only)')
+    p.add_argument('--chiral-axis', choices=['x', 'y', 'z'], default='z')
     p.add_argument('--out', default='pod_sweep_out')
     p.add_argument('--multihost', action='store_true',
                    help='initialize jax.distributed before building the mesh')
@@ -142,6 +152,26 @@ def main():
     if args.peaks is not None and (args.browse or args.engine == 'gridded'):
         p.error("--peaks is a sharded-engine mode, exclusive with --browse")
 
+    # Group / chiral semantics (reference sed_calculator.py:209-327 on the
+    # pod path): resolve basis types to per-atom weight vectors.
+    basis_types = ([int(t) for t in args.basis_types.replace(',', ' ').split()]
+                   if args.basis_types else None)
+    groups = calc._resolve_atom_groups(None, basis_types, args.summation)
+    weights, single = calc._group_weights(groups, args.summation)
+    incoherent = weights is not None and len(weights) > 1
+    if incoherent and not (args.browse or args.peaks is not None):
+        p.error("--summation incoherent needs --browse or --peaks (the pod "
+                "path accumulates per-group intensities in-mesh)")
+    if args.chiral:
+        if not single:
+            p.error("--chiral needs coherent summation (single spectrum)")
+        if not (args.browse or args.peaks is not None):
+            p.error("--chiral needs --browse or --peaks")
+        if args.engine != 'sharded':
+            p.error("--chiral requires the sharded engine")
+    comp_pair = (spectral.CHIRAL_AXIS_COMPONENTS[args.chiral_axis]
+                 if args.chiral else None)
+
     all_freqs = spectral.fftfreq_thz(n_frames, args.dt)
     freq_idx = None
     if args.browse or args.peaks is not None:
@@ -156,6 +186,8 @@ def main():
         'traj': traj_key,
         'k_vectors': k_vecs,
         'mode': mode,
+        'basis_types': basis_types, 'summation': args.summation,
+        'chiral': (args.chiral_axis if args.chiral else None),
         'max_freq': args.max_freq if freq_idx is not None else None,
         'precision': args.precision, 'mesh': str(dict(mesh.shape))})
 
@@ -164,10 +196,12 @@ def main():
     n_chunks = (n_k + chunk - 1) // chunk
     if args.peaks is not None:
         freqs = all_freqs[freq_idx]
-        full = np.zeros((3, args.peaks, n_k), dtype=np.float32)
+        n_surf = 4 if args.chiral else 3      # +phase-at-peak surface
+        full = np.zeros((n_surf, args.peaks, n_k), dtype=np.float32)
     elif args.browse:
         freqs = all_freqs[freq_idx]
-        full = np.zeros((len(freq_idx), n_k), dtype=np.float32)
+        n_planes = 2 if args.chiral else 1    # +chiral-phase planes
+        full = np.zeros((n_planes, len(freq_idx), n_k), dtype=np.float32)
     else:
         freqs = all_freqs
         full = np.zeros((n_frames, n_k, 3), dtype=np.complex64)
@@ -200,33 +234,36 @@ def main():
         for ci in range(n_chunks):
             s, e = bounds(ci)
             cached = cache.load(ci)
-            if cached is not None and cached.shape[-1 if args.peaks is not None
-                                                  else 1] == e - s:
-                if args.peaks is not None:
-                    full[:, :, s:e] = cached
-                elif args.browse:
-                    full[:, s:e] = cached
+            if cached is not None and cached.shape[
+                    -1 if (args.peaks is not None or args.browse) else 1] == e - s:
+                if args.peaks is not None or args.browse:
+                    full[..., s:e] = cached
                 else:
                     full[:, s:e, :] = cached
                 continue
             if args.peaks is not None:
-                pf, ph, pw = sharded_sed_spectrum(
+                out = sharded_sed_spectrum(
                     mesh, data, mean64, k_vecs[s:e],
                     precision=args.precision, t_superchunk=args.t_superchunk,
                     freq_indices=freq_idx, n_peaks=args.peaks,
-                    peak_freqs_thz=freqs)
-                block = np.stack([pf, ph, pw])
-                full[:, :, s:e] = block
+                    peak_freqs_thz=freqs, atom_weights=weights,
+                    comp_pair=comp_pair)
+                block = np.stack(out)                 # (3|4, n_peaks, chunk)
+                full[..., s:e] = block
             elif args.browse:
-                block = sharded_sed_spectrum(
+                out = sharded_sed_spectrum(
                     mesh, data, mean64, k_vecs[s:e],
                     precision=args.precision, t_superchunk=args.t_superchunk,
-                    want_intensity=True, freq_indices=freq_idx)
-                full[:, s:e] = block
+                    want_intensity=True, freq_indices=freq_idx,
+                    atom_weights=weights, comp_pair=comp_pair)
+                block = (np.stack(out) if args.chiral
+                         else out[None])              # (1|2, n_f, chunk)
+                full[..., s:e] = block
             else:
                 re, im = sharded_sed_spectrum(
                     mesh, data, mean64, k_vecs[s:e],
-                    precision=args.precision, t_superchunk=args.t_superchunk)
+                    precision=args.precision, t_superchunk=args.t_superchunk,
+                    atom_weights=weights)
                 block = (re + 1j * im).astype(np.complex64)
                 full[:, s:e, :] = block
             cache.store(ci, block)
@@ -235,14 +272,23 @@ def main():
     dt = time.time() - t0
 
     if args.peaks is not None:
-        np.savez(out_dir / "kgrid_peaks.npz", peak_freqs=full[0],
-                 peak_heights=full[1], peak_widths=full[2],
-                 k_vectors=k_vecs, k_grid_shape=np.asarray(shape))
-        logger.info("dispersion surfaces saved: %s (%d peaks x %d k-points)",
-                    out_dir / "kgrid_peaks.npz", args.peaks, n_k)
+        arrays = dict(peak_freqs=full[0], peak_heights=full[1],
+                      peak_widths=full[2], k_vectors=k_vecs,
+                      k_grid_shape=np.asarray(shape))
+        if args.chiral:
+            arrays['peak_phase'] = full[3]
+        np.savez(out_dir / "kgrid_peaks.npz", **arrays)
+        logger.info("dispersion surfaces saved: %s (%d peaks x %d k-points%s)",
+                    out_dir / "kgrid_peaks.npz", args.peaks, n_k,
+                    ", +chiral phase" if args.chiral else "")
+    elif args.browse:
+        sed = SED(full[0], freqs, np.array([]), k_vecs, k_grid_shape=shape,
+                  is_complex=False,
+                  phase=(full[1] if args.chiral else None))
+        sed.save(out_dir / "kgrid_sed")
     else:
         sed = SED(full, freqs, np.array([]), k_vecs, k_grid_shape=shape,
-                  is_complex=not args.browse)
+                  is_complex=True)
         sed.save(out_dir / "kgrid_sed")
     rep = throughput_report(n_k=max(computed, 1), seconds=max(dt, 1e-9),
                             n_atoms=n_atoms, n_t=n_frames)

@@ -192,6 +192,118 @@ class TestShardedPeaks:
                                  np.zeros((4, 3), np.float32), n_peaks=1)
 
 
+class TestShardedGroupSemantics:
+    """VERDICT r2 item 3: the pod path must honor the calculator's full
+    group/basis/chiral/displacement/mass semantics.  Every case asserts
+    equality with the corresponding single-chip path."""
+
+    K = np.outer(np.linspace(0, 1.0, 6), [1, 0.5, 0]).astype(np.float32)
+
+    def _calc(self, traj, **kw):
+        from psa_tpu.core.calculator import SEDCalculator
+        return SEDCalculator(traj, nx=3, ny=2, nz=2, **kw)
+
+    def test_coherent_subset_matches_single_chip(self, traj):
+        mesh = make_mesh(shape=(2, 2, 2))
+        calc = self._calc(traj)
+        freqs, inten, ph = calc.calculate_kgrid_browse_sharded(
+            mesh, self.K, basis_atom_types=[1], t_superchunk=8)
+        rf, ri, rp = calc.calculate_kgrid_browse(self.K, basis_atom_types=[1])
+        np.testing.assert_allclose(freqs, rf, atol=0)
+        np.testing.assert_allclose(inten, ri, rtol=1e-5, atol=1e-8)
+        assert ph is None and rp is None
+
+    def test_incoherent_two_groups_match_single_chip(self, traj):
+        mesh = make_mesh(shape=(2, 2, 2))
+        calc = self._calc(traj)
+        freqs, inten, _ = calc.calculate_kgrid_browse_sharded(
+            mesh, self.K, basis_atom_types=[1, 2],
+            summation_mode='incoherent', t_superchunk=4)
+        rf, ri, _ = calc.calculate_kgrid_browse(
+            self.K, basis_atom_types=[1, 2], summation_mode='incoherent')
+        np.testing.assert_allclose(inten, ri, rtol=1e-5, atol=1e-8)
+
+    def test_chiral_browse_matches_single_chip(self, traj):
+        mesh = make_mesh(shape=(1, 2, 4))
+        calc = self._calc(traj)
+        freqs, inten, ph = calc.calculate_kgrid_browse_sharded(
+            mesh, self.K, chiral=True, chiral_axis='z')
+        rf, ri, rp = calc.calculate_kgrid_browse(self.K, chiral=True,
+                                                 chiral_axis='z')
+        np.testing.assert_allclose(inten, ri, rtol=1e-5, atol=1e-8)
+        assert ph is not None
+        np.testing.assert_allclose(ph, rp, atol=1e-4)
+
+    def test_chiral_peaks_phase_at_peak(self, traj):
+        mesh = make_mesh(shape=(2, 2, 2))
+        calc = self._calc(traj)
+        pf, ph, pw, pp = calc.calculate_kgrid_peaks_sharded(
+            mesh, self.K, n_peaks=2, chiral=True, t_superchunk=8)
+        rf, rh, rw, rp = calc.calculate_kgrid_peaks(self.K, n_peaks=2,
+                                                    chiral=True)
+        np.testing.assert_allclose(pf, rf, atol=1e-6)
+        np.testing.assert_allclose(ph, rh, rtol=1e-4)
+        np.testing.assert_allclose(pp, rp, atol=1e-4)
+
+    def test_incoherent_peaks_match_single_chip(self, traj):
+        mesh = make_mesh(shape=(2, 2, 2))
+        calc = self._calc(traj)
+        pf, ph, pw = calc.calculate_kgrid_peaks_sharded(
+            mesh, self.K, basis_atom_types=[1, 2],
+            summation_mode='incoherent', n_peaks=2)
+        rf, rh, rw = calc.calculate_kgrid_peaks(
+            self.K, basis_atom_types=[1, 2], summation_mode='incoherent',
+            n_peaks=2)
+        np.testing.assert_allclose(pf, rf, atol=1e-6)
+        np.testing.assert_allclose(ph, rh, rtol=1e-4)
+        np.testing.assert_allclose(pw, rw, rtol=1e-3, atol=1e-5)
+
+    def test_displacement_mode_matches_single_chip(self, traj):
+        mesh = make_mesh(shape=(2, 2, 2))
+        calc = self._calc(traj, use_displacements=True)
+        freqs, inten, _ = calc.calculate_kgrid_browse_sharded(
+            mesh, self.K, t_superchunk=8)
+        rf, ri, _ = calc.calculate_kgrid_browse(self.K)
+        np.testing.assert_allclose(inten, ri, rtol=1e-5, atol=1e-8)
+
+    def test_mass_weighted_matches_single_chip(self, traj):
+        import dataclasses
+        masses = np.where(traj.types == 1, 1.0, 3.5).astype(np.float32)
+        traj_m = dataclasses.replace(traj, masses=masses)
+        mesh = make_mesh(shape=(1, 4, 2))
+        calc = self._calc(traj_m, mass_weighted=True)
+        freqs, inten, _ = calc.calculate_kgrid_browse_sharded(mesh, self.K)
+        rf, ri, _ = calc.calculate_kgrid_browse(self.K)
+        np.testing.assert_allclose(inten, ri, rtol=1e-5, atol=1e-8)
+
+    def test_multi_group_streams_data_once(self, traj):
+        """Incoherent groups must NOT re-stream the trajectory per group."""
+        mesh = make_mesh(shape=(2, 2, 2))
+        src = RecordingSource(traj.velocities)
+        calc = self._calc(traj)
+        calc.calculate_kgrid_browse_sharded(
+            mesh, self.K, basis_atom_types=[1, 2],
+            summation_mode='incoherent', t_superchunk=4, data=src)
+        # one read per (t, a) shard per superchunk — group count absent
+        assert len(src.reads) == (traj.n_frames // 4) * 2 * 2
+
+    def test_weight_validation(self, traj):
+        from psa_tpu.parallel import sharded_sed_spectrum
+        mesh = make_mesh(shape=(1, 1, 8))
+        mean64 = traj.positions.astype(np.float64).mean(axis=0)
+        with pytest.raises(ValueError, match="incoherent"):
+            sharded_sed_spectrum(mesh, traj.velocities, mean64, self.K,
+                                 atom_weights=[np.ones(traj.n_atoms),
+                                               np.ones(traj.n_atoms)])
+        with pytest.raises(ValueError, match="atom_weights entries"):
+            sharded_sed_spectrum(mesh, traj.velocities, mean64, self.K,
+                                 want_intensity=True,
+                                 atom_weights=[np.ones(3, np.float32)] * 2)
+        with pytest.raises(ValueError, match="comp_pair requires"):
+            sharded_sed_spectrum(mesh, traj.velocities, mean64, self.K,
+                                 comp_pair=(0, 1))
+
+
 class TestPrefetchFailure:
     def test_prefetch_error_propagates(self, traj):
         """A failed background superchunk load must raise, not silently
