@@ -84,6 +84,7 @@ class PSAMainWindow:
         v.grid_max_freq_var = tk.StringVar(value='')
         v.grid_chiral_var = tk.BooleanVar(value=False)
         v.grid_engine_var = tk.StringVar(value='auto')
+        v.width_method_var = tk.StringVar(value='lorentzian')
 
         v.scale_var = tk.StringVar(value='dsqrt')
         v.cmap_var = tk.StringVar(value='inferno')
@@ -234,6 +235,11 @@ class PSAMainWindow:
                               "NUFFT engine — measured fastest for Peak "
                               "surface on large uniform grids "
                               "(see docs/PERF_NOTES.md)")
+        labeled_combo(ggrid, "Linewidth:", self.width_method_var,
+                      ('lorentzian', 'rms'), row=10,
+                      tooltip="Peak-surface linewidths: 'lorentzian' = "
+                              "calibrated FWHM (closed-form fit); 'rms' = "
+                              "window-spread proxy")
         ttk.Checkbutton(gf, text="Chiral phase on grid",
                         variable=self.grid_chiral_var).pack(anchor='w', padx=4)
         btns = ttk.Frame(gf)
@@ -580,7 +586,8 @@ class PSAMainWindow:
                     summation_mode=self.mode_var.get(),
                     engine=self.grid_engine_var.get(),
                     chiral=self.grid_chiral_var.get(),
-                    chiral_axis=self.chiral_axis_var.get())
+                    chiral_axis=self.chiral_axis_var.get(),
+                    width_method=self.width_method_var.get())
                 err = None
             except Exception as e:
                 pk, err = None, str(e)

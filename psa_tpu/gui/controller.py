@@ -85,14 +85,17 @@ class KGridPeaksState:
     plane: str
     freq_surfaces: np.ndarray         # (n_peaks, n_kx, n_ky) THz
     intensity_surfaces: np.ndarray    # (n_peaks, n_kx, n_ky)
-    linewidth_surfaces: np.ndarray    # (n_peaks, n_kx, n_ky) THz RMS spread
-                                      # (linewidth proxy — NOT FWHM; see
+    linewidth_surfaces: np.ndarray    # (n_peaks, n_kx, n_ky) THz — RMS
+                                      # spread proxy, or calibrated
+                                      # Lorentzian FWHM with
+                                      # width_method='lorentzian' (see
                                       # ops.spectral.peak_reduce)
     k1_axis: np.ndarray
     k2_axis: np.ndarray
     labels: Tuple[str, str]
     phase_surfaces: Optional[np.ndarray] = None   # (n_peaks, n_kx, n_ky)
                                                   # chiral phase at each peak
+    width_method: str = 'rms'                     # 'rms' | 'lorentzian'
 
     def surface(self, rank: int = 0, kind: str = 'freq') -> np.ndarray:
         """(n_ky, n_kx) plot-oriented surface (transposed like slice_at)."""
@@ -321,7 +324,8 @@ class AnalysisController:
                             k_chunk_size: int = 2048,
                             engine: str = 'auto',
                             chiral: bool = False,
-                            chiral_axis: str = 'z') -> KGridPeaksState:
+                            chiral_axis: str = 'z',
+                            width_method: str = 'rms') -> KGridPeaksState:
         """Dispersion surface(s) over a k-plane via on-device peak
         extraction (:meth:`SEDCalculator.calculate_kgrid_peaks`): only the
         (n_peaks, n_k) float32 triplet crosses the host link.
@@ -339,7 +343,8 @@ class AnalysisController:
             basis_atom_types=basis_atom_types, summation_mode=summation_mode,
             k_chunk_size=k_chunk_size, engine=engine,
             k_grid_shape=shape if engine != 'direct' else None,
-            chiral=chiral, chiral_axis=chiral_axis)
+            chiral=chiral, chiral_axis=chiral_axis,
+            width_method=width_method)
         pf, pi, pw = res[:3]
         pphase = res[3] if len(res) == 4 else None
         k1_axis, k2_axis, labels = plane_axes(plane, k_vecs, shape)
@@ -350,7 +355,8 @@ class AnalysisController:
             linewidth_surfaces=pw.reshape((-1,) + tuple(shape)),
             k1_axis=k1_axis, k2_axis=k2_axis, labels=labels,
             phase_surfaces=(pphase.reshape((-1,) + tuple(shape))
-                            if pphase is not None else None))
+                            if pphase is not None else None),
+            width_method=width_method)
         self.last_grid_kind = 'peaks'
         return self.kgrid_peaks
 

@@ -79,7 +79,8 @@ def export_kgrid_csv(kgrid: KGridState, path: Path) -> Path:
 
 def export_peaks_csv(peaks, path: Path) -> Path:
     """Long-format CSV of dispersion surfaces: one row per (peak rank,
-    k-point) with frequency, intensity, and RMS linewidth."""
+    k-point) with frequency, intensity, and linewidth (RMS spread or
+    Lorentzian FWHM per the state's ``width_method``)."""
     import pandas as pd
     path = Path(path)
     n_peaks, n_kx, n_ky = peaks.freq_surfaces.shape
@@ -93,7 +94,9 @@ def export_peaks_csv(peaks, path: Path) -> Path:
             peaks.labels[1]: k2,
             'frequency_THz': peaks.freq_surfaces[r].ravel(),
             'intensity': peaks.intensity_surfaces[r].ravel(),
-            'linewidth_THz_rms': peaks.linewidth_surfaces[r].ravel(),
+            ('linewidth_THz_fwhm'
+             if getattr(peaks, 'width_method', 'rms') == 'lorentzian'
+             else 'linewidth_THz_rms'): peaks.linewidth_surfaces[r].ravel(),
         }))
     df = pd.concat(rows, ignore_index=True)
     path.parent.mkdir(parents=True, exist_ok=True)

@@ -521,7 +521,8 @@ def gridded_kgrid_browse(data, plan: GridPlan, freq_idx: np.ndarray,
                          precision: str = 'parity',
                          n_peaks: Optional[int] = None,
                          exclusion_bins: int = 4,
-                         freqs_kept: Optional[np.ndarray] = None):
+                         freqs_kept: Optional[np.ndarray] = None,
+                         width_method: str = 'rms'):
     """NUFFT k-grid sweep fused with the time FFT and browse reduction.
 
     :func:`gridded_kgrid_spectrum` must ship its full pre-FFT signal to host
@@ -627,7 +628,7 @@ def gridded_kgrid_browse(data, plan: GridPlan, freq_idx: np.ndarray,
         if n_peaks is not None:
             pf, ph_, pw = spectral.peak_reduce(
                 inten_dev[None], freqs_kept_dev, n_peaks=n_peaks,
-                exclusion_bins=exclusion_bins)
+                exclusion_bins=exclusion_bins, width_method=width_method)
             for i, arr in enumerate((pf, ph_, pw)):
                 peaks_full[i, :, :, g0:g1] = np.asarray(arr[0]).reshape(
                     n_peaks, gx, gyc)

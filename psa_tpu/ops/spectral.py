@@ -387,17 +387,32 @@ def sed_grid_browse_scan(data: jnp.ndarray, mp_hi: jnp.ndarray,
 # path's only remaining off-roofline cost on slow host links
 # (docs/PERF_NOTES.md "Browse-path overhead attribution").
 
-@functools.partial(jax.jit, static_argnames=('n_peaks', 'exclusion_bins'))
+@functools.partial(jax.jit,
+                   static_argnames=('n_peaks', 'exclusion_bins',
+                                    'width_method'))
 def peak_reduce(inten_stack: jnp.ndarray, freqs_kept: jnp.ndarray,
                 n_peaks: int = 1, exclusion_bins: int = 4,
-                phase_stack: Optional[jnp.ndarray] = None):
+                phase_stack: Optional[jnp.ndarray] = None,
+                width_method: str = 'rms'):
     """Top-``n_peaks`` spectral peaks of stacked intensity planes, on device.
 
     Peaks are found greedily per k-column: take the global argmax, record
     (frequency, height, local width), zero out ±``exclusion_bins`` rows
-    around it, repeat.  The local width is the intensity-weighted RMS
-    frequency spread inside the exclusion window — a linewidth proxy
-    proportional to the mode's inverse lifetime.
+    around it, repeat.
+
+    Width methods:
+      * ``'rms'`` (default): intensity-weighted RMS frequency spread inside
+        the exclusion window — a fast linewidth PROXY (monotone in, but not
+        equal to, the true linewidth).
+      * ``'lorentzian'``: calibrated FWHM from a closed-form weighted
+        least-squares Lorentzian fit.  For a Lorentzian
+        I(ν) = h / (1 + ((ν−ν₀)/γ)²) the reciprocal is LINEAR in
+        x = (ν−ν₀)²:  1/I = 1/h + x/(hγ²) — so an I²-weighted linear
+        regression of 1/I on x over the window recovers γ exactly with no
+        iteration:  γ² = intercept/slope, FWHM = 2γ.  The I² weights make
+        the fit peak-dominated (noisy tails where 1/I explodes get ~zero
+        weight).  Exact for damped (Lorentzian) modes; clamped to the
+        window span for flat/undamped columns.
 
     Args:
         inten_stack: (n_chunks, n_freq_kept, block) float32 intensity
@@ -409,11 +424,17 @@ def peak_reduce(inten_stack: jnp.ndarray, freqs_kept: jnp.ndarray,
         phase_stack: optional same-shape chiral-phase planes; when given,
             the phase AT each found peak bin is gathered too — a chiral
             dispersion surface at peak-triplet readback cost.
+        width_method: 'rms' | 'lorentzian' (see above).
 
     Returns:
         (peak_freq, peak_height, peak_width): each (n_chunks, n_peaks, block)
-        float32 — plus peak_phase when ``phase_stack`` is given.
+        float32 — plus peak_phase when ``phase_stack`` is given.  Width is
+        the RMS spread (THz) or the Lorentzian FWHM (THz) per
+        ``width_method``.
     """
+    if width_method not in ('rms', 'lorentzian'):
+        raise ValueError(f"width_method must be 'rms' or 'lorentzian', "
+                         f"got {width_method!r}")
     n_f = inten_stack.shape[1]
     row = jnp.arange(n_f, dtype=jnp.int32)
     with_phase = phase_stack is not None
@@ -429,12 +450,39 @@ def peak_reduce(inten_stack: jnp.ndarray, freqs_kept: jnp.ndarray,
             height = jnp.take_along_axis(cur, idx[None, :], axis=0)[0]
             in_win = jnp.abs(row[:, None] - idx[None, :]) <= exclusion_bins
             w = jnp.where(in_win, cur, 0.0)                 # (F, B)
-            wsum = jnp.maximum(jnp.sum(w, axis=0), 1e-30)
-            mu = jnp.sum(w * freqs_kept[:, None], axis=0) / wsum
-            var = jnp.sum(w * (freqs_kept[:, None] - mu[None, :]) ** 2,
-                          axis=0) / wsum
             peak_f = jnp.take(freqs_kept, idx)
-            width = jnp.sqrt(jnp.maximum(var, 0.0))
+            if width_method == 'rms':
+                wsum = jnp.maximum(jnp.sum(w, axis=0), 1e-30)
+                mu = jnp.sum(w * freqs_kept[:, None], axis=0) / wsum
+                var = jnp.sum(w * (freqs_kept[:, None] - mu[None, :]) ** 2,
+                              axis=0) / wsum
+                width = jnp.sqrt(jnp.maximum(var, 0.0))
+            else:
+                # closed-form Lorentzian fit: regress y = 1/I on
+                # x = (ν−ν₀)² with weights I² (window rows only)
+                x = (freqs_kept[:, None] - peak_f[None, :]) ** 2
+                safe_i = jnp.maximum(w, 1e-30)
+                y = 1.0 / safe_i
+                wt = jnp.where(in_win, w * w, 0.0)
+                sw = jnp.sum(wt, axis=0)
+                sx = jnp.sum(wt * x, axis=0)
+                sy = jnp.sum(wt * y, axis=0)
+                sxx = jnp.sum(wt * x * x, axis=0)
+                sxy = jnp.sum(wt * x * y, axis=0)
+                det = sw * sxx - sx * sx
+                slope = jnp.where(jnp.abs(det) > 1e-30,
+                                  (sw * sxy - sx * sy) / det, 0.0)
+                intercept = jnp.where(sw > 1e-30, (sy - slope * sx) / sw, 0.0)
+                gamma_sq = jnp.where(slope > 1e-30,
+                                     jnp.maximum(intercept, 0.0) / slope,
+                                     jnp.inf)
+                # clamp to the window span: a flat column has no resolvable
+                # width beyond the fit window
+                df = jnp.where(n_f > 1,
+                               (freqs_kept[-1] - freqs_kept[0]) / (n_f - 1),
+                               1.0)
+                span = 2.0 * exclusion_bins * df
+                width = jnp.minimum(2.0 * jnp.sqrt(gamma_sq), span)
             pphase = jnp.take_along_axis(
                 phase, jnp.minimum(idx, phase.shape[0] - 1)[None, :],
                 axis=0)[0]
