@@ -7,55 +7,84 @@ trajectory — the workload BASELINE.json requires in < 10 s on one v5e chip at
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"} where value is
 k-points/sec of the TPU SED engine and vs_baseline is the speedup over the
 measured NumPy reference pipeline (reference formula exactly as in
-sed_calculator.py:78-83, run on a k-subsample and extrapolated linearly — the
-workload is exactly linear in n_k).
+sed_calculator.py:78-83 — linear in both n_k and n_t, so it is measured on a
+subsample and extrapolated, with the measured s/k-point persisted to
+scripts/tpu_campaign/numpy_baseline.json and reused across sessions).
 
-Timing methodology: trajectory upload is a one-time cost excluded from the
-steady-state rate (amortized across the many k-sweeps of a session, and this
-environment's host↔device tunnel moves ~0.1 GB/s where a production v5e host
-moves ~16 GB/s over PCIe); compute is timed with jax.block_until_ready on
-device-held results.  Totals including upload are reported on stderr.
+Robustness contract (VERDICT r2 item 1 — the headline must land even on a
+loaded host / slow remote-compile day):
+  * SIGTERM/SIGINT handlers are installed at process start and emit the most
+    recent measured headline (final, or provisional from the first completed
+    k-block) before exiting;
+  * the headline JSON line prints IMMEDIATELY after the timed sweep — the
+    user-path extras run afterwards and write to stderr +
+    scripts/tpu_campaign/bench_extras.json only;
+  * synthetic velocities are generated ON DEVICE (jax.random.normal straight
+    into HBM) — no 12 GB host generation or upload on the headline path;
+  * the NumPy baseline is read from the sidecar when available; a missing
+    entry is measured on an n_t-subsample and appended;
+  * psa_tpu enables the persistent XLA compilation cache at import, so
+    reruns skip the multi-minute first compile.
 
-Besides the headline op-level rate, the JSON line carries the USER-FACING
-path numbers as extra fields (VERDICT r1 item 5):
-    calculate_browse_kps — SEDCalculator.calculate_kgrid_browse end-to-end
-        (the GUI's default k-grid path: on-device intensity reduction,
-        filtered planes fetched to host — d2h included);
-    browse_d2h_reduction — full-complex-Φ bytes / browse-path bytes;
-    kpath_calculate_kps — SEDCalculator.calculate on a 250-point k-path
-        with the full complex spectrum fetched (the library default path);
-    gridded_browse_kps — the fused NUFFT browse (device-built weights,
-        on-device time FFT + reduction) on the same grid;
-    peaks_kps / gridded_peaks_kps — on-device dispersion-surface
-        extraction through the direct / NUFFT engines (the readback-light
-        path where the gridded FLOP cut shows end-to-end).
+Timing methodology: compute is timed on device-held results with a scalar
+checksum readback as the only trustworthy synchronization fence on this
+remote runtime (block_until_ready can return at enqueue).
 
 Environment knobs:
     PSA_BENCH_ATOMS   (default 100000)
     PSA_BENCH_STEPS   (default 10000)
     PSA_BENCH_GRID    (default 50 -> 50x50 k-points)
     PSA_BENCH_BASELINE_K (default 8; k-subsample for the NumPy reference pass)
+    PSA_BENCH_BASELINE_T (default 1000; n_t-subsample for a fresh baseline)
     PSA_BENCH_PRECISION  (default 'parity'; or 'fast' for bf16 MXU passes)
     PSA_BENCH_EXTRAS  (default 1; 0 skips the user-facing path benches)
+    PSA_BENCH_KBLOCK  (default 1280; k-points per compiled block)
+    PSA_BENCH_BUDGET_S (default 3000; stop starting extras past this)
 """
 import json
 import os
+import signal
 import sys
 import time
 
 import numpy as np
 
-
 _RUN_START = time.time()
+_BASELINE_SIDECAR = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                                 'scripts', 'tpu_campaign',
+                                 'numpy_baseline.json')
+_EXTRAS_OUT = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                           'scripts', 'tpu_campaign', 'bench_extras.json')
+
+#: Best-known headline; the signal handler emits this if the process is
+#: killed before the normal print.  Set provisionally after the first timed
+#: k-block, finally after the full sweep.
+_STATE = {'headline': None, 'stage': 'startup', 'printed': False}
 
 
 def log(msg):
     print(msg, file=sys.stderr, flush=True)
 
 
-def synth_workload(n_atoms, n_steps, grid, seed=0):
-    """Si-like synthetic: lattice mean positions + thermal velocities."""
-    rng = np.random.default_rng(seed)
+def _print_headline_once():
+    if _STATE['headline'] is not None and not _STATE['printed']:
+        _STATE['printed'] = True
+        print(json.dumps(_STATE['headline']), flush=True)
+
+
+def _signal_emit(signum, frame):
+    log(f"signal {signum} during stage '{_STATE['stage']}' — emitting "
+        f"{'headline' if _STATE['headline'] else 'nothing (no measurement yet)'}")
+    _print_headline_once()
+    os._exit(0 if _STATE['printed'] else 1)
+
+
+signal.signal(signal.SIGTERM, _signal_emit)
+signal.signal(signal.SIGINT, _signal_emit)
+
+
+def si_mean_positions(n_atoms):
+    """Si-like lattice mean positions, float64 (host; tiny)."""
     a0 = 5.43
     side = int(np.ceil((n_atoms / 8) ** (1 / 3)))  # 8-atom conventional cells
     cells = np.stack(np.meshgrid(*[np.arange(side)] * 3, indexing='ij'),
@@ -63,37 +92,76 @@ def synth_workload(n_atoms, n_steps, grid, seed=0):
     basis = np.array([[0, 0, 0], [0.25, 0.25, 0.25], [0.5, 0.5, 0], [0.75, 0.75, 0.25],
                       [0.5, 0, 0.5], [0.75, 0.25, 0.75], [0, 0.5, 0.5], [0.25, 0.75, 0.75]])
     sites = ((cells[:, None, :] + basis[None, :, :]).reshape(-1, 3) * a0)[:n_atoms]
-    mean_pos64 = sites.astype(np.float64)
+    return sites.astype(np.float64)
 
-    log(f"generating velocities ({n_steps}x{n_atoms}x3 f32 = "
-        f"{n_steps * n_atoms * 3 * 4 / 1e9:.1f} GB)...")
-    t0 = time.time()
-    velocities = rng.standard_normal((n_steps, n_atoms, 3), dtype=np.float32)
-    log(f"  generated in {time.time() - t0:.1f}s")
 
+def grid_k_vectors(grid):
+    a0 = 5.43
     kx = np.linspace(-2 * np.pi / a0, 2 * np.pi / a0, grid, dtype=np.float32)
-    k_vectors = np.stack([np.repeat(kx, grid), np.tile(kx, grid),
-                          np.zeros(grid * grid, np.float32)], axis=1)
-    return velocities, mean_pos64, k_vectors
+    return np.stack([np.repeat(kx, grid), np.tile(kx, grid),
+                     np.zeros(grid * grid, np.float32)], axis=1)
 
 
-def numpy_reference_seconds_per_kpoint(velocities, mean_pos64, k_vectors, k_sub):
-    """The reference pipeline (float32 phase matrix + einsum + FFT/n_t),
-    timed on a k-subsample."""
-    n_t = velocities.shape[0]
-    mean_pos = mean_pos64.astype(np.float32)
-    kv = k_vectors[:k_sub]
+def _numpy_ref_time(velocities, mean_pos32, kv):
+    """One timed pass of the reference pipeline (float32 phase matrix +
+    einsum + FFT/n_t) on the given data; returns seconds."""
+    n_t, _, _ = velocities.shape
+    k_sub = kv.shape[0]
     t0 = time.time()
-    phase = np.exp(1j * np.dot(kv, mean_pos.T))                   # (K, N) c64
+    phase = np.exp(1j * np.dot(kv, mean_pos32.T))                 # (K, N) c64
     sed_tk = np.zeros((n_t, k_sub, 3), dtype=np.complex64)
     for pol in range(3):
         sed_tk[:, :, pol] = np.einsum('ta,ak->tk', velocities[:, :, pol],
                                       phase.T, optimize=True)
     _ = (np.fft.fft(sed_tk, axis=0) / n_t).astype(np.complex64)
-    dt = time.time() - t0
-    log(f"numpy reference: {k_sub} k-points in {dt:.1f}s "
-        f"({dt / k_sub:.3f} s/k-point)")
-    return dt / k_sub
+    return time.time() - t0
+
+
+def baseline_s_per_kpoint(n_atoms, n_steps, mean_pos64, k_vectors, k_sub,
+                          t_sub):
+    """Measured NumPy-reference seconds per k-point at (n_atoms, n_steps).
+
+    The sidecar persists per-shape measurements so loaded-day reruns reuse a
+    clean-host number instead of spending minutes re-measuring (VERDICT r2).
+    A missing shape is measured on a t_sub-step subsample and extrapolated
+    linearly in n_t (the einsum dominates and is exactly linear in n_t).
+    """
+    key = f"{n_atoms}x{n_steps}"
+    try:
+        with open(_BASELINE_SIDECAR) as f:
+            sidecar = json.load(f)
+    except (OSError, ValueError):
+        sidecar = {}
+    if key in sidecar:
+        v = sidecar[key]['s_per_kpoint']
+        log(f"numpy baseline from sidecar: {v:.3f} s/k-point "
+            f"({sidecar[key].get('note', '')})")
+        return v
+
+    t_sub = min(t_sub, n_steps)
+    log(f"numpy baseline not cached for {key}; measuring on a {t_sub}-step "
+        f"subsample x {k_sub} k-points...")
+    rng = np.random.default_rng(0)
+    t0 = time.time()
+    vel_sub = rng.standard_normal((t_sub, n_atoms, 3), dtype=np.float32)
+    log(f"  host velocities subsample generated in {time.time() - t0:.1f}s")
+    dt = _numpy_ref_time(vel_sub, mean_pos64.astype(np.float32),
+                         k_vectors[:k_sub])
+    s_per_k = dt / k_sub * (n_steps / t_sub)
+    log(f"  {k_sub} k-points x {t_sub} steps in {dt:.1f}s -> "
+        f"{s_per_k:.3f} s/k-point extrapolated to n_t={n_steps}")
+    sidecar[key] = {
+        's_per_kpoint': round(s_per_k, 4),
+        'note': f"measured on t_sub={t_sub} x k_sub={k_sub}, extrapolated "
+                f"linearly in n_t",
+    }
+    try:
+        os.makedirs(os.path.dirname(_BASELINE_SIDECAR), exist_ok=True)
+        with open(_BASELINE_SIDECAR, 'w') as f:
+            json.dump(sidecar, f, indent=1, sort_keys=True)
+    except OSError as e:
+        log(f"  (sidecar not writable: {e})")
+    return s_per_k
 
 
 def main():
@@ -101,30 +169,42 @@ def main():
     n_steps = int(os.environ.get('PSA_BENCH_STEPS', 10_000))
     grid = int(os.environ.get('PSA_BENCH_GRID', 50))
     k_sub = int(os.environ.get('PSA_BENCH_BASELINE_K', 8))
+    t_sub = int(os.environ.get('PSA_BENCH_BASELINE_T', 1000))
     precision = os.environ.get('PSA_BENCH_PRECISION', 'parity')
 
-    velocities, mean_pos64, k_vectors = synth_workload(n_atoms, n_steps, grid)
+    _STATE['stage'] = 'mean positions'
+    mean_pos64 = si_mean_positions(n_atoms)
+    k_vectors = grid_k_vectors(grid)
     n_k = k_vectors.shape[0]
 
-    # ---- NumPy reference baseline (subsampled, extrapolated linearly) ----
-    ref_s_per_k = numpy_reference_seconds_per_kpoint(velocities, mean_pos64,
-                                                     k_vectors, k_sub)
+    # ---- NumPy reference baseline (sidecar, or subsampled measurement) ----
+    _STATE['stage'] = 'numpy baseline'
+    ref_s_per_k = baseline_s_per_kpoint(n_atoms, n_steps, mean_pos64,
+                                        k_vectors, k_sub, t_sub)
 
     # ---- TPU path -------------------------------------------------------
+    _STATE['stage'] = 'jax import'
     import jax
     import jax.numpy as jnp
-    from psa_tpu.ops import spectral
+    from psa_tpu.ops import spectral    # enables the persistent compile cache
 
     log(f"devices: {jax.devices()}")
+    log(f"compile cache: {jax.config.jax_compilation_cache_dir}")
     mp_hi, mp_lo = spectral.split_f64(mean_pos64)
 
+    # Velocities are synthesized ON DEVICE, straight into HBM: the 12 GB
+    # host generation (~6 min on a loaded day) and upload (~3.5 min on this
+    # tunnel) were the bench's biggest failure window (VERDICT r2 item 1).
+    _STATE['stage'] = 'device synth'
     t0 = time.time()
-    data_dev = jax.device_put(velocities)
+    data_dev = jax.jit(
+        lambda key: jax.random.normal(key, (n_steps, n_atoms, 3),
+                                      dtype=jnp.float32))(jax.random.key(0))
     hi_dev = jax.device_put(mp_hi)
     lo_dev = jax.device_put(mp_lo)
     jax.block_until_ready((data_dev, hi_dev, lo_dev))
-    upload_s = time.time() - t0
-    log(f"upload {velocities.nbytes / 1e9:.1f} GB in {upload_s:.1f}s")
+    log(f"device-side synth of {n_steps * n_atoms * 3 * 4 / 1e9:.1f} GB + "
+        f"mean-pos upload in {time.time() - t0:.1f}s")
 
     # Block size: keep (data + table + projections + outputs) inside HBM.
     block = int(os.environ.get('PSA_BENCH_KBLOCK', 1280))
@@ -142,6 +222,7 @@ def main():
     def _checksum(acc, re, im):
         return acc + re[0, 0, 0] + im[-1, -1, -1] + re[-1, -1, -1]
 
+    _STATE['stage'] = 'compile'
     t0 = time.time()
     out = spectral.sed_spectrum(data_dev, hi_dev, lo_dev, k_blocks[0],
                                 precision=precision)
@@ -150,16 +231,36 @@ def main():
     log(f"compile+first block: {time.time() - t0:.1f}s")
     del out
 
+    def headline_dict(kps, speedup, note=''):
+        return {
+            "metric": f"k-points/sec, coherent SED, {grid}x{grid} grid, "
+                      f"{n_atoms} atoms x {n_steps} steps, "
+                      f"precision={precision}{note}",
+            "value": round(kps, 2),
+            "unit": "k-points/sec",
+            "vs_baseline": round(speedup, 2),
+        }
+
     # timed sweep over all blocks (results stay device-side, like any fused
     # downstream pipeline; the closing scalar readback costs ~0.15s on this
     # tunnel and is included)
+    _STATE['stage'] = 'timed sweep'
     t0 = time.time()
     acc = jnp.float32(0)
-    for kb in k_blocks:
+    for i, kb in enumerate(k_blocks):
         out = spectral.sed_spectrum(data_dev, hi_dev, lo_dev, kb,
                                     precision=precision)
         acc = _checksum(acc, *out)
         del out
+        if i == 0 and n_blocks > 1:
+            # Provisional headline from the first completed block: the
+            # emit-on-signal value if the sweep itself is interrupted.
+            part = float(acc)  # sync fence for block 0
+            dt0 = time.time() - t0
+            kps0 = block / dt0
+            _STATE['headline'] = headline_dict(
+                kps0, ref_s_per_k * block / dt0,
+                note=", provisional (first block only)")
     checksum = float(acc)  # hard synchronization point
     sweep_s = time.time() - t0
     log(f"checksum: {checksum:.6g}")
@@ -170,55 +271,72 @@ def main():
     log(f"TPU sweep: {n_k} k-points ({n_atoms} atoms x {n_steps} steps) "
         f"in {sweep_s:.2f}s -> {kps:.1f} k-points/s")
     log(f"numpy reference extrapolated: {ref_total:.1f}s -> speedup {speedup:.1f}x")
-    log(f"(upload one-time cost: {upload_s:.1f}s; "
-        f"grid incl. upload would be {sweep_s + upload_s:.1f}s)")
 
-    headline = {
-        "metric": f"k-points/sec, coherent SED, {grid}x{grid} grid, "
-                  f"{n_atoms} atoms x {n_steps} steps, precision={precision}",
-        "value": round(kps, 2),
-        "unit": "k-points/sec",
-        "vs_baseline": round(speedup, 2),
-    }
-
-    # The extras re-jit several user-facing programs; on a slow remote compile
-    # service that can add many minutes.  If the harness kills us mid-extras,
-    # still emit the headline line on the way out.
-    def _emit_headline_and_exit(signum, frame):
-        log(f"signal {signum} during extras — emitting headline only")
-        print(json.dumps(headline), flush=True)
-        os._exit(0)
+    # The headline prints NOW — before the extras, which re-jit several
+    # user-facing programs and can take many minutes on a remote-compile
+    # runtime (they killed the round-2 driver capture).
+    _STATE['headline'] = headline_dict(kps, speedup)
+    _print_headline_once()
+    _STATE['stage'] = 'extras'
 
     extras = {}
     if os.environ.get('PSA_BENCH_EXTRAS', '1') != '0':
-        import signal
-        prev = signal.signal(signal.SIGTERM, _emit_headline_and_exit)
         del data_dev, hi_dev, lo_dev, k_blocks  # free HBM for the extras
-        # Remote-compile latency varies 10-500+ s per program; each extra
-        # compiles 1-2 new ones.  Stop starting extras once the whole run
-        # passes the budget so the headline always lands.
         budget_s = float(os.environ.get('PSA_BENCH_BUDGET_S', 3000))
         deadline = _RUN_START + budget_s
         try:
-            extras = user_path_benches(velocities, mean_pos64, k_vectors,
+            extras = user_path_benches(mean_pos64, n_steps, k_vectors,
                                        grid, precision, deadline)
-        except Exception as e:  # never lose the headline to an extra bench
+        except Exception as e:  # the headline already printed; just log
             log(f"user-path benches failed: {type(e).__name__}: {e}")
-        signal.signal(signal.SIGTERM, prev)
+        if extras:
+            try:
+                with open(_EXTRAS_OUT, 'w') as f:
+                    json.dump({"shape": f"{n_atoms}x{n_steps}x{grid}",
+                               "precision": precision, **extras}, f, indent=1)
+                log(f"extras written to {_EXTRAS_OUT}: "
+                    f"{json.dumps(extras)}")
+            except OSError as e:
+                log(f"extras not persisted: {e}")
 
-    print(json.dumps({**headline, **extras}))
+
+def host_velocities(n_steps, n_atoms):
+    """Fast host-side synthetic velocities for the extras' Trajectory.
+
+    Tiles a 2²⁰-sample normal pool with per-row offsets: statistically fine
+    for throughput benches (SED rates are data-independent) at memcpy speed
+    instead of minutes of RNG (the round-2 failure mode)."""
+    t0 = time.time()
+    rng = np.random.default_rng(1)
+    pool = rng.standard_normal(1 << 20, dtype=np.float32)
+    total = n_steps * n_atoms * 3
+    flat = np.lib.stride_tricks.sliding_window_view(
+        np.tile(pool, 2), pool.size)  # cheap shifted views
+    out = np.empty(total, dtype=np.float32)
+    written = 0
+    step = pool.size
+    i = 0
+    while written < total:
+        n = min(step, total - written)
+        out[written:written + n] = flat[(i * 7919) % pool.size][:n]
+        written += n
+        i += 1
+    out = out.reshape(n_steps, n_atoms, 3)
+    log(f"host velocities (tiled pool) in {time.time() - t0:.1f}s")
+    return out
 
 
-def user_path_benches(velocities, mean_pos64, k_vectors, grid, precision,
+def user_path_benches(mean_pos64, n_steps, k_vectors, grid, precision,
                       deadline=float('inf')):
     """End-to-end SEDCalculator paths (what library/GUI users actually call).
 
-    Phases that would START after ``deadline`` (unix time) are skipped."""
-    import numpy as np
+    Runs AFTER the headline has printed; results go to stderr and the extras
+    sidecar.  Phases that would START after ``deadline`` are skipped."""
     from psa_tpu.core.calculator import SEDCalculator
     from psa_tpu.core.trajectory import Trajectory, make_box_arrays
 
-    n_steps, n_atoms, _ = velocities.shape
+    n_atoms = mean_pos64.shape[0]
+    velocities = host_velocities(n_steps, n_atoms)
     # broadcast view: zero extra host memory for positions (the engine only
     # reads their time-mean; velocities drive the SED)
     positions = np.broadcast_to(mean_pos64.astype(np.float32),
@@ -274,7 +392,6 @@ def user_path_benches(velocities, mean_pos64, k_vectors, grid, precision,
     log(f"  k-path calculate: {warm:.2f}s warm ({250 / warm:.1f} k-points/s; "
         f"first {dt:.1f}s; {sed.sed.nbytes/1e6:.0f} MB complex fetched)")
 
-    # -- fused gridded (NUFFT) browse on the same grid ----------------------
     # -- on-device peak extraction: tiny readback, ~device-side rate --------
     if over_budget("peaks bench"):
         return extras

@@ -86,6 +86,7 @@ class PSAMainWindow:
         v.grid_engine_var = tk.StringVar(value='auto')
         v.width_method_var = tk.StringVar(value='lorentzian')
 
+        v.aspect_var = tk.StringVar(value='')
         v.scale_var = tk.StringVar(value='dsqrt')
         v.cmap_var = tk.StringVar(value='inferno')
         v.max_freq_var = tk.StringVar(value='')
@@ -272,6 +273,10 @@ class PSAMainWindow:
         labeled_entry(grid, "Max freq (THz):", self.max_freq_var, row=2,
                       tooltip="Blank = full positive range")
         labeled_combo(grid, "Theme:", self.theme_var, ('light', 'dark'), row=3)
+        labeled_entry(grid, "Save aspect:", self.aspect_var, row=4,
+                      tooltip="Aspect ratio for saved plot images: '16:9', "
+                              "'4:3', a number, or blank to keep the "
+                              "on-screen shape")
         ttk.Checkbutton(lf, text="Show chiral phase (instead of intensity)",
                         variable=self.show_phase_var).pack(anchor='w', padx=4)
         self.plot_btn = ttk.Button(lf, text="Generate Plot", state='disabled',
@@ -798,8 +803,15 @@ class PSAMainWindow:
         if path:
             current = self.plot_nb.index(self.plot_nb.select())
             fig = self.recip_fig if current == 0 else self.real_fig
-            export.export_figure(fig, Path(path))
+            try:
+                export.export_figure(fig, Path(path),
+                                     aspect_ratio=self.aspect_var.get())
+            except ValueError as e:
+                messagebox.showerror("PSA", str(e))
+                return
             self.status_var.set(f"Image saved: {path}")
+            self.recip_canvas.draw_idle()
+            self.real_canvas.draw_idle()
 
     def _save_gif(self):
         from . import export

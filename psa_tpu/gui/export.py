@@ -159,13 +159,58 @@ def export_ised_dump(src_dump: Path, dest: Path,
     return dest
 
 
-def export_figure(fig, path: Path, dpi: int = 300) -> Path:
+def parse_aspect_ratio(spec) -> Optional[float]:
+    """Parse an aspect-ratio spec to width/height, or None for 'keep'.
+
+    Accepts 'W:H' ('16:9'), 'W/H', a bare number, or ''/None/'auto' for the
+    figure's current shape (reference psa_gui.py:2894-2977 parses the same
+    forms in its save dialog)."""
+    if spec is None:
+        return None
+    if isinstance(spec, (int, float)):
+        ratio = float(spec)
+    else:
+        text = str(spec).strip().lower()
+        if text in ('', 'auto', 'keep'):
+            return None
+        for sep in (':', '/'):
+            if sep in text:
+                w_s, h_s = text.split(sep, 1)
+                try:
+                    ratio = float(w_s) / float(h_s)
+                except (ValueError, ZeroDivisionError) as e:
+                    raise ValueError(f"Invalid aspect ratio {spec!r}") from e
+                break
+        else:
+            try:
+                ratio = float(text)
+            except ValueError as e:
+                raise ValueError(f"Invalid aspect ratio {spec!r}") from e
+    if not np.isfinite(ratio) or ratio <= 0:
+        raise ValueError(f"Aspect ratio must be positive, got {spec!r}")
+    return ratio
+
+
+def export_figure(fig, path: Path, dpi: int = 300, aspect_ratio=None) -> Path:
     """Save the current figure as png/jpg/svg/pdf by extension
-    (reference psa_gui.py:2894-2977)."""
+    (reference psa_gui.py:2894-2977).
+
+    ``aspect_ratio``: optional 'W:H' / 'W/H' / number — the figure is
+    resized to that width/height ratio (keeping its width) for the save and
+    restored afterwards."""
     path = Path(path)
     if path.suffix.lower() not in ('.png', '.jpg', '.jpeg', '.svg', '.pdf'):
         raise ValueError(f"Unsupported image format: {path.suffix}")
     path.parent.mkdir(parents=True, exist_ok=True)
-    fig.savefig(path, dpi=dpi, bbox_inches='tight')
+    ratio = parse_aspect_ratio(aspect_ratio)
+    if ratio is not None:
+        orig_w, orig_h = fig.get_size_inches()
+        try:
+            fig.set_size_inches(orig_w, orig_w / ratio)
+            fig.savefig(path, dpi=dpi, bbox_inches='tight')
+        finally:
+            fig.set_size_inches(orig_w, orig_h)
+    else:
+        fig.savefig(path, dpi=dpi, bbox_inches='tight')
     logger.info("Figure exported: %s", path)
     return path

@@ -42,7 +42,11 @@ class TrajectoryLoader:
     """
 
     def __init__(self, filename: str, dt: float = 1.0, file_format: str = 'auto',
-                 backend: str = 'native', unwrap: bool = True, mmap: bool = False):
+                 backend: str = 'native', unwrap: bool = True, mmap: bool = False,
+                 progress=None):
+        """``progress``: optional ``(done, total) -> None`` callback fired
+        during slow per-frame parse loops (OVITO backend); without it a tqdm
+        bar is shown when tqdm is available (reference loader.py:313)."""
         if dt <= 0:
             raise ValueError("dt (timestep size) must be positive.")
         self.filepath = Path(filename)
@@ -57,6 +61,7 @@ class TrajectoryLoader:
         self.backend = backend
         self.unwrap = unwrap
         self.mmap = mmap
+        self.progress = progress
 
     # -- format detection (reference loader.py:41-46) ----------------------
     def _detect_file_format(self) -> str:
@@ -159,7 +164,10 @@ class TrajectoryLoader:
         pos_all = np.zeros((n_frames, n_atoms, 3), dtype=np.float32)
         vel_all = np.zeros((n_frames, n_atoms, 3), dtype=np.float32)
         h_matrix = np.array(frame0.cell.matrix, dtype=np.float32)[:3, :3]
-        for i in range(n_frames):
+        from ..utils.profiling import progress_iter
+        for i in progress_iter(range(n_frames), total=n_frames,
+                               desc=f"OVITO {self.filepath.name}",
+                               callback=self.progress):
             data = pipeline.compute(i)
             pos_all[i] = np.array(data.particles.positions, dtype=np.float32)
             if has_vel:

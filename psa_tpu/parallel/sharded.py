@@ -216,10 +216,21 @@ class DumpBlockSource(BlockSource):
         """(positions, velocities) window passthrough (see MmapDumpFrames)."""
         return self._src.frames(i, j)
 
-    def mean_positions64(self, frame_chunk: int = 256) -> np.ndarray:
-        """Streaming f64 mean of the positions (one pass over the dump)."""
+    def mean_positions64(self, frame_chunk: int = 256,
+                         progress=None) -> np.ndarray:
+        """Streaming f64 mean of the positions (one pass over the dump).
+
+        ``progress``: optional ``(done_frames, total_frames)`` callback; a
+        tqdm bar otherwise — this pass re-reads the whole dump and takes
+        minutes at pod scale."""
+        from ..utils.profiling import progress_iter
         acc = np.zeros((self.n_atoms, 3), dtype=np.float64)
-        for i in range(0, self.n_frames, frame_chunk):
+        starts = list(range(0, self.n_frames, frame_chunk))
+        cb = (lambda done, total: progress(
+            min(done * frame_chunk, self.n_frames), self.n_frames)) \
+            if progress is not None else None
+        for i in progress_iter(starts, total=len(starts),
+                               desc="mean positions", callback=cb):
             j = min(i + frame_chunk, self.n_frames)
             pos, _ = self._src.frames(i, j)
             acc += pos.astype(np.float64).sum(axis=0)

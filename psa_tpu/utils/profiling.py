@@ -23,6 +23,29 @@ from typing import Any, Dict, List, Optional
 logger = logging.getLogger(__name__)
 
 
+def progress_iter(iterable, total: Optional[int] = None, desc: str = "",
+                  callback=None):
+    """Progress-reporting wrapper for slow host-side loops.
+
+    ``callback(done, total)`` when given (GUI/status-bar integration);
+    otherwise a tqdm bar when tqdm is importable (the reference's behavior
+    on OVITO frame loads, reference loader.py:313); otherwise the iterable
+    unchanged.  Multi-minute ingest loops (per-frame OVITO compute,
+    streaming mean-position passes) should always run through this.
+    """
+    if callback is not None:
+        def gen():
+            for i, item in enumerate(iterable):
+                yield item
+                callback(i + 1, total)
+        return gen()
+    try:
+        from tqdm import tqdm
+    except ImportError:
+        return iterable
+    return tqdm(iterable, total=total, desc=desc, leave=False)
+
+
 def sync(tree: Any) -> None:
     """Hard device synchronization on a pytree of arrays.
 

