@@ -186,7 +186,19 @@ class AnalysisController:
                           basis_atom_types: Optional[list] = None,
                           summation_mode: str = 'coherent',
                           chiral: bool = False, chiral_axis: str = 'z',
-                          angle_range_opt: str = 'C') -> SED:
+                          angle_range_opt: str = 'C',
+                          reduced: bool = True) -> SED:
+        """Compute the k-path SED for display.
+
+        ``reduced`` (default): intensity — and the chiral phase when asked —
+        are reduced ON DEVICE and only the ω ≥ 0 float32 planes transfer
+        (~12× less device→host traffic than the full complex spectrum,
+        which the display never reads; measured 46-60 k-points/s full vs
+        3,700+ reduced on a tunneled link, BASELINE.md).  iSED is unaffected:
+        it recomputes its own spectrum at the clicked mode
+        (:meth:`SEDCalculator.ised`).  ``reduced=False`` restores the full
+        complex SED on the state object (library/export workflows).
+        """
         calc = self._require_calc()
         direction = parse_direction_input(direction_text)
         k_mags, k_vecs = calc.get_k_path(direction, bz_coverage=bz_coverage,
@@ -194,12 +206,21 @@ class AnalysisController:
         if chiral and summation_mode != 'coherent':
             logger.info("Chiral analysis requires coherent summation; forcing coherent.")
             summation_mode = 'coherent'
-        sed = calc.calculate(k_mags, k_vecs, basis_atom_types=basis_atom_types,
-                             summation_mode=summation_mode)
-        if chiral and sed.is_complex:
-            c1, c2 = CHIRAL_AXIS_COMPONENTS[chiral_axis]
-            sed.phase = calc.calculate_chiral_phase(
-                sed.sed[:, :, c1], sed.sed[:, :, c2], angle_range_opt)
+        if reduced:
+            freqs, intensity, phase = calc.calculate_kgrid_browse(
+                k_vecs, basis_atom_types=basis_atom_types,
+                summation_mode=summation_mode, chiral=chiral,
+                chiral_axis=chiral_axis, angle_range_opt=angle_range_opt)
+            sed = SED(intensity, freqs, k_mags, k_vecs, is_complex=False,
+                      phase=phase, dt_ps=calc.dt_ps)
+        else:
+            sed = calc.calculate(k_mags, k_vecs,
+                                 basis_atom_types=basis_atom_types,
+                                 summation_mode=summation_mode)
+            if chiral and sed.is_complex:
+                c1, c2 = CHIRAL_AXIS_COMPONENTS[chiral_axis]
+                sed.phase = calc.calculate_chiral_phase(
+                    sed.sed[:, :, c1], sed.sed[:, :, c2], angle_range_opt)
         self.sed_result = sed
         self.kpath_mags = k_mags
         self.selected_point = None
@@ -216,7 +237,10 @@ class AnalysisController:
         if show_phase and sed.phase is not None:
             c = sed.phase[mask]
         else:
-            c = apply_scale(sed.intensity[mask], scale)
+            # non-complex SEDs already hold intensities (reduced k-path /
+            # incoherent); .intensity would mis-reduce them over k
+            inten = sed.intensity if sed.is_complex else sed.sed
+            c = apply_scale(inten[mask], scale)
         if max_freq is not None:
             fm = freqs <= max_freq
             freqs, c = freqs[fm], c[fm]

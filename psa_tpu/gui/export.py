@@ -38,7 +38,9 @@ def export_kpath_csv(sed: SED, path: Path, scale: str = 'linear') -> Path:
     path = Path(path)
     mask = sed.freqs >= 0
     freqs = sed.freqs[mask]
-    inten = apply_scale(sed.intensity[mask], scale)
+    # non-complex SEDs (reduced k-path / incoherent) already hold intensities
+    raw = sed.intensity if sed.is_complex else sed.sed
+    inten = apply_scale(raw[mask], scale)
     cols = {'frequency_THz': freqs}
     for i, k in enumerate(np.atleast_1d(sed.k_points)):
         cols[f"k_{k:.4f}"] = inten[:, i]

@@ -62,7 +62,7 @@ def test_cache_detection(loaded, tmp_path):
 class TestKPathFlow:
     def test_compute_and_click(self, loaded):
         sed = loaded.compute_kpath_sed("x", n_k=16, bz_coverage=0.5)
-        assert sed.is_complex
+        assert not sed.is_complex         # device-reduced intensity planes
         k, f, c = loaded.kpath_plot_arrays(scale='dsqrt', max_freq=8.0)
         assert c.shape == (len(f), len(k))
         assert np.all(f >= 0) and np.all(f <= 8.0)
@@ -74,9 +74,28 @@ class TestKPathFlow:
         sed = loaded.compute_kpath_sed("x", n_k=8, bz_coverage=0.5,
                                        summation_mode='incoherent', chiral=True,
                                        chiral_axis='z')
-        assert sed.is_complex             # forced coherent
-        assert sed.phase is not None
-        assert sed.phase.shape == sed.sed.shape[:2]
+        assert sed.phase is not None      # forced coherent -> phase computed
+        assert sed.phase.shape == sed.sed.shape  # same filtered planes
+        full = loaded.compute_kpath_sed("x", n_k=8, bz_coverage=0.5,
+                                        summation_mode='incoherent',
+                                        chiral=True, chiral_axis='z',
+                                        reduced=False)
+        assert full.is_complex            # full path keeps complex amplitudes
+        assert full.phase.shape == full.sed.shape[:2]
+
+    def test_reduced_kpath_matches_full(self, loaded):
+        """The device-reduced k-path display (VERDICT r2 item 6) must show
+        the same intensity and phase planes as the full complex flow."""
+        loaded.compute_kpath_sed("x", n_k=12, bz_coverage=0.5, chiral=True)
+        k1, f1, c1 = loaded.kpath_plot_arrays(scale='linear')
+        _, fp1, p1 = loaded.kpath_plot_arrays(show_phase=True)
+        loaded.compute_kpath_sed("x", n_k=12, bz_coverage=0.5, chiral=True,
+                                 reduced=False)
+        k2, f2, c2 = loaded.kpath_plot_arrays(scale='linear')
+        _, fp2, p2 = loaded.kpath_plot_arrays(show_phase=True)
+        np.testing.assert_allclose(f1, f2, atol=0)
+        np.testing.assert_allclose(c1, c2, rtol=1e-5, atol=1e-8)
+        np.testing.assert_allclose(p1, p2, atol=1e-5)
 
     def test_phase_plot_arrays(self, loaded):
         loaded.compute_kpath_sed("x", n_k=8, bz_coverage=0.5, chiral=True)
