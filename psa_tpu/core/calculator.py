@@ -1127,11 +1127,20 @@ class SEDCalculator:
                                       angle_range_opt: str = 'C',
                                       width_method: str = 'rms',
                                       t_superchunk: Optional[int] = None,
-                                      data=None):
-        """:meth:`calculate_kgrid_peaks` over a (t, a, k) device mesh —
-        dispersion surfaces with full group semantics, peak-triplet
-        readback.  ``chiral=True`` (coherent) appends the phase-at-peak
-        surface.  See :meth:`calculate_kgrid_browse_sharded` for args."""
+                                      data=None,
+                                      engine: str = 'direct',
+                                      k_grid_shape: Optional[Tuple[int, int]] = None):
+        """:meth:`calculate_kgrid_peaks` over a device mesh — dispersion
+        surfaces with full group semantics, peak-triplet readback.
+        ``chiral=True`` (coherent, direct engine) appends the phase-at-peak
+        surface.  See :meth:`calculate_kgrid_browse_sharded` for args.
+
+        ``engine='gridded'`` (coherent, uniform grids, device-resident
+        group; needs ``k_grid_shape``) runs the NUFFT engine with ky
+        STRIPES data-parallel across the mesh's devices
+        (:func:`psa_tpu.ops.gridded.gridded_kgrid_peaks_sharded`) — the
+        measured-fastest dispersion-surface path at pod grid sizes, now
+        mesh-scalable."""
         from ..parallel.sharded import sharded_sed_spectrum
         if summation_mode not in ('coherent', 'incoherent'):
             raise ValueError(f"summation_mode must be 'coherent' or "
@@ -1149,6 +1158,38 @@ class SEDCalculator:
         freq_idx, freqs_kept = self._sharded_freq_mask(max_freq)
         if freq_idx.size == 0:
             raise ValueError("No frequencies retained; check max_freq.")
+        if engine == 'gridded':
+            from ..ops import gridded
+            if not single:
+                raise ValueError("engine='gridded' supports coherent "
+                                 "(single-spectrum) sweeps only.")
+            if chiral:
+                raise ValueError("chiral peaks run on the direct engine "
+                                 "(the gridded peaks path carries no phase).")
+            if k_grid_shape is None:
+                raise ValueError("engine='gridded' needs k_grid_shape.")
+            if data is not None:
+                raise ValueError("engine='gridded' uses the trajectory's "
+                                 "device-resident group data; custom data "
+                                 "sources run on the direct engine.")
+            union = (np.unique(np.concatenate(atom_groups)).astype(int)
+                     if len(atom_groups) > 1 else atom_groups[0])
+            if union.size and self._group_bytes(union) > self.max_device_bytes:
+                raise ValueError("engine='gridded' needs the group "
+                                 "device-resident; use engine='direct'.")
+            kx_vals, ky_vals, k_fixed, axes = self._detect_grid_axes(
+                np.asarray(k_vectors_3d, dtype=np.float32), k_grid_shape)
+            plan = gridded.plan_kgrid(self.mean_positions64[union], kx_vals,
+                                      ky_vals, k_fixed=k_fixed, axes=axes)
+            data_dev, _, _ = self._group_device_arrays(union)
+            return gridded.gridded_kgrid_peaks_sharded(
+                data_dev, plan, freq_idx, freqs_kept,
+                devices=list(mesh.devices.ravel()), n_peaks=n_peaks,
+                exclusion_bins=exclusion_bins, width_method=width_method,
+                precision=self.precision)
+        if engine != 'direct':
+            raise ValueError(f"engine must be 'direct' or 'gridded', "
+                             f"got {engine!r}")
         src, subtract = self._sharded_data(data)
         return sharded_sed_spectrum(
             mesh, src, self.mean_positions64, k_vectors_3d,

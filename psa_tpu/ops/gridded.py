@@ -374,7 +374,8 @@ def _fft_take(sig_re, sig_im, freq_idx):
             jnp.take(jnp.imag(spec).astype(jnp.float32), freq_idx, axis=0))
 
 
-def _chunk_packed_tables(plan: GridPlan, row_starts, row_chunk: int):
+def _chunk_packed_tables(plan: GridPlan, row_starts, row_chunk: int,
+                         put=None):
     """Upload each row-chunk's packed tables (slot map, mask, base phases,
     window weights, split-y coords, segment ids) — N-sized data crossing the
     host link exactly ONCE for the whole sweep.
@@ -383,9 +384,13 @@ def _chunk_packed_tables(plan: GridPlan, row_starts, row_chunk: int):
     ``seg`` ids; ``n_seg`` is the plan-wide maximum span so every chunk
     shares one compiled spread shape (rows beyond a chunk's actual span
     contribute zero window rows, which fold harmlessly).
+
+    ``put``: placement function for the table arrays (default
+    ``jax.device_put`` to the default device; the sharded path passes a
+    per-device or identity placement).
     """
     n_rows, p = plan.base_re.shape
-    dev = jax.device_put
+    dev = jax.device_put if put is None else put
 
     spans = []
     for r0 in row_starts:
@@ -648,6 +653,134 @@ def gridded_kgrid_browse(data, plan: GridPlan, freq_idx: np.ndarray,
     phase_out = (phase_full.reshape(n_f, gx * gy)
                  if phase_full is not None else None)
     return inten_out, phase_out
+
+
+def _replicate_per_device(value, devs):
+    """Broadcast an array (or pytree of arrays) to every device, returning
+    one committed single-device copy per device.
+
+    Uses a replicated NamedSharding so a device-resident input broadcasts
+    over ICI instead of round-tripping through the host; ``addressable_
+    shards[i].data`` is then a committed array on device i usable as a
+    per-device jit input."""
+    from jax.sharding import Mesh as _Mesh, NamedSharding, PartitionSpec
+
+    mesh1 = _Mesh(np.asarray(devs), ('d',))
+    sharding = NamedSharding(mesh1, PartitionSpec())
+
+    def one(arr):
+        if not isinstance(arr, (np.ndarray, jnp.ndarray)):
+            return [arr] * len(devs)      # static scalars stay python values
+        rep = jax.device_put(arr, sharding)
+        by_dev = {s.device: s.data for s in rep.addressable_shards}
+        return [by_dev[d] for d in devs]
+
+    leaves, treedef = jax.tree_util.tree_flatten(value)
+    per_leaf = [one(leaf) for leaf in leaves]
+    return [jax.tree_util.tree_unflatten(treedef, [pl[i] for pl in per_leaf])
+            for i in range(len(devs))]
+
+
+def gridded_kgrid_peaks_sharded(data, plan: GridPlan, freq_idx: np.ndarray,
+                                freqs_kept: np.ndarray, devices,
+                                n_peaks: int = 1, exclusion_bins: int = 4,
+                                width_method: str = 'rms',
+                                precision: str = 'parity',
+                                t_chunk: Optional[int] = None,
+                                cell_chunk: Optional[int] = None,
+                                gy_chunk: Optional[int] = None):
+    """Multi-device NUFFT dispersion surfaces: ky STRIPES across devices.
+
+    The gridded plan is separable along the fast (ky) axis — the browse
+    path already sweeps independent ky blocks — so the mesh mapping is
+    data parallelism over ky stripes: every device holds the (replicated,
+    ICI-broadcast) trajectory and packed tables and computes the full
+    spread → x-FFT → time-FFT → peak reduction for its own contiguous ky
+    range.  No collectives: stripes are disjoint, and only the
+    (3, n_peaks, Gx·Gy_local) peak triplets return to host.  Dispatch is
+    asynchronous, so the host enqueues every stripe's chain before any
+    completes — devices run concurrently.
+
+    Memory per device is the same as the single-device engine (it already
+    requires the trajectory device-resident); what scales with the mesh is
+    throughput over the ky axis.
+
+    Args:
+        devices: stripe workers (e.g. ``mesh.devices.ravel()``); ky is
+            split in ``min(len(devices), Gy)`` contiguous stripes.
+        (other args as :func:`gridded_kgrid_browse` peaks mode)
+
+    Returns:
+        (peak_freq, peak_height, peak_width) each (n_peaks, Gx·Gy) f32,
+        bin-for-bin identical to the single-device peaks path.
+    """
+    devs = list(devices)
+    gy = plan.gy
+    n_dev = max(1, min(len(devs), gy))
+    devs = devs[:n_dev]
+    n_t = data.shape[0]
+    gx = plan.gx
+    n_rows, p = plan.base_re.shape
+    if n_rows == 0:
+        z = np.zeros((n_peaks, gx * gy), dtype=np.float32)
+        return z, z.copy(), z.copy()
+    if cell_chunk is None:
+        cell_chunk = cells_per_chunk(plan)
+    cell_chunk = min(cell_chunk, n_rows)
+    row_starts = list(range(0, n_rows, cell_chunk))
+
+    stripe_bounds = [round(i * gy / n_dev) for i in range(n_dev + 1)]
+    gyc_max = max(stripe_bounds[i + 1] - stripe_bounds[i]
+                  for i in range(n_dev))
+    if gy_chunk is not None:
+        gyc_max = min(gyc_max, gy_chunk)
+    if t_chunk is None:
+        per_frame = (cell_chunk * p * 4
+                     + cell_chunk * plan.w * gyc_max * 4 * 2)
+        t_chunk = max(64, min(n_t, (1 << 30) // max(per_frame, 1)))
+
+    # one broadcast each: trajectory, packed tables, deconv, freq indices
+    host_tabs = _chunk_packed_tables(plan, row_starts, cell_chunk,
+                                     put=lambda x: x)
+    reps = _replicate_per_device(
+        {'data': data if isinstance(data, jnp.ndarray) else np.asarray(data),
+         'tabs': host_tabs, 'deconv': plan.deconv_re,
+         'freq': np.asarray(freq_idx, dtype=np.int32),
+         'fkept': np.asarray(freqs_kept, dtype=np.float32)}, devs)
+
+    out_parts = []                         # (g0, g1, device triplet) lazily
+    for i, d in enumerate(devs):
+        g0, g1 = stripe_bounds[i], stripe_bounds[i + 1]
+        if g1 <= g0:
+            continue
+        r = reps[i]
+        for b0 in range(g0, g1, gyc_max):
+            b1 = min(b0 + gyc_max, g1)
+            gyc = b1 - b0
+            ky_dev = jax.device_put(plan.ky_vals[b0:b1].astype(np.float32), d)
+            grids = _spread_gy_block(r['data'], plan, r['tabs'], row_starts,
+                                     ky_dev, gyc, n_t, t_chunk, precision)
+            inten_dev = None
+            for pol in range(3):
+                re, im = _finish_grid(grids[pol][0], grids[pol][1],
+                                      r['deconv'], gx=gx)
+                grids[pol] = None
+                re_f, im_f = _fft_take(re.reshape(n_t, -1),
+                                       im.reshape(n_t, -1), r['freq'])
+                part = re_f * re_f + im_f * im_f
+                inten_dev = part if inten_dev is None else inten_dev + part
+            res = spectral.peak_reduce(inten_dev[None], r['fkept'],
+                                       n_peaks=n_peaks,
+                                       exclusion_bins=exclusion_bins,
+                                       width_method=width_method)
+            out_parts.append((b0, b1, res))
+
+    peaks_full = np.empty((3, n_peaks, gx, gy), dtype=np.float32)
+    for b0, b1, res in out_parts:          # fetch AFTER everything enqueued
+        for j, arr in enumerate(res):
+            peaks_full[j, :, :, b0:b1] = np.asarray(arr[0]).reshape(
+                n_peaks, gx, b1 - b0)
+    return tuple(peaks_full[j].reshape(n_peaks, gx * gy) for j in range(3))
 
 
 def gridded_kgrid_spectrum(data: np.ndarray, plan: GridPlan,

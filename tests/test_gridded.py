@@ -323,3 +323,73 @@ class TestPlanEdgeCases:
         calc.calculate_kgrid_peaks(k_rand, engine='auto',
                                    k_grid_shape=(128, 128))
         assert calls['gridded'] == 1
+
+
+class TestShardedGriddedPeaks:
+    """VERDICT r2 item 4: the NUFFT engine sharded over ky stripes across
+    the mesh devices must match the single-device gridded peaks bin for
+    bin."""
+
+    def _setup(self, n=17, m=23):
+        traj = make_random_crystal_trajectory(n_cells_xyz=(3, 2, 2), basis=2,
+                                              n_frames=16, dt_ps=0.02, seed=21)
+        calc = SEDCalculator(traj, nx=3, ny=2, nz=2)
+        _, k_vecs, shape = calc.get_k_grid('xy', (-1.2, 1.2), (-0.9, 0.9),
+                                           n, m)
+        return calc, k_vecs, shape
+
+    def test_matches_single_device_bin_for_bin(self):
+        import jax
+        from psa_tpu.parallel import make_mesh
+        calc, k_vecs, shape = self._setup()
+        single = calc.calculate_kgrid_peaks(k_vecs, n_peaks=2,
+                                            engine='gridded',
+                                            k_grid_shape=shape)
+        mesh = make_mesh(shape=(1, 1, 8))
+        sharded = calc.calculate_kgrid_peaks_sharded(
+            mesh, k_vecs, n_peaks=2, engine='gridded', k_grid_shape=shape)
+        # identical math per stripe -> identical peak BINS; heights to f32
+        np.testing.assert_allclose(sharded[0], single[0], atol=0)
+        np.testing.assert_allclose(sharded[1], single[1], rtol=1e-5)
+        np.testing.assert_allclose(sharded[2], single[2], rtol=1e-4,
+                                   atol=1e-5)
+
+    def test_matches_direct_mesh_engine(self):
+        from psa_tpu.parallel import make_mesh
+        calc, k_vecs, shape = self._setup(n=9, m=11)
+        mesh = make_mesh(shape=(1, 1, 8))
+        g = calc.calculate_kgrid_peaks_sharded(mesh, k_vecs, n_peaks=1,
+                                               engine='gridded',
+                                               k_grid_shape=shape)
+        d = calc.calculate_kgrid_peaks_sharded(mesh, k_vecs, n_peaks=1)
+        # engines agree on the dispersion surface (NUFFT window ~1e-6)
+        assert np.mean(g[0] == d[0]) > 0.97     # same peak bin almost always
+        np.testing.assert_allclose(g[1], d[1], rtol=1e-3)
+
+    def test_gy_smaller_than_mesh(self):
+        """More devices than ky columns: extra devices idle, result exact."""
+        from psa_tpu.parallel import make_mesh
+        calc, k_vecs, shape = self._setup(n=12, m=3)
+        mesh = make_mesh(shape=(1, 1, 8))
+        single = calc.calculate_kgrid_peaks(k_vecs, n_peaks=1,
+                                            engine='gridded',
+                                            k_grid_shape=shape)
+        sharded = calc.calculate_kgrid_peaks_sharded(
+            mesh, k_vecs, n_peaks=1, engine='gridded', k_grid_shape=shape)
+        np.testing.assert_allclose(sharded[0], single[0], atol=0)
+
+    def test_validation(self):
+        from psa_tpu.parallel import make_mesh
+        calc, k_vecs, shape = self._setup(n=5, m=5)
+        mesh = make_mesh(shape=(1, 1, 8))
+        with pytest.raises(ValueError, match="k_grid_shape"):
+            calc.calculate_kgrid_peaks_sharded(mesh, k_vecs,
+                                               engine='gridded')
+        with pytest.raises(ValueError, match="coherent"):
+            calc.calculate_kgrid_peaks_sharded(
+                mesh, k_vecs, engine='gridded', k_grid_shape=shape,
+                basis_atom_types=[1, 2], summation_mode='incoherent')
+        with pytest.raises(ValueError, match="direct engine"):
+            calc.calculate_kgrid_peaks_sharded(
+                mesh, k_vecs, engine='gridded', k_grid_shape=shape,
+                chiral=True)
