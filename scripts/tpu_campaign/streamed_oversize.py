@@ -1,0 +1,138 @@
+#!/usr/bin/env python
+"""Out-of-core regime measurement: a trajectory EXCEEDING HBM streamed
+through the mesh in time-superchunks (VERDICT r2 item 5).
+
+Creates (once) a memmap .npy velocities file larger than a v5e's 16 GB HBM,
+then runs the streamed sharded peaks sweep on the available device(s) with
+prefetch on and off, recording k-points/s and the overlap efficiency.  The
+trajectory never exists in host RAM as a whole: ArrayBlockSource slices the
+memmap per (superchunk, shard) window.
+
+Defaults: 200,000 atoms x 20,000 steps x f32 x 3 = 48 GB (3x HBM),
+50x50 k-grid, 2,000-frame superchunks (4.8 GB device-resident per buffer).
+
+Env knobs: PSA_OC_ATOMS, PSA_OC_STEPS, PSA_OC_GRID, PSA_OC_TSC,
+PSA_OC_KCHUNK, PSA_OC_FILE (default /tmp/psa_oversize_vel.npy),
+PSA_OC_PREFETCH_ONLY=1 (skip the prefetch-off pass).
+"""
+import json
+import os
+import sys
+import time
+from pathlib import Path
+
+import numpy as np
+
+sys.path.insert(0, str(Path(__file__).resolve().parents[2]))
+
+ATOMS = int(os.environ.get('PSA_OC_ATOMS', 200_000))
+STEPS = int(os.environ.get('PSA_OC_STEPS', 20_000))
+GRID = int(os.environ.get('PSA_OC_GRID', 50))
+TSC = int(os.environ.get('PSA_OC_TSC', 2_000))
+KCHUNK = int(os.environ.get('PSA_OC_KCHUNK', 1_280))
+FILE = Path(os.environ.get('PSA_OC_FILE', '/tmp/psa_oversize_vel.npy'))
+OUT = Path(__file__).parent / (
+    f"streamed_oversize_{ATOMS}x{STEPS}_g{GRID}.json")
+
+
+def log(msg):
+    print(msg, file=sys.stderr, flush=True)
+
+
+def ensure_file():
+    """Fill the memmap velocities file from a tiled normal pool (disk-speed,
+    not RNG-speed; the SED rate is data-independent)."""
+    total_bytes = STEPS * ATOMS * 3 * 4
+    if FILE.exists() and FILE.stat().st_size >= total_bytes:
+        log(f"reusing {FILE} ({FILE.stat().st_size / 1e9:.1f} GB)")
+        return
+    log(f"writing {total_bytes / 1e9:.1f} GB memmap velocities to {FILE}...")
+    t0 = time.time()
+    from numpy.lib.format import open_memmap
+    mm = open_memmap(FILE, mode='w+', dtype=np.float32,
+                     shape=(STEPS, ATOMS, 3))
+    rng = np.random.default_rng(3)
+    pool = rng.standard_normal((1024, ATOMS, 3)).astype(np.float32)
+    for t0_i in range(0, STEPS, 1024):
+        t1_i = min(t0_i + 1024, STEPS)
+        mm[t0_i:t1_i] = pool[:t1_i - t0_i]
+    mm.flush()
+    del mm
+    log(f"  written in {time.time() - t0:.0f}s")
+
+
+def main():
+    ensure_file()
+    a0 = 5.43
+    side = int(np.ceil((ATOMS / 8) ** (1 / 3)))
+    cells = np.stack(np.meshgrid(*[np.arange(side)] * 3, indexing='ij'),
+                     axis=-1).reshape(-1, 3)
+    basis = np.array([[0, 0, 0], [.25, .25, .25], [.5, .5, 0], [.75, .75, .25],
+                      [.5, 0, .5], [.75, .25, .75], [0, .5, .5], [.25, .75, .75]])
+    mean64 = ((cells[:, None, :] + basis[None, :, :]).reshape(-1, 3)
+              * a0)[:ATOMS].astype(np.float64)
+    kx = np.linspace(-2 * np.pi / a0, 2 * np.pi / a0, GRID, dtype=np.float32)
+    k_vecs = np.stack([np.repeat(kx, GRID), np.tile(kx, GRID),
+                       np.zeros(GRID * GRID, np.float32)], axis=1)
+    n_k = k_vecs.shape[0]
+
+    import jax
+    from psa_tpu.ops import spectral
+    from psa_tpu.parallel import (ArrayBlockSource, make_mesh,
+                                  sharded_sed_spectrum)
+
+    log(f"devices: {jax.devices()}")
+    n_dev = len(jax.devices())
+    mesh = make_mesh(shape=(1, 1, n_dev))
+    freqs = spectral.fftfreq_thz(STEPS, 0.01)
+    mask = freqs >= 0
+    freq_idx = np.flatnonzero(mask).astype(np.int32)
+    fkept = freqs[mask].astype(np.float32)
+
+    mm = np.load(FILE, mmap_mode='r')
+    src = ArrayBlockSource(mm)
+    results = {'shape': f"{ATOMS}x{STEPS}", 'grid': GRID,
+               't_superchunk': TSC, 'k_chunk': KCHUNK,
+               'traj_gb': round(STEPS * ATOMS * 12 / 1e9, 1),
+               'n_devices': n_dev}
+
+    # Warmup: compile every program (prefetch on/off share the same
+    # compiled set — prefetch is host-side) on the first k-chunk so the
+    # timed passes measure streaming, not the remote compile service.
+    t0 = time.time()
+    sharded_sed_spectrum(mesh, src, mean64, k_vecs[:KCHUNK],
+                         t_superchunk=TSC, freq_indices=freq_idx,
+                         n_peaks=2, peak_freqs_thz=fkept)
+    results['warmup_incl_compile_s'] = round(time.time() - t0, 1)
+    log(f"warmup (compile + one chunk): {results['warmup_incl_compile_s']}s")
+
+    modes = [('prefetch_on', True)]
+    if os.environ.get('PSA_OC_PREFETCH_ONLY') != '1':
+        modes.append(('prefetch_off', False))
+    for name, pf in modes:
+        t0 = time.time()
+        done = 0
+        for s in range(0, n_k, KCHUNK):
+            e = min(s + KCHUNK, n_k)
+            pfreq, ph, pw = sharded_sed_spectrum(
+                mesh, src, mean64, k_vecs[s:e], t_superchunk=TSC,
+                prefetch=pf, freq_indices=freq_idx, n_peaks=2,
+                peak_freqs_thz=fkept)
+            done += e - s
+            log(f"  [{name}] chunk {s // KCHUNK + 1}: {done}/{n_k} "
+                f"({time.time() - t0:.0f}s elapsed)")
+        dt = time.time() - t0
+        results[name] = {'seconds': round(dt, 1),
+                         'k_points_per_sec': round(n_k / dt, 1)}
+        log(f"{name}: {n_k} k-points in {dt:.1f}s "
+            f"-> {n_k / dt:.1f} k-points/s")
+    if 'prefetch_off' in results:
+        results['overlap_speedup'] = round(
+            results['prefetch_off']['seconds']
+            / results['prefetch_on']['seconds'], 3)
+    OUT.write_text(json.dumps(results, indent=1))
+    print(json.dumps(results))
+
+
+if __name__ == '__main__':
+    main()
