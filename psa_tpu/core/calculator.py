@@ -1068,7 +1068,9 @@ class SEDCalculator:
                                        chiral_axis: str = 'z',
                                        angle_range_opt: str = 'C',
                                        t_superchunk: Optional[int] = None,
-                                       data=None):
+                                       data=None,
+                                       engine: str = 'direct',
+                                       k_grid_shape: Optional[Tuple[int, int]] = None):
         """:meth:`calculate_kgrid_browse` over a (t, a, k) device mesh.
 
         Full single-chip group semantics on the pod path (reference
@@ -1083,6 +1085,10 @@ class SEDCalculator:
                 overriding the trajectory data (pod ingest paths); defaults
                 to the trajectory's velocities (positions in displacement
                 mode, with the mean subtracted on device).
+            engine: 'direct' (default) or 'gridded' — the NUFFT engine with
+                ky stripes data-parallel across the mesh devices (coherent,
+                uniform grids, device-resident group; needs
+                ``k_grid_shape``).
 
         Returns:
             (freqs_kept, intensity (n_keep, n_k) f32, phase or None) — same
@@ -1102,6 +1108,35 @@ class SEDCalculator:
         comp_pair = (spectral.CHIRAL_AXIS_COMPONENTS[chiral_axis]
                      if chiral else None)
         freq_idx, freqs_kept = self._sharded_freq_mask(max_freq)
+        if engine == 'gridded':
+            from ..ops import gridded
+            if not single:
+                raise ValueError("engine='gridded' supports coherent "
+                                 "(single-spectrum) sweeps only.")
+            if k_grid_shape is None:
+                raise ValueError("engine='gridded' needs k_grid_shape.")
+            if data is not None:
+                raise ValueError("engine='gridded' uses the trajectory's "
+                                 "device-resident group data; custom data "
+                                 "sources run on the direct engine.")
+            union = (np.unique(np.concatenate(atom_groups)).astype(int)
+                     if len(atom_groups) > 1 else atom_groups[0])
+            if union.size and self._group_bytes(union) > self.max_device_bytes:
+                raise ValueError("engine='gridded' needs the group "
+                                 "device-resident; use engine='direct'.")
+            kx_vals, ky_vals, k_fixed, axes = self._detect_grid_axes(
+                np.asarray(k_vectors_3d, dtype=np.float32), k_grid_shape)
+            plan = gridded.plan_kgrid(self.mean_positions64[union], kx_vals,
+                                      ky_vals, k_fixed=k_fixed, axes=axes)
+            data_dev, _, _ = self._group_device_arrays(union)
+            intensity, phase = gridded.gridded_kgrid_sharded(
+                data_dev, plan, freq_idx,
+                devices=list(mesh.devices.ravel()), comp_pair=comp_pair,
+                angle_range_opt=angle_range_opt, precision=self.precision)
+            return freqs_kept, intensity, phase
+        if engine != 'direct':
+            raise ValueError(f"engine must be 'direct' or 'gridded', "
+                             f"got {engine!r}")
         src, subtract = self._sharded_data(data)
         out = sharded_sed_spectrum(
             mesh, src, self.mean_positions64, k_vectors_3d,

@@ -681,23 +681,26 @@ def _replicate_per_device(value, devs):
             for i in range(len(devs))]
 
 
-def gridded_kgrid_peaks_sharded(data, plan: GridPlan, freq_idx: np.ndarray,
-                                freqs_kept: np.ndarray, devices,
-                                n_peaks: int = 1, exclusion_bins: int = 4,
-                                width_method: str = 'rms',
-                                precision: str = 'parity',
-                                t_chunk: Optional[int] = None,
-                                cell_chunk: Optional[int] = None,
-                                gy_chunk: Optional[int] = None):
-    """Multi-device NUFFT dispersion surfaces: ky STRIPES across devices.
+def gridded_kgrid_sharded(data, plan: GridPlan, freq_idx: np.ndarray,
+                          devices, freqs_kept: Optional[np.ndarray] = None,
+                          n_peaks: Optional[int] = None,
+                          exclusion_bins: int = 4,
+                          width_method: str = 'rms',
+                          comp_pair: Optional[Tuple[int, int]] = None,
+                          angle_range_opt: str = 'C',
+                          precision: str = 'parity',
+                          t_chunk: Optional[int] = None,
+                          cell_chunk: Optional[int] = None,
+                          gy_chunk: Optional[int] = None):
+    """Multi-device NUFFT k-grid sweep: ky STRIPES across devices.
 
     The gridded plan is separable along the fast (ky) axis — the browse
     path already sweeps independent ky blocks — so the mesh mapping is
     data parallelism over ky stripes: every device holds the (replicated,
     ICI-broadcast) trajectory and packed tables and computes the full
-    spread → x-FFT → time-FFT → peak reduction for its own contiguous ky
-    range.  No collectives: stripes are disjoint, and only the
-    (3, n_peaks, Gx·Gy_local) peak triplets return to host.  Dispatch is
+    spread → x-FFT → time-FFT → reduction for its own contiguous ky range.
+    No collectives: stripes are disjoint, and only the reduced outputs
+    (filtered planes, or peak triplets) return to host.  Dispatch is
     asynchronous, so the host enqueues every stripe's chain before any
     completes — devices run concurrently.
 
@@ -708,22 +711,36 @@ def gridded_kgrid_peaks_sharded(data, plan: GridPlan, freq_idx: np.ndarray,
     Args:
         devices: stripe workers (e.g. ``mesh.devices.ravel()``); ky is
             split in ``min(len(devices), Gy)`` contiguous stripes.
-        (other args as :func:`gridded_kgrid_browse` peaks mode)
+        n_peaks: peaks mode (requires ``freqs_kept``; exclusive with
+            ``comp_pair``) — only the (3, n_peaks, Gx·Gy) triplet returns.
+        comp_pair: browse mode chiral phase pair, as
+            :func:`gridded_kgrid_browse`.
 
     Returns:
-        (peak_freq, peak_height, peak_width) each (n_peaks, Gx·Gy) f32,
-        bin-for-bin identical to the single-device peaks path.
+        Browse mode: (intensity (n_keep, Gx·Gy) f32, phase or None);
+        peaks mode: (peak_freq, peak_height, peak_width) each
+        (n_peaks, Gx·Gy) f32 — bin-for-bin identical to the single-device
+        paths.
     """
+    if n_peaks is not None:
+        if comp_pair is not None:
+            raise ValueError("peaks mode is exclusive with comp_pair")
+        if freqs_kept is None:
+            raise ValueError("peaks mode needs freqs_kept")
     devs = list(devices)
     gy = plan.gy
     n_dev = max(1, min(len(devs), gy))
     devs = devs[:n_dev]
     n_t = data.shape[0]
     gx = plan.gx
+    n_f = int(len(freq_idx))
     n_rows, p = plan.base_re.shape
     if n_rows == 0:
-        z = np.zeros((n_peaks, gx * gy), dtype=np.float32)
-        return z, z.copy(), z.copy()
+        if n_peaks is not None:
+            z = np.zeros((n_peaks, gx * gy), dtype=np.float32)
+            return z, z.copy(), z.copy()
+        zeros = np.zeros((n_f, gx * gy), dtype=np.float32)
+        return zeros, (np.zeros_like(zeros) if comp_pair is not None else None)
     if cell_chunk is None:
         cell_chunk = cells_per_chunk(plan)
     cell_chunk = min(cell_chunk, n_rows)
@@ -742,13 +759,15 @@ def gridded_kgrid_peaks_sharded(data, plan: GridPlan, freq_idx: np.ndarray,
     # one broadcast each: trajectory, packed tables, deconv, freq indices
     host_tabs = _chunk_packed_tables(plan, row_starts, cell_chunk,
                                      put=lambda x: x)
-    reps = _replicate_per_device(
-        {'data': data if isinstance(data, jnp.ndarray) else np.asarray(data),
-         'tabs': host_tabs, 'deconv': plan.deconv_re,
-         'freq': np.asarray(freq_idx, dtype=np.int32),
-         'fkept': np.asarray(freqs_kept, dtype=np.float32)}, devs)
+    rep_tree = {'data': (data if isinstance(data, jnp.ndarray)
+                         else np.asarray(data)),
+                'tabs': host_tabs, 'deconv': plan.deconv_re,
+                'freq': np.asarray(freq_idx, dtype=np.int32)}
+    if freqs_kept is not None:
+        rep_tree['fkept'] = np.asarray(freqs_kept, dtype=np.float32)
+    reps = _replicate_per_device(rep_tree, devs)
 
-    out_parts = []                         # (g0, g1, device triplet) lazily
+    out_parts = []                         # (b0, b1, device arrays) lazily
     for i, d in enumerate(devs):
         g0, g1 = stripe_bounds[i], stripe_bounds[i + 1]
         if g1 <= g0:
@@ -761,6 +780,7 @@ def gridded_kgrid_peaks_sharded(data, plan: GridPlan, freq_idx: np.ndarray,
             grids = _spread_gy_block(r['data'], plan, r['tabs'], row_starts,
                                      ky_dev, gyc, n_t, t_chunk, precision)
             inten_dev = None
+            kept = {}
             for pol in range(3):
                 re, im = _finish_grid(grids[pol][0], grids[pol][1],
                                       r['deconv'], gx=gx)
@@ -769,18 +789,55 @@ def gridded_kgrid_peaks_sharded(data, plan: GridPlan, freq_idx: np.ndarray,
                                        im.reshape(n_t, -1), r['freq'])
                 part = re_f * re_f + im_f * im_f
                 inten_dev = part if inten_dev is None else inten_dev + part
-            res = spectral.peak_reduce(inten_dev[None], r['fkept'],
-                                       n_peaks=n_peaks,
-                                       exclusion_bins=exclusion_bins,
-                                       width_method=width_method)
-            out_parts.append((b0, b1, res))
+                if comp_pair is not None and pol in comp_pair:
+                    kept[pol] = (re_f, im_f)
+            if n_peaks is not None:
+                res = spectral.peak_reduce(inten_dev[None], r['fkept'],
+                                           n_peaks=n_peaks,
+                                           exclusion_bins=exclusion_bins,
+                                           width_method=width_method)
+                out_parts.append((b0, b1, [a[0] for a in res]))
+            elif comp_pair is not None:
+                c1p, c2p = comp_pair
+                ph = spectral.chiral_phase(kept[c1p][0], kept[c1p][1],
+                                           kept[c2p][0], kept[c2p][1],
+                                           angle_range_opt=angle_range_opt)
+                out_parts.append((b0, b1, [inten_dev, ph]))
+            else:
+                out_parts.append((b0, b1, [inten_dev]))
 
-    peaks_full = np.empty((3, n_peaks, gx, gy), dtype=np.float32)
+    if n_peaks is not None:
+        full = np.empty((3, n_peaks, gx, gy), dtype=np.float32)
+        lead = n_peaks
+    else:
+        full = np.empty((2 if comp_pair is not None else 1, n_f, gx, gy),
+                        dtype=np.float32)
+        lead = n_f
     for b0, b1, res in out_parts:          # fetch AFTER everything enqueued
         for j, arr in enumerate(res):
-            peaks_full[j, :, :, b0:b1] = np.asarray(arr[0]).reshape(
-                n_peaks, gx, b1 - b0)
-    return tuple(peaks_full[j].reshape(n_peaks, gx * gy) for j in range(3))
+            full[j, :, :, b0:b1] = np.asarray(arr).reshape(lead, gx, b1 - b0)
+    if n_peaks is not None:
+        return tuple(full[j].reshape(n_peaks, gx * gy) for j in range(3))
+    inten_out = full[0].reshape(n_f, gx * gy)
+    phase_out = (full[1].reshape(n_f, gx * gy) if comp_pair is not None
+                 else None)
+    return inten_out, phase_out
+
+
+def gridded_kgrid_peaks_sharded(data, plan: GridPlan, freq_idx: np.ndarray,
+                                freqs_kept: np.ndarray, devices,
+                                n_peaks: int = 1, exclusion_bins: int = 4,
+                                width_method: str = 'rms',
+                                precision: str = 'parity',
+                                t_chunk: Optional[int] = None,
+                                cell_chunk: Optional[int] = None,
+                                gy_chunk: Optional[int] = None):
+    """Peaks-mode alias of :func:`gridded_kgrid_sharded`."""
+    return gridded_kgrid_sharded(
+        data, plan, freq_idx, devices, freqs_kept=freqs_kept,
+        n_peaks=n_peaks, exclusion_bins=exclusion_bins,
+        width_method=width_method, precision=precision, t_chunk=t_chunk,
+        cell_chunk=cell_chunk, gy_chunk=gy_chunk)
 
 
 def gridded_kgrid_spectrum(data: np.ndarray, plan: GridPlan,

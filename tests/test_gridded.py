@@ -393,3 +393,24 @@ class TestShardedGriddedPeaks:
             calc.calculate_kgrid_peaks_sharded(
                 mesh, k_vecs, engine='gridded', k_grid_shape=shape,
                 chiral=True)
+
+
+class TestShardedGriddedBrowse:
+    """Sharded NUFFT browse planes (and chiral phase) vs single-device."""
+
+    def test_browse_matches_single_device(self):
+        from psa_tpu.parallel import make_mesh
+        traj = make_random_crystal_trajectory(n_cells_xyz=(3, 2, 2), basis=2,
+                                              n_frames=16, dt_ps=0.02, seed=23)
+        calc = SEDCalculator(traj, nx=3, ny=2, nz=2)
+        _, k_vecs, shape = calc.get_k_grid('xy', (-1, 1), (-1, 1), 10, 14)
+        mesh = make_mesh(shape=(1, 1, 8))
+        f_s, i_s, p_s = calc.calculate_kgrid_browse_sharded(
+            mesh, k_vecs, engine='gridded', k_grid_shape=shape,
+            chiral=True, chiral_axis='z')
+        f_1, i_1, p_1 = calc.calculate_kgrid_browse(
+            k_vecs, engine='gridded', k_grid_shape=shape,
+            chiral=True, chiral_axis='z')
+        np.testing.assert_allclose(f_s, f_1, atol=0)
+        np.testing.assert_allclose(i_s, i_1, rtol=1e-5, atol=1e-9)
+        np.testing.assert_allclose(p_s, p_1, atol=1e-4)
