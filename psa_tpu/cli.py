@@ -72,6 +72,100 @@ def _resolve_basis_indices(basis_cfg: dict, traj) -> tuple:
     return basis_idx, idx_spec, types_spec
 
 
+def _run_kgrid_section(calc, kg, out_dir: Path, basis_idx, summation_mode):
+    """Optional k-grid section (beyond the reference CLI): dispersion
+    surfaces via on-device peak extraction, or device-reduced browse
+    planes, over an axis-aligned k-plane."""
+    import matplotlib
+    matplotlib.use('Agg')
+    import matplotlib.pyplot as plt
+
+    plane = str(kg.get('plane', 'xy')).lower()
+    lo, hi = (float(kg['k_range'][0]), float(kg['k_range'][1])) \
+        if kg.get('k_range') else (-2.0, 2.0)
+    n = int(kg.get('n_k', 50))
+    _, k_vecs, shape = calc.get_k_grid(plane, (lo, hi), (lo, hi), n, n,
+                                       k_fixed_val=float(kg.get('k_fixed', 0.0)))
+    mode = kg.get('mode', 'peaks')
+    labels = {'xy': ('k_x', 'k_y'), 'yz': ('k_y', 'k_z'),
+              'zx': ('k_z', 'k_x')}[plane]
+    axis = np.linspace(lo, hi, n)
+    if mode == 'peaks':
+        res = calc.calculate_kgrid_peaks(
+            k_vecs, basis_atom_indices=basis_idx,
+            summation_mode=summation_mode,
+            max_freq=kg.get('max_freq'), n_peaks=int(kg.get('n_peaks', 1)),
+            engine=kg.get('engine', 'auto'), k_grid_shape=shape,
+            chiral=bool(kg.get('chiral', False)),
+            chiral_axis=kg.get('chiral_axis', 'z'),
+            width_method=kg.get('width_method', 'lorentzian'))
+        arrays = {'peak_freqs': res[0], 'peak_heights': res[1],
+                  'peak_widths': res[2], 'k_vectors': k_vecs,
+                  'k_grid_shape': np.asarray(shape)}
+        if len(res) == 4:
+            arrays['peak_phase'] = res[3]
+        np.savez(out_dir / f"kgrid_peaks_{plane}.npz", **arrays)
+        fig, ax = plt.subplots(figsize=(6, 5))
+        pcm = ax.pcolormesh(axis, axis, res[0][0].reshape(shape).T,
+                            shading='gouraud', cmap='inferno')
+        fig.colorbar(pcm, ax=ax, label='peak frequency (THz)')
+        ax.set_xlabel(f"{labels[0]} (2π/Å)")
+        ax.set_ylabel(f"{labels[1]} (2π/Å)")
+        ax.set_title(f"Dispersion surface ({plane})")
+        ax.set_aspect('equal', adjustable='box')
+        fig.savefig(out_dir / f"kgrid_peaks_{plane}.png", dpi=200,
+                    bbox_inches='tight')
+        plt.close(fig)
+        logger.info("k-grid dispersion surface written: kgrid_peaks_%s.{npz,png}",
+                    plane)
+    else:
+        freqs, inten, phase = calc.calculate_kgrid_browse(
+            k_vecs, basis_atom_indices=basis_idx,
+            summation_mode=summation_mode, max_freq=kg.get('max_freq'),
+            chiral=bool(kg.get('chiral', False)),
+            chiral_axis=kg.get('chiral_axis', 'z'),
+            engine='gridded' if kg.get('engine') == 'gridded' else 'direct',
+            k_grid_shape=shape)
+        arrays = {'freqs': freqs, 'intensity': inten, 'k_vectors': k_vecs,
+                  'k_grid_shape': np.asarray(shape)}
+        if phase is not None:
+            arrays['phase'] = phase
+        np.savez(out_dir / f"kgrid_browse_{plane}.npz", **arrays)
+        logger.info("k-grid browse planes written: kgrid_browse_%s.npz "
+                    "(%d frequencies x %d k-points)", plane, len(freqs),
+                    inten.shape[1])
+
+
+def _run_dos_section(calc, dos_cfg, out_dir: Path, traj):
+    """Optional vibrational-DOS section (on-device; beyond the reference)."""
+    import matplotlib
+    matplotlib.use('Agg')
+    import matplotlib.pyplot as plt
+
+    types = (sorted(np.unique(traj.types).tolist())
+             if dos_cfg.get('per_type') else None)
+    freqs, dos = calc.calculate_dos(basis_atom_types=types,
+                                    max_freq=dos_cfg.get('max_freq'))
+    header = 'freq_THz,' + ','.join(
+        [f"type_{t}" for t in types] if types and dos.shape[0] == len(types)
+        else [f"group_{i+1}" for i in range(dos.shape[0])])
+    np.savetxt(out_dir / "dos.csv",
+               np.column_stack([freqs, dos.T]), delimiter=',',
+               header=header, comments='')
+    fig, ax = plt.subplots(figsize=(6, 4))
+    for i, row in enumerate(dos):
+        lab = (f"type {types[i]}" if types and dos.shape[0] == len(types)
+               else (f"group {i+1}" if dos.shape[0] > 1 else "total"))
+        ax.plot(freqs, row, label=lab)
+    ax.set_xlabel("frequency (THz)")
+    ax.set_ylabel("DOS (arb.)")
+    if dos.shape[0] > 1:
+        ax.legend()
+    fig.savefig(out_dir / "dos.png", dpi=200, bbox_inches='tight')
+    plt.close(fig)
+    logger.info("DOS written: dos.{csv,png} (%d curve(s))", dos.shape[0])
+
+
 def main(argv=None) -> None:
     logging.basicConfig(level=logging.INFO,
                         format='%(asctime)s - %(levelname)s - %(message)s',
@@ -239,6 +333,15 @@ def main(argv=None) -> None:
                            str(out_dir / f"disp_summary_{d_lbl}{basis_sfx}.png"),
                            target_frequency=float(target) / 2,
                            direction_label=d_lbl).generate_plot()
+
+        kgrid_cfg = config.get('kgrid', {})
+        if kgrid_cfg.get('apply'):
+            _run_kgrid_section(calc, kgrid_cfg, out_dir, basis_idx,
+                               summation_mode)
+
+        dos_cfg = config.get('dos', {})
+        if dos_cfg.get('apply'):
+            _run_dos_section(calc, dos_cfg, out_dir, traj)
 
         if ised_cfg['apply']:
             logger.info("Performing iSED reconstruction...")

@@ -67,6 +67,28 @@ def default_config() -> Dict[str, Any]:
                                'num_animation_timesteps': 100,
                                'output_dump_filename': 'ised_motion.dump'},
         },
+        # Optional sections beyond the reference CLI (absent from the
+        # reference schema; apply=False keeps Si_config.yaml behavior
+        # unchanged).
+        'kgrid': {
+            'apply': False,
+            'plane': 'xy',
+            'k_range': [-2.0, 2.0],           # both in-plane axes
+            'n_k': 50,                         # points per axis
+            'k_fixed': 0.0,
+            'max_freq': None,
+            'engine': 'auto',
+            'mode': 'peaks',                   # 'peaks' | 'browse'
+            'n_peaks': 1,
+            'width_method': 'lorentzian',
+            'chiral': False,
+            'chiral_axis': 'z',
+        },
+        'dos': {
+            'apply': False,
+            'max_freq': None,
+            'per_type': False,                 # one curve per atom type
+        },
     }
 
 
@@ -80,7 +102,8 @@ class ConfigManager:
         cfg.save('out.yaml')
     """
 
-    SECTIONS = ('general', 'md_system', 'sed_calculation', 'plotting', 'ised')
+    SECTIONS = ('general', 'md_system', 'sed_calculation', 'plotting', 'ised',
+                'kgrid', 'dos')
 
     def __init__(self, config_path: Optional[Union[str, Path]] = None):
         self.config: Dict[str, Any] = default_config()
@@ -125,8 +148,16 @@ class ConfigManager:
         if not isinstance(sed['directions'], list) or len(sed['directions']) == 0:
             raise ValueError("sed_calculation.directions must be a non-empty list.")
         fmt = cfg['general']['trajectory_file_format']
-        if fmt not in ('auto', 'lammps', 'vasp_outcar'):
+        if fmt not in ('auto', 'lammps', 'vasp_outcar', 'extxyz', 'h5md'):
             raise ValueError(f"general.trajectory_file_format invalid: {fmt}")
+        kg = cfg.get('kgrid', {})
+        if kg.get('apply'):
+            if kg.get('mode', 'peaks') not in ('peaks', 'browse'):
+                raise ValueError("kgrid.mode must be 'peaks' or 'browse'.")
+            if str(kg.get('plane', 'xy')).lower() not in ('xy', 'yz', 'zx'):
+                raise ValueError("kgrid.plane must be 'xy', 'yz' or 'zx'.")
+            if int(kg.get('n_k', 50)) < 1:
+                raise ValueError("kgrid.n_k must be >= 1.")
 
     def get(self, *keys: str, default: Any = None) -> Any:
         """Nested lookup: cfg.get('md_system', 'dt')."""

@@ -117,3 +117,40 @@ def test_cli_dispersion_summary_switch(workdir, tmp_path):
     out = tmp_path / "out_disp"
     main(['--trajectory', str(dump), '--config', str(cfg), '--output-dir', str(out)])
     assert list(out.glob("disp_summary_*.png"))
+
+
+def test_cli_kgrid_and_dos_sections(workdir):
+    """The optional kgrid/dos config sections (beyond the reference CLI)
+    produce dispersion-surface and DOS artifacts."""
+    tmp_path, dump, _ = workdir
+    config = {
+        'md_system': {'dt': 0.02, 'nx': 12, 'ny': 1, 'nz': 1},
+        'sed_calculation': {'directions': ['x'], 'n_kpoints': 6,
+                            'bz_coverage': 0.5},
+        'kgrid': {'apply': True, 'plane': 'xy', 'k_range': [-1.0, 1.0],
+                  'n_k': 8, 'n_peaks': 2, 'max_freq': 8.0,
+                  'width_method': 'lorentzian'},
+        'dos': {'apply': True, 'max_freq': 8.0, 'per_type': True},
+    }
+    cfg = tmp_path / "kgdos.yaml"
+    cfg.write_text(yaml.dump(config))
+    out = tmp_path / "out_kgdos"
+    main(['--trajectory', str(dump), '--config', str(cfg),
+          '--output-dir', str(out)])
+    z = np.load(out / "kgrid_peaks_xy.npz")
+    assert z['peak_freqs'].shape == (2, 64)
+    assert np.all(z['peak_freqs'] <= 8.0 + 1e-6)
+    assert (out / "kgrid_peaks_xy.png").exists()
+    dos = np.loadtxt(out / "dos.csv", delimiter=',', skiprows=1)
+    assert dos.shape[1] == 2           # freq + one curve (single type)
+    assert (out / "dos.png").exists()
+
+    # browse mode + chiral
+    config['kgrid'].update({'mode': 'browse', 'chiral': True})
+    cfg.write_text(yaml.dump(config))
+    out2 = tmp_path / "out_browse"
+    main(['--trajectory', str(dump), '--config', str(cfg),
+          '--output-dir', str(out2)])
+    z2 = np.load(out2 / "kgrid_browse_xy.npz")
+    assert z2['intensity'].shape[1] == 64
+    assert 'phase' in z2
