@@ -149,8 +149,8 @@ def main():
                                 else 'auto'))
     logger.info("mesh: %s over %d devices", dict(mesh.shape), len(jax.devices()))
 
-    if args.peaks is not None and (args.browse or args.engine == 'gridded'):
-        p.error("--peaks is a sharded-engine mode, exclusive with --browse")
+    if args.peaks is not None and args.browse:
+        p.error("--peaks is exclusive with --browse")
 
     # Group / chiral semantics (reference sed_calculator.py:209-327 on the
     # pod path): resolve basis types to per-atom weight vectors.
@@ -211,7 +211,26 @@ def main():
 
     t0 = time.time()
     computed = 0
-    if args.engine == 'gridded':
+    if args.engine == 'gridded' and args.peaks is not None:
+        # One-shot sharded NUFFT dispersion surfaces: ky stripes across the
+        # mesh devices (requires the trajectory device-resident per chip).
+        missing = [ci for ci in range(n_chunks)
+                   if (c := cache.load(ci)) is None
+                   or c.shape[-1] != bounds(ci)[1] - bounds(ci)[0]]
+        if not missing:
+            for ci in range(n_chunks):
+                s, e = bounds(ci)
+                full[:, :, s:e] = cache.load(ci)
+        else:
+            pf, ph, pw = calc.calculate_kgrid_peaks_sharded(
+                mesh, k_vecs, n_peaks=args.peaks, max_freq=args.max_freq,
+                engine='gridded', k_grid_shape=shape)
+            full[:3] = np.stack([pf, ph, pw])
+            for ci in missing:
+                s, e = bounds(ci)
+                cache.store(ci, full[:, :, s:e])
+                computed += e - s
+    elif args.engine == 'gridded':
         # The gridded engine computes the whole grid in one shot, so resume
         # is all-or-nothing: restore every chunk from cache when complete,
         # otherwise recompute once and back-fill only the missing chunks.
