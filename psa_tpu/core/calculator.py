@@ -74,10 +74,12 @@ def peaks_np(intensity: np.ndarray, freqs_kept: np.ndarray, n_peaks: int = 1,
             pw[p] = np.sqrt(np.maximum(var, 0.0))
         else:
             # closed-form Lorentzian FWHM: I²-weighted regression of 1/I on
-            # (ν−ν₀)² (see spectral.peak_reduce)
+            # (ν−ν₀)², peak-height-normalized like the device path
+            # (see spectral.peak_reduce)
             x = (fk[:, None] - pf[p][None, :].astype(np.float64)) ** 2
-            y = 1.0 / np.maximum(w, 1e-30)
-            wt = np.where(in_win, w * w, 0.0)
+            wn = w / np.maximum(ph[p], 1e-30)[None, :]
+            y = 1.0 / np.maximum(wn, 1e-30)
+            wt = np.where(in_win, wn * wn, 0.0)
             sw = wt.sum(axis=0)
             sx = (wt * x).sum(axis=0)
             sy = (wt * y).sum(axis=0)
@@ -1030,15 +1032,19 @@ class SEDCalculator:
         else:
             groups = atom_groups
         all_atoms = (len(groups) == 1 and groups[0].size == n_atoms
-                     and not self.mass_weighted)
+                     and not self.mass_weighted
+                     and np.array_equal(np.sort(groups[0]),
+                                        np.arange(n_atoms)))
         if all_atoms:
             return None, single
         weights = []
         for g in groups:
-            w = np.zeros(n_atoms, dtype=np.float32)
-            if g.size:
-                w[g] = (np.sqrt(self.traj.masses[g]).astype(np.float32)
-                        if self.mass_weighted else 1.0)
+            # bincount, not assignment: a duplicated index contributes once
+            # per occurrence, matching the single-chip gather semantics
+            # (data[:, [0, 0, 1]] counts atom 0 twice)
+            w = np.bincount(g, minlength=n_atoms).astype(np.float32)
+            if self.mass_weighted:
+                w *= np.sqrt(self.traj.masses).astype(np.float32)
             weights.append(w)
         return weights, single
 
@@ -1049,6 +1055,32 @@ class SEDCalculator:
             mask &= freqs <= max_freq
         return (np.flatnonzero(mask).astype(np.int32),
                 freqs[mask].astype(np.float32))
+
+    def _gridded_sharded_setup(self, atom_groups, single, k_vectors_3d,
+                               k_grid_shape, data):
+        """Shared validation + plan + device data for the mesh NUFFT engine
+        (used by both sharded wrappers so their guards cannot drift)."""
+        from ..ops import gridded
+        if not single:
+            raise ValueError("engine='gridded' supports coherent "
+                             "(single-spectrum) sweeps only.")
+        if k_grid_shape is None:
+            raise ValueError("engine='gridded' needs k_grid_shape.")
+        if data is not None:
+            raise ValueError("engine='gridded' uses the trajectory's "
+                             "device-resident group data; custom data "
+                             "sources run on the direct engine.")
+        union = (np.unique(np.concatenate(atom_groups)).astype(int)
+                 if len(atom_groups) > 1 else atom_groups[0])
+        if union.size and self._group_bytes(union) > self.max_device_bytes:
+            raise ValueError("engine='gridded' needs the group "
+                             "device-resident; use engine='direct'.")
+        kx_vals, ky_vals, k_fixed, axes = self._detect_grid_axes(
+            np.asarray(k_vectors_3d, dtype=np.float32), k_grid_shape)
+        plan = gridded.plan_kgrid(self.mean_positions64[union], kx_vals,
+                                  ky_vals, k_fixed=k_fixed, axes=axes)
+        data_dev, _, _ = self._group_device_arrays(union)
+        return gridded, plan, data_dev
 
     def _sharded_data(self, data):
         """Data + projection flags for the mesh path: velocities, or
@@ -1109,26 +1141,8 @@ class SEDCalculator:
                      if chiral else None)
         freq_idx, freqs_kept = self._sharded_freq_mask(max_freq)
         if engine == 'gridded':
-            from ..ops import gridded
-            if not single:
-                raise ValueError("engine='gridded' supports coherent "
-                                 "(single-spectrum) sweeps only.")
-            if k_grid_shape is None:
-                raise ValueError("engine='gridded' needs k_grid_shape.")
-            if data is not None:
-                raise ValueError("engine='gridded' uses the trajectory's "
-                                 "device-resident group data; custom data "
-                                 "sources run on the direct engine.")
-            union = (np.unique(np.concatenate(atom_groups)).astype(int)
-                     if len(atom_groups) > 1 else atom_groups[0])
-            if union.size and self._group_bytes(union) > self.max_device_bytes:
-                raise ValueError("engine='gridded' needs the group "
-                                 "device-resident; use engine='direct'.")
-            kx_vals, ky_vals, k_fixed, axes = self._detect_grid_axes(
-                np.asarray(k_vectors_3d, dtype=np.float32), k_grid_shape)
-            plan = gridded.plan_kgrid(self.mean_positions64[union], kx_vals,
-                                      ky_vals, k_fixed=k_fixed, axes=axes)
-            data_dev, _, _ = self._group_device_arrays(union)
+            gridded, plan, data_dev = self._gridded_sharded_setup(
+                atom_groups, single, k_vectors_3d, k_grid_shape, data)
             intensity, phase = gridded.gridded_kgrid_sharded(
                 data_dev, plan, freq_idx,
                 devices=list(mesh.devices.ravel()), comp_pair=comp_pair,
@@ -1194,29 +1208,11 @@ class SEDCalculator:
         if freq_idx.size == 0:
             raise ValueError("No frequencies retained; check max_freq.")
         if engine == 'gridded':
-            from ..ops import gridded
-            if not single:
-                raise ValueError("engine='gridded' supports coherent "
-                                 "(single-spectrum) sweeps only.")
             if chiral:
                 raise ValueError("chiral peaks run on the direct engine "
                                  "(the gridded peaks path carries no phase).")
-            if k_grid_shape is None:
-                raise ValueError("engine='gridded' needs k_grid_shape.")
-            if data is not None:
-                raise ValueError("engine='gridded' uses the trajectory's "
-                                 "device-resident group data; custom data "
-                                 "sources run on the direct engine.")
-            union = (np.unique(np.concatenate(atom_groups)).astype(int)
-                     if len(atom_groups) > 1 else atom_groups[0])
-            if union.size and self._group_bytes(union) > self.max_device_bytes:
-                raise ValueError("engine='gridded' needs the group "
-                                 "device-resident; use engine='direct'.")
-            kx_vals, ky_vals, k_fixed, axes = self._detect_grid_axes(
-                np.asarray(k_vectors_3d, dtype=np.float32), k_grid_shape)
-            plan = gridded.plan_kgrid(self.mean_positions64[union], kx_vals,
-                                      ky_vals, k_fixed=k_fixed, axes=axes)
-            data_dev, _, _ = self._group_device_arrays(union)
+            gridded, plan, data_dev = self._gridded_sharded_setup(
+                atom_groups, single, k_vectors_3d, k_grid_shape, data)
             return gridded.gridded_kgrid_peaks_sharded(
                 data_dev, plan, freq_idx, freqs_kept,
                 devices=list(mesh.devices.ravel()), n_peaks=n_peaks,

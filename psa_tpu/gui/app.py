@@ -766,7 +766,11 @@ class PSAMainWindow:
             return
         path = filedialog.asksaveasfilename(title="Base path for .npy set")
         if path:
-            files = export.export_npy_set(self.controller.sed_result, Path(path))
+            # export the COMPLEX spectrum (recomputed once if the display
+            # used the device-reduced planes) — the .npy set's historical
+            # layout that downstream analysis scripts rely on
+            files = export.export_npy_set(self.controller.full_kpath_sed(),
+                                          Path(path))
             self.status_var.set(f"Saved {len(files)} .npy files.")
 
     def _save_csv(self):

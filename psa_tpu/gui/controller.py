@@ -142,6 +142,8 @@ class AnalysisController:
         self.calculator: Optional[SEDCalculator] = None
         self.sed_result: Optional[SED] = None          # k-path result
         self.kpath_mags: Optional[np.ndarray] = None
+        self._kpath_reduced: bool = False
+        self._kpath_recompute: Optional[dict] = None
         self.kgrid: Optional[KGridState] = None
         self.kgrid_peaks: Optional[KGridPeaksState] = None
         #: which k-grid result was produced last ('browse' | 'peaks' | None):
@@ -168,6 +170,8 @@ class AnalysisController:
         self.calculator = SEDCalculator(self.trajectory, nx=nx, ny=ny, nz=nz,
                                         use_displacements=use_displacements)
         self.sed_result = None
+        self._kpath_reduced = False
+        self._kpath_recompute = None
         self.kgrid = None
         self.kgrid_peaks = None
         self.last_grid_kind = None
@@ -214,17 +218,44 @@ class AnalysisController:
             sed = SED(intensity, freqs, k_mags, k_vecs, is_complex=False,
                       phase=phase, dt_ps=calc.dt_ps)
         else:
-            sed = calc.calculate(k_mags, k_vecs,
-                                 basis_atom_types=basis_atom_types,
-                                 summation_mode=summation_mode)
-            if chiral and sed.is_complex:
-                c1, c2 = CHIRAL_AXIS_COMPONENTS[chiral_axis]
-                sed.phase = calc.calculate_chiral_phase(
-                    sed.sed[:, :, c1], sed.sed[:, :, c2], angle_range_opt)
+            sed = self._full_kpath_calculate(
+                k_mags, k_vecs, basis_atom_types, summation_mode, chiral,
+                chiral_axis, angle_range_opt)
         self.sed_result = sed
         self.kpath_mags = k_mags
+        self._kpath_reduced = reduced
+        self._kpath_recompute = dict(
+            k_mags=k_mags, k_vecs=k_vecs, basis_atom_types=basis_atom_types,
+            summation_mode=summation_mode, chiral=chiral,
+            chiral_axis=chiral_axis, angle_range_opt=angle_range_opt)
         self.selected_point = None
         return sed
+
+    def _full_kpath_calculate(self, k_mags, k_vecs, basis_atom_types,
+                              summation_mode, chiral, chiral_axis,
+                              angle_range_opt) -> SED:
+        calc = self._require_calc()
+        sed = calc.calculate(k_mags, k_vecs,
+                             basis_atom_types=basis_atom_types,
+                             summation_mode=summation_mode)
+        if chiral and sed.is_complex:
+            c1, c2 = CHIRAL_AXIS_COMPONENTS[chiral_axis]
+            sed.phase = calc.calculate_chiral_phase(
+                sed.sed[:, :, c1], sed.sed[:, :, c2], angle_range_opt)
+        return sed
+
+    def full_kpath_sed(self) -> SED:
+        """The k-path SED WITH complex amplitudes, for .npy export.
+
+        The display default is device-reduced (float32 intensity planes);
+        exports that historically carried the complex Φ_α recompute the
+        full spectrum once here (the device-resident group data is cached,
+        so only the extra d2h transfer is paid)."""
+        if self.sed_result is None:
+            raise RuntimeError("Compute a k-path SED first.")
+        if not self._kpath_reduced or self.sed_result.is_complex:
+            return self.sed_result
+        return self._full_kpath_calculate(**self._kpath_recompute)
 
     def kpath_plot_arrays(self, scale: str = 'dsqrt', max_freq: Optional[float] = None,
                           show_phase: bool = False):

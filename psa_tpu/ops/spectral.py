@@ -459,11 +459,15 @@ def peak_reduce(inten_stack: jnp.ndarray, freqs_kept: jnp.ndarray,
                 width = jnp.sqrt(jnp.maximum(var, 0.0))
             else:
                 # closed-form Lorentzian fit: regress y = 1/I on
-                # x = (ν−ν₀)² with weights I² (window rows only)
+                # x = (ν−ν₀)² with weights I² (window rows only).
+                # Normalize by the peak height first — γ is invariant under
+                # I → cI, and raw I ~ 1e10 intensities would overflow the
+                # f32 I²-weighted sums (det ~ I⁴) into inf/nan.
                 x = (freqs_kept[:, None] - peak_f[None, :]) ** 2
-                safe_i = jnp.maximum(w, 1e-30)
+                wn = w / jnp.maximum(height, 1e-30)[None, :]
+                safe_i = jnp.maximum(wn, 1e-30)
                 y = 1.0 / safe_i
-                wt = jnp.where(in_win, w * w, 0.0)
+                wt = jnp.where(in_win, wn * wn, 0.0)
                 sw = jnp.sum(wt, axis=0)
                 sx = jnp.sum(wt * x, axis=0)
                 sy = jnp.sum(wt * y, axis=0)

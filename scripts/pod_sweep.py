@@ -151,6 +151,9 @@ def main():
 
     if args.peaks is not None and args.browse:
         p.error("--peaks is exclusive with --browse")
+    if args.engine == 'gridded' and args.summation == 'incoherent':
+        p.error("--engine gridded is coherent-only; use the sharded "
+                "(direct) engine for incoherent sweeps")
 
     # Group / chiral semantics (reference sed_calculator.py:209-327 on the
     # pod path): resolve basis types to per-atom weight vectors.
@@ -214,16 +217,18 @@ def main():
     if args.engine == 'gridded' and args.peaks is not None:
         # One-shot sharded NUFFT dispersion surfaces: ky stripes across the
         # mesh devices (requires the trajectory device-resident per chip).
-        missing = [ci for ci in range(n_chunks)
-                   if (c := cache.load(ci)) is None
-                   or c.shape[-1] != bounds(ci)[1] - bounds(ci)[0]]
-        if not missing:
-            for ci in range(n_chunks):
-                s, e = bounds(ci)
-                full[:, :, s:e] = cache.load(ci)
-        else:
+        missing = []
+        for ci in range(n_chunks):       # single pass: validate AND fill
+            s, e = bounds(ci)
+            c = cache.load(ci)
+            if c is None or c.shape[-1] != e - s:
+                missing.append(ci)
+            else:
+                full[:, :, s:e] = c
+        if missing:
             pf, ph, pw = calc.calculate_kgrid_peaks_sharded(
                 mesh, k_vecs, n_peaks=args.peaks, max_freq=args.max_freq,
+                basis_atom_types=basis_types, summation_mode=args.summation,
                 engine='gridded', k_grid_shape=shape)
             full[:3] = np.stack([pf, ph, pw])
             for ci in missing:
@@ -243,7 +248,8 @@ def main():
             else:
                 missing.append(ci)
         if missing:
-            sed_part = calc.calculate_gridded(k_vecs, shape)
+            sed_part = calc.calculate_gridded(k_vecs, shape,
+                                              basis_atom_types=basis_types)
             full[:, :, :] = sed_part.sed
             for ci in missing:
                 s, e = bounds(ci)

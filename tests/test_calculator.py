@@ -1113,3 +1113,51 @@ class TestChiralPeaks:
         # non-chiral call still returns the triplet (no phase row)
         out = calc.calculate_kgrid_peaks(kv, n_peaks=1)
         assert len(out) == 3
+
+
+class TestLorentzianScaleInvariance:
+    def test_bright_peaks_do_not_overflow_f32(self):
+        """I ~ 1e10 intensities (realistic for 1e5-atom coherent SED) must
+        give the same FWHM as O(1) intensities — the fit normalizes by the
+        peak height, so the f32 I^2-weighted sums cannot overflow."""
+        from psa_tpu.core.calculator import peaks_np
+        from psa_tpu.ops import spectral
+        import jax.numpy as jnp
+        n_f = 64
+        freqs = np.linspace(0, 10, n_f).astype(np.float32)
+        nu0, gamma = freqs[30], 0.35
+        lor = 1.0 / (1.0 + ((freqs - nu0) / gamma) ** 2)
+        for scale in (1.0, 1e10, 1e14):
+            plane = (scale * lor)[None, :, None].astype(np.float32)
+            pf, ph, pw = spectral.peak_reduce(
+                jnp.asarray(np.tile(plane, (1, 1, 8))), jnp.asarray(freqs),
+                n_peaks=1, exclusion_bins=10, width_method='lorentzian')
+            fwhm = float(np.asarray(pw)[0, 0, 0])
+            assert np.isfinite(fwhm)
+            assert abs(fwhm - 2 * gamma) / (2 * gamma) < 0.05, (scale, fwhm)
+            pf_n, _, pw_n = peaks_np(plane[0], freqs, n_peaks=1,
+                                     exclusion_bins=10,
+                                     width_method='lorentzian')
+            np.testing.assert_allclose(fwhm, pw_n[0, 0], rtol=2e-3)
+
+
+class TestShardedDuplicateIndices:
+    def test_duplicated_indices_match_single_chip(self):
+        """A duplicated basis index contributes once per occurrence in the
+        single-chip gather; the sharded weight vector must count it too."""
+        from psa_tpu.parallel import make_mesh
+        traj = make_random_crystal_trajectory(n_cells_xyz=(2, 2, 2), basis=2,
+                                              n_frames=16, dt_ps=0.02, seed=7)
+        calc = SEDCalculator(traj, nx=2, ny=2, nz=2)
+        kv = np.outer(np.linspace(0, 1.0, 5), [1, 0, 0]).astype(np.float32)
+        idx = [0, 0, 1, 2, 2, 2, 5]
+        mesh = make_mesh(shape=(1, 2, 4))
+        f_s, i_s, _ = calc.calculate_kgrid_browse_sharded(
+            mesh, kv, basis_atom_indices=idx)
+        f_1, i_1, _ = calc.calculate_kgrid_browse(kv, basis_atom_indices=idx)
+        np.testing.assert_allclose(i_s, i_1, rtol=1e-5, atol=1e-8)
+        # duplicated full cover must NOT take the unweighted fast path
+        dup_all = list(range(traj.n_atoms - 1)) + [0]
+        w, single = calc._group_weights(
+            [np.asarray(dup_all)], 'coherent')
+        assert w is not None                 # not the all-atoms fast path

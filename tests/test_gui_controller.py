@@ -342,3 +342,23 @@ def test_peaks_chiral_phase_surface(loaded):
     import pytest as _pytest
     with _pytest.raises(ValueError, match="phase"):
         pk2.surface(0, 'phase')
+
+
+def test_full_kpath_sed_for_export(loaded):
+    """.npy export keeps the historical complex layout: the reduced display
+    path recomputes the full spectrum on demand (code-review r3)."""
+    sed = loaded.compute_kpath_sed("x", n_k=10, bz_coverage=0.5, chiral=True)
+    assert not sed.is_complex
+    full = loaded.full_kpath_sed()
+    assert full.is_complex and full.sed.shape == (64, 10, 3)
+    assert full.phase is not None
+    # display state untouched
+    assert loaded.sed_result is sed
+    # the reduced planes equal the full spectrum's reduction
+    mask = full.freqs >= 0
+    np.testing.assert_allclose(sed.sed, full.intensity[mask],
+                               rtol=1e-5, atol=1e-8)
+    # non-reduced flow passes through without recompute
+    sed2 = loaded.compute_kpath_sed("x", n_k=10, bz_coverage=0.5,
+                                    reduced=False)
+    assert loaded.full_kpath_sed() is sed2
