@@ -104,6 +104,29 @@ def _run_kgrid_section(calc, kg, out_dir: Path, basis_idx, summation_mode):
                   'k_grid_shape': np.asarray(shape)}
         if len(res) == 4:
             arrays['peak_phase'] = res[3]
+        if kg.get('group_velocity'):
+            # band-sorted sheets + v_g = 2π·∇ν fields (Å/ps) from the
+            # peaks already computed — no second sweep
+            from .ops import dispersion
+            bf, bh = dispersion.sort_bands_grid(
+                res[0].reshape(-1, *shape), res[1].reshape(-1, *shape))
+            vx, vy = dispersion.group_velocity_grid(bf, axis, axis)
+            arrays.update(band_freqs=bf, band_heights=bh,
+                          group_velocity_x=vx, group_velocity_y=vy)
+            fig, ax = plt.subplots(figsize=(6, 5))
+            pcm = ax.pcolormesh(axis, axis,
+                                np.hypot(vx[0], vy[0]).T,
+                                shading='gouraud', cmap='viridis')
+            fig.colorbar(pcm, ax=ax, label='|v_g| (Å/ps)')
+            ax.set_xlabel(f"{labels[0]} (2π/Å)")
+            ax.set_ylabel(f"{labels[1]} (2π/Å)")
+            ax.set_title(f"Group-velocity magnitude ({plane})")
+            ax.set_aspect('equal', adjustable='box')
+            fig.savefig(out_dir / f"kgrid_group_velocity_{plane}.png",
+                        dpi=200, bbox_inches='tight')
+            plt.close(fig)
+            logger.info("group-velocity field written: "
+                        "kgrid_group_velocity_%s.png", plane)
         np.savez(out_dir / f"kgrid_peaks_{plane}.npz", **arrays)
         fig, ax = plt.subplots(figsize=(6, 5))
         pcm = ax.pcolormesh(axis, axis, res[0][0].reshape(shape).T,

@@ -1010,6 +1010,72 @@ class SEDCalculator:
                         exclusion_bins=exclusion_bins,
                         width_method=width_method)
 
+    def calculate_group_velocity_path(self, k_points_mags: np.ndarray,
+                                      k_vectors_3d: np.ndarray,
+                                      n_bands: int = 1,
+                                      sort_bands: bool = True,
+                                      **peaks_kwargs):
+        """Band frequencies and group velocities v_g = 2π·∂ν/∂k along a
+        k-path.
+
+        Runs :meth:`calculate_kgrid_peaks` (any engine semantics pass
+        through via ``peaks_kwargs``), reorders the per-k peaks into
+        continuous branches (``sort_bands=True``; see
+        :func:`psa_tpu.ops.dispersion.sort_bands_path`), and applies
+        central differences over ``k_points_mags``.  The reference
+        framework stops at the I(ω, k) heatmap — extracting ∂ω/∂k was
+        left to the user (see ops/dispersion.py module docstring).
+
+        Returns:
+            (band_freqs, v_g, band_heights): each (n_bands, n_k) float32;
+            v_g in Å/ps (1 Å/ps = 100 m/s).
+        """
+        from ..ops import dispersion
+        if peaks_kwargs.get('chiral'):
+            raise ValueError("group-velocity extraction reads intensity "
+                             "peaks; drop chiral=True.")
+        k_mags = np.asarray(k_points_mags, dtype=np.float64)
+        freqs, heights, _ = self.calculate_kgrid_peaks(
+            k_vectors_3d, n_peaks=n_bands, **peaks_kwargs)
+        if sort_bands:
+            freqs, heights = dispersion.sort_bands_path(freqs, heights)
+        return freqs, dispersion.group_velocity_path(freqs, k_mags), heights
+
+    def calculate_group_velocity_surface(self, k_vectors_3d: np.ndarray,
+                                         k_grid_shape: Tuple[int, int],
+                                         n_bands: int = 1,
+                                         sort_bands: bool = True,
+                                         **peaks_kwargs):
+        """Band sheets and group-velocity fields (v_x, v_y) = 2π·∇_k ν over
+        a tensor-product k-grid.
+
+        The grid's plane axes come from :meth:`_detect_grid_axes` (the same
+        row-major kx-slow convention as every k-grid path here); peaks are
+        band-sorted into continuous sheets before differencing
+        (:func:`psa_tpu.ops.dispersion.sort_bands_grid`).
+
+        Returns:
+            (band_freqs, v_x, v_y, band_heights): each
+            (n_bands, gx, gy) float32; velocities in Å/ps along the plane's
+            slow and fast axes respectively.
+        """
+        from ..ops import dispersion
+        if peaks_kwargs.get('chiral'):
+            raise ValueError("group-velocity extraction reads intensity "
+                             "peaks; drop chiral=True.")
+        kx_vals, ky_vals, _, _ = self._detect_grid_axes(
+            np.asarray(k_vectors_3d, dtype=np.float32), k_grid_shape)
+        freqs, heights, _ = self.calculate_kgrid_peaks(
+            k_vectors_3d, n_peaks=n_bands, k_grid_shape=tuple(k_grid_shape),
+            **peaks_kwargs)
+        gx, gy = int(k_grid_shape[0]), int(k_grid_shape[1])
+        freqs = freqs.reshape(n_bands, gx, gy)
+        heights = heights.reshape(n_bands, gx, gy)
+        if sort_bands:
+            freqs, heights = dispersion.sort_bands_grid(freqs, heights)
+        vx, vy = dispersion.group_velocity_grid(freqs, kx_vals, ky_vals)
+        return freqs, vx, vy, heights
+
     # ------------------------------------------------------------------
     # Sharded (device-mesh) sweeps with full group semantics
     # ------------------------------------------------------------------

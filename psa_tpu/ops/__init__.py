@@ -1,4 +1,4 @@
 """JAX/XLA/Pallas compute kernels (the TPU hot path)."""
-from . import spectral
+from . import dispersion, spectral
 
-__all__ = ["spectral"]
+__all__ = ["dispersion", "spectral"]

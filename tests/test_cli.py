@@ -129,7 +129,7 @@ def test_cli_kgrid_and_dos_sections(workdir):
                             'bz_coverage': 0.5},
         'kgrid': {'apply': True, 'plane': 'xy', 'k_range': [-1.0, 1.0],
                   'n_k': 8, 'n_peaks': 2, 'max_freq': 8.0,
-                  'width_method': 'lorentzian'},
+                  'width_method': 'lorentzian', 'group_velocity': True},
         'dos': {'apply': True, 'max_freq': 8.0, 'per_type': True},
     }
     cfg = tmp_path / "kgdos.yaml"
@@ -141,6 +141,9 @@ def test_cli_kgrid_and_dos_sections(workdir):
     assert z['peak_freqs'].shape == (2, 64)
     assert np.all(z['peak_freqs'] <= 8.0 + 1e-6)
     assert (out / "kgrid_peaks_xy.png").exists()
+    assert z['group_velocity_x'].shape == (2, 8, 8)
+    assert z['band_freqs'].shape == (2, 8, 8)
+    assert (out / "kgrid_group_velocity_xy.png").exists()
     dos = np.loadtxt(out / "dos.csv", delimiter=',', skiprows=1)
     assert dos.shape[1] == 2           # freq + one curve (single type)
     assert (out / "dos.png").exists()
