@@ -127,6 +127,37 @@ def _run_kgrid_section(calc, kg, out_dir: Path, basis_idx, summation_mode):
             plt.close(fig)
             logger.info("group-velocity field written: "
                         "kgrid_group_velocity_%s.png", plane)
+        if kg.get('thermal_conductivity'):
+            # τ and κ from the peaks already computed (needs the
+            # calibrated lorentzian widths — the section default)
+            if kg.get('width_method', 'lorentzian') != 'lorentzian':
+                raise ValueError("thermal_conductivity needs "
+                                 "width_method: lorentzian")
+            import json as _json
+            from .ops import dispersion, transport
+            pf, pw = dispersion.sort_bands_grid(
+                res[0].reshape(-1, *shape), res[2].reshape(-1, *shape))
+            vx, vy = dispersion.group_velocity_grid(pf, axis, axis)
+            df = 1.0 / (calc.traj.n_frames * calc.dt_ps)
+            tau = transport.phonon_lifetimes(pw, resolution_fwhm_thz=2 * df)
+            vol = float(abs(np.linalg.det(
+                calc.traj.box_matrix.astype(np.float64))))
+            kres = transport.kinetic_kappa(vx, vy, tau, vol)
+            arrays.update(lifetimes_ps=kres.lifetimes_ps,
+                          group_velocity_x=vx, group_velocity_y=vy)
+            (out_dir / f"kappa_{plane}.json").write_text(_json.dumps(
+                {'kappa_xx_w_per_mk': kres.kappa_xx,
+                 'kappa_yy_w_per_mk': kres.kappa_yy,
+                 'kappa_xy_w_per_mk': kres.kappa_xy,
+                 'n_modes_used': kres.n_modes_used,
+                 'n_modes_total': kres.n_modes_total,
+                 'volume_a3': vol,
+                 'note': 'kinetic-theory single-mode-relaxation estimate '
+                         'over the SAMPLED k-plane modes; classical kB '
+                         'per mode; see psa_tpu.ops.transport'}, indent=1))
+            logger.info("thermal-conductivity estimate written: "
+                        "kappa_%s.json (%d/%d modes resolved)", plane,
+                        kres.n_modes_used, kres.n_modes_total)
         np.savez(out_dir / f"kgrid_peaks_{plane}.npz", **arrays)
         fig, ax = plt.subplots(figsize=(6, 5))
         pcm = ax.pcolormesh(axis, axis, res[0][0].reshape(shape).T,

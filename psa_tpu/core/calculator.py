@@ -1076,6 +1076,74 @@ class SEDCalculator:
         vx, vy = dispersion.group_velocity_grid(freqs, kx_vals, ky_vals)
         return freqs, vx, vy, heights
 
+    def calculate_thermal_conductivity(self, k_vectors_3d: np.ndarray,
+                                       k_grid_shape: Tuple[int, int],
+                                       n_bands: int = 1,
+                                       volume_a3: Optional[float] = None,
+                                       mode_weights=None,
+                                       resolution_factor: float = 2.0,
+                                       **peaks_kwargs):
+        """Kinetic-theory in-plane thermal conductivity from one k-grid
+        sweep (the SED method of Thomas et al., PRB 81, 081411 (2010)).
+
+        Pipeline: on-device peak extraction with calibrated Lorentzian
+        FWHMs → band sorting → group-velocity fields → τ = 1/(2π·FWHM) →
+        κ_αβ = (k_B/V)·Σ v_α v_β τ (classical per-mode heat capacity,
+        consistent with classical-MD spectra).  See
+        :mod:`psa_tpu.ops.transport` for conventions and units.
+
+        Physics caveats the caller owns: the k-grid should enumerate the
+        supercell's allowed modes in the sampled plane exactly once (with
+        ``mode_weights`` for multiplicities, e.g. ±k pairs when only a
+        half-zone was swept); κ is the single-mode-relaxation-time
+        estimate over the SAMPLED modes only — an in-plane slice unless
+        the material is 2D.  Linewidths at or below
+        ``resolution_factor``/(n_t·dt) are unresolved: those modes are
+        skipped (see ``KappaResult.n_modes_used``) — run longer
+        trajectories to resolve them, never trust a τ wider than the run.
+
+        Args:
+            volume_a3: normalization volume in Å³ (default: the supercell
+                volume det(box_matrix)).
+            resolution_factor: measurability floor in spectral-bin widths.
+            peaks_kwargs: forwarded to :meth:`calculate_kgrid_peaks`
+                (engine, max_freq, basis…).  ``width_method`` is pinned to
+                'lorentzian' (the RMS proxy is not calibrated).
+
+        Returns:
+            (result, band_freqs, v_x, v_y): a
+            :class:`psa_tpu.ops.transport.KappaResult` plus the
+            band-sorted (n_bands, gx, gy) frequency sheets and velocity
+            fields the sum used.
+        """
+        from ..ops import dispersion, transport
+        if peaks_kwargs.get('chiral'):
+            raise ValueError("thermal conductivity reads intensity peaks; "
+                             "drop chiral=True.")
+        if peaks_kwargs.pop('width_method', 'lorentzian') != 'lorentzian':
+            raise ValueError("thermal conductivity requires the calibrated "
+                             "width_method='lorentzian'.")
+        kx_vals, ky_vals, _, _ = self._detect_grid_axes(
+            np.asarray(k_vectors_3d, dtype=np.float32), k_grid_shape)
+        pf, ph, pw = self.calculate_kgrid_peaks(
+            k_vectors_3d, n_peaks=n_bands, k_grid_shape=tuple(k_grid_shape),
+            width_method='lorentzian', **peaks_kwargs)
+        gx, gy = int(k_grid_shape[0]), int(k_grid_shape[1])
+        pf = pf.reshape(n_bands, gx, gy)
+        ph = ph.reshape(n_bands, gx, gy)
+        pw = pw.reshape(n_bands, gx, gy)
+        pf, ph, pw = dispersion.sort_bands_grid(pf, ph, pw)
+        vx, vy = dispersion.group_velocity_grid(pf, kx_vals, ky_vals)
+        df = 1.0 / (self.traj.n_frames * self.dt_ps)
+        tau = transport.phonon_lifetimes(
+            pw, resolution_fwhm_thz=resolution_factor * df)
+        if volume_a3 is None:
+            volume_a3 = float(abs(np.linalg.det(
+                self.traj.box_matrix.astype(np.float64))))
+        result = transport.kinetic_kappa(vx, vy, tau, volume_a3,
+                                         mode_weights=mode_weights)
+        return result, pf, vx, vy
+
     # ------------------------------------------------------------------
     # Sharded (device-mesh) sweeps with full group semantics
     # ------------------------------------------------------------------

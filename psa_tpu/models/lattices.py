@@ -507,7 +507,8 @@ def square_lattice_dispersion(kx: np.ndarray, ky: np.ndarray, a: float = 2.5,
 
 def make_square_lattice_trajectory(n_cells: int = 16, n_frames: int = 256,
                                    dt_ps: float = 0.01, a: float = 2.5,
-                                   nu_max_thz: float = 10.0, seed: int = 0
+                                   nu_max_thz: float = 10.0, seed: int = 0,
+                                   amp_decay_per_ps: float = 0.0
                                    ) -> Trajectory:
     """2D square monatomic lattice (z-polarized modes) with the analytic
     dispersion of :func:`square_lattice_dispersion` — the grid-engine
@@ -517,6 +518,11 @@ def make_square_lattice_trajectory(n_cells: int = 16, n_frames: int = 256,
 
     Atoms sit on (i·a, j·a, 0); each allowed mode k = 2π(m, n)/(N a)
     contributes z displacement u(t) = A cos(k·r − 2π ν t + φ).
+
+    ``amp_decay_per_ps`` γ > 0 damps every mode's amplitude as e^{-γt}
+    (velocities stay the analytic du/dt), giving each spectral peak an
+    exactly-known Lorentzian intensity FWHM of γ/π THz and hence a phonon
+    lifetime τ = 1/(2γ) ps — the transport-pipeline oracle.
     """
     rng = np.random.default_rng(seed + 1)
     n_atoms = n_cells * n_cells
@@ -535,9 +541,12 @@ def make_square_lattice_trajectory(n_cells: int = 16, n_frames: int = 256,
     t = np.arange(n_frames, dtype=np.float64) * dt_ps
     arg = (r @ kxy.T)[None, :, :] - 2 * np.pi * nu[None, None, :] * t[:, None, None] \
         + phases[None, None, :]
-    disp_z = np.sum(amps[None, None, :] * np.cos(arg), axis=-1)   # (T, N)
-    vel_z = np.sum(amps[None, None, :] * 2 * np.pi * nu[None, None, :]
-                   * np.sin(arg), axis=-1)
+    env = np.exp(-amp_decay_per_ps * t)[:, None, None]            # e^{-γt}
+    disp_z = np.sum(amps[None, None, :] * env * np.cos(arg), axis=-1)  # (T, N)
+    # exact du/dt of the damped mode: e^{-γt}(2πν sin(arg) − γ cos(arg))
+    vel_z = np.sum(amps[None, None, :] * env
+                   * (2 * np.pi * nu[None, None, :] * np.sin(arg)
+                      - amp_decay_per_ps * np.cos(arg)), axis=-1)
 
     positions = np.zeros((n_frames, n_atoms, 3), dtype=np.float32)
     velocities = np.zeros((n_frames, n_atoms, 3), dtype=np.float32)

@@ -1,4 +1,4 @@
 """JAX/XLA/Pallas compute kernels (the TPU hot path)."""
-from . import dispersion, spectral
+from . import dispersion, spectral, transport
 
-__all__ = ["dispersion", "spectral"]
+__all__ = ["dispersion", "spectral", "transport"]

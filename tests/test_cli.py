@@ -1,4 +1,6 @@
 """CLI end-to-end: dump file + YAML config -> SED caches + plots + iSED dump."""
+import json
+
 import numpy as np
 import pytest
 import yaml
@@ -129,7 +131,8 @@ def test_cli_kgrid_and_dos_sections(workdir):
                             'bz_coverage': 0.5},
         'kgrid': {'apply': True, 'plane': 'xy', 'k_range': [-1.0, 1.0],
                   'n_k': 8, 'n_peaks': 2, 'max_freq': 8.0,
-                  'width_method': 'lorentzian', 'group_velocity': True},
+                  'width_method': 'lorentzian', 'group_velocity': True,
+                  'thermal_conductivity': True},
         'dos': {'apply': True, 'max_freq': 8.0, 'per_type': True},
     }
     cfg = tmp_path / "kgdos.yaml"
@@ -144,6 +147,10 @@ def test_cli_kgrid_and_dos_sections(workdir):
     assert z['group_velocity_x'].shape == (2, 8, 8)
     assert z['band_freqs'].shape == (2, 8, 8)
     assert (out / "kgrid_group_velocity_xy.png").exists()
+    kappa = json.loads((out / "kappa_xy.json").read_text())
+    assert set(kappa) >= {'kappa_xx_w_per_mk', 'kappa_yy_w_per_mk',
+                          'n_modes_used', 'n_modes_total'}
+    assert z['lifetimes_ps'].shape == (2, 8, 8)
     dos = np.loadtxt(out / "dos.csv", delimiter=',', skiprows=1)
     assert dos.shape[1] == 2           # freq + one curve (single type)
     assert (out / "dos.png").exists()
