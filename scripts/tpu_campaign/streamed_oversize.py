@@ -40,24 +40,36 @@ def log(msg):
 
 
 def ensure_file():
-    """Fill the memmap velocities file from a tiled normal pool (disk-speed,
-    not RNG-speed; the SED rate is data-independent)."""
+    """Fill the velocities .npy from a tiled normal pool with BUFFERED
+    sequential writes (disk-speed, not RNG-speed; the SED rate is
+    data-independent).  A memmap fill page-faults one 4 KB block allocation
+    at a time, which this host's ext4 (strict-reservation + discard) served
+    at <10 MB/s vs 259 MB/s for plain ``write``."""
     total_bytes = STEPS * ATOMS * 3 * 4
     if FILE.exists() and FILE.stat().st_size >= total_bytes:
         log(f"reusing {FILE} ({FILE.stat().st_size / 1e9:.1f} GB)")
         return
-    log(f"writing {total_bytes / 1e9:.1f} GB memmap velocities to {FILE}...")
+    log(f"writing {total_bytes / 1e9:.1f} GB velocities to {FILE}...")
     t0 = time.time()
-    from numpy.lib.format import open_memmap
-    mm = open_memmap(FILE, mode='w+', dtype=np.float32,
-                     shape=(STEPS, ATOMS, 3))
+    from numpy.lib.format import write_array_header_1_0
     rng = np.random.default_rng(3)
-    pool = rng.standard_normal((1024, ATOMS, 3)).astype(np.float32)
-    for t0_i in range(0, STEPS, 1024):
-        t1_i = min(t0_i + 1024, STEPS)
-        mm[t0_i:t1_i] = pool[:t1_i - t0_i]
-    mm.flush()
-    del mm
+    # One small f32 pool, serialized ONCE: this host's anonymous-page faults
+    # run at ~10 MB/s (kernel time), so every fresh multi-GB allocation
+    # costs minutes — generate 256 frames directly in f32 and reuse the
+    # same bytes for every slab.
+    slab = 256
+    pool = rng.standard_normal((slab, ATOMS, 3), dtype=np.float32)
+    buf = memoryview(pool.tobytes())     # memoryview: slices below are 0-copy
+    frame_bytes = ATOMS * 3 * 4
+    with open(FILE, 'wb') as f:
+        write_array_header_1_0(f, {'descr': '<f4', 'fortran_order': False,
+                                   'shape': (STEPS, ATOMS, 3)})
+        for t0_i in range(0, STEPS, slab):
+            t1_i = min(t0_i + slab, STEPS)
+            f.write(buf[:(t1_i - t0_i) * frame_bytes])
+            if (t0_i // slab) % 16 == 0:
+                log(f"  {t1_i}/{STEPS} frames "
+                    f"({time.time() - t0:.0f}s elapsed)")
     log(f"  written in {time.time() - t0:.0f}s")
 
 
