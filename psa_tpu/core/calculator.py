@@ -374,6 +374,38 @@ class SEDCalculator:
                     else self.traj.velocities[:, group_idx, :])
         return data, mp_hi, mp_lo
 
+    def _group_block_source(self, group_idx: np.ndarray):
+        """Streamed host-side view of one group's SED input data for sweeps
+        whose group exceeds HBM: applies the same transforms as
+        :meth:`_group_device_arrays` (displacement-mode mean subtraction,
+        mass weights) per read block instead of on a resident device array.
+        Mean subtraction runs in f64 against the exact stored means — the
+        hi/lo split exists only to emulate f64 on the device, which this
+        host path does not need."""
+        traj, disp = self.traj, self.use_displacements
+        mean64 = self.mean_positions64[group_idx] if disp else None
+        weights = (np.sqrt(traj.masses[group_idx]).astype(np.float32)
+                   if self.mass_weighted else None)
+
+        class _Source:
+            n_frames = traj.n_frames
+            n_atoms = int(group_idx.size)
+
+            @staticmethod
+            def read_block(t0, t1, a0, a1):
+                idx = group_idx[a0:a1]
+                if disp:
+                    block = traj.positions[t0:t1][:, idx, :].astype(np.float64)
+                    block = (block - mean64[a0:a1]).astype(np.float32)
+                else:
+                    block = np.asarray(traj.velocities[t0:t1][:, idx, :],
+                                       dtype=np.float32)
+                if weights is not None:
+                    block = block * weights[None, a0:a1, None]
+                return block
+
+        return _Source()
+
     def clear_device_cache(self) -> None:
         """Drop cached device-resident group data (frees HBM)."""
         with self._cache_lock:
@@ -732,9 +764,14 @@ class SEDCalculator:
                      if len(atom_groups) > 1 else atom_groups[0])
             plan = gridded.plan_kgrid(self.mean_positions64[union], kx_vals,
                                       ky_vals, k_fixed=k_fixed, axes=axes)
-            data_dev, _, _ = self._group_device_arrays(union)
+            if union.size > 0 and \
+                    self._group_bytes(union) > self.max_device_bytes:
+                # oversize group: streamed NUFFT (see calculate_kgrid_peaks)
+                data = self._group_block_source(union)
+            else:
+                data, _, _ = self._group_device_arrays(union)
             intensity, phase = gridded.gridded_kgrid_browse(
-                data_dev, plan, freq_idx, comp_pair=comp_pair,
+                data, plan, freq_idx, comp_pair=comp_pair,
                 angle_range_opt=angle_range_opt, precision=self.precision)
             return freqs_kept, intensity, phase
         if engine != 'direct':
@@ -931,22 +968,22 @@ class SEDCalculator:
                                  "(single-spectrum) sweeps only.")
             if k_grid_shape is None:
                 raise ValueError("engine='gridded' needs k_grid_shape.")
-            if groups[0].size > 0 and \
-                    self._group_bytes(groups[0]) > self.max_device_bytes:
-                raise ValueError(
-                    "engine='gridded' needs the group device-resident "
-                    f"({self._group_bytes(groups[0]) / 2**30:.1f} GiB > "
-                    f"max_device_bytes); use engine='direct', which streams "
-                    "oversize groups from host.")
             from ..ops import gridded
             kx_vals, ky_vals, k_fixed, axes = self._detect_grid_axes(
                 np.asarray(k_vectors_3d, dtype=np.float32), k_grid_shape)
             plan = gridded.plan_kgrid(self.mean_positions64[groups[0]],
                                       kx_vals, ky_vals, k_fixed=k_fixed,
                                       axes=axes)
-            data_dev, _, _ = self._group_device_arrays(groups[0])
+            if groups[0].size > 0 and \
+                    self._group_bytes(groups[0]) > self.max_device_bytes:
+                # oversize group: stream time-superchunks from host, per
+                # row-chunk compact atom slabs on device (ops/gridded.py
+                # streamed mode) — same reduction, O(superchunk) residency
+                data = self._group_block_source(groups[0])
+            else:
+                data, _, _ = self._group_device_arrays(groups[0])
             return gridded.gridded_kgrid_browse(
-                data_dev, plan, freq_idx, precision=self.precision,
+                data, plan, freq_idx, precision=self.precision,
                 n_peaks=n_peaks, exclusion_bins=exclusion_bins,
                 freqs_kept=freqs_kept, width_method=width_method)
         if engine != 'direct':
@@ -1082,6 +1119,7 @@ class SEDCalculator:
                                        volume_a3: Optional[float] = None,
                                        mode_weights=None,
                                        resolution_factor: float = 2.0,
+                                       mesh=None,
                                        **peaks_kwargs):
         """Kinetic-theory in-plane thermal conductivity from one k-grid
         sweep (the SED method of Thomas et al., PRB 81, 081411 (2010)).
@@ -1106,6 +1144,11 @@ class SEDCalculator:
             volume_a3: normalization volume in Å³ (default: the supercell
                 volume det(box_matrix)).
             resolution_factor: measurability floor in spectral-bin widths.
+            mesh: optional :class:`jax.sharding.Mesh` — the peak sweep then
+                runs over the device mesh via
+                :meth:`calculate_kgrid_peaks_sharded` (same group/engine
+                semantics; the host-side band sort / ∇_k / κ sum is
+                readback-light either way).
             peaks_kwargs: forwarded to :meth:`calculate_kgrid_peaks`
                 (engine, max_freq, basis…).  ``width_method`` is pinned to
                 'lorentzian' (the RMS proxy is not calibrated).
@@ -1125,9 +1168,16 @@ class SEDCalculator:
                              "width_method='lorentzian'.")
         kx_vals, ky_vals, _, _ = self._detect_grid_axes(
             np.asarray(k_vectors_3d, dtype=np.float32), k_grid_shape)
-        pf, ph, pw = self.calculate_kgrid_peaks(
-            k_vectors_3d, n_peaks=n_bands, k_grid_shape=tuple(k_grid_shape),
-            width_method='lorentzian', **peaks_kwargs)
+        if mesh is not None:
+            pf, ph, pw = self.calculate_kgrid_peaks_sharded(
+                mesh, k_vectors_3d, n_peaks=n_bands,
+                k_grid_shape=tuple(k_grid_shape),
+                width_method='lorentzian', **peaks_kwargs)
+        else:
+            pf, ph, pw = self.calculate_kgrid_peaks(
+                k_vectors_3d, n_peaks=n_bands,
+                k_grid_shape=tuple(k_grid_shape),
+                width_method='lorentzian', **peaks_kwargs)
         gx, gy = int(k_grid_shape[0]), int(k_grid_shape[1])
         pf = pf.reshape(n_bands, gx, gy)
         ph = ph.reshape(n_bands, gx, gy)

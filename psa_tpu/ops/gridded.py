@@ -374,8 +374,25 @@ def _fft_take(sig_re, sig_im, freq_idx):
             jnp.take(jnp.imag(spec).astype(jnp.float32), freq_idx, axis=0))
 
 
+def _chunk_slot_ranges(plan: GridPlan, row_starts, row_chunk: int):
+    """Per row-chunk [s0, s1) ranges into the SORTED atom order.
+
+    Atoms fill the balanced rows sequentially in sorted-by-cell order
+    (``plan_kgrid``: ``atom_of_slot[row_of, slot_of] = order`` with
+    ``row_of`` nondecreasing), so the atoms touched by rows [r0, r1) are
+    exactly ``plan.order[s0:s1]`` with s0/s1 the cumulative real-slot
+    counts — the streamed path uploads just that contiguous-slice gather.
+    """
+    real_per_row = plan.pad_mask.sum(axis=1).astype(np.int64)
+    cum = np.zeros(len(real_per_row) + 1, dtype=np.int64)
+    np.cumsum(real_per_row, out=cum[1:])
+    n_rows = plan.n_rows
+    return {r0: (int(cum[r0]), int(cum[min(r0 + row_chunk, n_rows)]))
+            for r0 in row_starts}
+
+
 def _chunk_packed_tables(plan: GridPlan, row_starts, row_chunk: int,
-                         put=None):
+                         put=None, local_slots: bool = False):
     """Upload each row-chunk's packed tables (slot map, mask, base phases,
     window weights, split-y coords, segment ids) — N-sized data crossing the
     host link exactly ONCE for the whole sweep.
@@ -388,6 +405,11 @@ def _chunk_packed_tables(plan: GridPlan, row_starts, row_chunk: int,
     ``put``: placement function for the table arrays (default
     ``jax.device_put`` to the default device; the sharded path passes a
     per-device or identity placement).
+
+    ``local_slots``: remap each chunk's slot→atom indices into the chunk's
+    OWN compact atom slab (position within ``plan.order[s0:s1]``, see
+    :func:`_chunk_slot_ranges`) — the streamed path packs from a per-chunk
+    upload instead of a resident full-trajectory array.
     """
     n_rows, p = plan.base_re.shape
     dev = jax.device_put if put is None else put
@@ -399,6 +421,11 @@ def _chunk_packed_tables(plan: GridPlan, row_starts, row_chunk: int,
         spans.append(int(plan.slot_cell[r1 - 1]) - c_lo + 1)
     n_seg = max(spans)
 
+    if local_slots:
+        ranges = _chunk_slot_ranges(plan, row_starts, row_chunk)
+        rank = np.empty(plan.order.shape[0], dtype=np.int64)
+        rank[plan.order] = np.arange(plan.order.shape[0])
+
     def chunk_packed(r0):
         r1 = min(r0 + row_chunk, n_rows)
         def padc(arr, extra=()):
@@ -408,7 +435,17 @@ def _chunk_packed_tables(plan: GridPlan, row_starts, row_chunk: int,
         c_lo = int(plan.slot_cell[r0])
         seg = np.full(row_chunk, n_seg - 1, dtype=np.int32)
         seg[:r1 - r0] = plan.slot_cell[r0:r1].astype(np.int32) - c_lo
-        return {'slots': padc(plan.atom_of_slot), 'mask': padc(plan.pad_mask),
+        if local_slots:
+            s0, _ = ranges[r0]
+            # pad slots carry atom id 0 whose rank is arbitrary — mask to 0
+            loc = rank[plan.atom_of_slot[r0:r1]] - s0
+            loc = np.where(plan.pad_mask[r0:r1] > 0, loc, 0).astype(np.int32)
+            out = np.zeros((row_chunk, p), dtype=np.int32)
+            out[:r1 - r0] = loc
+            slots = dev(out)
+        else:
+            slots = padc(plan.atom_of_slot)
+        return {'slots': slots, 'mask': padc(plan.pad_mask),
                 'base_re': padc(plan.base_re), 'base_im': padc(plan.base_im),
                 'wx': padc(plan.wx, (plan.w,)),
                 'y_hi': padc(plan.y_hi), 'y_lo': padc(plan.y_lo),
@@ -419,13 +456,20 @@ def _chunk_packed_tables(plan: GridPlan, row_starts, row_chunk: int,
 
 def _spread_update_body(grid_re, grid_im, data, slots, slot_mask, w_re, w_im,
                         seg_ids, n_seg, win_start, t0, pol, tc: int, gy: int,
-                        w: int, precision: str):
+                        w: int, precision: str, grid_t0=None):
     """One (row-chunk, t-chunk, polarization) update, traceable: time-slice
     the device trajectory, pack, spread, fold the (n_seg + w) window
     cyclically into the full-time grid accumulators.  ``win_start``/``t0``/
     ``pol`` may be traced scalars — chunk positions do not trigger
-    recompiles; only the (tc, gyc) shape bucket does."""
+    recompiles; only the (tc, gyc) shape bucket does.
+
+    ``grid_t0`` (default ``t0``) decouples the grid-write offset from the
+    data-read offset — the streamed path's ``data`` holds one uploaded
+    time-superchunk, so its local t axis starts at 0 while the grid rows it
+    feeds start at the superchunk's global offset."""
     c = grid_re.shape[0]
+    if grid_t0 is None:
+        grid_t0 = t0
     data_slice = lax.dynamic_slice(
         data, (t0, 0, pol), (tc, data.shape[1], 1))[:, :, 0]
     win_re, win_im = _pack_and_spread(data_slice, slots, slot_mask,
@@ -441,8 +485,8 @@ def _spread_update_body(grid_re, grid_im, data, slots, slot_mask, w_re, w_im,
         return jnp.roll(win, win_start, axis=0)
 
     def add_rows(grid, win):
-        cur = lax.dynamic_slice(grid, (0, t0, 0), (c, tc, win.shape[2]))
-        return lax.dynamic_update_slice(grid, cur + fold(win), (0, t0, 0))
+        cur = lax.dynamic_slice(grid, (0, grid_t0, 0), (c, tc, win.shape[2]))
+        return lax.dynamic_update_slice(grid, cur + fold(win), (0, grid_t0, 0))
 
     return add_rows(grid_re, win_re), add_rows(grid_im, win_im)
 
@@ -452,14 +496,16 @@ def _spread_update_body(grid_re, grid_im, data, slots, slot_mask, w_re, w_im,
                    donate_argnums=(0, 1))
 def _spread_accumulate(grid_re, grid_im, data, slots, slot_mask, w_re, w_im,
                        seg_ids, win_start, t0, pol, n_seg: int, tc: int,
-                       gy: int, w: int, precision: str = 'parity'):
+                       gy: int, w: int, precision: str = 'parity',
+                       grid_t0=0):
     """ONE dispatch for one (row-chunk, t-chunk, polarization) update with
     donated accumulators.  The eager-op version of this loop cost ~4
     dispatches per iteration — at ~77 ms/dispatch on a tunneled TPU that
     latency, not compute, dominated the fused browse (docs/PERF_NOTES.md)."""
     return _spread_update_body(grid_re, grid_im, data, slots, slot_mask,
                                w_re, w_im, seg_ids, n_seg, win_start, t0,
-                               pol, tc=tc, gy=gy, w=w, precision=precision)
+                               pol, tc=tc, gy=gy, w=w, precision=precision,
+                               grid_t0=grid_t0 + t0)
 
 
 @functools.partial(jax.jit,
@@ -469,14 +515,15 @@ def _spread_accumulate(grid_re, grid_im, data, slots, slot_mask, w_re, w_im,
 def _spread_accumulate_scan(grid_re, grid_im, data, slots, slot_mask,
                             w_re, w_im, seg_ids, win_start, pol, n_seg: int,
                             tc: int, n_steps: int, gy: int, w: int,
-                            precision: str = 'parity'):
+                            precision: str = 'parity', grid_t0=0):
     """All ``n_steps`` equal-size t-chunks of one (row-chunk, polarization)
     in a single dispatch (lax.fori_loop over the update body)."""
     def body(i, grids):
         return _spread_update_body(grids[0], grids[1], data, slots,
                                    slot_mask, w_re, w_im, seg_ids, n_seg,
                                    win_start, i * tc, pol, tc=tc, gy=gy,
-                                   w=w, precision=precision)
+                                   w=w, precision=precision,
+                                   grid_t0=grid_t0 + i * tc)
     return lax.fori_loop(0, n_steps, body, (grid_re, grid_im))
 
 
@@ -517,6 +564,85 @@ def _spread_gy_block(data_dev, plan: GridPlan, packed_tabs, row_starts,
     return grids
 
 
+def _spread_gy_block_streamed(read_frames, plan: GridPlan, packed_tabs,
+                              row_starts, chunk_cols, ky_dev, gyc: int,
+                              n_t: int, t_superchunk: int, t_chunk: int,
+                              a_pad: int, precision: str,
+                              weight_cache_bytes: int):
+    """Streamed variant of :func:`_spread_gy_block` for groups that exceed
+    HBM: time-superchunks are read from the host source sequentially and,
+    per row-chunk, only that chunk's compact atom slab is uploaded —
+    device residency is O(t_superchunk · a_pad) data + the grid
+    accumulators, never O(n_t · N).
+
+    The grid's time axis is padded to a whole number of superchunks so the
+    final (zero-padded) slab shares the single compiled update shape —
+    padded frames spread zeros into rows ≥ n_t, which the caller slices
+    off before the FFT.
+
+    Per-row-chunk device weight tensors are cached across superchunks when
+    they fit ``weight_cache_bytes`` (they are t-independent); otherwise
+    they are rebuilt per (superchunk, row-chunk) — FLOPs traded for HBM.
+    """
+    n_cells = plan.n_cells
+    n_sc = -(-n_t // t_superchunk)
+    n_t_pad = n_sc * t_superchunk
+    grids = [(jnp.zeros((n_cells, n_t_pad, gyc), jnp.float32),
+              jnp.zeros((n_cells, n_t_pad, gyc), jnp.float32))
+             for _ in range(3)]
+
+    w_bytes = sum(tabs['base_re'].shape[0] * tabs['base_re'].shape[1]
+                  * plan.w * gyc * 4 * 2 for tabs in packed_tabs.values())
+    cache_weights = w_bytes <= weight_cache_bytes
+    wcache = {}
+
+    def weights_for(r0):
+        if r0 in wcache:
+            return wcache[r0]
+        tabs = packed_tabs[r0]
+        w_re, w_im = _device_weights(tabs['base_re'], tabs['base_im'],
+                                     tabs['wx'], tabs['y_hi'], tabs['y_lo'],
+                                     ky_dev, gy=gyc, w=plan.w)
+        if cache_weights:
+            wcache[r0] = (w_re, w_im)
+        return w_re, w_im
+
+    n_full, rem = divmod(t_superchunk, t_chunk)
+    for ts0 in range(0, n_t, t_superchunk):
+        ts1 = min(ts0 + t_superchunk, n_t)
+        slab = read_frames(ts0, ts1)               # (ts1-ts0, N, 3) host f32
+        for r0 in row_starts:
+            tabs = packed_tabs[r0]
+            cols = chunk_cols[r0]
+            sub = np.zeros((t_superchunk, a_pad, 3), dtype=np.float32)
+            sub[:ts1 - ts0, :cols.size] = slab[:, cols, :]
+            data_dev = jax.device_put(sub)
+            w_re, w_im = weights_for(r0)
+            win_start = (tabs['c_lo'] - (plan.w // 2 - 1)) % n_cells
+            for pol in range(3):
+                if n_full:
+                    grids[pol] = _spread_accumulate_scan(
+                        grids[pol][0], grids[pol][1], data_dev,
+                        tabs['slots'], tabs['mask'], w_re, w_im,
+                        tabs['seg'], win_start, pol, n_seg=tabs['n_seg'],
+                        tc=t_chunk, n_steps=n_full, gy=gyc, w=plan.w,
+                        precision=precision, grid_t0=ts0)
+                if rem:
+                    grids[pol] = _spread_accumulate(
+                        grids[pol][0], grids[pol][1], data_dev,
+                        tabs['slots'], tabs['mask'], w_re, w_im,
+                        tabs['seg'], win_start, n_full * t_chunk, pol,
+                        n_seg=tabs['n_seg'], tc=rem, gy=gyc, w=plan.w,
+                        precision=precision, grid_t0=ts0)
+            del data_dev
+            if not cache_weights:
+                del w_re, w_im
+    # drop the padded tail rows before the FFT stage
+    if n_t_pad != n_t:
+        grids = [(g[0][:, :n_t, :], g[1][:, :n_t, :]) for g in grids]
+    return grids
+
+
 def gridded_kgrid_browse(data, plan: GridPlan, freq_idx: np.ndarray,
                          comp_pair: Optional[Tuple[int, int]] = None,
                          angle_range_opt: str = 'C',
@@ -527,7 +653,11 @@ def gridded_kgrid_browse(data, plan: GridPlan, freq_idx: np.ndarray,
                          n_peaks: Optional[int] = None,
                          exclusion_bins: int = 4,
                          freqs_kept: Optional[np.ndarray] = None,
-                         width_method: str = 'rms'):
+                         width_method: str = 'rms',
+                         t_superchunk: Optional[int] = None,
+                         data_budget_bytes: int = 2 << 30,
+                         grid_budget_bytes: Optional[int] = None,
+                         weight_cache_bytes: int = 4 << 30):
     """NUFFT k-grid sweep fused with the time FFT and browse reduction.
 
     :func:`gridded_kgrid_spectrum` must ship its full pre-FFT signal to host
@@ -539,14 +669,33 @@ def gridded_kgrid_browse(data, plan: GridPlan, freq_idx: np.ndarray,
     ``comp_pair``) — so only the filtered float32 planes transfer.
 
     Args:
-        data: (n_t, N, 3) float32 — host array or device-resident jax array.
+        data: (n_t, N, 3) float32 — host array or device-resident jax
+            array — or, for groups EXCEEDING HBM, a
+            :class:`psa_tpu.parallel.BlockSource`-like object
+            (``n_frames``/``n_atoms``/``read_block``) over the plan's N
+            atoms: the sweep then streams time-superchunks from the source
+            and uploads each row-chunk's compact atom slab, keeping device
+            residency at O(t_superchunk · atoms_per_chunk) + the grid
+            accumulators instead of O(n_t · N).  Atom axis must match the
+            plan's atom count/order.
         plan: from :func:`plan_kgrid`.
         freq_idx: (n_keep,) int32 retained frequency-row indices.
         comp_pair: polarization pair for the chiral phase, or None.
         cell_chunk: balanced packing ROWS per weight-tensor chunk (None =
-            ~2 GB weight budget).
+            ~2 GB weight budget; the streamed path also caps it by
+            ``data_budget_bytes``).
         gy_chunk: ky columns per device-resident signal block (None = sized
-            so the three per-polarization signal buffers stay under ~2 GB).
+            so the three per-polarization signal buffers stay under
+            ``grid_budget_bytes``: ~1 GB resident, ~6 GB streamed — every
+            gy block re-reads the whole source, so streamed blocks are cut
+            as coarse as HBM allows).
+        t_superchunk: streamed mode only — frames per host read (None =
+            sized so one slab is ~4 GB host RAM).
+        data_budget_bytes: streamed mode only — cap on one uploaded
+            (t_superchunk, atoms_chunk, 3) slab.
+        weight_cache_bytes: streamed mode only — cache per-row-chunk device
+            weight tensors across superchunks when they fit this budget
+            (they are t-independent); otherwise rebuild per superchunk.
 
     With ``n_peaks`` set (requires ``freqs_kept``, the THz values of the
     kept rows; exclusive with ``comp_pair``), the per-block intensity
@@ -565,8 +714,16 @@ def gridded_kgrid_browse(data, plan: GridPlan, freq_idx: np.ndarray,
             raise ValueError("peaks mode is exclusive with comp_pair")
         if freqs_kept is None:
             raise ValueError("peaks mode needs freqs_kept")
-    data = np.asarray(data) if not isinstance(data, jnp.ndarray) else data
-    n_t = data.shape[0]
+    streamed = hasattr(data, 'read_block')
+    if streamed:
+        src = data
+        if src.n_atoms != plan.order.shape[0]:
+            raise ValueError(f"streamed source has {src.n_atoms} atoms but "
+                             f"the plan packs {plan.order.shape[0]}")
+        n_t = src.n_frames
+    else:
+        data = np.asarray(data) if not isinstance(data, jnp.ndarray) else data
+        n_t = data.shape[0]
     gx, gy = plan.gx, plan.gy
     n_f = int(len(freq_idx))
     n_rows, p = plan.base_re.shape
@@ -576,14 +733,26 @@ def gridded_kgrid_browse(data, plan: GridPlan, freq_idx: np.ndarray,
             z = np.zeros((n_peaks, gx * gy), dtype=np.float32)
             return z, z.copy(), z.copy()
         return zeros, (np.zeros_like(zeros) if comp_pair is not None else None)
-    if cell_chunk is None:
+    if streamed:
+        if t_superchunk is None:
+            # one host slab ~4 GB: sequential reads, bounded RAM
+            t_superchunk = max(256, (4 << 30) // max(1, src.n_atoms * 12))
+        t_superchunk = min(t_superchunk, n_t)
+        # uploaded per (superchunk, row-chunk): (t_superchunk, a_pad, 3) f32
+        a_budget = max(plan.bucket_size,
+                       data_budget_bytes // max(1, t_superchunk * 12))
+        rows_budget = max(1, a_budget // plan.bucket_size)
+        cell_chunk = min(cell_chunk or cells_per_chunk(plan), rows_budget)
+    elif cell_chunk is None:
         cell_chunk = cells_per_chunk(plan)
     cell_chunk = min(cell_chunk, n_rows)                    # rows per chunk
     row_starts = list(range(0, n_rows, cell_chunk))
     if gy_chunk is None:
         # bound the 3-pol full-time grid accumulators (the largest residents)
         per_col = 6 * n_t * plan.n_cells * 4
-        gy_chunk = max(1, min(gy, (1 << 30) // max(per_col, 1)))
+        budget = grid_budget_bytes if grid_budget_bytes is not None \
+            else (6 << 30 if streamed else 1 << 30)
+        gy_chunk = max(1, min(gy, budget // max(per_col, 1)))
     gyc_max = min(gy_chunk, gy)
     if t_chunk is None:
         # bound the per-t-chunk transients: the packed data gather
@@ -592,9 +761,11 @@ def gridded_kgrid_browse(data, plan: GridPlan, freq_idx: np.ndarray,
         per_frame = (cell_chunk * p * 4                     # packed gather
                      + cell_chunk * plan.w * gyc_max * 4 * 2)
         t_chunk = max(64, min(n_t, (1 << 30) // max(per_frame, 1)))
+    if streamed:
+        t_chunk = min(t_chunk, t_superchunk)
 
     dev = jax.device_put
-    data_dev = dev(data)
+    data_dev = None if streamed else dev(data)
     deconv = dev(plan.deconv_re)
     freq_dev = jnp.asarray(np.asarray(freq_idx, dtype=np.int32))
 
@@ -611,14 +782,31 @@ def gridded_kgrid_browse(data, plan: GridPlan, freq_idx: np.ndarray,
     # N-sized packed tables cross the host link ONCE; weight tiles are built
     # on device per row-chunk (see _device_weights) and reused across every
     # time-chunk and polarization.
-    packed_tabs = _chunk_packed_tables(plan, row_starts, cell_chunk)
+    packed_tabs = _chunk_packed_tables(plan, row_starts, cell_chunk,
+                                       local_slots=streamed)
+    if streamed:
+        ranges = _chunk_slot_ranges(plan, row_starts, cell_chunk)
+        chunk_cols = {r0: plan.order[s0:s1] for r0, (s0, s1) in ranges.items()}
+        a_pad = max(max((c.size for c in chunk_cols.values()), default=1), 1)
+        read_frames = lambda t0, t1: src.read_block(t0, t1, 0, src.n_atoms)
+        logger.info("gridded streamed sweep: %d frames x %d atoms via "
+                    "%d-frame superchunks, %d row-chunks (a_pad %d), "
+                    "grid pad %d rows", n_t, src.n_atoms, t_superchunk,
+                    len(row_starts), a_pad,
+                    -(-n_t // t_superchunk) * t_superchunk - n_t)
 
     for g0 in range(0, gy, gy_chunk):
         g1 = min(g0 + gy_chunk, gy)
         gyc = g1 - g0
         ky_dev = dev(plan.ky_vals[g0:g1].astype(np.float32))
-        grids = _spread_gy_block(data_dev, plan, packed_tabs, row_starts,
-                                 ky_dev, gyc, n_t, t_chunk, precision)
+        if streamed:
+            grids = _spread_gy_block_streamed(
+                read_frames, plan, packed_tabs, row_starts, chunk_cols,
+                ky_dev, gyc, n_t, t_superchunk, t_chunk, a_pad, precision,
+                weight_cache_bytes)
+        else:
+            grids = _spread_gy_block(data_dev, plan, packed_tabs, row_starts,
+                                     ky_dev, gyc, n_t, t_chunk, precision)
         inten_dev = jnp.zeros((n_f, gx * gyc), jnp.float32)
         kept = {}
         for pol in range(3):

@@ -256,16 +256,44 @@ class TestGriddedPeaks:
             calc.calculate_kgrid_peaks(np.zeros((4, 3), np.float32),
                                        engine='gridded')
 
-    def test_oversize_group_raises_clearly(self, calc):
+    def test_oversize_group_streams(self, calc):
+        """A group over max_device_bytes no longer raises: the sweep runs
+        the streamed NUFFT path and matches the resident result."""
         _, k_vecs, shape = calc.get_k_grid('xy', (-1, 1), (-1, 1), 6, 6)
+        ref = calc.calculate_kgrid_peaks(k_vecs, n_peaks=2, engine='gridded',
+                                         k_grid_shape=shape)
         old = calc.max_device_bytes
         try:
             calc.max_device_bytes = 1
-            with pytest.raises(ValueError, match="device-resident"):
-                calc.calculate_kgrid_peaks(k_vecs, engine='gridded',
-                                           k_grid_shape=shape)
+            got = calc.calculate_kgrid_peaks(k_vecs, n_peaks=2,
+                                             engine='gridded',
+                                             k_grid_shape=shape)
         finally:
             calc.max_device_bytes = old
+        np.testing.assert_allclose(got[0], ref[0], atol=1e-6)
+        np.testing.assert_allclose(got[1], ref[1], rtol=1e-4)
+        np.testing.assert_allclose(got[2], ref[2], rtol=1e-3, atol=1e-4)
+
+    def test_oversize_browse_streams_with_transforms(self, traj):
+        """Streamed browse applies the resident path's transforms (mass
+        weights, displacement mean subtraction) host-side per block."""
+        import dataclasses
+        masses = np.where(traj.types == 1, 28.0, 12.0).astype(np.float64)
+        traj_m = dataclasses.replace(traj, masses=masses)
+        calc = SEDCalculator(traj_m, nx=4, ny=3, nz=2,
+                             use_displacements=True, mass_weighted=True)
+        _, k_vecs, shape = calc.get_k_grid('xy', (-1, 1), (-1, 1), 6, 5)
+        f_r, i_r, _ = calc.calculate_kgrid_browse(k_vecs, engine='gridded',
+                                                  k_grid_shape=shape)
+        old = calc.max_device_bytes
+        try:
+            calc.max_device_bytes = 1
+            f_s, i_s, _ = calc.calculate_kgrid_browse(
+                k_vecs, engine='gridded', k_grid_shape=shape)
+        finally:
+            calc.max_device_bytes = old
+        np.testing.assert_allclose(f_s, f_r, atol=0)
+        assert rel(i_s, i_r) < 1e-5
 
 
 class TestPlanEdgeCases:
@@ -414,3 +442,69 @@ class TestShardedGriddedBrowse:
         np.testing.assert_allclose(f_s, f_1, atol=0)
         np.testing.assert_allclose(i_s, i_1, rtol=1e-5, atol=1e-9)
         np.testing.assert_allclose(p_s, p_1, atol=1e-4)
+
+
+class TestStreamedGridded:
+    """Out-of-core NUFFT sweep: a BlockSource streamed in time-superchunks
+    with per-row-chunk compact atom slabs must reproduce the resident path
+    (same spread/FFT math; only fp summation order differs)."""
+
+    @pytest.fixture(scope='class')
+    def setup(self):
+        from psa_tpu.ops.gridded import plan_kgrid
+        rng = np.random.default_rng(11)
+        n_t, n_atoms = 24, 150
+        data = rng.normal(size=(n_t, n_atoms, 3)).astype(np.float32)
+        mean64 = rng.uniform(0, 40.0, size=(n_atoms, 3))
+        plan = plan_kgrid(mean64, np.linspace(-1, 1, 9),
+                          np.linspace(-1, 1, 7), k_fixed=0.2)
+        freq_idx = np.arange(n_t // 2, dtype=np.int32)
+        return data, plan, freq_idx
+
+    def test_browse_matches_resident(self, setup):
+        from psa_tpu.ops.gridded import gridded_kgrid_browse
+        from psa_tpu.parallel import ArrayBlockSource
+        data, plan, freq_idx = setup
+        ref_i, _ = gridded_kgrid_browse(data, plan, freq_idx)
+        # t_superchunk=7 over 24 frames: 3 full superchunks + a zero-padded
+        # tail; t_chunk=3 gives 2 scanned + 1 remainder chunk per superchunk;
+        # weight cache off forces the per-superchunk rebuild branch
+        got_i, _ = gridded_kgrid_browse(
+            ArrayBlockSource(data), plan, freq_idx, t_superchunk=7,
+            t_chunk=3, cell_chunk=3, weight_cache_bytes=0)
+        assert rel(got_i, ref_i) < 1e-5
+
+    def test_chiral_and_weight_cache(self, setup):
+        from psa_tpu.ops.gridded import gridded_kgrid_browse
+        from psa_tpu.parallel import ArrayBlockSource
+        data, plan, freq_idx = setup
+        ref_i, ref_p = gridded_kgrid_browse(data, plan, freq_idx,
+                                            comp_pair=(0, 1))
+        got_i, got_p = gridded_kgrid_browse(
+            ArrayBlockSource(data), plan, freq_idx, comp_pair=(0, 1),
+            t_superchunk=10, gy_chunk=3)
+        assert rel(got_i, ref_i) < 1e-5
+        sig = ref_i > 1e-6 * ref_i.max()
+        np.testing.assert_allclose(got_p[sig], ref_p[sig], atol=1e-3)
+
+    def test_peaks_match_resident(self, setup):
+        from psa_tpu.ops.gridded import gridded_kgrid_browse
+        from psa_tpu.parallel import ArrayBlockSource
+        data, plan, freq_idx = setup
+        freqs_kept = freq_idx.astype(np.float32) * 0.5
+        ref = gridded_kgrid_browse(data, plan, freq_idx, n_peaks=2,
+                                   freqs_kept=freqs_kept)
+        got = gridded_kgrid_browse(ArrayBlockSource(data), plan, freq_idx,
+                                   n_peaks=2, freqs_kept=freqs_kept,
+                                   t_superchunk=9)
+        np.testing.assert_allclose(got[0], ref[0], atol=1e-6)  # peak freqs
+        np.testing.assert_allclose(got[1], ref[1], rtol=1e-4)  # heights
+        np.testing.assert_allclose(got[2], ref[2], rtol=1e-3, atol=1e-4)
+
+    def test_atom_count_mismatch_raises(self, setup):
+        from psa_tpu.ops.gridded import gridded_kgrid_browse
+        from psa_tpu.parallel import ArrayBlockSource
+        data, plan, freq_idx = setup
+        with pytest.raises(ValueError, match="atoms"):
+            gridded_kgrid_browse(ArrayBlockSource(data[:, :100]), plan,
+                                 freq_idx)

@@ -106,6 +106,34 @@ class TestThermalConductivityOracle:
         # by symmetry of the sampled quadrant, κ_xx ≈ κ_yy
         np.testing.assert_allclose(res.kappa_xx, res.kappa_yy, rtol=0.15)
 
+    def test_mesh_path_matches_single_chip(self):
+        """mesh= routes the peak sweep over the (t, a, k) device mesh; the
+        transport post-processing must be bit-for-bit the same chain, so κ
+        agrees to the sharded-peaks tolerance."""
+        from psa_tpu.parallel import make_mesh
+        # γ=3/ps: FWHM = γ/π ≈ 0.95 THz clears the 2-bin floor (0.39 THz at
+        # 512 frames) so modes actually resolve — κ asserts are non-vacuous
+        a, nu_max, n_cells = 2.5, 10.0, 8
+        traj = make_square_lattice_trajectory(
+            n_cells=n_cells, n_frames=512, dt_ps=0.01, a=a,
+            nu_max_thz=nu_max, seed=3, amp_decay_per_ps=3.0)
+        calc = SEDCalculator(traj, nx=n_cells, ny=n_cells, nz=1)
+        dk = 2 * np.pi / (n_cells * a)
+        m = n_cells // 2
+        _, k_vecs, shape = calc.get_k_grid('xy', (dk, m * dk), (dk, m * dk),
+                                           m, m)
+        ref, rf, rvx, rvy = calc.calculate_thermal_conductivity(
+            k_vecs, shape, n_bands=1, exclusion_bins=12)
+        mesh = make_mesh(shape=(2, 2, 2))
+        res, pf, vx, vy = calc.calculate_thermal_conductivity(
+            k_vecs, shape, n_bands=1, exclusion_bins=12, mesh=mesh,
+            t_superchunk=256)
+        np.testing.assert_allclose(pf, rf, atol=1e-5)
+        assert ref.n_modes_used > 0          # floor cleared: not vacuous
+        assert res.n_modes_used == ref.n_modes_used
+        np.testing.assert_allclose(res.kappa_xx, ref.kappa_xx, rtol=1e-3)
+        np.testing.assert_allclose(res.kappa_yy, ref.kappa_yy, rtol=1e-3)
+
     def test_kwarg_validation(self):
         traj = make_square_lattice_trajectory(n_cells=4, n_frames=32,
                                               dt_ps=0.01)
