@@ -1250,21 +1250,32 @@ class SEDCalculator:
                              "(single-spectrum) sweeps only.")
         if k_grid_shape is None:
             raise ValueError("engine='gridded' needs k_grid_shape.")
-        if data is not None:
-            raise ValueError("engine='gridded' uses the trajectory's "
-                             "device-resident group data; custom data "
-                             "sources run on the direct engine.")
+        if data is not None and not hasattr(data, 'read_block'):
+            raise ValueError("engine='gridded' takes the trajectory's "
+                             "group data or a BlockSource; array overrides "
+                             "run on the direct engine.")
         union = (np.unique(np.concatenate(atom_groups)).astype(int)
                  if len(atom_groups) > 1 else atom_groups[0])
-        if union.size and self._group_bytes(union) > self.max_device_bytes:
-            raise ValueError("engine='gridded' needs the group "
-                             "device-resident; use engine='direct'.")
         kx_vals, ky_vals, k_fixed, axes = self._detect_grid_axes(
             np.asarray(k_vectors_3d, dtype=np.float32), k_grid_shape)
         plan = gridded.plan_kgrid(self.mean_positions64[union], kx_vals,
                                   ky_vals, k_fixed=k_fixed, axes=axes)
-        data_dev, _, _ = self._group_device_arrays(union)
-        return gridded, plan, data_dev
+        if data is not None:
+            # user BlockSource (pod ingest): must cover the union's atoms in
+            # trajectory order and already hold SED-ready data (velocities,
+            # or mean-subtracted displacements)
+            if data.n_atoms != union.size:
+                raise ValueError(
+                    f"engine='gridded' BlockSource has {data.n_atoms} atoms "
+                    f"but the group selects {union.size}")
+            payload = data
+        elif union.size and self._group_bytes(union) > self.max_device_bytes:
+            # oversize group: every mesh device streams the source for its
+            # ky stripe (ops/gridded.py streamed mode)
+            payload = self._group_block_source(union)
+        else:
+            payload, _, _ = self._group_device_arrays(union)
+        return gridded, plan, payload
 
     def _sharded_data(self, data):
         """Data + projection flags for the mesh path: velocities, or
@@ -1330,7 +1341,8 @@ class SEDCalculator:
             intensity, phase = gridded.gridded_kgrid_sharded(
                 data_dev, plan, freq_idx,
                 devices=list(mesh.devices.ravel()), comp_pair=comp_pair,
-                angle_range_opt=angle_range_opt, precision=self.precision)
+                angle_range_opt=angle_range_opt, precision=self.precision,
+                t_superchunk=t_superchunk)
             return freqs_kept, intensity, phase
         if engine != 'direct':
             raise ValueError(f"engine must be 'direct' or 'gridded', "
@@ -1401,7 +1413,7 @@ class SEDCalculator:
                 data_dev, plan, freq_idx, freqs_kept,
                 devices=list(mesh.devices.ravel()), n_peaks=n_peaks,
                 exclusion_bins=exclusion_bins, width_method=width_method,
-                precision=self.precision)
+                precision=self.precision, t_superchunk=t_superchunk)
         if engine != 'direct':
             raise ValueError(f"engine must be 'direct' or 'gridded', "
                              f"got {engine!r}")

@@ -568,7 +568,7 @@ def _spread_gy_block_streamed(read_frames, plan: GridPlan, packed_tabs,
                               row_starts, chunk_cols, ky_dev, gyc: int,
                               n_t: int, t_superchunk: int, t_chunk: int,
                               a_pad: int, precision: str,
-                              weight_cache_bytes: int):
+                              weight_cache_bytes: int, device=None):
     """Streamed variant of :func:`_spread_gy_block` for groups that exceed
     HBM: time-superchunks are read from the host source sequentially and,
     per row-chunk, only that chunk's compact atom slab is uploaded —
@@ -583,12 +583,24 @@ def _spread_gy_block_streamed(read_frames, plan: GridPlan, packed_tabs,
     Per-row-chunk device weight tensors are cached across superchunks when
     they fit ``weight_cache_bytes`` (they are t-independent); otherwise
     they are rebuilt per (superchunk, row-chunk) — FLOPs traded for HBM.
+
+    ``device``: pin slabs and grid accumulators to one device (the mesh
+    ky-stripe path); None = the default device.
     """
     n_cells = plan.n_cells
     n_sc = -(-n_t // t_superchunk)
     n_t_pad = n_sc * t_superchunk
-    grids = [(jnp.zeros((n_cells, n_t_pad, gyc), jnp.float32),
-              jnp.zeros((n_cells, n_t_pad, gyc), jnp.float32))
+    if device is None:
+        put, zeros = jax.device_put, jnp.zeros
+    else:
+        put = functools.partial(jax.device_put, device=device)
+        # accumulators materialize ON their device — never allocated on the
+        # default device and moved
+        zeros = jax.jit(
+            jnp.zeros, static_argnums=(0, 1),
+            out_shardings=jax.sharding.SingleDeviceSharding(device))
+    grids = [(zeros((n_cells, n_t_pad, gyc), jnp.float32),
+              zeros((n_cells, n_t_pad, gyc), jnp.float32))
              for _ in range(3)]
 
     w_bytes = sum(tabs['base_re'].shape[0] * tabs['base_re'].shape[1]
@@ -616,7 +628,7 @@ def _spread_gy_block_streamed(read_frames, plan: GridPlan, packed_tabs,
             cols = chunk_cols[r0]
             sub = np.zeros((t_superchunk, a_pad, 3), dtype=np.float32)
             sub[:ts1 - ts0, :cols.size] = slab[:, cols, :]
-            data_dev = jax.device_put(sub)
+            data_dev = put(sub)
             w_re, w_im = weights_for(r0)
             win_start = (tabs['c_lo'] - (plan.w // 2 - 1)) % n_cells
             for pol in range(3):
@@ -717,6 +729,10 @@ def gridded_kgrid_browse(data, plan: GridPlan, freq_idx: np.ndarray,
     streamed = hasattr(data, 'read_block')
     if streamed:
         src = data
+        # per-(superchunk, row-chunk) host slabs: arena reuse avoids the
+        # lazy-memory first-touch fault cost (utils/host_alloc.py)
+        from ..utils.host_alloc import enable_arena_reuse
+        enable_arena_reuse()
         if src.n_atoms != plan.order.shape[0]:
             raise ValueError(f"streamed source has {src.n_atoms} atoms but "
                              f"the plan packs {plan.order.shape[0]}")
@@ -879,7 +895,10 @@ def gridded_kgrid_sharded(data, plan: GridPlan, freq_idx: np.ndarray,
                           precision: str = 'parity',
                           t_chunk: Optional[int] = None,
                           cell_chunk: Optional[int] = None,
-                          gy_chunk: Optional[int] = None):
+                          gy_chunk: Optional[int] = None,
+                          t_superchunk: Optional[int] = None,
+                          data_budget_bytes: int = 2 << 30,
+                          weight_cache_bytes: int = 4 << 30):
     """Multi-device NUFFT k-grid sweep: ky STRIPES across devices.
 
     The gridded plan is separable along the fast (ky) axis — the browse
@@ -903,6 +922,12 @@ def gridded_kgrid_sharded(data, plan: GridPlan, freq_idx: np.ndarray,
             ``comp_pair``) — only the (3, n_peaks, Gx·Gy) triplet returns.
         comp_pair: browse mode chiral phase pair, as
             :func:`gridded_kgrid_browse`.
+        t_superchunk / data_budget_bytes / weight_cache_bytes: streamed
+            mode only (``data`` is a BlockSource over the plan's atoms, for
+            groups exceeding HBM) — as :func:`gridded_kgrid_browse`.  Every
+            device then streams the source independently for its stripe
+            (compact per-row-chunk atom slabs uploaded per superchunk);
+            device residency stays O(superchunk) + that stripe's grid.
 
     Returns:
         Browse mode: (intensity (n_keep, Gx·Gy) f32, phase or None);
@@ -919,7 +944,17 @@ def gridded_kgrid_sharded(data, plan: GridPlan, freq_idx: np.ndarray,
     gy = plan.gy
     n_dev = max(1, min(len(devs), gy))
     devs = devs[:n_dev]
-    n_t = data.shape[0]
+    streamed = hasattr(data, 'read_block')
+    if streamed:
+        src = data
+        if src.n_atoms != plan.order.shape[0]:
+            raise ValueError(f"streamed source has {src.n_atoms} atoms but "
+                             f"the plan packs {plan.order.shape[0]}")
+        n_t = src.n_frames
+        from ..utils.host_alloc import enable_arena_reuse
+        enable_arena_reuse()
+    else:
+        n_t = data.shape[0]
     gx = plan.gx
     n_f = int(len(freq_idx))
     n_rows, p = plan.base_re.shape
@@ -929,7 +964,15 @@ def gridded_kgrid_sharded(data, plan: GridPlan, freq_idx: np.ndarray,
             return z, z.copy(), z.copy()
         zeros = np.zeros((n_f, gx * gy), dtype=np.float32)
         return zeros, (np.zeros_like(zeros) if comp_pair is not None else None)
-    if cell_chunk is None:
+    if streamed:
+        if t_superchunk is None:
+            t_superchunk = max(256, (4 << 30) // max(1, src.n_atoms * 12))
+        t_superchunk = min(t_superchunk, n_t)
+        a_budget = max(plan.bucket_size,
+                       data_budget_bytes // max(1, t_superchunk * 12))
+        rows_budget = max(1, a_budget // plan.bucket_size)
+        cell_chunk = min(cell_chunk or cells_per_chunk(plan), rows_budget)
+    elif cell_chunk is None:
         cell_chunk = cells_per_chunk(plan)
     cell_chunk = min(cell_chunk, n_rows)
     row_starts = list(range(0, n_rows, cell_chunk))
@@ -939,21 +982,36 @@ def gridded_kgrid_sharded(data, plan: GridPlan, freq_idx: np.ndarray,
                   for i in range(n_dev))
     if gy_chunk is not None:
         gyc_max = min(gyc_max, gy_chunk)
+    if streamed:
+        # per-device grid accumulators cover the PADDED time axis; bound
+        # them (each extra gy block = one more full pass over the source)
+        n_t_pad = -(-n_t // t_superchunk) * t_superchunk
+        per_col = 6 * n_t_pad * plan.n_cells * 4
+        gyc_max = max(1, min(gyc_max, (6 << 30) // max(per_col, 1)))
     if t_chunk is None:
         per_frame = (cell_chunk * p * 4
                      + cell_chunk * plan.w * gyc_max * 4 * 2)
         t_chunk = max(64, min(n_t, (1 << 30) // max(per_frame, 1)))
+    if streamed:
+        t_chunk = min(t_chunk, t_superchunk)
 
-    # one broadcast each: trajectory, packed tables, deconv, freq indices
+    # one broadcast each: trajectory (resident mode), packed tables,
+    # deconv, freq indices
     host_tabs = _chunk_packed_tables(plan, row_starts, cell_chunk,
-                                     put=lambda x: x)
-    rep_tree = {'data': (data if isinstance(data, jnp.ndarray)
-                         else np.asarray(data)),
-                'tabs': host_tabs, 'deconv': plan.deconv_re,
+                                     put=lambda x: x, local_slots=streamed)
+    rep_tree = {'tabs': host_tabs, 'deconv': plan.deconv_re,
                 'freq': np.asarray(freq_idx, dtype=np.int32)}
+    if not streamed:
+        rep_tree['data'] = (data if isinstance(data, jnp.ndarray)
+                            else np.asarray(data))
     if freqs_kept is not None:
         rep_tree['fkept'] = np.asarray(freqs_kept, dtype=np.float32)
     reps = _replicate_per_device(rep_tree, devs)
+    if streamed:
+        ranges = _chunk_slot_ranges(plan, row_starts, cell_chunk)
+        chunk_cols = {r0: plan.order[s0:s1] for r0, (s0, s1) in ranges.items()}
+        a_pad = max(max((c.size for c in chunk_cols.values()), default=1), 1)
+        read_frames = lambda t0, t1: src.read_block(t0, t1, 0, src.n_atoms)
 
     out_parts = []                         # (b0, b1, device arrays) lazily
     for i, d in enumerate(devs):
@@ -965,8 +1023,15 @@ def gridded_kgrid_sharded(data, plan: GridPlan, freq_idx: np.ndarray,
             b1 = min(b0 + gyc_max, g1)
             gyc = b1 - b0
             ky_dev = jax.device_put(plan.ky_vals[b0:b1].astype(np.float32), d)
-            grids = _spread_gy_block(r['data'], plan, r['tabs'], row_starts,
-                                     ky_dev, gyc, n_t, t_chunk, precision)
+            if streamed:
+                grids = _spread_gy_block_streamed(
+                    read_frames, plan, r['tabs'], row_starts, chunk_cols,
+                    ky_dev, gyc, n_t, t_superchunk, t_chunk, a_pad,
+                    precision, weight_cache_bytes, device=d)
+            else:
+                grids = _spread_gy_block(r['data'], plan, r['tabs'],
+                                         row_starts, ky_dev, gyc, n_t,
+                                         t_chunk, precision)
             inten_dev = None
             kept = {}
             for pol in range(3):
@@ -1019,13 +1084,18 @@ def gridded_kgrid_peaks_sharded(data, plan: GridPlan, freq_idx: np.ndarray,
                                 precision: str = 'parity',
                                 t_chunk: Optional[int] = None,
                                 cell_chunk: Optional[int] = None,
-                                gy_chunk: Optional[int] = None):
+                                gy_chunk: Optional[int] = None,
+                                t_superchunk: Optional[int] = None,
+                                data_budget_bytes: int = 2 << 30,
+                                weight_cache_bytes: int = 4 << 30):
     """Peaks-mode alias of :func:`gridded_kgrid_sharded`."""
     return gridded_kgrid_sharded(
         data, plan, freq_idx, devices, freqs_kept=freqs_kept,
         n_peaks=n_peaks, exclusion_bins=exclusion_bins,
         width_method=width_method, precision=precision, t_chunk=t_chunk,
-        cell_chunk=cell_chunk, gy_chunk=gy_chunk)
+        cell_chunk=cell_chunk, gy_chunk=gy_chunk,
+        t_superchunk=t_superchunk, data_budget_bytes=data_budget_bytes,
+        weight_cache_bytes=weight_cache_bytes)
 
 
 def gridded_kgrid_spectrum(data: np.ndarray, plan: GridPlan,

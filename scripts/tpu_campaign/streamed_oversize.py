@@ -74,6 +74,8 @@ def ensure_file():
 
 
 def main():
+    from psa_tpu.utils.host_alloc import enable_arena_reuse
+    log(f"arena reuse: {enable_arena_reuse()}")
     ensure_file()
     a0 = 5.43
     side = int(np.ceil((ATOMS / 8) ** (1 / 3)))

@@ -444,6 +444,63 @@ class TestShardedGriddedBrowse:
         np.testing.assert_allclose(p_s, p_1, atol=1e-4)
 
 
+class TestStreamedShardedGridded:
+    """Mesh ky-stripes fed by a BlockSource: every device streams the
+    source for its stripe; results must match the resident single-device
+    engine."""
+
+    def _setup(self):
+        traj = make_random_crystal_trajectory(n_cells_xyz=(3, 2, 2), basis=2,
+                                              n_frames=20, dt_ps=0.02,
+                                              seed=31)
+        calc = SEDCalculator(traj, nx=3, ny=2, nz=2)
+        _, k_vecs, shape = calc.get_k_grid('xy', (-1.1, 1.1), (-0.8, 0.8),
+                                           9, 13)
+        return traj, calc, k_vecs, shape
+
+    def test_streamed_peaks_match_resident(self):
+        from psa_tpu.parallel import make_mesh
+        traj, calc, k_vecs, shape = self._setup()
+        single = calc.calculate_kgrid_peaks(k_vecs, n_peaks=2,
+                                            engine='gridded',
+                                            k_grid_shape=shape)
+        mesh = make_mesh(shape=(1, 1, 8))
+        old = calc.max_device_bytes
+        try:
+            calc.max_device_bytes = 1          # force streaming on the mesh
+            got = calc.calculate_kgrid_peaks_sharded(
+                mesh, k_vecs, n_peaks=2, engine='gridded',
+                k_grid_shape=shape, t_superchunk=7)
+        finally:
+            calc.max_device_bytes = old
+        np.testing.assert_allclose(got[0], single[0], atol=1e-6)
+        np.testing.assert_allclose(got[1], single[1], rtol=1e-4)
+        np.testing.assert_allclose(got[2], single[2], rtol=1e-3, atol=1e-4)
+
+    def test_user_block_source_browse(self):
+        from psa_tpu.parallel import ArrayBlockSource, make_mesh
+        traj, calc, k_vecs, shape = self._setup()
+        f_1, i_1, _ = calc.calculate_kgrid_browse(k_vecs, engine='gridded',
+                                                  k_grid_shape=shape)
+        mesh = make_mesh(shape=(1, 1, 8))
+        src = ArrayBlockSource(traj.velocities)
+        f_s, i_s, _ = calc.calculate_kgrid_browse_sharded(
+            mesh, k_vecs, engine='gridded', k_grid_shape=shape, data=src,
+            t_superchunk=8)
+        np.testing.assert_allclose(f_s, f_1, atol=0)
+        assert rel(i_s, i_1) < 1e-5
+
+    def test_source_atom_mismatch_raises(self):
+        from psa_tpu.parallel import ArrayBlockSource, make_mesh
+        traj, calc, k_vecs, shape = self._setup()
+        mesh = make_mesh(shape=(1, 1, 8))
+        with pytest.raises(ValueError, match="atoms"):
+            calc.calculate_kgrid_peaks_sharded(
+                mesh, k_vecs, n_peaks=1, engine='gridded',
+                k_grid_shape=shape,
+                data=ArrayBlockSource(traj.velocities[:, :5]))
+
+
 class TestStreamedGridded:
     """Out-of-core NUFFT sweep: a BlockSource streamed in time-superchunks
     with per-row-chunk compact atom slabs must reproduce the resident path
