@@ -104,13 +104,16 @@ def _run_kgrid_section(calc, kg, out_dir: Path, basis_idx, summation_mode):
                   'k_grid_shape': np.asarray(shape)}
         if len(res) == 4:
             arrays['peak_phase'] = res[3]
-        if kg.get('group_velocity'):
+        if kg.get('group_velocity') or kg.get('thermal_conductivity'):
             # band-sorted sheets + v_g = 2π·∇ν fields (Å/ps) from the
-            # peaks already computed — no second sweep
+            # peaks already computed — no second sweep; ONE sort carries
+            # heights and widths together so both stanzas share it
             from .ops import dispersion
-            bf, bh = dispersion.sort_bands_grid(
-                res[0].reshape(-1, *shape), res[1].reshape(-1, *shape))
+            bf, bh, bw = dispersion.sort_bands_grid(
+                res[0].reshape(-1, *shape), res[1].reshape(-1, *shape),
+                res[2].reshape(-1, *shape))
             vx, vy = dispersion.group_velocity_grid(bf, axis, axis)
+        if kg.get('group_velocity'):
             arrays.update(band_freqs=bf, band_heights=bh,
                           group_velocity_x=vx, group_velocity_y=vy)
             fig, ax = plt.subplots(figsize=(6, 5))
@@ -134,12 +137,9 @@ def _run_kgrid_section(calc, kg, out_dir: Path, basis_idx, summation_mode):
                 raise ValueError("thermal_conductivity needs "
                                  "width_method: lorentzian")
             import json as _json
-            from .ops import dispersion, transport
-            pf, pw = dispersion.sort_bands_grid(
-                res[0].reshape(-1, *shape), res[2].reshape(-1, *shape))
-            vx, vy = dispersion.group_velocity_grid(pf, axis, axis)
+            from .ops import transport
             df = 1.0 / (calc.traj.n_frames * calc.dt_ps)
-            tau = transport.phonon_lifetimes(pw, resolution_fwhm_thz=2 * df)
+            tau = transport.phonon_lifetimes(bw, resolution_fwhm_thz=2 * df)
             vol = float(abs(np.linalg.det(
                 calc.traj.box_matrix.astype(np.float64))))
             kres = transport.kinetic_kappa(vx, vy, tau, vol)

@@ -765,13 +765,33 @@ class PSAMainWindow:
             messagebox.showinfo("PSA", "Compute a SED first.")
             return
         path = filedialog.asksaveasfilename(title="Base path for .npy set")
-        if path:
-            # export the COMPLEX spectrum (recomputed once if the display
-            # used the device-reduced planes) — the .npy set's historical
-            # layout that downstream analysis scripts rely on
-            files = export.export_npy_set(self.controller.full_kpath_sed(),
-                                          Path(path))
-            self.status_var.set(f"Saved {len(files)} .npy files.")
+        if not path:
+            return
+        # The .npy set historically carries the COMPLEX spectrum; with the
+        # device-reduced display default that means a full-complex device
+        # recompute + multi-100-MB fetch — run it on a worker thread like
+        # every other device computation, never on the Tk main loop.
+        dialog = ProgressDialog(self.root, "Exporting",
+                                "Computing full complex spectrum…")
+
+        def work():
+            try:
+                files = export.export_npy_set(
+                    self.controller.full_kpath_sed(), Path(path))
+                msg, err = f"Saved {len(files)} .npy files.", None
+            except Exception as e:
+                msg, err = None, str(e)
+
+            def done():
+                dialog.close()
+                if err:
+                    self.status_var.set("Export failed.")
+                    messagebox.showerror("PSA", f"Export failed: {err}")
+                else:
+                    self.status_var.set(msg)
+            self.root.after(0, done)
+
+        threading.Thread(target=work, daemon=True).start()
 
     def _save_csv(self):
         from . import export

@@ -564,59 +564,75 @@ def _spread_gy_block(data_dev, plan: GridPlan, packed_tabs, row_starts,
     return grids
 
 
-def _spread_gy_block_streamed(read_frames, plan: GridPlan, packed_tabs,
-                              row_starts, chunk_cols, ky_dev, gyc: int,
-                              n_t: int, t_superchunk: int, t_chunk: int,
-                              a_pad: int, precision: str,
-                              weight_cache_bytes: int, device=None):
+def _spread_gy_blocks_streamed(read_frames, plan: GridPlan, targets,
+                               row_starts, chunk_cols, n_t: int,
+                               t_superchunk: int, t_chunk: int,
+                               a_pad: int, precision: str,
+                               weight_cache_bytes: int):
     """Streamed variant of :func:`_spread_gy_block` for groups that exceed
-    HBM: time-superchunks are read from the host source sequentially and,
-    per row-chunk, only that chunk's compact atom slab is uploaded —
-    device residency is O(t_superchunk · a_pad) data + the grid
-    accumulators, never O(n_t · N).
+    HBM, feeding one OR several devices' gy blocks from a single pass over
+    the host source: time-superchunks are read once, each row-chunk's
+    compact atom slab is staged once on host and uploaded to every target
+    device, and every target accumulates its own (n_cells, n_t_pad, gyc)
+    grids on its device — device residency is O(t_superchunk · a_pad)
+    data + that target's grid accumulators, never O(n_t · N), and the
+    host-I/O cost is one source pass TOTAL, not one per device.
 
     The grid's time axis is padded to a whole number of superchunks so the
     final (zero-padded) slab shares the single compiled update shape —
     padded frames spread zeros into rows ≥ n_t, which the caller slices
     off before the FFT.
 
-    Per-row-chunk device weight tensors are cached across superchunks when
-    they fit ``weight_cache_bytes`` (they are t-independent); otherwise
-    they are rebuilt per (superchunk, row-chunk) — FLOPs traded for HBM.
+    Per-(target, row-chunk) device weight tensors are cached across
+    superchunks when they fit ``weight_cache_bytes`` (they are
+    t-independent); otherwise they are rebuilt per (superchunk, row-chunk)
+    — FLOPs traded for HBM.
 
-    ``device``: pin slabs and grid accumulators to one device (the mesh
-    ky-stripe path); None = the default device.
+    Args:
+        targets: list of dicts per concurrent gy block — ``device`` (jax
+            device, or None for the default), ``tabs`` (packed tables
+            resident on that device), ``ky_dev`` (its ky values,
+            device-resident), ``gyc``.
+
+    Returns:
+        One grids list (3 polarizations × (re, im)) per target, in order.
     """
     n_cells = plan.n_cells
     n_sc = -(-n_t // t_superchunk)
     n_t_pad = n_sc * t_superchunk
-    if device is None:
-        put, zeros = jax.device_put, jnp.zeros
-    else:
-        put = functools.partial(jax.device_put, device=device)
-        # accumulators materialize ON their device — never allocated on the
-        # default device and moved
-        zeros = jax.jit(
-            jnp.zeros, static_argnums=(0, 1),
-            out_shardings=jax.sharding.SingleDeviceSharding(device))
-    grids = [(zeros((n_cells, n_t_pad, gyc), jnp.float32),
-              zeros((n_cells, n_t_pad, gyc), jnp.float32))
-             for _ in range(3)]
+    states = []
+    for tg in targets:
+        device = tg['device']
+        if device is None:
+            put, zeros = jax.device_put, jnp.zeros
+        else:
+            put = functools.partial(jax.device_put, device=device)
+            # accumulators materialize ON their device — never allocated
+            # on the default device and moved
+            zeros = jax.jit(
+                jnp.zeros, static_argnums=(0, 1),
+                out_shardings=jax.sharding.SingleDeviceSharding(device))
+        gyc = tg['gyc']
+        grids = [(zeros((n_cells, n_t_pad, gyc), jnp.float32),
+                  zeros((n_cells, n_t_pad, gyc), jnp.float32))
+                 for _ in range(3)]
+        w_bytes = sum(tabs['base_re'].shape[0] * tabs['base_re'].shape[1]
+                      * plan.w * gyc * 4 * 2
+                      for tabs in tg['tabs'].values())
+        states.append({'put': put, 'grids': grids, 'tabs': tg['tabs'],
+                       'ky': tg['ky_dev'], 'gyc': gyc,
+                       'cache': w_bytes <= weight_cache_bytes,
+                       'wcache': {}})
 
-    w_bytes = sum(tabs['base_re'].shape[0] * tabs['base_re'].shape[1]
-                  * plan.w * gyc * 4 * 2 for tabs in packed_tabs.values())
-    cache_weights = w_bytes <= weight_cache_bytes
-    wcache = {}
-
-    def weights_for(r0):
-        if r0 in wcache:
-            return wcache[r0]
-        tabs = packed_tabs[r0]
+    def weights_for(st, r0):
+        if r0 in st['wcache']:
+            return st['wcache'][r0]
+        tabs = st['tabs'][r0]
         w_re, w_im = _device_weights(tabs['base_re'], tabs['base_im'],
                                      tabs['wx'], tabs['y_hi'], tabs['y_lo'],
-                                     ky_dev, gy=gyc, w=plan.w)
-        if cache_weights:
-            wcache[r0] = (w_re, w_im)
+                                     st['ky'], gy=st['gyc'], w=plan.w)
+        if st['cache']:
+            st['wcache'][r0] = (w_re, w_im)
         return w_re, w_im
 
     n_full, rem = divmod(t_superchunk, t_chunk)
@@ -624,35 +640,58 @@ def _spread_gy_block_streamed(read_frames, plan: GridPlan, packed_tabs,
         ts1 = min(ts0 + t_superchunk, n_t)
         slab = read_frames(ts0, ts1)               # (ts1-ts0, N, 3) host f32
         for r0 in row_starts:
-            tabs = packed_tabs[r0]
             cols = chunk_cols[r0]
             sub = np.zeros((t_superchunk, a_pad, 3), dtype=np.float32)
             sub[:ts1 - ts0, :cols.size] = slab[:, cols, :]
-            data_dev = put(sub)
-            w_re, w_im = weights_for(r0)
-            win_start = (tabs['c_lo'] - (plan.w // 2 - 1)) % n_cells
-            for pol in range(3):
-                if n_full:
-                    grids[pol] = _spread_accumulate_scan(
-                        grids[pol][0], grids[pol][1], data_dev,
-                        tabs['slots'], tabs['mask'], w_re, w_im,
-                        tabs['seg'], win_start, pol, n_seg=tabs['n_seg'],
-                        tc=t_chunk, n_steps=n_full, gy=gyc, w=plan.w,
-                        precision=precision, grid_t0=ts0)
-                if rem:
-                    grids[pol] = _spread_accumulate(
-                        grids[pol][0], grids[pol][1], data_dev,
-                        tabs['slots'], tabs['mask'], w_re, w_im,
-                        tabs['seg'], win_start, n_full * t_chunk, pol,
-                        n_seg=tabs['n_seg'], tc=rem, gy=gyc, w=plan.w,
-                        precision=precision, grid_t0=ts0)
-            del data_dev
-            if not cache_weights:
-                del w_re, w_im
-    # drop the padded tail rows before the FFT stage
-    if n_t_pad != n_t:
-        grids = [(g[0][:, :n_t, :], g[1][:, :n_t, :]) for g in grids]
-    return grids
+            for st in states:
+                tabs = st['tabs'][r0]
+                data_dev = st['put'](sub)
+                w_re, w_im = weights_for(st, r0)
+                win_start = (tabs['c_lo'] - (plan.w // 2 - 1)) % n_cells
+                gyc = st['gyc']
+                grids = st['grids']
+                for pol in range(3):
+                    if n_full:
+                        grids[pol] = _spread_accumulate_scan(
+                            grids[pol][0], grids[pol][1], data_dev,
+                            tabs['slots'], tabs['mask'], w_re, w_im,
+                            tabs['seg'], win_start, pol,
+                            n_seg=tabs['n_seg'], tc=t_chunk,
+                            n_steps=n_full, gy=gyc, w=plan.w,
+                            precision=precision, grid_t0=ts0)
+                    if rem:
+                        grids[pol] = _spread_accumulate(
+                            grids[pol][0], grids[pol][1], data_dev,
+                            tabs['slots'], tabs['mask'], w_re, w_im,
+                            tabs['seg'], win_start, n_full * t_chunk, pol,
+                            n_seg=tabs['n_seg'], tc=rem, gy=gyc, w=plan.w,
+                            precision=precision, grid_t0=ts0)
+                del data_dev
+                if not st['cache']:
+                    del w_re, w_im
+    out = []
+    for st in states:
+        grids = st['grids']
+        # drop the padded tail rows before the FFT stage
+        if n_t_pad != n_t:
+            grids = [(g[0][:, :n_t, :], g[1][:, :n_t, :]) for g in grids]
+        out.append(grids)
+    return out
+
+
+def _spread_gy_block_streamed(read_frames, plan: GridPlan, packed_tabs,
+                              row_starts, chunk_cols, ky_dev, gyc: int,
+                              n_t: int, t_superchunk: int, t_chunk: int,
+                              a_pad: int, precision: str,
+                              weight_cache_bytes: int, device=None):
+    """Single-target wrapper of :func:`_spread_gy_blocks_streamed` (the
+    single-device streamed browse/peaks path)."""
+    return _spread_gy_blocks_streamed(
+        read_frames, plan,
+        [{'device': device, 'tabs': packed_tabs, 'ky_dev': ky_dev,
+          'gyc': gyc}],
+        row_starts, chunk_cols, n_t, t_superchunk, t_chunk, a_pad,
+        precision, weight_cache_bytes)[0]
 
 
 def gridded_kgrid_browse(data, plan: GridPlan, freq_idx: np.ndarray,
@@ -924,10 +963,13 @@ def gridded_kgrid_sharded(data, plan: GridPlan, freq_idx: np.ndarray,
             :func:`gridded_kgrid_browse`.
         t_superchunk / data_budget_bytes / weight_cache_bytes: streamed
             mode only (``data`` is a BlockSource over the plan's atoms, for
-            groups exceeding HBM) — as :func:`gridded_kgrid_browse`.  Every
-            device then streams the source independently for its stripe
-            (compact per-row-chunk atom slabs uploaded per superchunk);
-            device residency stays O(superchunk) + that stripe's grid.
+            groups exceeding HBM) — as :func:`gridded_kgrid_browse`.  The
+            source is read superchunk-by-superchunk ONCE per gy-block
+            round (each row-chunk's compact slab staged on host once and
+            uploaded to every device), so all stripes advance from the
+            same pass — host read bandwidth, the out-of-core budget, is
+            not multiplied by the device count.  Device residency stays
+            O(superchunk) + that stripe's grid.
 
     Returns:
         Browse mode: (intensity (n_keep, Gx·Gy) f32, phase or None);
@@ -988,6 +1030,14 @@ def gridded_kgrid_sharded(data, plan: GridPlan, freq_idx: np.ndarray,
         n_t_pad = -(-n_t // t_superchunk) * t_superchunk
         per_col = 6 * n_t_pad * plan.n_cells * 4
         gyc_max = max(1, min(gyc_max, (6 << 30) // max(per_col, 1)))
+    elif gy_chunk is None:
+        # resident mode: same default accumulator budget as the
+        # single-device engine — the replicated trajectory and weight
+        # tensors share HBM with the (n_cells, n_t, gyc) ×6 grids, so an
+        # unbounded stripe OOMs at pod grid sizes the one-device path
+        # handles by gy-chunking
+        per_col = 6 * n_t * plan.n_cells * 4
+        gyc_max = max(1, min(gyc_max, (1 << 30) // max(per_col, 1)))
     if t_chunk is None:
         per_frame = (cell_chunk * p * 4
                      + cell_chunk * plan.w * gyc_max * 4 * 2)
@@ -1014,50 +1064,80 @@ def gridded_kgrid_sharded(data, plan: GridPlan, freq_idx: np.ndarray,
         read_frames = lambda t0, t1: src.read_block(t0, t1, 0, src.n_atoms)
 
     out_parts = []                         # (b0, b1, device arrays) lazily
-    for i, d in enumerate(devs):
-        g0, g1 = stripe_bounds[i], stripe_bounds[i + 1]
-        if g1 <= g0:
-            continue
-        r = reps[i]
-        for b0 in range(g0, g1, gyc_max):
-            b1 = min(b0 + gyc_max, g1)
-            gyc = b1 - b0
-            ky_dev = jax.device_put(plan.ky_vals[b0:b1].astype(np.float32), d)
-            if streamed:
-                grids = _spread_gy_block_streamed(
-                    read_frames, plan, r['tabs'], row_starts, chunk_cols,
-                    ky_dev, gyc, n_t, t_superchunk, t_chunk, a_pad,
-                    precision, weight_cache_bytes, device=d)
-            else:
+
+    def finish_block(r, grids, b0, b1):
+        inten_dev = None
+        kept = {}
+        for pol in range(3):
+            re, im = _finish_grid(grids[pol][0], grids[pol][1],
+                                  r['deconv'], gx=gx)
+            grids[pol] = None
+            re_f, im_f = _fft_take(re.reshape(n_t, -1),
+                                   im.reshape(n_t, -1), r['freq'])
+            part = re_f * re_f + im_f * im_f
+            inten_dev = part if inten_dev is None else inten_dev + part
+            if comp_pair is not None and pol in comp_pair:
+                kept[pol] = (re_f, im_f)
+        if n_peaks is not None:
+            res = spectral.peak_reduce(inten_dev[None], r['fkept'],
+                                       n_peaks=n_peaks,
+                                       exclusion_bins=exclusion_bins,
+                                       width_method=width_method)
+            out_parts.append((b0, b1, [a[0] for a in res]))
+        elif comp_pair is not None:
+            c1p, c2p = comp_pair
+            ph = spectral.chiral_phase(kept[c1p][0], kept[c1p][1],
+                                       kept[c2p][0], kept[c2p][1],
+                                       angle_range_opt=angle_range_opt)
+            out_parts.append((b0, b1, [inten_dev, ph]))
+        else:
+            out_parts.append((b0, b1, [inten_dev]))
+
+    if streamed:
+        # Superchunk-outer ROUNDS: in each round every device owns one gy
+        # block of its stripe and a single pass over the host source feeds
+        # them all (the per-row-chunk slab is staged once and uploaded to
+        # each device).  Source passes = number of rounds (usually 1),
+        # not n_devices × blocks — in the out-of-core regime host read
+        # bandwidth IS the budget.
+        per_dev_blocks = []
+        for i, d in enumerate(devs):
+            g0, g1 = stripe_bounds[i], stripe_bounds[i + 1]
+            per_dev_blocks.append([(b0, min(b0 + gyc_max, g1))
+                                   for b0 in range(g0, g1, gyc_max)])
+        n_rounds = max((len(b) for b in per_dev_blocks), default=0)
+        for rnd in range(n_rounds):
+            targets, metas = [], []
+            for i, d in enumerate(devs):
+                if rnd >= len(per_dev_blocks[i]):
+                    continue
+                b0, b1 = per_dev_blocks[i][rnd]
+                ky_dev = jax.device_put(
+                    plan.ky_vals[b0:b1].astype(np.float32), d)
+                targets.append({'device': d, 'tabs': reps[i]['tabs'],
+                                'ky_dev': ky_dev, 'gyc': b1 - b0})
+                metas.append((i, b0, b1))
+            grids_list = _spread_gy_blocks_streamed(
+                read_frames, plan, targets, row_starts, chunk_cols, n_t,
+                t_superchunk, t_chunk, a_pad, precision,
+                weight_cache_bytes)
+            for (i, b0, b1), grids in zip(metas, grids_list):
+                finish_block(reps[i], grids, b0, b1)
+    else:
+        for i, d in enumerate(devs):
+            g0, g1 = stripe_bounds[i], stripe_bounds[i + 1]
+            if g1 <= g0:
+                continue
+            r = reps[i]
+            for b0 in range(g0, g1, gyc_max):
+                b1 = min(b0 + gyc_max, g1)
+                gyc = b1 - b0
+                ky_dev = jax.device_put(
+                    plan.ky_vals[b0:b1].astype(np.float32), d)
                 grids = _spread_gy_block(r['data'], plan, r['tabs'],
                                          row_starts, ky_dev, gyc, n_t,
                                          t_chunk, precision)
-            inten_dev = None
-            kept = {}
-            for pol in range(3):
-                re, im = _finish_grid(grids[pol][0], grids[pol][1],
-                                      r['deconv'], gx=gx)
-                grids[pol] = None
-                re_f, im_f = _fft_take(re.reshape(n_t, -1),
-                                       im.reshape(n_t, -1), r['freq'])
-                part = re_f * re_f + im_f * im_f
-                inten_dev = part if inten_dev is None else inten_dev + part
-                if comp_pair is not None and pol in comp_pair:
-                    kept[pol] = (re_f, im_f)
-            if n_peaks is not None:
-                res = spectral.peak_reduce(inten_dev[None], r['fkept'],
-                                           n_peaks=n_peaks,
-                                           exclusion_bins=exclusion_bins,
-                                           width_method=width_method)
-                out_parts.append((b0, b1, [a[0] for a in res]))
-            elif comp_pair is not None:
-                c1p, c2p = comp_pair
-                ph = spectral.chiral_phase(kept[c1p][0], kept[c1p][1],
-                                           kept[c2p][0], kept[c2p][1],
-                                           angle_range_opt=angle_range_opt)
-                out_parts.append((b0, b1, [inten_dev, ph]))
-            else:
-                out_parts.append((b0, b1, [inten_dev]))
+                finish_block(r, grids, b0, b1)
 
     if n_peaks is not None:
         full = np.empty((3, n_peaks, gx, gy), dtype=np.float32)
