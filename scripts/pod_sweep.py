@@ -106,8 +106,9 @@ def main():
 
     if args.browse and args.engine != 'sharded':
         p.error("--browse requires the sharded engine")
-    if args.from_dump and args.engine != 'sharded':
-        p.error("--from-dump requires the sharded engine")
+    if args.from_dump and args.engine != 'sharded' and args.peaks is None:
+        p.error("--from-dump needs the sharded engine, or "
+                "--engine gridded with --peaks (streamed NUFFT)")
 
     if args.from_dump:
         # text straight into the mesh: no .npy conversion, no host residency
@@ -216,7 +217,9 @@ def main():
     computed = 0
     if args.engine == 'gridded' and args.peaks is not None:
         # One-shot sharded NUFFT dispersion surfaces: ky stripes across the
-        # mesh devices (requires the trajectory device-resident per chip).
+        # mesh devices.  Device-resident groups broadcast once; oversize
+        # groups (or --from-dump text sources) stream in superchunks, one
+        # pass over the source feeding every stripe.
         missing = []
         for ci in range(n_chunks):       # single pass: validate AND fill
             s, e = bounds(ci)
@@ -226,10 +229,31 @@ def main():
             else:
                 full[:, :, s:e] = c
         if missing:
-            pf, ph, pw = calc.calculate_kgrid_peaks_sharded(
-                mesh, k_vecs, n_peaks=args.peaks, max_freq=args.max_freq,
-                basis_atom_types=basis_types, summation_mode=args.summation,
-                engine='gridded', k_grid_shape=shape)
+            if args.from_dump:
+                # the calc wrapper derives frequencies from its trajectory,
+                # which in --from-dump mode is a 1-frame stub — drive the
+                # ops-level sharded NUFFT directly with the dump's true
+                # frame count and streamed mean positions
+                if basis_types is not None:
+                    p.error("--from-dump --engine gridded sweeps all atoms; "
+                            "drop --basis-types or use the sharded engine")
+                from psa_tpu.ops import gridded as gridded_ops
+                kx_vals, ky_vals, k_fixed, axes = calc._detect_grid_axes(
+                    k_vecs.astype(np.float32), shape)
+                plan = gridded_ops.plan_kgrid(mean64, kx_vals, ky_vals,
+                                              k_fixed=k_fixed, axes=axes)
+                pf, ph, pw = gridded_ops.gridded_kgrid_peaks_sharded(
+                    source, plan, freq_idx, freqs,
+                    devices=list(mesh.devices.ravel()), n_peaks=args.peaks,
+                    precision=args.precision,
+                    t_superchunk=args.t_superchunk)
+            else:
+                pf, ph, pw = calc.calculate_kgrid_peaks_sharded(
+                    mesh, k_vecs, n_peaks=args.peaks, max_freq=args.max_freq,
+                    basis_atom_types=basis_types,
+                    summation_mode=args.summation,
+                    engine='gridded', k_grid_shape=shape,
+                    t_superchunk=args.t_superchunk)
             full[:3] = np.stack([pf, ph, pw])
             for ci in missing:
                 s, e = bounds(ci)
