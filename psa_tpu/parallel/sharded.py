@@ -125,8 +125,20 @@ def make_mesh(n_devices: Optional[int] = None,
               devices: Optional[Sequence] = None,
               n_t: Optional[int] = None,
               n_atoms: Optional[int] = None,
-              hbm_bytes: Optional[Union[int, str]] = None) -> Mesh:
-    """Build a (t, a, k) mesh over the first ``n_devices`` JAX devices."""
+              hbm_bytes: Optional[Union[int, str]] = None,
+              k_outer: bool = False) -> Mesh:
+    """Build a (t, a, k) mesh over the first ``n_devices`` JAX devices.
+
+    ``k_outer``: multi-slice placement — make k vary SLOWEST over the
+    device list, so contiguous device groups (slices / processes, which
+    ``jax.devices()`` orders together) each own one k stripe.  The SED
+    sweep's collectives (psum over atoms, all_gather over time) then stay
+    INSIDE a slice and ride ICI, while the k axis — which needs no
+    collectives at all — is the only one crossing the slower DCN links.
+    The cost is ingest: every slice reads the full (t, a) trajectory
+    window set for its k stripe instead of 1/k_shards of it.  Right for
+    multi-slice pods; irrelevant (but harmless) on a single slice.
+    """
     devs = list(devices) if devices is not None else jax.devices()
     if n_devices is not None:
         devs = devs[:n_devices]
@@ -135,7 +147,12 @@ def make_mesh(n_devices: Optional[int] = None,
                                hbm_bytes=hbm_bytes)
     if math.prod(shape) != len(devs):
         raise ValueError(f"mesh shape {shape} does not cover {len(devs)} devices")
-    dev_array = np.array(devs).reshape(shape)
+    if k_outer:
+        t_sh, a_sh, k_sh = shape
+        dev_array = (np.array(devs).reshape(k_sh, t_sh, a_sh)
+                     .transpose(1, 2, 0))
+    else:
+        dev_array = np.array(devs).reshape(shape)
     return Mesh(dev_array, axis_names=(AXIS_T, AXIS_A, AXIS_K))
 
 

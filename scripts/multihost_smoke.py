@@ -82,8 +82,24 @@ def worker(rank: int) -> None:
     assert pf.shape == (1, len(k_vectors))
     np.testing.assert_allclose(pf[0], expect_pf, atol=1e-6)
 
+    # multi-slice placement: k OUTER, so each process (= "slice") owns one
+    # k stripe and the t/a collectives (psum over atoms, all_gather over
+    # time) stay entirely within a process — the designed DCN layout
+    # (docs/DESIGN.md).  Verify the k-stripe ownership and that the result
+    # is unchanged.
+    mesh_ko = make_mesh(shape=(2, 2, 2), k_outer=True)
+    for k_idx in range(2):
+        stripe_procs = {d.process_index for d in
+                        mesh_ko.devices[:, :, k_idx].ravel()}
+        assert stripe_procs == {k_idx}, (k_idx, stripe_procs)
+    re2, im2 = sharded_sed_spectrum(mesh_ko, traj.velocities, mean64,
+                                    k_vectors, t_superchunk=8)
+    err_ko = np.max(np.abs(re2 + 1j * im2 - oracle)) / np.max(np.abs(oracle))
+    assert err_ko < 1e-6, f"rank {rank}: k-outer rel err {err_ko}"
+
     print(f"rank {rank}: OK (rel err {err:.2e}; read {src.rows}/{total_rows} "
-          "trajectory elements; peaks gathered)", flush=True)
+          "trajectory elements; peaks gathered; k-outer slice placement "
+          f"rel err {err_ko:.2e})", flush=True)
 
 
 def main() -> int:

@@ -84,6 +84,11 @@ def main():
     p.add_argument('--out', default='pod_sweep_out')
     p.add_argument('--multihost', action='store_true',
                    help='initialize jax.distributed before building the mesh')
+    p.add_argument('--k-outer', action=argparse.BooleanOptionalAction,
+                   default=None,
+                   help='multi-slice mesh placement: k stripes over '
+                        'process/slice boundaries (DCN), t/a collectives '
+                        'inside each slice (default: on when multi-process)')
     args = p.parse_args()
 
     if args.multihost:
@@ -145,9 +150,14 @@ def main():
     _, k_vecs, shape = calc.get_k_grid(args.plane, (args.k_min, args.k_max),
                                        (args.k_min, args.k_max),
                                        args.grid, args.grid)
+    # Multi-process runs default to the multi-slice placement: k (no
+    # collectives) over DCN, t/a collectives inside each slice.
+    k_outer = (args.k_outer if args.k_outer is not None
+               else jax.process_count() > 1)
     mesh = make_mesh(n_t=n_frames, n_atoms=n_atoms,
                      hbm_bytes=(int(args.hbm_gb * 2 ** 30) if args.hbm_gb
-                                else 'auto'))
+                                else 'auto'),
+                     k_outer=k_outer)
     logger.info("mesh: %s over %d devices", dict(mesh.shape), len(jax.devices()))
 
     if args.peaks is not None and args.browse:

@@ -41,6 +41,39 @@ def test_mesh_shape_respects_time_divisibility():
     assert 10 % t == 0 and t * a * k == 8
 
 
+def test_k_outer_mesh_places_k_stripes_on_contiguous_devices():
+    """Multi-slice placement: with k_outer=True the k axis varies slowest
+    over the device list, so each contiguous device group (a slice / a
+    process on real pods) owns one k stripe and the t/a collectives stay
+    inside it (docs/DESIGN.md DCN layout)."""
+    from psa_tpu.parallel import make_mesh
+    mesh = make_mesh(shape=(2, 2, 2), k_outer=True)
+    devs = jax.devices()
+    for k_idx in range(2):
+        stripe_ids = {d.id for d in mesh.devices[:, :, k_idx].ravel()}
+        expect = {devs[4 * k_idx + j].id for j in range(4)}
+        assert stripe_ids == expect, (k_idx, stripe_ids, expect)
+    # default placement: t slowest instead
+    mesh_d = make_mesh(shape=(2, 2, 2))
+    t_ids = {d.id for d in mesh_d.devices[0].ravel()}
+    assert t_ids == {devs[j].id for j in range(4)}
+
+
+def test_k_outer_mesh_spectrum_matches_default():
+    from psa_tpu.models import make_random_crystal_trajectory
+    from psa_tpu.parallel import make_mesh, sharded_sed_spectrum
+    traj = make_random_crystal_trajectory(n_cells_xyz=(3, 2, 2), basis=2,
+                                          n_frames=16, dt_ps=0.02, seed=12)
+    mean64 = traj.positions.astype(np.float64).mean(axis=0)
+    k_vectors = np.outer(np.linspace(0, 1.1, 9), [1, 0, 0]).astype(np.float32)
+    re_d, im_d = sharded_sed_spectrum(make_mesh(shape=(2, 2, 2)),
+                                      traj.velocities, mean64, k_vectors)
+    re_k, im_k = sharded_sed_spectrum(make_mesh(shape=(2, 2, 2), k_outer=True),
+                                      traj.velocities, mean64, k_vectors)
+    np.testing.assert_allclose(re_k, re_d, rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(im_k, im_d, rtol=1e-5, atol=1e-6)
+
+
 @pytest.fixture(scope='module')
 def traj():
     return make_random_crystal_trajectory(n_cells_xyz=(3, 2, 2), basis=2,
