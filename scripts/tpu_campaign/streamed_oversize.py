@@ -74,9 +74,24 @@ def ensure_file():
 
 
 def main():
+    import signal
     from psa_tpu.utils.host_alloc import enable_arena_reuse
     log(f"arena reuse: {enable_arena_reuse()}")
     ensure_file()
+
+    # bench.py's robustness contract, here too: every completed phase is
+    # persisted immediately, and SIGTERM/SIGINT flush what exists before
+    # dying — a driver timeout still yields numbers.
+    results = {}
+
+    def flush(*_sig):
+        if results:
+            OUT.write_text(json.dumps(results, indent=1))
+            print(json.dumps(results), flush=True)
+        if _sig:
+            sys.exit(1)
+    signal.signal(signal.SIGTERM, flush)
+    signal.signal(signal.SIGINT, flush)
     a0 = 5.43
     side = int(np.ceil((ATOMS / 8) ** (1 / 3)))
     cells = np.stack(np.meshgrid(*[np.arange(side)] * 3, indexing='ij'),
@@ -105,10 +120,10 @@ def main():
 
     mm = np.load(FILE, mmap_mode='r')
     src = ArrayBlockSource(mm)
-    results = {'shape': f"{ATOMS}x{STEPS}", 'grid': GRID,
-               't_superchunk': TSC, 'k_chunk': KCHUNK,
-               'traj_gb': round(STEPS * ATOMS * 12 / 1e9, 1),
-               'n_devices': n_dev}
+    results.update({'shape': f"{ATOMS}x{STEPS}", 'grid': GRID,
+                    't_superchunk': TSC, 'k_chunk': KCHUNK,
+                    'traj_gb': round(STEPS * ATOMS * 12 / 1e9, 1),
+                    'n_devices': n_dev})
 
     # Warmup: compile every program (prefetch on/off share the same
     # compiled set — prefetch is host-side) on the first k-chunk so the
@@ -119,6 +134,7 @@ def main():
                          n_peaks=2, peak_freqs_thz=fkept)
     results['warmup_incl_compile_s'] = round(time.time() - t0, 1)
     log(f"warmup (compile + one chunk): {results['warmup_incl_compile_s']}s")
+    flush()
 
     modes = [('prefetch_on', True)]
     if os.environ.get('PSA_OC_PREFETCH_ONLY') != '1':
@@ -138,6 +154,7 @@ def main():
         dt = time.time() - t0
         results[name] = {'seconds': round(dt, 1),
                          'k_points_per_sec': round(n_k / dt, 1)}
+        flush()
         log(f"{name}: {n_k} k-points in {dt:.1f}s "
             f"-> {n_k / dt:.1f} k-points/s")
     if 'prefetch_off' in results:

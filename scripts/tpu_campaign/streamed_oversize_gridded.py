@@ -37,10 +37,23 @@ def log(msg):
 
 
 def main():
+    import signal
     from psa_tpu.utils.host_alloc import enable_arena_reuse
     log(f"arena reuse: {enable_arena_reuse()}")
     if not FILE.exists():
         sys.exit(f"{FILE} missing; run streamed_oversize.py first")
+
+    results = {'shape': f"{ATOMS}x{STEPS}", 'grid': GRID,
+               't_superchunk': TSC, 'engine': 'gridded-streamed',
+               'traj_gb': round(STEPS * ATOMS * 12 / 1e9, 1)}
+
+    def flush(*_sig):                    # phase-by-phase persistence +
+        OUT.write_text(json.dumps(results, indent=1))   # SIGTERM emit
+        if _sig:
+            print(json.dumps(results), flush=True)
+            sys.exit(1)
+    signal.signal(signal.SIGTERM, flush)
+    signal.signal(signal.SIGINT, flush)
     a0 = 5.43
     side = int(np.ceil((ATOMS / 8) ** (1 / 3)))
     cells = np.stack(np.meshgrid(*[np.arange(side)] * 3, indexing='ij'),
@@ -65,9 +78,6 @@ def main():
     mm = np.load(FILE, mmap_mode='r')
     src = ArrayBlockSource(mm)
     n_k = GRID * GRID
-    results = {'shape': f"{ATOMS}x{STEPS}", 'grid': GRID,
-               't_superchunk': TSC, 'engine': 'gridded-streamed',
-               'traj_gb': round(STEPS * ATOMS * 12 / 1e9, 1)}
 
     # timed sweep (includes the remote compile on a first-ever shape; the
     # persistent compile cache makes reruns pure-streaming) — peaks mode,
@@ -79,6 +89,7 @@ def main():
     dt = time.time() - t0
     results['first_run'] = {'seconds': round(dt, 1),
                             'k_points_per_sec': round(n_k / dt, 1)}
+    flush()
     log(f"first run (incl compile): {n_k} k-points in {dt:.1f}s "
         f"-> {n_k / dt:.1f} k-points/s")
     results['checksum'] = float(np.sum(pk[0]) / n_k)
