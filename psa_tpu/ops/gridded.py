@@ -454,34 +454,27 @@ def _chunk_packed_tables(plan: GridPlan, row_starts, row_chunk: int,
     return {r0: chunk_packed(r0) for r0 in row_starts}
 
 
-def _spread_update_body(grids, data, slots, slot_mask, w_re, w_im,
-                        seg_ids, n_seg, win_start, t0, tc: int, gy: int,
+def _spread_update_body(grid_re, grid_im, data, slots, slot_mask, w_re, w_im,
+                        seg_ids, n_seg, win_start, t0, pol, tc: int, gy: int,
                         w: int, precision: str, grid_t0=None):
-    """One (row-chunk, t-chunk) update covering ALL THREE polarizations,
-    traceable: time-slice the device trajectory, pack ONCE, spread three
-    times, fold each (n_seg + w) window cyclically into that
-    polarization's full-time grid accumulators.  The packed gather costs
-    about as much HBM traffic as one spread matmul, so packing all
-    polarizations from a single gather (instead of one gather per
-    polarization) removes ~2/3 of the pack traffic and 2/3 of the
-    dispatches.  ``win_start``/``t0`` may be traced scalars — chunk
-    positions do not trigger recompiles; only the (tc, gyc) shape bucket
-    does.
-
-    ``grids`` is the flat 6-tuple (re_x, im_x, re_y, im_y, re_z, im_z).
+    """One (row-chunk, t-chunk, polarization) update, traceable: time-slice
+    the device trajectory, pack, spread, fold the (n_seg + w) window
+    cyclically into the full-time grid accumulators.  ``win_start``/``t0``/
+    ``pol`` may be traced scalars — chunk positions do not trigger
+    recompiles; only the (tc, gyc) shape bucket does.
 
     ``grid_t0`` (default ``t0``) decouples the grid-write offset from the
     data-read offset — the streamed path's ``data`` holds one uploaded
     time-superchunk, so its local t axis starts at 0 while the grid rows it
     feeds start at the superchunk's global offset."""
-    c = grids[0].shape[0]
+    c = grid_re.shape[0]
     if grid_t0 is None:
         grid_t0 = t0
-    data_slice = lax.dynamic_slice(data, (t0, 0, 0), (tc, data.shape[1], 3))
-    r, p = slots.shape
-    packed = jnp.take(data_slice, slots.reshape(-1), axis=1)   # (Tc, R·P, 3)
-    packed = packed.reshape(tc, r, p, 3) * slot_mask[None, :, :, None]
-    packed = jnp.transpose(packed, (1, 0, 2, 3))               # (R, Tc, P, 3)
+    data_slice = lax.dynamic_slice(
+        data, (t0, 0, pol), (tc, data.shape[1], 1))[:, :, 0]
+    win_re, win_im = _pack_and_spread(data_slice, slots, slot_mask,
+                                      w_re, w_im, seg_ids, n_seg=n_seg,
+                                      gy=gy, w=w, precision=precision)
 
     def fold(win):                       # (Cc + w, tc, gyc) -> (C, tc, gyc)
         # wrap the cell axis modulo C: pad to a multiple of C and sum the
@@ -495,64 +488,57 @@ def _spread_update_body(grids, data, slots, slot_mask, w_re, w_im,
         cur = lax.dynamic_slice(grid, (0, grid_t0, 0), (c, tc, win.shape[2]))
         return lax.dynamic_update_slice(grid, cur + fold(win), (0, grid_t0, 0))
 
-    out = []
-    for pol in range(3):
-        win_re, win_im = _spread_cells(packed[..., pol], w_re, w_im,
-                                       seg_ids, n_seg=n_seg, gy=gy, w=w,
-                                       precision=precision)
-        out.append(add_rows(grids[2 * pol], win_re))
-        out.append(add_rows(grids[2 * pol + 1], win_im))
-    return tuple(out)
+    return add_rows(grid_re, win_re), add_rows(grid_im, win_im)
 
 
 @functools.partial(jax.jit,
                    static_argnames=('n_seg', 'tc', 'gy', 'w', 'precision'),
-                   donate_argnums=(0, 1, 2, 3, 4, 5))
-def _spread_accumulate(g0, g1, g2, g3, g4, g5, data, slots, slot_mask,
-                       w_re, w_im, seg_ids, win_start, t0, n_seg: int,
-                       tc: int, gy: int, w: int, precision: str = 'parity',
+                   donate_argnums=(0, 1))
+def _spread_accumulate(grid_re, grid_im, data, slots, slot_mask, w_re, w_im,
+                       seg_ids, win_start, t0, pol, n_seg: int, tc: int,
+                       gy: int, w: int, precision: str = 'parity',
                        grid_t0=0):
-    """ONE dispatch for one (row-chunk, t-chunk) all-polarization update
-    with donated accumulators.  The eager-op version of this loop cost ~4
+    """ONE dispatch for one (row-chunk, t-chunk, polarization) update with
+    donated accumulators.  The eager-op version of this loop cost ~4
     dispatches per iteration — at ~77 ms/dispatch on a tunneled TPU that
     latency, not compute, dominated the fused browse (docs/PERF_NOTES.md)."""
-    return _spread_update_body((g0, g1, g2, g3, g4, g5), data, slots,
-                               slot_mask, w_re, w_im, seg_ids, n_seg,
-                               win_start, t0, tc=tc, gy=gy, w=w,
-                               precision=precision, grid_t0=grid_t0 + t0)
+    return _spread_update_body(grid_re, grid_im, data, slots, slot_mask,
+                               w_re, w_im, seg_ids, n_seg, win_start, t0,
+                               pol, tc=tc, gy=gy, w=w, precision=precision,
+                               grid_t0=grid_t0 + t0)
 
 
 @functools.partial(jax.jit,
                    static_argnames=('n_seg', 'tc', 'n_steps', 'gy', 'w',
                                     'precision'),
-                   donate_argnums=(0, 1, 2, 3, 4, 5))
-def _spread_accumulate_scan(g0, g1, g2, g3, g4, g5, data, slots, slot_mask,
-                            w_re, w_im, seg_ids, win_start, n_seg: int,
+                   donate_argnums=(0, 1))
+def _spread_accumulate_scan(grid_re, grid_im, data, slots, slot_mask,
+                            w_re, w_im, seg_ids, win_start, pol, n_seg: int,
                             tc: int, n_steps: int, gy: int, w: int,
                             precision: str = 'parity', grid_t0=0):
-    """All ``n_steps`` equal-size t-chunks of one row-chunk (all three
-    polarizations) in a single dispatch (lax.fori_loop over the update
-    body)."""
+    """All ``n_steps`` equal-size t-chunks of one (row-chunk, polarization)
+    in a single dispatch (lax.fori_loop over the update body)."""
     def body(i, grids):
-        return _spread_update_body(grids, data, slots, slot_mask,
-                                   w_re, w_im, seg_ids, n_seg, win_start,
-                                   i * tc, tc=tc, gy=gy, w=w,
-                                   precision=precision,
+        return _spread_update_body(grids[0], grids[1], data, slots,
+                                   slot_mask, w_re, w_im, seg_ids, n_seg,
+                                   win_start, i * tc, pol, tc=tc, gy=gy,
+                                   w=w, precision=precision,
                                    grid_t0=grid_t0 + i * tc)
-    return lax.fori_loop(0, n_steps, body, (g0, g1, g2, g3, g4, g5))
+    return lax.fori_loop(0, n_steps, body, (grid_re, grid_im))
 
 
 def _spread_gy_block(data_dev, plan: GridPlan, packed_tabs, row_starts,
                      ky_dev, gyc: int, n_t: int, t_chunk: int,
                      precision: str):
     """Full-time (n_cells, n_t, gyc) re/im accumulators per polarization for
-    one ky block.  Rows outer, time-chunks inner, so each row-chunk's
-    device-built weights are constructed once and reused by every t-chunk
-    pass; each iteration is a single fused all-polarization dispatch
-    (:func:`_spread_accumulate`) with donated accumulators."""
+    one ky block.  Rows outer, time-chunks and polarizations inner, so each
+    row-chunk's device-built weights are constructed once and reused by
+    every (t-chunk, polarization) pass; each iteration is a single fused
+    dispatch (:func:`_spread_accumulate`) with donated accumulators."""
     n_cells = plan.n_cells
-    flat = tuple(jnp.zeros((n_cells, n_t, gyc), jnp.float32)
-                 for _ in range(6))
+    grids = [(jnp.zeros((n_cells, n_t, gyc), jnp.float32),
+              jnp.zeros((n_cells, n_t, gyc), jnp.float32))
+             for _ in range(3)]
     for r0 in row_starts:
         tabs = packed_tabs[r0]
         w_re, w_im = _device_weights(tabs['base_re'], tabs['base_im'],
@@ -561,19 +547,21 @@ def _spread_gy_block(data_dev, plan: GridPlan, packed_tabs, row_starts,
                                      gy=gyc, w=plan.w)
         win_start = (tabs['c_lo'] - (plan.w // 2 - 1)) % n_cells
         n_full, rem = divmod(n_t, t_chunk)
-        if n_full:                       # all equal chunks in one dispatch
-            flat = _spread_accumulate_scan(
-                *flat, data_dev, tabs['slots'], tabs['mask'], w_re, w_im,
-                tabs['seg'], win_start, n_seg=tabs['n_seg'], tc=t_chunk,
-                n_steps=n_full, gy=gyc, w=plan.w, precision=precision)
-        if rem:                          # trailing partial chunk
-            flat = _spread_accumulate(
-                *flat, data_dev, tabs['slots'], tabs['mask'], w_re, w_im,
-                tabs['seg'], win_start, n_full * t_chunk,
-                n_seg=tabs['n_seg'], tc=rem, gy=gyc, w=plan.w,
-                precision=precision)
+        for pol in range(3):
+            if n_full:                   # all equal chunks in one dispatch
+                grids[pol] = _spread_accumulate_scan(
+                    grids[pol][0], grids[pol][1], data_dev, tabs['slots'],
+                    tabs['mask'], w_re, w_im, tabs['seg'], win_start, pol,
+                    n_seg=tabs['n_seg'], tc=t_chunk, n_steps=n_full,
+                    gy=gyc, w=plan.w, precision=precision)
+            if rem:                      # trailing partial chunk
+                grids[pol] = _spread_accumulate(
+                    grids[pol][0], grids[pol][1], data_dev, tabs['slots'],
+                    tabs['mask'], w_re, w_im, tabs['seg'], win_start,
+                    n_full * t_chunk, pol, n_seg=tabs['n_seg'], tc=rem,
+                    gy=gyc, w=plan.w, precision=precision)
         del w_re, w_im
-    return [(flat[0], flat[1]), (flat[2], flat[3]), (flat[4], flat[5])]
+    return grids
 
 
 def _spread_gy_blocks_streamed(read_frames, plan: GridPlan, targets,
@@ -625,12 +613,13 @@ def _spread_gy_blocks_streamed(read_frames, plan: GridPlan, targets,
                 jnp.zeros, static_argnums=(0, 1),
                 out_shardings=jax.sharding.SingleDeviceSharding(device))
         gyc = tg['gyc']
-        flat = tuple(zeros((n_cells, n_t_pad, gyc), jnp.float32)
-                     for _ in range(6))
+        grids = [(zeros((n_cells, n_t_pad, gyc), jnp.float32),
+                  zeros((n_cells, n_t_pad, gyc), jnp.float32))
+                 for _ in range(3)]
         w_bytes = sum(tabs['base_re'].shape[0] * tabs['base_re'].shape[1]
                       * plan.w * gyc * 4 * 2
                       for tabs in tg['tabs'].values())
-        states.append({'put': put, 'flat': flat, 'tabs': tg['tabs'],
+        states.append({'put': put, 'grids': grids, 'tabs': tg['tabs'],
                        'ky': tg['ky_dev'], 'gyc': gyc,
                        'cache': w_bytes <= weight_cache_bytes,
                        'wcache': {}})
@@ -660,25 +649,29 @@ def _spread_gy_blocks_streamed(read_frames, plan: GridPlan, targets,
                 w_re, w_im = weights_for(st, r0)
                 win_start = (tabs['c_lo'] - (plan.w // 2 - 1)) % n_cells
                 gyc = st['gyc']
-                if n_full:
-                    st['flat'] = _spread_accumulate_scan(
-                        *st['flat'], data_dev, tabs['slots'], tabs['mask'],
-                        w_re, w_im, tabs['seg'], win_start,
-                        n_seg=tabs['n_seg'], tc=t_chunk, n_steps=n_full,
-                        gy=gyc, w=plan.w, precision=precision, grid_t0=ts0)
-                if rem:
-                    st['flat'] = _spread_accumulate(
-                        *st['flat'], data_dev, tabs['slots'], tabs['mask'],
-                        w_re, w_im, tabs['seg'], win_start,
-                        n_full * t_chunk, n_seg=tabs['n_seg'], tc=rem,
-                        gy=gyc, w=plan.w, precision=precision, grid_t0=ts0)
+                grids = st['grids']
+                for pol in range(3):
+                    if n_full:
+                        grids[pol] = _spread_accumulate_scan(
+                            grids[pol][0], grids[pol][1], data_dev,
+                            tabs['slots'], tabs['mask'], w_re, w_im,
+                            tabs['seg'], win_start, pol,
+                            n_seg=tabs['n_seg'], tc=t_chunk,
+                            n_steps=n_full, gy=gyc, w=plan.w,
+                            precision=precision, grid_t0=ts0)
+                    if rem:
+                        grids[pol] = _spread_accumulate(
+                            grids[pol][0], grids[pol][1], data_dev,
+                            tabs['slots'], tabs['mask'], w_re, w_im,
+                            tabs['seg'], win_start, n_full * t_chunk, pol,
+                            n_seg=tabs['n_seg'], tc=rem, gy=gyc, w=plan.w,
+                            precision=precision, grid_t0=ts0)
                 del data_dev
                 if not st['cache']:
                     del w_re, w_im
     out = []
     for st in states:
-        f = st['flat']
-        grids = [(f[0], f[1]), (f[2], f[3]), (f[4], f[5])]
+        grids = st['grids']
         # drop the padded tail rows before the FFT stage
         if n_t_pad != n_t:
             grids = [(g[0][:, :n_t, :], g[1][:, :n_t, :]) for g in grids]
@@ -820,7 +813,7 @@ def gridded_kgrid_browse(data, plan: GridPlan, freq_idx: np.ndarray,
         # bound the per-t-chunk transients: the packed data gather
         # (R, Tc, P) is data-sized and coexists with the resident
         # trajectory, and the spread intermediates are (R, Tc, w·gyc) ×2
-        per_frame = (3 * cell_chunk * p * 4        # all-pol packed gather
+        per_frame = (cell_chunk * p * 4                     # packed gather
                      + cell_chunk * plan.w * gyc_max * 4 * 2)
         t_chunk = max(64, min(n_t, (1 << 30) // max(per_frame, 1)))
     if streamed:
@@ -1046,7 +1039,7 @@ def gridded_kgrid_sharded(data, plan: GridPlan, freq_idx: np.ndarray,
         per_col = 6 * n_t * plan.n_cells * 4
         gyc_max = max(1, min(gyc_max, (1 << 30) // max(per_col, 1)))
     if t_chunk is None:
-        per_frame = (3 * cell_chunk * p * 4
+        per_frame = (cell_chunk * p * 4
                      + cell_chunk * plan.w * gyc_max * 4 * 2)
         t_chunk = max(64, min(n_t, (1 << 30) // max(per_frame, 1)))
     if streamed:
@@ -1235,7 +1228,7 @@ def gridded_kgrid_spectrum(data: np.ndarray, plan: GridPlan,
     if t_chunk is None:
         # bound the per-t-chunk transients: the packed data gather
         # (R, Tc, P) plus the spread intermediates (R, Tc, w·gyc) ×2
-        per_frame = (3 * cell_chunk * p * 4
+        per_frame = (cell_chunk * p * 4
                      + cell_chunk * plan.w * gyc_max * 4 * 2)
         t_chunk = max(64, min(n_t, (1 << 30) // max(per_frame, 1)))
 
