@@ -1263,11 +1263,26 @@ class SEDCalculator:
         if data is not None:
             # user BlockSource (pod ingest): must cover the union's atoms in
             # trajectory order and already hold SED-ready data (velocities,
-            # or mean-subtracted displacements)
+            # or mean-subtracted, mass-weighted displacements — the gridded
+            # spread consumes the stream as-is, unlike the direct engine's
+            # on-device transforms)
             if data.n_atoms != union.size:
                 raise ValueError(
                     f"engine='gridded' BlockSource has {data.n_atoms} atoms "
                     f"but the group selects {union.size}")
+            if data.n_frames != self.traj.n_frames:
+                # the frequency grid comes from the trajectory's frame
+                # count; an FFT over a different length would silently
+                # mislabel every bin (jnp.take clamps, it does not error)
+                raise ValueError(
+                    f"engine='gridded' BlockSource has {data.n_frames} "
+                    f"frames but the trajectory has {self.traj.n_frames}")
+            if self.use_displacements or self.mass_weighted:
+                raise ValueError(
+                    "engine='gridded' consumes a BlockSource as-is; "
+                    "displacement mode / mass weighting are not applied "
+                    "on device on this path — stream pre-transformed data "
+                    "or use engine='direct'")
             payload = data
         elif union.size and self._group_bytes(union) > self.max_device_bytes:
             # oversize group: every mesh device streams the source for its
@@ -1314,8 +1329,11 @@ class SEDCalculator:
                 mode, with the mean subtracted on device).
             engine: 'direct' (default) or 'gridded' — the NUFFT engine with
                 ky stripes data-parallel across the mesh devices (coherent,
-                uniform grids, device-resident group; needs
-                ``k_grid_shape``).
+                uniform grids; needs ``k_grid_shape``).  Device-resident
+                groups broadcast once; groups beyond ``max_device_bytes``
+                (or a user BlockSource via ``data=``, which must already be
+                SED-ready) stream in time-superchunks, one source pass
+                feeding every stripe.
 
         Returns:
             (freqs_kept, intensity (n_keep, n_k) f32, phase or None) — same
@@ -1380,8 +1398,9 @@ class SEDCalculator:
         ``chiral=True`` (coherent, direct engine) appends the phase-at-peak
         surface.  See :meth:`calculate_kgrid_browse_sharded` for args.
 
-        ``engine='gridded'`` (coherent, uniform grids, device-resident
-        group; needs ``k_grid_shape``) runs the NUFFT engine with ky
+        ``engine='gridded'`` (coherent, uniform grids; needs
+        ``k_grid_shape``; oversize groups and SED-ready user BlockSources
+        stream in superchunks) runs the NUFFT engine with ky
         STRIPES data-parallel across the mesh's devices
         (:func:`psa_tpu.ops.gridded.gridded_kgrid_peaks_sharded`) — the
         measured-fastest dispersion-surface path at pod grid sizes, now

@@ -635,6 +635,12 @@ def _spread_gy_blocks_streamed(read_frames, plan: GridPlan, targets,
             st['wcache'][r0] = (w_re, w_im)
         return w_re, w_im
 
+    # several real target devices: ship each slab over the host link ONCE
+    # as a replicated array (broadcast over ICI) instead of one device_put
+    # per device — upload bandwidth is the other host-side budget
+    target_devs = [tg['device'] for tg in targets]
+    multi = len(states) > 1 and all(d is not None for d in target_devs)
+
     n_full, rem = divmod(t_superchunk, t_chunk)
     for ts0 in range(0, n_t, t_superchunk):
         ts1 = min(ts0 + t_superchunk, n_t)
@@ -643,9 +649,10 @@ def _spread_gy_blocks_streamed(read_frames, plan: GridPlan, targets,
             cols = chunk_cols[r0]
             sub = np.zeros((t_superchunk, a_pad, 3), dtype=np.float32)
             sub[:ts1 - ts0, :cols.size] = slab[:, cols, :]
-            for st in states:
+            subs = _replicate_per_device(sub, target_devs) if multi else None
+            for si, st in enumerate(states):
                 tabs = st['tabs'][r0]
-                data_dev = st['put'](sub)
+                data_dev = subs[si] if multi else st['put'](sub)
                 w_re, w_im = weights_for(st, r0)
                 win_start = (tabs['c_lo'] - (plan.w // 2 - 1)) % n_cells
                 gyc = st['gyc']
@@ -692,6 +699,48 @@ def _spread_gy_block_streamed(read_frames, plan: GridPlan, packed_tabs,
           'gyc': gyc}],
         row_starts, chunk_cols, n_t, t_superchunk, t_chunk, a_pad,
         precision, weight_cache_bytes)[0]
+
+
+def _streamed_budgets(plan: GridPlan, src, t_superchunk, data_budget_bytes,
+                      cell_chunk):
+    """Validate a streamed source against the plan and derive the
+    superchunk length and row-chunk cap from the host/device data budgets.
+    Shared by the single-device and mesh-sharded streamed sweeps so the
+    chunking heuristics cannot drift between engines."""
+    if src.n_atoms != plan.order.shape[0]:
+        raise ValueError(f"streamed source has {src.n_atoms} atoms but "
+                         f"the plan packs {plan.order.shape[0]}")
+    # per-(superchunk, row-chunk) host slabs: arena reuse avoids the
+    # lazy-memory first-touch fault cost (utils/host_alloc.py)
+    from ..utils.host_alloc import enable_arena_reuse
+    enable_arena_reuse()
+    n_t = src.n_frames
+    if t_superchunk is None:
+        # one host slab ~4 GB: sequential reads, bounded RAM
+        t_superchunk = max(256, (4 << 30) // max(1, src.n_atoms * 12))
+    t_superchunk = min(t_superchunk, n_t)
+    # uploaded per (superchunk, row-chunk): (t_superchunk, a_pad, 3) f32
+    a_budget = max(plan.bucket_size,
+                   data_budget_bytes // max(1, t_superchunk * 12))
+    rows_budget = max(1, a_budget // plan.bucket_size)
+    cell_chunk = min(cell_chunk or cells_per_chunk(plan), rows_budget)
+    return n_t, t_superchunk, cell_chunk
+
+
+def _streamed_tables(plan: GridPlan, src, row_starts, cell_chunk,
+                     n_t: int, t_superchunk: int):
+    """Per-row-chunk compact atom columns, the padded slab width, and the
+    frame reader for a streamed sweep (single-device and mesh paths)."""
+    ranges = _chunk_slot_ranges(plan, row_starts, cell_chunk)
+    chunk_cols = {r0: plan.order[s0:s1] for r0, (s0, s1) in ranges.items()}
+    a_pad = max(max((c.size for c in chunk_cols.values()), default=1), 1)
+    read_frames = lambda t0, t1: src.read_block(t0, t1, 0, src.n_atoms)
+    logger.info("gridded streamed sweep: %d frames x %d atoms via "
+                "%d-frame superchunks, %d row-chunks (a_pad %d), "
+                "grid pad %d rows", n_t, src.n_atoms, t_superchunk,
+                len(row_starts), a_pad,
+                -(-n_t // t_superchunk) * t_superchunk - n_t)
+    return chunk_cols, a_pad, read_frames
 
 
 def gridded_kgrid_browse(data, plan: GridPlan, freq_idx: np.ndarray,
@@ -768,14 +817,8 @@ def gridded_kgrid_browse(data, plan: GridPlan, freq_idx: np.ndarray,
     streamed = hasattr(data, 'read_block')
     if streamed:
         src = data
-        # per-(superchunk, row-chunk) host slabs: arena reuse avoids the
-        # lazy-memory first-touch fault cost (utils/host_alloc.py)
-        from ..utils.host_alloc import enable_arena_reuse
-        enable_arena_reuse()
-        if src.n_atoms != plan.order.shape[0]:
-            raise ValueError(f"streamed source has {src.n_atoms} atoms but "
-                             f"the plan packs {plan.order.shape[0]}")
-        n_t = src.n_frames
+        n_t, t_superchunk, cell_chunk = _streamed_budgets(
+            plan, src, t_superchunk, data_budget_bytes, cell_chunk)
     else:
         data = np.asarray(data) if not isinstance(data, jnp.ndarray) else data
         n_t = data.shape[0]
@@ -788,17 +831,7 @@ def gridded_kgrid_browse(data, plan: GridPlan, freq_idx: np.ndarray,
             z = np.zeros((n_peaks, gx * gy), dtype=np.float32)
             return z, z.copy(), z.copy()
         return zeros, (np.zeros_like(zeros) if comp_pair is not None else None)
-    if streamed:
-        if t_superchunk is None:
-            # one host slab ~4 GB: sequential reads, bounded RAM
-            t_superchunk = max(256, (4 << 30) // max(1, src.n_atoms * 12))
-        t_superchunk = min(t_superchunk, n_t)
-        # uploaded per (superchunk, row-chunk): (t_superchunk, a_pad, 3) f32
-        a_budget = max(plan.bucket_size,
-                       data_budget_bytes // max(1, t_superchunk * 12))
-        rows_budget = max(1, a_budget // plan.bucket_size)
-        cell_chunk = min(cell_chunk or cells_per_chunk(plan), rows_budget)
-    elif cell_chunk is None:
+    if not streamed and cell_chunk is None:
         cell_chunk = cells_per_chunk(plan)
     cell_chunk = min(cell_chunk, n_rows)                    # rows per chunk
     row_starts = list(range(0, n_rows, cell_chunk))
@@ -840,15 +873,8 @@ def gridded_kgrid_browse(data, plan: GridPlan, freq_idx: np.ndarray,
     packed_tabs = _chunk_packed_tables(plan, row_starts, cell_chunk,
                                        local_slots=streamed)
     if streamed:
-        ranges = _chunk_slot_ranges(plan, row_starts, cell_chunk)
-        chunk_cols = {r0: plan.order[s0:s1] for r0, (s0, s1) in ranges.items()}
-        a_pad = max(max((c.size for c in chunk_cols.values()), default=1), 1)
-        read_frames = lambda t0, t1: src.read_block(t0, t1, 0, src.n_atoms)
-        logger.info("gridded streamed sweep: %d frames x %d atoms via "
-                    "%d-frame superchunks, %d row-chunks (a_pad %d), "
-                    "grid pad %d rows", n_t, src.n_atoms, t_superchunk,
-                    len(row_starts), a_pad,
-                    -(-n_t // t_superchunk) * t_superchunk - n_t)
+        chunk_cols, a_pad, read_frames = _streamed_tables(
+            plan, src, row_starts, cell_chunk, n_t, t_superchunk)
 
     for g0 in range(0, gy, gy_chunk):
         g1 = min(g0 + gy_chunk, gy)
@@ -989,12 +1015,8 @@ def gridded_kgrid_sharded(data, plan: GridPlan, freq_idx: np.ndarray,
     streamed = hasattr(data, 'read_block')
     if streamed:
         src = data
-        if src.n_atoms != plan.order.shape[0]:
-            raise ValueError(f"streamed source has {src.n_atoms} atoms but "
-                             f"the plan packs {plan.order.shape[0]}")
-        n_t = src.n_frames
-        from ..utils.host_alloc import enable_arena_reuse
-        enable_arena_reuse()
+        n_t, t_superchunk, cell_chunk = _streamed_budgets(
+            plan, src, t_superchunk, data_budget_bytes, cell_chunk)
     else:
         n_t = data.shape[0]
     gx = plan.gx
@@ -1006,15 +1028,7 @@ def gridded_kgrid_sharded(data, plan: GridPlan, freq_idx: np.ndarray,
             return z, z.copy(), z.copy()
         zeros = np.zeros((n_f, gx * gy), dtype=np.float32)
         return zeros, (np.zeros_like(zeros) if comp_pair is not None else None)
-    if streamed:
-        if t_superchunk is None:
-            t_superchunk = max(256, (4 << 30) // max(1, src.n_atoms * 12))
-        t_superchunk = min(t_superchunk, n_t)
-        a_budget = max(plan.bucket_size,
-                       data_budget_bytes // max(1, t_superchunk * 12))
-        rows_budget = max(1, a_budget // plan.bucket_size)
-        cell_chunk = min(cell_chunk or cells_per_chunk(plan), rows_budget)
-    elif cell_chunk is None:
+    if not streamed and cell_chunk is None:
         cell_chunk = cells_per_chunk(plan)
     cell_chunk = min(cell_chunk, n_rows)
     row_starts = list(range(0, n_rows, cell_chunk))
@@ -1058,10 +1072,8 @@ def gridded_kgrid_sharded(data, plan: GridPlan, freq_idx: np.ndarray,
         rep_tree['fkept'] = np.asarray(freqs_kept, dtype=np.float32)
     reps = _replicate_per_device(rep_tree, devs)
     if streamed:
-        ranges = _chunk_slot_ranges(plan, row_starts, cell_chunk)
-        chunk_cols = {r0: plan.order[s0:s1] for r0, (s0, s1) in ranges.items()}
-        a_pad = max(max((c.size for c in chunk_cols.values()), default=1), 1)
-        read_frames = lambda t0, t1: src.read_block(t0, t1, 0, src.n_atoms)
+        chunk_cols, a_pad, read_frames = _streamed_tables(
+            plan, src, row_starts, cell_chunk, n_t, t_superchunk)
 
     out_parts = []                         # (b0, b1, device arrays) lazily
 

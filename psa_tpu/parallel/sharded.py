@@ -539,10 +539,11 @@ def sharded_sed_spectrum(mesh: Mesh, data, mean_pos64: np.ndarray,
         raise ValueError("comp_pair requires freq_indices + want_intensity "
                          "(browse planes) or n_peaks (phase at peak)")
     source = _as_source(data)
-    if not isinstance(data, (jnp.ndarray, np.ndarray)):
-        # lazy sources stage fresh multi-GB host blocks per superchunk —
-        # without arena reuse, first-touch page faults dominate on lazy-
-        # memory VMs (utils/host_alloc.py)
+    if (isinstance(data, np.memmap)
+            or not isinstance(data, (jnp.ndarray, np.ndarray))):
+        # lazy sources — BlockSources AND memmaps — stage fresh multi-GB
+        # host blocks per superchunk; without arena reuse, first-touch
+        # page faults dominate on lazy-memory VMs (utils/host_alloc.py)
         from ..utils.host_alloc import enable_arena_reuse
         enable_arena_reuse()
     n_t, n_atoms = source.n_frames, source.n_atoms

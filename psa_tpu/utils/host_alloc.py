@@ -64,9 +64,16 @@ def enable_arena_reuse(threshold_bytes: int = _INT_MAX) -> bool:
     if os.environ.get("PSA_TPU_NO_ARENA_REUSE") == "1":
         _state = False
         return False
-    if (os.environ.get("MALLOC_MMAP_THRESHOLD_")
-            and os.environ.get("MALLOC_TRIM_THRESHOLD_")):
-        # glibc already tuned at startup (full-width values, no int cap)
+    try:
+        env_mmap = int(os.environ.get("MALLOC_MMAP_THRESHOLD_", "0"))
+        env_trim = int(os.environ.get("MALLOC_TRIM_THRESHOLD_", "0"))
+    except ValueError:
+        env_mmap = env_trim = 0
+    if min(env_mmap, env_trim) >= threshold_bytes:
+        # glibc already tuned at startup with values at least as strong as
+        # what we would set (full-width, no int cap).  Small env values —
+        # e.g. an RSS-reduction tuning that LOWERS the thresholds — do NOT
+        # count: fall through to mallopt, which overrides them at runtime.
         logger.debug("glibc arena reuse active via MALLOC_*_THRESHOLD_ env")
         _state = True
         return True

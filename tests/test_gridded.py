@@ -500,6 +500,34 @@ class TestStreamedShardedGridded:
                 k_grid_shape=shape,
                 data=ArrayBlockSource(traj.velocities[:, :5]))
 
+    def test_source_frame_mismatch_raises(self):
+        """A BlockSource with a different frame count would FFT over the
+        wrong length and silently mislabel every frequency bin — must be
+        rejected up front."""
+        from psa_tpu.parallel import ArrayBlockSource, make_mesh
+        traj, calc, k_vecs, shape = self._setup()
+        mesh = make_mesh(shape=(1, 1, 8))
+        with pytest.raises(ValueError, match="frames"):
+            calc.calculate_kgrid_peaks_sharded(
+                mesh, k_vecs, n_peaks=1, engine='gridded',
+                k_grid_shape=shape,
+                data=ArrayBlockSource(traj.velocities[:10]))
+
+    def test_source_with_displacement_mode_raises(self):
+        """engine='gridded' consumes a user BlockSource as-is; on the
+        direct engine the same data= gets on-device mean subtraction, so
+        the silent-divergence case must error."""
+        from psa_tpu.core.calculator import SEDCalculator
+        from psa_tpu.parallel import ArrayBlockSource, make_mesh
+        traj, _, k_vecs, shape = self._setup()
+        calc = SEDCalculator(traj, nx=3, ny=2, nz=2, use_displacements=True)
+        mesh = make_mesh(shape=(1, 1, 8))
+        with pytest.raises(ValueError, match="as-is"):
+            calc.calculate_kgrid_peaks_sharded(
+                mesh, k_vecs, n_peaks=1, engine='gridded',
+                k_grid_shape=shape,
+                data=ArrayBlockSource(traj.positions))
+
 
 class TestStreamedGridded:
     """Out-of-core NUFFT sweep: a BlockSource streamed in time-superchunks

@@ -86,3 +86,14 @@ def test_env_tunables_short_circuit(fake_libc, monkeypatch):
     monkeypatch.setattr(host_alloc, '_state', None)
     assert host_alloc.enable_arena_reuse() is True
     assert not fake_libc.mallopt.calls
+
+
+def test_small_env_tunables_do_not_short_circuit(fake_libc, monkeypatch):
+    """Env thresholds SMALLER than ours (e.g. an RSS-reduction tuning that
+    lowers them) must not be mistaken for arena reuse — mallopt overrides
+    them at runtime."""
+    monkeypatch.setenv('MALLOC_MMAP_THRESHOLD_', '131072')
+    monkeypatch.setenv('MALLOC_TRIM_THRESHOLD_', '131072')
+    monkeypatch.setattr(host_alloc, '_state', None)
+    assert host_alloc.enable_arena_reuse() is True
+    assert fake_libc.mallopt.calls, "mallopt must run despite small env vars"
