@@ -192,6 +192,47 @@ class ArrayBlockSource(BlockSource):
         return np.asarray(self._data[t0:t1, a0:a1, :], dtype=np.float32)
 
 
+class TiledBlockSource(BlockSource):
+    """A virtual ``n_frames``-long trajectory served by tiling a small
+    in-RAM pool along the time axis: ``frame t`` is ``pool[t % len(pool)]``.
+
+    Synthetic out-of-core workload generator: lets a beyond-HBM streamed
+    sweep exercise the FULL device pipeline (superchunk h2d, per-shard
+    blocks, prefetch overlap, on-device compute — identical bytes moved and
+    identical programs run as a memmap-backed source of the same shape)
+    on hosts whose disk or page-fault bandwidth would otherwise dominate
+    the measurement.  SED throughput is data-independent, so tiled content
+    does not change the timing; it only avoids materializing the
+    trajectory.  When a requested time window lies inside one tile —
+    guaranteed if the engine's ``t_superchunk`` divides ``len(pool)`` or
+    vice versa — ``read_block`` returns a zero-copy view of the pool.
+    """
+
+    def __init__(self, pool, n_frames: int):
+        pool = np.asarray(pool)
+        if pool.ndim != 3 or pool.shape[-1] != 3:
+            raise ValueError(f"expected (pool_frames, n_atoms, 3) pool, "
+                             f"got {pool.shape}")
+        if pool.dtype != np.float32:
+            pool = pool.astype(np.float32)
+        if n_frames < 1:
+            raise ValueError(f"n_frames must be >= 1, got {n_frames}")
+        self._pool = pool
+        self.n_frames = int(n_frames)
+        self.n_atoms = pool.shape[1]
+
+    def read_block(self, t0, t1, a0, a1):
+        if not (0 <= t0 <= t1 <= self.n_frames):
+            raise ValueError(f"time window [{t0}, {t1}) outside "
+                             f"[0, {self.n_frames})")
+        p = self._pool.shape[0]
+        lo = t0 % p
+        if lo + (t1 - t0) <= p:  # window inside one tile: zero-copy view
+            return self._pool[lo:lo + (t1 - t0), a0:a1, :]
+        idx = np.arange(t0, t1) % p
+        return self._pool[idx, a0:a1, :]
+
+
 class DumpBlockSource(BlockSource):
     """Blocks parsed on demand from a LAMMPS text dump — text straight into
     the mesh, no intermediate .npy conversion.

@@ -13,7 +13,12 @@ Defaults: 200,000 atoms x 20,000 steps x f32 x 3 = 48 GB (3x HBM),
 
 Env knobs: PSA_OC_ATOMS, PSA_OC_STEPS, PSA_OC_GRID, PSA_OC_TSC,
 PSA_OC_KCHUNK, PSA_OC_FILE (default /tmp/psa_oversize_vel.npy),
-PSA_OC_PREFETCH_ONLY=1 (skip the prefetch-off pass).
+PSA_OC_PREFETCH_ONLY=1 (skip the prefetch-off pass),
+PSA_OC_POOL=1 (serve the trajectory from a TiledBlockSource instead of a
+memmap file: one superchunk-sized RAM pool tiled along time — identical
+bytes streamed and identical device programs, but no multi-hour file prep
+on hosts whose page-fault/disk bandwidth is pathologically low, like this
+Firecracker host on bad days).
 """
 import json
 import os
@@ -32,7 +37,8 @@ TSC = int(os.environ.get('PSA_OC_TSC', 2_000))
 KCHUNK = int(os.environ.get('PSA_OC_KCHUNK', 1_280))
 FILE = Path(os.environ.get('PSA_OC_FILE', '/tmp/psa_oversize_vel.npy'))
 OUT = Path(__file__).parent / (
-    f"streamed_oversize_{ATOMS}x{STEPS}_g{GRID}.json")
+    f"streamed_oversize_{ATOMS}x{STEPS}_g{GRID}"
+    f"{'_pool' if os.environ.get('PSA_OC_POOL') == '1' else ''}.json")
 
 
 def log(msg):
@@ -77,7 +83,9 @@ def main():
     import signal
     from psa_tpu.utils.host_alloc import enable_arena_reuse
     log(f"arena reuse: {enable_arena_reuse()}")
-    ensure_file()
+    pool_mode = os.environ.get('PSA_OC_POOL') == '1'
+    if not pool_mode:
+        ensure_file()
 
     # bench.py's robustness contract, here too: every completed phase is
     # persisted immediately, and SIGTERM/SIGINT flush what exists before
@@ -107,8 +115,8 @@ def main():
 
     import jax
     from psa_tpu.ops import spectral
-    from psa_tpu.parallel import (ArrayBlockSource, make_mesh,
-                                  sharded_sed_spectrum)
+    from psa_tpu.parallel import (ArrayBlockSource, TiledBlockSource,
+                                  make_mesh, sharded_sed_spectrum)
 
     log(f"devices: {jax.devices()}")
     n_dev = len(jax.devices())
@@ -118,10 +126,18 @@ def main():
     freq_idx = np.flatnonzero(mask).astype(np.int32)
     fkept = freqs[mask].astype(np.float32)
 
-    mm = np.load(FILE, mmap_mode='r')
-    src = ArrayBlockSource(mm)
+    if pool_mode:
+        t0 = time.time()
+        pool = np.random.default_rng(3).standard_normal(
+            (TSC, ATOMS, 3), dtype=np.float32)
+        log(f"pool {pool.nbytes / 1e9:.1f} GB built in {time.time() - t0:.0f}s")
+        src = TiledBlockSource(pool, n_frames=STEPS)
+    else:
+        mm = np.load(FILE, mmap_mode='r')
+        src = ArrayBlockSource(mm)
     results.update({'shape': f"{ATOMS}x{STEPS}", 'grid': GRID,
                     't_superchunk': TSC, 'k_chunk': KCHUNK,
+                    'source': 'tiled_pool' if pool_mode else 'memmap_file',
                     'traj_gb': round(STEPS * ATOMS * 12 / 1e9, 1),
                     'n_devices': n_dev})
 

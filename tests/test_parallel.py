@@ -438,3 +438,63 @@ class TestDumpBlockSource:
         # velocities round-trip through 8-decimal text
         err = np.max(np.abs(re + 1j * im - oracle)) / np.max(np.abs(oracle))
         assert err < 1e-5, err
+
+
+class TestTiledBlockSource:
+    """Virtual tiled trajectory: frame t == pool[t % p], zero-copy when a
+    window stays inside one tile."""
+
+    def test_blocks_match_materialized_tiling(self):
+        rng = np.random.default_rng(4)
+        pool = rng.normal(size=(3, 7, 3)).astype(np.float32)
+        from psa_tpu.parallel import TiledBlockSource
+        src = TiledBlockSource(pool, n_frames=11)
+        assert (src.n_frames, src.n_atoms) == (11, 7)
+        full = pool[np.arange(11) % 3]
+        for (t0, t1, a0, a1) in [(0, 3, 0, 7), (3, 6, 2, 5), (2, 7, 0, 7),
+                                 (9, 11, 1, 4), (0, 11, 0, 7), (5, 5, 0, 7)]:
+            np.testing.assert_array_equal(src.read_block(t0, t1, a0, a1),
+                                          full[t0:t1, a0:a1, :])
+
+    def test_aligned_window_is_zero_copy(self):
+        pool = np.zeros((4, 5, 3), np.float32)
+        from psa_tpu.parallel import TiledBlockSource
+        src = TiledBlockSource(pool, n_frames=20)
+        block = src.read_block(8, 12, 1, 4)  # lo=0, fits in one tile
+        assert np.shares_memory(block, pool)
+        crossing = src.read_block(3, 6, 0, 5)  # wraps the tile boundary
+        assert not np.shares_memory(crossing, pool)
+
+    def test_validation(self):
+        from psa_tpu.parallel import TiledBlockSource
+        with pytest.raises(ValueError, match="pool"):
+            TiledBlockSource(np.zeros((4, 5), np.float32), n_frames=8)
+        with pytest.raises(ValueError, match="n_frames"):
+            TiledBlockSource(np.zeros((4, 5, 3), np.float32), n_frames=0)
+        src = TiledBlockSource(np.zeros((4, 5, 3), np.float32), n_frames=8)
+        with pytest.raises(ValueError, match="time window"):
+            src.read_block(6, 9, 0, 5)
+
+    def test_mesh_parity_with_materialized_source(self, traj):
+        """The streamed sweep over a TiledBlockSource must equal the same
+        sweep over the materialized tiled trajectory (device pipeline is
+        source-agnostic)."""
+        from psa_tpu.parallel import TiledBlockSource
+        pool = traj.velocities[:4]
+        n_frames = traj.n_frames  # 16 = 4 tiles
+        tiled = pool[np.arange(n_frames) % 4]
+        mesh = make_mesh(shape=(2, 2, 2))
+        k_vectors = np.outer(np.linspace(0, 1.0, 5), [1, 0, 0]).astype(np.float32)
+        mean64 = traj.positions.astype(np.float64).mean(axis=0)
+        re_t, im_t = sharded_sed_spectrum(mesh, TiledBlockSource(pool, n_frames),
+                                          mean64, k_vectors, t_superchunk=4)
+        re_m, im_m = sharded_sed_spectrum(mesh, tiled, mean64, k_vectors,
+                                          t_superchunk=4)
+        np.testing.assert_array_equal(re_t, re_m)
+        np.testing.assert_array_equal(im_t, im_m)
+        # unaligned superchunk (6 does not divide the 4-frame tile): the
+        # stitched fancy-index path must agree too
+        re_u, im_u = sharded_sed_spectrum(mesh, TiledBlockSource(pool, n_frames),
+                                          mean64, k_vectors, t_superchunk=6)
+        np.testing.assert_allclose(re_u, re_m, atol=1e-4 * np.abs(re_m).max())
+        np.testing.assert_allclose(im_u, im_m, atol=1e-4 * np.abs(im_m).max())
