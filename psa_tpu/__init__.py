@@ -20,7 +20,7 @@ from .utils.compile_cache import enable_persistent_cache as _epc
 _epc()
 
 from .core.trajectory import Trajectory
-from .core.sed import SED
+from .core.sed import SED, average_seds
 from .core.calculator import SEDCalculator
 from .io.loader import TrajectoryLoader
 from .io.writer import TrajectoryWriter, out_to_qdump
@@ -36,7 +36,7 @@ from .utils.helpers import (
 from .utils.config_manager import ConfigManager
 
 __all__ = [
-    "Trajectory", "SED", "SEDCalculator",
+    "Trajectory", "SED", "SEDCalculator", "average_seds",
     "TrajectoryLoader", "TrajectoryWriter", "out_to_qdump",
     "SEDPlotter",
     "DEFAULT_STYLE", "COLOR_SCHEMES", "apply_style", "get_colormap",

@@ -671,6 +671,149 @@ class SEDCalculator:
                    dt_ps=self.dt_ps)
 
     # ------------------------------------------------------------------
+    # Welch/Bartlett segment-averaged spectra
+    # ------------------------------------------------------------------
+
+    def _group_welch_np(self, group_idx: np.ndarray, k_chunk: np.ndarray,
+                        segments: int, window: str) -> np.ndarray:
+        """Segment-averaged intensity of one group on one k-chunk, NumPy out."""
+        n_t = self.traj.n_frames
+        seg = n_t // segments
+        if group_idx.size == 0:
+            return np.zeros((seg, len(k_chunk)), dtype=np.float32)
+
+        if self._group_bytes(group_idx) <= self.max_device_bytes:
+            data_dev, hi_dev, lo_dev = self._group_device_arrays(group_idx)
+            return np.asarray(spectral.sed_welch_intensity(
+                data_dev, hi_dev, lo_dev,
+                jnp.asarray(k_chunk, dtype=jnp.float32),
+                segments=segments, window=window, precision=self.precision))
+
+        # Oversize group: each segment is an independent time window, so the
+        # atom-streamed spectrum runs per segment (the taper multiplies the
+        # host data blocks — windowing commutes with the atom contraction).
+        src = self._group_block_source(group_idx)
+        w_host = spectral.welch_window(seg, window)
+        w_host = None if w_host is None else np.asarray(w_host, np.float32)
+        budget = max(self.max_device_bytes // 4, 1 << 20)
+        chunk_atoms = max(1, min(int(group_idx.size),
+                                 budget // max(1, 4 * seg * 3)))
+        mean64 = self.mean_positions64
+        acc = None
+        for s in range(segments):
+            t0 = s * seg
+
+            def data_chunks():
+                for a0 in range(0, group_idx.size, chunk_atoms):
+                    a1 = min(a0 + chunk_atoms, group_idx.size)
+                    block = src.read_block(t0, t0 + seg, a0, a1)
+                    if w_host is not None:
+                        block = block * w_host[:, None, None]
+                    if a1 - a0 < chunk_atoms:  # zero data adds nothing
+                        block = np.concatenate(
+                            [block, np.zeros((seg, chunk_atoms - (a1 - a0), 3),
+                                             dtype=np.float32)], axis=1)
+                    yield block
+
+            def mp_chunks():
+                for a0 in range(0, group_idx.size, chunk_atoms):
+                    a1 = min(a0 + chunk_atoms, group_idx.size)
+                    mp64 = mean64[group_idx[a0:a1]]
+                    if a1 - a0 < chunk_atoms:
+                        mp64 = np.concatenate(
+                            [mp64, np.zeros((chunk_atoms - (a1 - a0), 3))], axis=0)
+                    yield spectral.split_f64(mp64)
+
+            re_dev, im_dev = spectral.sed_spectrum_streamed(
+                data_chunks(), mp_chunks(),
+                np.asarray(k_chunk, dtype=np.float32), seg,
+                precision=self.precision)
+            inten = jnp.sum(re_dev * re_dev + im_dev * im_dev, axis=-1)
+            acc = inten if acc is None else acc + inten
+        return np.asarray(acc / segments, dtype=np.float32)
+
+    def calculate_welch(self, k_points_mags: np.ndarray,
+                        k_vectors_3d: np.ndarray, segments: int,
+                        window: str = 'hann',
+                        basis_atom_indices=None, basis_atom_types=None,
+                        summation_mode: str = 'coherent',
+                        k_grid_shape: Optional[Tuple[int, int]] = None,
+                        k_chunk_size: int = 500) -> SED:
+        """Welch/Bartlett estimate: SED intensity averaged over ``segments``
+        non-overlapping time windows (psa_tpu extension; the reference
+        estimates from the single full-length FFT only).
+
+        Averaging S windows cuts the O(1) per-bin relative variance of a
+        single-window spectral estimate by ~1/S, trading frequency
+        resolution (n_t // S bins) — the standard line-shape practice when
+        one long trajectory is available (the multi-run analog is
+        :func:`psa_tpu.average_seds`).  ``window='hann'`` tapers each
+        segment (unit coherent gain, so line amplitudes stay comparable to
+        the full spectrum); ``'rect'`` is the plain Bartlett split.
+
+        Group semantics mirror :meth:`calculate`: coherent mode projects the
+        union of the atom groups once; incoherent sums per-group
+        intensities.  Output is always an intensity SED
+        (``is_complex=False``) with ``n_t // segments`` frequency bins.
+        """
+        if summation_mode not in ('coherent', 'incoherent'):
+            raise ValueError("summation_mode must be 'coherent' or "
+                             f"'incoherent', got {summation_mode}")
+        if not isinstance(segments, (int, np.integer)) or segments < 1:
+            raise ValueError(f"segments must be a positive int, got {segments!r}")
+        n_t, n_atoms_tot = self.traj.n_frames, self.traj.n_atoms
+        if n_t == 0 or n_atoms_tot == 0:
+            logger.warning("Cannot calculate Welch SED: 0 frames or 0 atoms.")
+            return SED(np.zeros((0, len(k_vectors_3d)), dtype=np.float32),
+                       np.array([], dtype=np.float32), k_points_mags,
+                       k_vectors_3d, k_grid_shape=k_grid_shape,
+                       is_complex=False)
+        seg = n_t // segments
+        if seg < 2:
+            raise ValueError(f"segments={segments} leaves {seg} frames per "
+                             f"segment (n_frames={n_t}); need at least 2")
+        spectral.welch_window(seg, window)  # validates the window name
+
+        freqs = spectral.fftfreq_thz(seg, self.dt_ps)
+        atom_groups = self._resolve_atom_groups(basis_atom_indices,
+                                                basis_atom_types,
+                                                summation_mode)
+        if summation_mode == 'coherent' or len(atom_groups) <= 1:
+            union = (np.unique(np.concatenate(atom_groups)).astype(int)
+                     if len(atom_groups) > 1 else
+                     (atom_groups[0] if atom_groups else np.array([], int)))
+            eff_groups = [union]
+        else:
+            eff_groups = atom_groups
+
+        num_k = len(k_vectors_3d)
+        block = min(max(1, k_chunk_size), num_k) if num_k > 0 else 1
+        padded_block = ((block + 63) // 64) * 64
+        num_chunks = (num_k + block - 1) // block if num_k > 0 else 0
+        full = np.zeros((seg, num_k), dtype=np.float32)
+        for i_chunk in range(num_chunks):
+            start = i_chunk * block
+            end = min(start + block, num_k)
+            k_chunk = np.asarray(k_vectors_3d[start:end], dtype=np.float32)
+            pad = padded_block - (end - start)
+            if pad:
+                k_chunk = np.concatenate(
+                    [k_chunk, np.zeros((pad, 3), dtype=np.float32)], axis=0)
+            acc = np.zeros((seg, end - start), dtype=np.float32)
+            for grp in eff_groups:
+                if grp.size == 0:
+                    continue
+                acc += self._group_welch_np(grp, k_chunk, segments,
+                                            window)[:, :end - start]
+            full[:, start:end] = acc
+
+        return SED(full, freqs, k_points_mags, k_vectors_3d,
+                   k_grid_shape=k_grid_shape, is_complex=False,
+                   dt_ps=self.dt_ps,
+                   trajectory_metadata={'welch_segments': int(segments),
+                                        'window': window})
+
+    # ------------------------------------------------------------------
     # Device-reduced k-grid browsing
     # ------------------------------------------------------------------
 

@@ -64,7 +64,15 @@ class SED:
 
     @property
     def intensity(self) -> np.ndarray:
-        """Σ_α |Φ_α|² over the trailing axis (reference: sed.py:22-24)."""
+        """Intensity I(ω, k).
+
+        Coherent storage: Σ_α |Φ_α|² over the trailing polarization axis
+        (reference: sed.py:22-24).  Incoherent storage already IS the summed
+        intensity and is returned as-is — the reference property reduced it
+        over the k axis instead (a latent defect its own code never hits;
+        deliberate fix, see module docstring)."""
+        if not self.is_complex and self.sed.ndim == 2:
+            return np.asarray(self.sed, dtype=np.float32)
         return np.sum(np.abs(self.sed) ** 2, axis=-1).astype(np.float32)
 
     def save(self, base_path: Path) -> None:
@@ -120,3 +128,85 @@ class SED:
         return SED(sed_val, freqs_val, k_points_val, k_vectors_val,
                    k_grid_shape=k_grid_shape_val, phase=phase_val,
                    is_complex=bool(np.iscomplexobj(sed_val)))
+
+
+def average_seds(seds, chiral_pair: Optional[Tuple[int, int]] = None,
+                 weights=None) -> SED:
+    """Ensemble-average SEDs from independent MD runs (variance reduction).
+
+    Spectral estimates from a single trajectory carry O(1) relative variance
+    per (ω, k) bin; averaging M statistically independent runs (different
+    initial conditions / thermostat seeds) reduces it by 1/M.  This is the
+    multi-run analog of Welch averaging and standard practice for MD
+    spectral statistics; the reference computes single-run estimates only.
+
+    Intensities average incoherently: ``Ī = Σ_m w_m I_m`` with ``I_m`` each
+    member's Σ_α |Φ_α|² (members may mix coherent/incoherent storage).  The
+    result is an intensity SED (``is_complex=False``): complex amplitudes
+    from independent runs have independent random global phases, so adding
+    amplitudes across runs is not meaningful.
+
+    ``chiral_pair=(c1, c2)`` additionally estimates the ensemble chiral
+    phase from the averaged CROSS-spectrum ``C = Σ_m w_m Z_c1 Z_c2*``
+    (coherence-weighted circular mean of the per-run phase differences —
+    the cross-spectral-density estimator; requires all members complex),
+    folded to [−π/2, π/2] exactly like the single-run option "C"
+    (reference: sed_calculator.py:344-350).
+
+    Args:
+        seds: sequence of :class:`SED` on identical (freqs, k_vectors) axes.
+        chiral_pair: optional (c1, c2) polarization component pair.
+        weights: optional per-member weights (e.g. run lengths); default
+            uniform.  Normalized to sum to 1.
+
+    Returns:
+        SED with ``sed = Ī`` float32, ``is_complex=False``, the common axes,
+        and ``phase`` set when ``chiral_pair`` was given.
+    """
+    seds = list(seds)
+    if not seds:
+        raise ValueError("average_seds needs at least one SED")
+    first = seds[0]
+    if weights is None:
+        w = np.full(len(seds), 1.0 / len(seds))
+    else:
+        w = np.asarray(weights, dtype=np.float64)
+        if w.shape != (len(seds),) or np.any(w < 0) or w.sum() == 0:
+            raise ValueError(f"weights must be {len(seds)} non-negative "
+                             "values with a positive sum")
+        w = w / w.sum()
+    for i, s in enumerate(seds[1:], start=1):
+        if s.freqs.shape != first.freqs.shape or not np.allclose(
+                s.freqs, first.freqs):
+            raise ValueError(f"member {i} frequency axis differs")
+        if s.k_vectors.shape != first.k_vectors.shape or not np.allclose(
+                s.k_vectors, first.k_vectors):
+            raise ValueError(f"member {i} k-vectors differ")
+        if s.k_grid_shape != first.k_grid_shape:
+            raise ValueError(f"member {i} k_grid_shape differs")
+
+    inten = np.zeros(first.sed.shape[:2], dtype=np.float64)
+    for s, wi in zip(seds, w):
+        inten += wi * s.intensity.astype(np.float64)
+
+    phase = None
+    if chiral_pair is not None:
+        c1, c2 = chiral_pair
+        if not all(s.is_complex for s in seds):
+            raise ValueError("chiral_pair requires complex (coherent) members")
+        cross = np.zeros(first.sed.shape[:2], dtype=np.complex128)
+        for s, wi in zip(seds, w):
+            cross += wi * (s.sed[..., c1] * np.conj(s.sed[..., c2]))
+        # wrap + quadrant fold of ∠C, identical to the single-run option "C"
+        from ..ops.spectral import chiral_phase
+        phase = np.asarray(chiral_phase(
+            cross.real.astype(np.float32), cross.imag.astype(np.float32),
+            np.ones_like(cross.real, dtype=np.float32),
+            np.zeros_like(cross.real, dtype=np.float32),
+            angle_range_opt='C'))
+
+    return SED(inten.astype(np.float32), first.freqs.copy(),
+               first.k_points.copy(), first.k_vectors.copy(),
+               k_grid_shape=first.k_grid_shape, phase=phase,
+               is_complex=False, dt_ps=first.dt_ps,
+               trajectory_metadata={'ensemble_members': len(seds)})

@@ -205,6 +205,53 @@ def sed_intensity(data: jnp.ndarray, mp_hi: jnp.ndarray, mp_lo: jnp.ndarray,
     return jnp.sum(re * re + im * im, axis=-1).astype(jnp.float32)
 
 
+def welch_window(seg: int, window: str) -> Optional[jnp.ndarray]:
+    """Per-segment taper, normalized to unit coherent gain (mean 1), so a
+    stationary spectral line keeps the amplitude the plain FFT/n convention
+    gives it.  'rect' returns None (no taper); 'hann' is the periodic Hann."""
+    if window == 'rect':
+        return None
+    if window == 'hann':
+        # periodic Hann 0.5*(1-cos) has mean exactly 0.5: dividing by it
+        # leaves w = 1 - cos(2*pi*n/seg)
+        return 1.0 - jnp.cos(2.0 * jnp.pi * jnp.arange(seg) / seg)
+    raise ValueError(f"window must be 'rect' or 'hann', got {window!r}")
+
+
+@functools.partial(jax.jit, static_argnames=('segments', 'window', 'precision'))
+def sed_welch_intensity(data: jnp.ndarray, mp_hi: jnp.ndarray,
+                        mp_lo: jnp.ndarray, k_vectors: jnp.ndarray,
+                        segments: int, window: str = 'hann',
+                        precision: str = 'parity') -> jnp.ndarray:
+    """Segment-averaged (Welch/Bartlett) SED intensity for one atom group.
+
+    Splits the time axis into ``segments`` non-overlapping windows, computes
+    Σ_α |Φ_α|² per window (each with the FFT/seg_len normalization the full
+    spectrum uses, so line amplitudes are comparable), and averages: per-bin
+    variance drops ~1/segments at the cost of frequency resolution
+    (n_t // segments bins).  The taper applies to the PROJECTED signal —
+    windowing commutes with the linear atom contraction, so this equals
+    windowing the velocities at (n_t, 3, 2K) cost instead of (n_t, N, 3).
+
+    Returns (n_t // segments, n_k) float32.
+    """
+    prec = resolve_precision(precision)
+    n_t = int(data.shape[0])
+    seg = n_t // segments
+    used = seg * segments  # trailing n_t % segments frames are dropped
+    cs = _phase_table(mp_hi, mp_lo, k_vectors)
+    proj = _project(data[:used].astype(jnp.float32), cs, prec)
+    two_k = proj.shape[-1]
+    k = two_k // 2
+    sig = lax.complex(proj[..., :k], proj[..., k:]).reshape(segments, seg, 3, k)
+    w = welch_window(seg, window)
+    if w is not None:
+        sig = sig * w[None, :, None, None].astype(jnp.float32)
+    spec = jnp.fft.fft(sig, axis=1) / seg
+    inten = jnp.real(spec) ** 2 + jnp.imag(spec) ** 2
+    return jnp.mean(jnp.sum(inten, axis=2), axis=0).astype(jnp.float32)
+
+
 def split_f64(x64: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
     """Split a float64 host array into a double-single (hi, lo) float32 pair:
     hi + lo == x64 to ~2⁻⁴⁸ relative.  Host-side (NumPy)."""

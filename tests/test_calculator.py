@@ -1161,3 +1161,108 @@ class TestShardedDuplicateIndices:
         w, single = calc._group_weights(
             [np.asarray(dup_all)], 'coherent')
         assert w is not None                 # not the all-atoms fast path
+
+
+class TestWelch:
+    """calculate_welch: segment-averaged (Welch/Bartlett) intensity."""
+
+    def _welch_oracle(self, traj, k_vectors, segments, window,
+                      group_idx=None):
+        """Float64 NumPy segmentation of the reference formula."""
+        if group_idx is None:
+            group_idx = np.arange(traj.n_atoms)
+        mean_pos = traj.positions.astype(np.float64).mean(axis=0)
+        data = traj.velocities[:, group_idx, :].astype(np.float64)
+        phase = np.exp(1j * (k_vectors.astype(np.float64)
+                             @ mean_pos[group_idx].T))
+        s = np.einsum('tac,ka->tkc', data, phase)
+        seg = traj.n_frames // segments
+        s = s[:seg * segments].reshape(segments, seg, *s.shape[1:])
+        if window == 'hann':
+            w = 1.0 - np.cos(2 * np.pi * np.arange(seg) / seg)
+            s = s * w[None, :, None, None]
+        spec = np.fft.fft(s, axis=1) / seg
+        return np.mean(np.sum(np.abs(spec) ** 2, axis=-1), axis=0)
+
+    @pytest.fixture(scope='class')
+    def k(self):
+        return np.outer(np.linspace(0, 1.2, 7), [1, 0, 0]).astype(np.float32)
+
+    @pytest.mark.parametrize("window", ["rect", "hann"])
+    @pytest.mark.parametrize("segments", [1, 2, 5])
+    def test_oracle_parity(self, crystal, calc, k, segments, window):
+        sed = calc.calculate_welch(np.linalg.norm(k, axis=1), k,
+                                   segments=segments, window=window)
+        oracle = self._welch_oracle(crystal, k, segments, window)
+        assert not sed.is_complex
+        assert sed.sed.shape == (crystal.n_frames // segments, len(k))
+        err = np.max(np.abs(sed.sed - oracle)) / np.max(oracle)
+        assert err < 1e-5, err
+        np.testing.assert_allclose(
+            sed.freqs, np.fft.fftfreq(crystal.n_frames // segments, d=0.02),
+            rtol=1e-6)
+
+    def test_single_rect_segment_matches_full_spectrum(self, calc, k):
+        """segments=1, window='rect' is exactly the classic estimate."""
+        welch = calc.calculate_welch(np.linalg.norm(k, axis=1), k,
+                                     segments=1, window='rect')
+        full = calc.calculate(np.linalg.norm(k, axis=1), k)
+        np.testing.assert_allclose(welch.sed, full.intensity,
+                                   rtol=1e-5, atol=1e-10)
+
+    def test_variance_reduction_on_white_noise(self):
+        """Averaging S segments shrinks the per-bin scatter ~1/sqrt(S)."""
+        traj = make_random_crystal_trajectory(n_cells_xyz=(4, 2, 2), basis=2,
+                                              n_frames=128, dt_ps=0.02,
+                                              seed=5)
+        calc = SEDCalculator(traj, nx=4, ny=2, nz=2)
+        k = np.array([[0.7, 0, 0]], dtype=np.float32)
+        mags = np.array([0.7], dtype=np.float32)
+        s1 = calc.calculate_welch(mags, k, segments=1, window='rect').sed[:, 0]
+        s8 = calc.calculate_welch(mags, k, segments=8, window='rect').sed[:, 0]
+        rel1 = np.std(s1) / np.mean(s1)
+        rel8 = np.std(s8) / np.mean(s8)
+        # expected ratio 1/sqrt(8) ~ 0.35; allow statistical slack
+        assert rel8 < 0.6 * rel1, (rel1, rel8)
+
+    def test_incoherent_sums_group_intensities(self, crystal, calc, k):
+        mags = np.linalg.norm(k, axis=1)
+        incoh = calc.calculate_welch(mags, k, segments=2,
+                                     basis_atom_types=[1, 2],
+                                     summation_mode='incoherent')
+        total = np.zeros_like(incoh.sed, dtype=np.float64)
+        for t in (1, 2):
+            idx = np.flatnonzero(crystal.types == t)
+            total += self._welch_oracle(crystal, k, 2, 'hann', group_idx=idx)
+        err = np.max(np.abs(incoh.sed - total)) / np.max(total)
+        assert err < 1e-5, err
+
+    def test_oversize_group_streams_and_matches(self, crystal, k):
+        small = SEDCalculator(crystal, nx=3, ny=3, nz=2,
+                              max_device_bytes=1_000)
+        big = SEDCalculator(crystal, nx=3, ny=3, nz=2)
+        mags = np.linalg.norm(k, axis=1)
+        a = small.calculate_welch(mags, k, segments=4)
+        b = big.calculate_welch(mags, k, segments=4)
+        np.testing.assert_allclose(a.sed, b.sed, rtol=2e-5,
+                                   atol=1e-6 * np.max(b.sed))
+
+    def test_k_chunking_invariant(self, calc, k):
+        mags = np.linalg.norm(k, axis=1)
+        one = calc.calculate_welch(mags, k, segments=2, k_chunk_size=500)
+        many = calc.calculate_welch(mags, k, segments=2, k_chunk_size=3)
+        np.testing.assert_allclose(one.sed, many.sed, rtol=1e-6)
+
+    def test_metadata_and_validation(self, calc, crystal, k):
+        mags = np.linalg.norm(k, axis=1)
+        sed = calc.calculate_welch(mags, k, segments=2)
+        assert sed.trajectory_metadata == {'welch_segments': 2,
+                                           'window': 'hann'}
+        with pytest.raises(ValueError, match="segments"):
+            calc.calculate_welch(mags, k, segments=0)
+        with pytest.raises(ValueError, match="at least 2"):
+            calc.calculate_welch(mags, k, segments=crystal.n_frames)
+        with pytest.raises(ValueError, match="window"):
+            calc.calculate_welch(mags, k, segments=2, window='hamming')
+        with pytest.raises(ValueError, match="summation_mode"):
+            calc.calculate_welch(mags, k, segments=2, summation_mode='bogus')
