@@ -242,6 +242,13 @@ def main(argv=None) -> None:
         config['sed_calculation']['n_kpoints'] = args.nk
     if args.chiral:
         config['general']['chiral_mode_enabled'] = True
+    try:
+        # Re-validate: the flag overrides above can create combinations the
+        # YAML alone did not have (e.g. --chiral with welch_segments).
+        manager.validate()
+    except ValueError as e:
+        logger.error("Invalid configuration: %s", e)
+        raise SystemExit(1)
 
     gen_cfg = config['general']
     md_cfg = config['md_system']
@@ -295,6 +302,21 @@ def main(argv=None) -> None:
         dirs_list = sed_cfg['directions']
         summation_mode = sed_cfg.get('summation_mode', 'coherent')
         k_chunk = int(sed_cfg.get('k_chunk_size', 500))
+        welch_n = sed_cfg.get('welch_segments')
+
+        def _path_sed(k_m, k_v):
+            """One k-path SED by the configured estimator (full FFT, or
+            Welch segment averaging when sed_calculation.welch_segments is
+            set — ConfigManager guarantees it is chiral-incompatible)."""
+            if welch_n:
+                return calc.calculate_welch(
+                    k_m, k_v, segments=int(welch_n),
+                    window=sed_cfg.get('welch_window', 'hann'),
+                    basis_atom_indices=basis_idx,
+                    summation_mode=summation_mode, k_chunk_size=k_chunk)
+            return calc.calculate(k_m, k_v, basis_atom_indices=basis_idx,
+                                  summation_mode=summation_mode,
+                                  k_chunk_size=k_chunk)
 
         # Optional global-max normalization pass across directions
         # (reference cli.py:90-104).
@@ -305,8 +327,7 @@ def main(argv=None) -> None:
             for dir_s in dirs_list:
                 k_m, k_v = calc.get_k_path(dir_s, sed_cfg['bz_coverage'],
                                            sed_cfg['n_kpoints'], eff_lat_param)
-                sed_n = calc.calculate(k_m, k_v, basis_atom_indices=basis_idx,
-                                       summation_mode=summation_mode, k_chunk_size=k_chunk)
+                sed_n = _path_sed(k_m, k_v)
                 inten = sed_n.intensity
                 if inten.size > 0:
                     max_vals.append(float(np.max(inten)))
@@ -320,6 +341,8 @@ def main(argv=None) -> None:
             logger.info("Processing direction %d/%d: %s", i_d, len(dirs_list), d_lbl)
 
             sed_sfx = "chiral" if gen_cfg['chiral_mode_enabled'] else "regular"
+            if welch_n:
+                sed_sfx = f"welch{int(welch_n)}"  # do not collide with full-FFT caches
             sed_base = out_dir / f"sed_data_{sed_sfx}_{d_lbl}{basis_sfx}"
 
             sed_res = None
@@ -337,9 +360,7 @@ def main(argv=None) -> None:
             if sed_res is None or needs_phase:
                 k_m, k_v = calc.get_k_path(dir_spec, sed_cfg['bz_coverage'],
                                            sed_cfg['n_kpoints'], eff_lat_param)
-                sed_res = calc.calculate(k_m, k_v, basis_atom_indices=basis_idx,
-                                         summation_mode=summation_mode,
-                                         k_chunk_size=k_chunk)
+                sed_res = _path_sed(k_m, k_v)
                 if gen_cfg['chiral_mode_enabled']:
                     pol = sed_cfg['polarization_indices_chiral']
                     if len(pol) >= 2 and sed_res.is_complex and sed_res.sed.shape[-1] > max(pol):

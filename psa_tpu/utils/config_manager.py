@@ -44,6 +44,8 @@ def default_config() -> Dict[str, Any]:
             'polarization_indices_chiral': [0, 1],
             'summation_mode': 'coherent',
             'k_chunk_size': 500,
+            'welch_segments': None,
+            'welch_window': 'hann',
             'basis': {'atom_indices': None, 'atom_types': None},
         },
         'plotting': {
@@ -147,6 +149,17 @@ class ConfigManager:
             raise ValueError("sed_calculation.summation_mode must be 'coherent' or 'incoherent'.")
         if not isinstance(sed['directions'], list) or len(sed['directions']) == 0:
             raise ValueError("sed_calculation.directions must be a non-empty list.")
+        welch_n = sed.get('welch_segments')
+        if welch_n is not None:
+            if int(welch_n) < 1:
+                raise ValueError("sed_calculation.welch_segments must be >= 1.")
+            if cfg['general'].get('chiral_mode_enabled'):
+                raise ValueError(
+                    "chiral mode needs complex spectra; disable "
+                    "sed_calculation.welch_segments (use average_seds with "
+                    "chiral_pair for ensemble chiral statistics).")
+        if sed.get('welch_window', 'hann') not in ('rect', 'hann'):
+            raise ValueError("sed_calculation.welch_window must be 'rect' or 'hann'.")
         fmt = cfg['general']['trajectory_file_format']
         if fmt not in ('auto', 'lammps', 'vasp_outcar', 'extxyz', 'h5md'):
             raise ValueError(f"general.trajectory_file_format invalid: {fmt}")

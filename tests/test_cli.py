@@ -164,3 +164,36 @@ def test_cli_kgrid_and_dos_sections(workdir):
     z2 = np.load(out2 / "kgrid_browse_xy.npz")
     assert z2['intensity'].shape[1] == 64
     assert 'phase' in z2
+
+
+def test_cli_welch_mode(workdir, tmp_path):
+    tmp_path, dump, _ = workdir
+    config = {
+        'md_system': {'dt': 0.02, 'nx': 12, 'ny': 1, 'nz': 1},
+        'sed_calculation': {'directions': ['x'], 'n_kpoints': 10,
+                            'bz_coverage': 0.5, 'welch_segments': 4},
+    }
+    cfg = tmp_path / "welch_cfg.yaml"
+    cfg.write_text(yaml.dump(config))
+    out = tmp_path / "out_welch"
+    main(['--trajectory', str(dump), '--config', str(cfg),
+          '--output-dir', str(out)])
+    assert (out / "sed_intensity_2D_x.png").exists()
+    sed = np.load(out / "sed_data_welch4_x.sed.npy")
+    assert not np.iscomplexobj(sed)
+    assert sed.shape[0] == 48 // 4  # n_freq = n_frames // segments
+
+
+def test_cli_welch_chiral_conflict(workdir, tmp_path):
+    tmp_path, dump, _ = workdir
+    config = {
+        'md_system': {'dt': 0.02, 'nx': 12, 'ny': 1, 'nz': 1},
+        'sed_calculation': {'directions': ['x'], 'n_kpoints': 10,
+                            'bz_coverage': 0.5, 'welch_segments': 4},
+    }
+    cfg = tmp_path / "welch_chiral_cfg.yaml"
+    cfg.write_text(yaml.dump(config))
+    out = tmp_path / "out_conflict"
+    with pytest.raises(SystemExit):
+        main(['--trajectory', str(dump), '--config', str(cfg),
+              '--output-dir', str(out), '--chiral'])
