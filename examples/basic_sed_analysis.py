@@ -7,6 +7,9 @@ so you can see the physics line up.
 
 Run:  python examples/basic_sed_analysis.py
 """
+import sys as _sys
+from pathlib import Path as _Path
+_sys.path.insert(0, str(_Path(__file__).resolve().parents[1]))  # run from anywhere without installing
 from pathlib import Path
 
 import numpy as np

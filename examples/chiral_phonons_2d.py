@@ -15,6 +15,9 @@ K — and recovers all of it through the k-grid browse path:
 
 Run:  python examples/chiral_phonons_2d.py
 """
+import sys as _sys
+from pathlib import Path as _Path
+_sys.path.insert(0, str(_Path(__file__).resolve().parents[1]))  # run from anywhere without installing
 from pathlib import Path
 
 import numpy as np

@@ -5,6 +5,9 @@ a self-contained synthetic crystal.
 
 Run:  python examples/chiral_sed_analysis.py
 """
+import sys as _sys
+from pathlib import Path as _Path
+_sys.path.insert(0, str(_Path(__file__).resolve().parents[1]))  # run from anywhere without installing
 from pathlib import Path
 
 from psa_tpu import SED, SEDCalculator, SEDPlotter

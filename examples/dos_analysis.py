@@ -8,6 +8,9 @@ visible, and the band edges land on the analytic ω±(k) extrema.
 
 Run:  python examples/dos_analysis.py
 """
+import sys as _sys
+from pathlib import Path as _Path
+_sys.path.insert(0, str(_Path(__file__).resolve().parents[1]))  # run from anywhere without installing
 from pathlib import Path
 
 import numpy as np

@@ -12,6 +12,9 @@ pick it (fast-PCIe hosts; see docs/PERF_NOTES.md for measured numbers).
 
 Run:  python examples/grid_browse_and_engines.py
 """
+import sys as _sys
+from pathlib import Path as _Path
+_sys.path.insert(0, str(_Path(__file__).resolve().parents[1]))  # run from anywhere without installing
 from pathlib import Path
 
 import matplotlib

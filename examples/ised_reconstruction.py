@@ -4,6 +4,9 @@ Port of the reference example (reference: examples/ised_reconstruction.py).
 
 Run:  python examples/ised_reconstruction.py
 """
+import sys as _sys
+from pathlib import Path as _Path
+_sys.path.insert(0, str(_Path(__file__).resolve().parents[1]))  # run from anywhere without installing
 from pathlib import Path
 
 from psa_tpu import SEDCalculator

@@ -7,6 +7,9 @@ here we keep a smaller default so the example runs anywhere.
 
 Run:  python examples/k_grid_heatmap_example.py
 """
+import sys as _sys
+from pathlib import Path as _Path
+_sys.path.insert(0, str(_Path(__file__).resolve().parents[1]))  # run from anywhere without installing
 from pathlib import Path
 
 import numpy as np

@@ -16,6 +16,9 @@ Run anywhere with a virtual 8-device CPU mesh:
 On a real TPU slice, drop the env vars — the same code shards over the
 physical chips.
 """
+import sys as _sys
+from pathlib import Path as _Path
+_sys.path.insert(0, str(_Path(__file__).resolve().parents[1]))  # run from anywhere without installing
 import numpy as np
 
 import jax

@@ -15,6 +15,9 @@ extraction → band sorting → ∇_k ν → τ → κ.
 
 Run:  python examples/thermal_transport.py
 """
+import sys as _sys
+from pathlib import Path as _Path
+_sys.path.insert(0, str(_Path(__file__).resolve().parents[1]))  # run from anywhere without installing
 from pathlib import Path
 
 import matplotlib

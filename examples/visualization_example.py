@@ -1,4 +1,7 @@
 """All plot types on one synthetic SED (reference: examples/visualization_example.py)."""
+import sys as _sys
+from pathlib import Path as _Path
+_sys.path.insert(0, str(_Path(__file__).resolve().parents[1]))  # run from anywhere without installing
 from pathlib import Path
 
 import numpy as np
