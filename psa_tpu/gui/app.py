@@ -69,6 +69,7 @@ class PSAMainWindow:
         v.lat_param_var = tk.StringVar(value='')
         v.basis_types_var = tk.StringVar(value='')
         v.mode_var = tk.StringVar(value='coherent')
+        v.welch_var = tk.StringVar(value='')
         v.chiral_var = tk.BooleanVar(value=False)
         v.chiral_axis_var = tk.StringVar(value='z')
         v.angle_opt_var = tk.StringVar(value='C')
@@ -192,6 +193,10 @@ class PSAMainWindow:
                       tooltip="Comma-separated atom types, e.g. 1,2 (blank = all)")
         labeled_combo(grid, "Summation:", self.mode_var,
                       ('coherent', 'incoherent'), row=5)
+        labeled_entry(grid, "Welch segments:", self.welch_var, row=6,
+                      tooltip="Blank = single full-length FFT; N = average N "
+                              "time windows (smoother lines, 1/N resolution; "
+                              "not compatible with chiral phase)")
         chiral_row = ttk.Frame(lf)
         chiral_row.pack(fill='x')
         ttk.Checkbutton(chiral_row, text="Chiral phase", variable=self.chiral_var
@@ -421,7 +426,9 @@ class PSAMainWindow:
                     summation_mode=self.mode_var.get(),
                     chiral=self.chiral_var.get(),
                     chiral_axis=self.chiral_axis_var.get(),
-                    angle_range_opt=self.angle_opt_var.get())
+                    angle_range_opt=self.angle_opt_var.get(),
+                    welch_segments=(int(self.welch_var.get())
+                                    if self.welch_var.get().strip() else None))
                 err = None
             except Exception as e:
                 err = str(e)

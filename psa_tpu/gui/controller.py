@@ -191,7 +191,9 @@ class AnalysisController:
                           summation_mode: str = 'coherent',
                           chiral: bool = False, chiral_axis: str = 'z',
                           angle_range_opt: str = 'C',
-                          reduced: bool = True) -> SED:
+                          reduced: bool = True,
+                          welch_segments: Optional[int] = None,
+                          welch_window: str = 'hann') -> SED:
         """Compute the k-path SED for display.
 
         ``reduced`` (default): intensity — and the chiral phase when asked —
@@ -202,6 +204,12 @@ class AnalysisController:
         it recomputes its own spectrum at the clicked mode
         (:meth:`SEDCalculator.ised`).  ``reduced=False`` restores the full
         complex SED on the state object (library/export workflows).
+
+        ``welch_segments`` switches the estimate to
+        :meth:`SEDCalculator.calculate_welch` (segment-averaged intensity;
+        smoother lines at n_frames // segments resolution).  Welch output
+        has no complex spectra, so it is rejected in combination with
+        ``chiral``.
         """
         calc = self._require_calc()
         direction = parse_direction_input(direction_text)
@@ -210,7 +218,16 @@ class AnalysisController:
         if chiral and summation_mode != 'coherent':
             logger.info("Chiral analysis requires coherent summation; forcing coherent.")
             summation_mode = 'coherent'
-        if reduced:
+        if welch_segments:
+            if chiral:
+                raise ValueError("Chiral analysis needs complex spectra; "
+                                 "disable Welch averaging.")
+            sed = calc.calculate_welch(k_mags, k_vecs,
+                                       segments=int(welch_segments),
+                                       window=welch_window,
+                                       basis_atom_types=basis_atom_types,
+                                       summation_mode=summation_mode)
+        elif reduced:
             freqs, intensity, phase = calc.calculate_kgrid_browse(
                 k_vecs, basis_atom_types=basis_atom_types,
                 summation_mode=summation_mode, chiral=chiral,
@@ -223,7 +240,9 @@ class AnalysisController:
                 chiral_axis, angle_range_opt)
         self.sed_result = sed
         self.kpath_mags = k_mags
-        self._kpath_reduced = reduced
+        # Welch results carry no complex spectra either, so exports that
+        # need Φ_α recompute the full spectrum exactly like the reduced path.
+        self._kpath_reduced = reduced or bool(welch_segments)
         self._kpath_recompute = dict(
             k_mags=k_mags, k_vecs=k_vecs, basis_atom_types=basis_atom_types,
             summation_mode=summation_mode, chiral=chiral,

@@ -362,3 +362,20 @@ def test_full_kpath_sed_for_export(loaded):
     sed2 = loaded.compute_kpath_sed("x", n_k=10, bz_coverage=0.5,
                                     reduced=False)
     assert loaded.full_kpath_sed() is sed2
+
+
+class TestWelchKPath:
+    def test_welch_kpath_and_full_export_recompute(self, loaded):
+        sed = loaded.compute_kpath_sed('[1,0,0]', n_k=6, bz_coverage=0.5,
+                                       welch_segments=4)
+        assert not sed.is_complex
+        assert sed.sed.shape[0] == 64 // 4
+        # .npy export that needs the complex spectrum recomputes the full FFT
+        full = loaded.full_kpath_sed()
+        assert full.is_complex
+        assert full.sed.shape[0] == 64
+
+    def test_welch_chiral_rejected(self, loaded):
+        with pytest.raises(ValueError, match="Welch"):
+            loaded.compute_kpath_sed('[1,0,0]', n_k=6, bz_coverage=0.5,
+                                     welch_segments=4, chiral=True)
