@@ -676,6 +676,16 @@ def _spread_gy_blocks_streamed(read_frames, plan: GridPlan, targets,
                 del data_dev
                 if not st['cache']:
                     del w_re, w_im
+        # Backpressure: finish this superchunk's uploads + spreads before
+        # reading the next.  Async dispatch would otherwise let the loop
+        # enqueue every superchunk's device_put as fast as the host reads;
+        # on a link slower than the source the runtime's transfer queue
+        # buffers the whole trajectory in host RAM (see the same guard in
+        # parallel/sharded.py — a 48 GB sweep OOM-killed the host at 130 GB
+        # RSS).  When transfers outpace the spreads this wait is already on
+        # the critical path and costs nothing.
+        for st in states:
+            jax.block_until_ready(st['grids'])
     out = []
     for st in states:
         grids = st['grids']

@@ -679,6 +679,17 @@ def sharded_sed_spectrum(mesh: Mesh, data, mean_pos64: np.ndarray,
             for g, w_dev in enumerate(w_devs):
                 proj_fulls[g] = write_rows(proj_fulls[g],
                                            run_project(chunk, w_dev), t0)
+            # Backpressure: force superchunk i's whole chain (h2d transfer,
+            # projection, accumulator write) to finish while superchunk i+1
+            # prefetches.  Without this, async dispatch lets the loop enqueue
+            # EVERY superchunk upload as fast as the host can serialize;
+            # on a link slower than the host the runtime's transfer queue
+            # buffers the entire trajectory in host RAM (observed: 130 GB
+            # RSS -> OOM kill on a 48 GB sweep over a ~0.04 GB/s tunnel).
+            # In-flight stays at the intended double-buffer depth of 2; when
+            # transfers are faster than compute this wait is already on the
+            # critical path and costs nothing.
+            jax.block_until_ready(proj_fulls)
             if loader is not None:
                 loader.join()
                 if next_chunk[0] is not None:
