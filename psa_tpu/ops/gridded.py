@@ -682,10 +682,12 @@ def _spread_gy_blocks_streamed(read_frames, plan: GridPlan, targets,
         # on a link slower than the source the runtime's transfer queue
         # buffers the whole trajectory in host RAM (see the same guard in
         # parallel/sharded.py — a 48 GB sweep OOM-killed the host at 130 GB
-        # RSS).  When transfers outpace the spreads this wait is already on
-        # the critical path and costs nothing.
+        # RSS).  Value-dependent one-element fence, not block_until_ready:
+        # remote runtimes report buffers ready at enqueue time, so only a
+        # value that cannot exist before the remote spread ran gates.
         for st in states:
-            jax.block_until_ready(st['grids'])
+            g_re = st['grids'][0][0]
+            np.asarray(g_re[(0,) * g_re.ndim])
     out = []
     for st in states:
         grids = st['grids']

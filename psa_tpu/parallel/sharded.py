@@ -686,10 +686,15 @@ def sharded_sed_spectrum(mesh: Mesh, data, mean_pos64: np.ndarray,
             # on a link slower than the host the runtime's transfer queue
             # buffers the entire trajectory in host RAM (observed: 130 GB
             # RSS -> OOM kill on a 48 GB sweep over a ~0.04 GB/s tunnel).
+            # The fence is a VALUE-dependent one-element readback, not
+            # block_until_ready: remote runtimes (axon) report buffers ready
+            # at enqueue time, so only a value that cannot exist before the
+            # remote work ran actually gates (measured: with plain
+            # block_until_ready the queue still grew to the full 48 GB).
             # In-flight stays at the intended double-buffer depth of 2; when
-            # transfers are faster than compute this wait is already on the
-            # critical path and costs nothing.
-            jax.block_until_ready(proj_fulls)
+            # transfers are faster than compute this ~1-RTT wait overlaps
+            # the next prefetch and costs nothing.
+            np.asarray(proj_fulls[-1][0, 0, 0])
             if loader is not None:
                 loader.join()
                 if next_chunk[0] is not None:
