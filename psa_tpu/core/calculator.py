@@ -839,6 +839,25 @@ class SEDCalculator:
         return (np.asarray(inten, dtype=np.float32),
                 np.asarray(ph, dtype=np.float32) if ph is not None else None)
 
+    def _group_lt_np(self, group_idx: np.ndarray, k_chunk: np.ndarray,
+                     ku_chunk: np.ndarray, freq_idx_dev):
+        """Filtered (I_L, I_T) planes for one group on one k-chunk — the
+        complex spectrum stays on device (L/T analog of _group_browse_np)."""
+        n_keep = int(freq_idx_dev.shape[0])
+        if group_idx.size == 0:
+            zero = np.zeros((n_keep, len(k_chunk)), dtype=np.float32)
+            return zero, zero.copy()
+        ku_dev = jnp.asarray(ku_chunk, dtype=jnp.float32)
+        if self._group_bytes(group_idx) > self.max_device_bytes:
+            re_dev, im_dev = self._streamed_spectrum(group_idx, k_chunk)
+            i_l, i_t = spectral.lt_reduce(re_dev, im_dev, ku_dev, freq_idx_dev)
+        else:
+            data_dev, hi_dev, lo_dev = self._group_device_arrays(group_idx)
+            i_l, i_t = spectral.sed_lt(
+                data_dev, hi_dev, lo_dev, jnp.asarray(k_chunk, dtype=jnp.float32),
+                ku_dev, freq_idx_dev, precision=self.precision)
+        return np.asarray(i_l, dtype=np.float32), np.asarray(i_t, dtype=np.float32)
+
     def calculate_kgrid_browse(self, k_vectors_3d: np.ndarray,
                                basis_atom_indices=None, basis_atom_types=None,
                                summation_mode: str = 'coherent',
@@ -996,6 +1015,122 @@ class SEDCalculator:
                     intensity[:, start:end] += inten[:, :end - start]
 
         return freqs_kept, intensity, phase
+
+    # ------------------------------------------------------------------
+    # Public: longitudinal / transverse polarization decomposition
+    # ------------------------------------------------------------------
+
+    def calculate_lt(self, k_vectors_3d: np.ndarray,
+                     basis_atom_indices=None, basis_atom_types=None,
+                     summation_mode: str = 'coherent',
+                     max_freq: Optional[float] = None,
+                     k_chunk_size: int = 2048):
+        """Longitudinal and transverse SED intensities, reduced ON DEVICE.
+
+        Splits the spectrum into the component along k̂ (the longitudinal
+        current spectrum, which carries the LA branches) and the remainder
+        (the two transverse polarizations, TA branches):
+
+            I_L(ω,k) = |Σ_c k̂_c Φ_c(ω,k)|²,   I_T = Σ_c |Φ_c|² − I_L.
+
+        This is a branch-classification capability the reference lacks — it
+        only exposes Cartesian polarizations (sed_calculator.py:80-83).
+        I_L + I_T equals :meth:`calculate_kgrid_browse`'s intensity exactly.
+        At the Γ point (|k| = 0, where the split is undefined) the convention
+        is I_L = 0, I_T = total.
+
+        Group semantics match :meth:`calculate`: coherent (or single-group)
+        decomposes the union group's spectrum; incoherent sums per-group
+        (I_L, I_T) planes.
+
+        Args:
+            k_vectors_3d: (n_k, 3) k-vectors (a path or a flattened grid).
+            max_freq: optional cap in THz; only ω ≥ 0 rows are kept.
+
+        Returns:
+            (freqs_kept (n_keep,), I_L (n_keep, n_k) f32,
+             I_T (n_keep, n_k) f32)
+        """
+        if summation_mode not in ('coherent', 'incoherent'):
+            raise ValueError(f"summation_mode must be 'coherent' or "
+                             f"'incoherent', got {summation_mode}")
+        n_t = self.traj.n_frames
+        freqs = spectral.fftfreq_thz(n_t, self.dt_ps)
+        mask = freqs >= 0
+        if max_freq is not None:
+            mask &= freqs <= max_freq
+        freq_idx = np.flatnonzero(mask).astype(np.int32)
+        freqs_kept = freqs[mask]
+
+        atom_groups = self._resolve_atom_groups(basis_atom_indices,
+                                                basis_atom_types, summation_mode)
+        single_spectrum = summation_mode == 'coherent' or len(atom_groups) <= 1
+
+        num_k = len(k_vectors_3d)
+        block = min(max(1, k_chunk_size), num_k) if num_k > 0 else 1
+        padded_block = ((block + 63) // 64) * 64
+        num_chunks = (num_k + block - 1) // block if num_k > 0 else 0
+
+        i_long = np.zeros((len(freq_idx), num_k), dtype=np.float32)
+        i_trans = np.zeros((len(freq_idx), num_k), dtype=np.float32)
+        freq_idx_dev = jnp.asarray(freq_idx)
+        k_unit = spectral.unit_k_vectors(k_vectors_3d)
+
+        if single_spectrum:
+            groups = [np.unique(np.concatenate(atom_groups)).astype(int)
+                      if len(atom_groups) > 1 else
+                      (atom_groups[0] if atom_groups else np.array([], dtype=int))]
+        else:
+            groups = atom_groups
+
+        # Same dispatch strategy as calculate_kgrid_browse: one lax.map
+        # program for resident groups, per-chunk fallback otherwise.
+        scannable = (num_chunks > 1 and all(g.size > 0 for g in groups)
+                     and all(self._group_bytes(g) <= self.max_device_bytes
+                             for g in groups)
+                     and os.environ.get('PSA_TPU_NO_SCAN') != '1')
+        if scannable:
+            k_stack = np.zeros((num_chunks, padded_block, 3), dtype=np.float32)
+            ku_stack = np.zeros_like(k_stack)
+            flat = np.asarray(k_vectors_3d, dtype=np.float32)
+            for i in range(num_chunks):
+                s, e = i * block, min((i + 1) * block, num_k)
+                k_stack[i, :e - s] = flat[s:e]
+                ku_stack[i, :e - s] = k_unit[s:e]
+            k_stack_dev = jnp.asarray(k_stack)
+            ku_stack_dev = jnp.asarray(ku_stack)
+            for grp_idx in groups:
+                data_dev, hi_dev, lo_dev = self._group_device_arrays(grp_idx)
+                l_st, t_st = spectral.sed_lt_scan(
+                    data_dev, hi_dev, lo_dev, k_stack_dev, ku_stack_dev,
+                    freq_idx_dev, precision=self.precision)
+                l_st = np.asarray(l_st)
+                t_st = np.asarray(t_st)
+                for i in range(num_chunks):
+                    s, e = i * block, min((i + 1) * block, num_k)
+                    i_long[:, s:e] += l_st[i][:, :e - s]
+                    i_trans[:, s:e] += t_st[i][:, :e - s]
+            return freqs_kept, i_long, i_trans
+
+        for i_chunk in range(num_chunks):
+            start = i_chunk * block
+            end = min(start + block, num_k)
+            k_chunk = np.asarray(k_vectors_3d[start:end], dtype=np.float32)
+            ku_chunk = k_unit[start:end]
+            pad = padded_block - (end - start)
+            if pad:
+                zpad = np.zeros((pad, 3), dtype=np.float32)
+                k_chunk = np.concatenate([k_chunk, zpad], axis=0)
+                ku_chunk = np.concatenate([ku_chunk, zpad], axis=0)
+            for grp_idx in groups:
+                if grp_idx.size == 0:
+                    continue
+                i_l, i_t = self._group_lt_np(grp_idx, k_chunk, ku_chunk,
+                                             freq_idx_dev)
+                i_long[:, start:end] += i_l[:, :end - start]
+                i_trans[:, start:end] += i_t[:, :end - start]
+
+        return freqs_kept, i_long, i_trans
 
     # ------------------------------------------------------------------
     # Public: on-device peak extraction (dispersion surfaces)

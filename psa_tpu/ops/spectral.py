@@ -424,6 +424,85 @@ def sed_grid_browse_scan(data: jnp.ndarray, mp_hi: jnp.ndarray,
 
 
 # ---------------------------------------------------------------------------
+# Longitudinal / transverse polarization decomposition.
+# ---------------------------------------------------------------------------
+#
+# The SED projection is linear in the per-atom data, so the longitudinal
+# current spectrum is a k̂-weighted sum of the Cartesian spectra:
+#     Φ_L(ω,k) = Σ_c k̂_c Φ_c(ω,k),   I_L = |Φ_L|²,
+#     I_T      = Σ_c |Φ_c|² − I_L    (the two transverse polarizations).
+# I_L isolates LA branches and I_T the TA branches — a branch-classification
+# capability the reference lacks (it only exposes Cartesian polarizations,
+# sed_calculator.py:80-83).  Both reductions run on device; only the
+# filtered float32 planes transfer.
+
+@jax.jit
+def lt_reduce(re: jnp.ndarray, im: jnp.ndarray, k_unit: jnp.ndarray,
+              freq_idx: jnp.ndarray):
+    """Longitudinal/transverse intensity planes of a complex spectrum.
+
+    Args:
+        re, im: (n_t, K, 3) float32 spectrum halves.
+        k_unit: (K, 3) float32 unit k-vectors.  All-zero rows (the Γ point,
+            where the L/T split is undefined) yield I_L = 0, I_T = total.
+        freq_idx: (n_keep,) int32 indices of the retained frequency rows.
+
+    Returns:
+        (I_L (n_keep, K) f32, I_T (n_keep, K) f32).
+    """
+    re_f = jnp.take(re, freq_idx, axis=0)
+    im_f = jnp.take(im, freq_idx, axis=0)
+    re_l = jnp.einsum('fkc,kc->fk', re_f, k_unit)
+    im_l = jnp.einsum('fkc,kc->fk', im_f, k_unit)
+    i_l = re_l * re_l + im_l * im_l
+    total = jnp.sum(re_f * re_f + im_f * im_f, axis=-1)
+    # total − I_L is nonnegative by Cauchy-Schwarz; clamp the f32 rounding.
+    i_t = jnp.maximum(total - i_l, 0.0)
+    return i_l.astype(jnp.float32), i_t.astype(jnp.float32)
+
+
+@functools.partial(jax.jit, static_argnames=('precision',))
+def sed_lt(data: jnp.ndarray, mp_hi: jnp.ndarray, mp_lo: jnp.ndarray,
+           k_vectors: jnp.ndarray, k_unit: jnp.ndarray,
+           freq_idx: jnp.ndarray, precision: str = 'parity'):
+    """Fused SED + L/T reduction for one atom group: the complex spectrum
+    never leaves the device (layout mirrors :func:`sed_grid_browse`)."""
+    re, im = sed_spectrum(data, mp_hi, mp_lo, k_vectors, precision=precision)
+    return lt_reduce(re, im, k_unit, freq_idx)
+
+
+@functools.partial(jax.jit, static_argnames=('precision',))
+def sed_lt_scan(data: jnp.ndarray, mp_hi: jnp.ndarray, mp_lo: jnp.ndarray,
+                k_chunks: jnp.ndarray, ku_chunks: jnp.ndarray,
+                freq_idx: jnp.ndarray, precision: str = 'parity'):
+    """Whole-sweep L/T planes in ONE dispatch (:func:`sed_lt` mapped over
+    stacked fixed-size k-chunks, like :func:`sed_grid_browse_scan`).
+
+    Args:
+        k_chunks: (n_chunks, block, 3) float32 stacked k-vector chunks.
+        ku_chunks: (n_chunks, block, 3) float32 matching unit k-vectors.
+
+    Returns:
+        (I_L (n_chunks, n_keep, block) f32, I_T same shape).
+    """
+    def one(args):
+        kc, ku = args
+        return sed_lt(data, mp_hi, mp_lo, kc, ku, freq_idx,
+                      precision=precision)
+
+    return lax.map(one, (k_chunks, ku_chunks))
+
+
+def unit_k_vectors(k_vectors: np.ndarray) -> np.ndarray:
+    """k/|k| with all-zero rows left at zero (Γ-point convention of
+    :func:`lt_reduce`)."""
+    kv = np.asarray(k_vectors, dtype=np.float32)
+    norms = np.linalg.norm(kv, axis=-1, keepdims=True)
+    return np.where(norms > 0, kv / np.where(norms > 0, norms, 1.0), 0.0
+                    ).astype(np.float32)
+
+
+# ---------------------------------------------------------------------------
 # On-device peak extraction: the dispersion surface without the planes.
 # ---------------------------------------------------------------------------
 #
