@@ -1724,6 +1724,43 @@ class SEDCalculator:
             comp_pair=comp_pair, angle_range_opt=angle_range_opt,
             width_method=width_method)
 
+    def calculate_lt_sharded(self, mesh, k_vectors_3d: np.ndarray,
+                             basis_atom_indices=None,
+                             basis_atom_types=None,
+                             summation_mode: str = 'coherent',
+                             max_freq: Optional[float] = None,
+                             t_superchunk: Optional[int] = None,
+                             data=None):
+        """:meth:`calculate_lt` over a (t, a, k) device mesh.
+
+        The longitudinal/transverse split runs inside each k shard (it is
+        per-k, so no collectives are added); incoherent groups accumulate
+        their (I_L, I_T) pairs in-mesh while the trajectory streams once.
+        Only the two filtered float32 planes leave the mesh.  See
+        :meth:`calculate_kgrid_browse_sharded` for the mesh/data/streaming
+        arguments.
+
+        Returns:
+            (freqs_kept (n_keep,), I_L (n_keep, n_k) f32,
+             I_T (n_keep, n_k) f32) — same contract as :meth:`calculate_lt`.
+        """
+        from ..parallel.sharded import sharded_sed_spectrum
+        if summation_mode not in ('coherent', 'incoherent'):
+            raise ValueError(f"summation_mode must be 'coherent' or "
+                             f"'incoherent', got {summation_mode}")
+        atom_groups = self._resolve_atom_groups(basis_atom_indices,
+                                                basis_atom_types,
+                                                summation_mode)
+        weights, _ = self._group_weights(atom_groups, summation_mode)
+        freq_idx, freqs_kept = self._sharded_freq_mask(max_freq)
+        src, subtract = self._sharded_data(data)
+        i_l, i_t = sharded_sed_spectrum(
+            mesh, src, self.mean_positions64, k_vectors_3d,
+            precision=self.precision, t_superchunk=t_superchunk,
+            freq_indices=freq_idx, atom_weights=weights,
+            subtract_mean=subtract, lt=True)
+        return freqs_kept, i_l, i_t
+
     def calculate_dos(self, basis_atom_indices=None, basis_atom_types=None,
                       max_freq: Optional[float] = None,
                       atom_chunk_size: Optional[int] = None):

@@ -477,6 +477,22 @@ def _peaks_step(mesh: Mesh, n_peaks: int, exclusion_bins: int,
 
 
 @functools.lru_cache(maxsize=None)
+def _lt_step(mesh: Mesh):
+    """FFT + longitudinal/transverse reduction inside the k shard — the pod
+    analog of :func:`psa_tpu.ops.spectral.sed_lt`: I_L = |k̂·Φ|² (LA
+    branches), I_T = Σ_c|Φ_c|² − I_L (TA branches).  The split is per-k
+    (no collectives added); only the two filtered float32 planes leave."""
+    def fn(proj_l, ku_l, freq_idx):           # (n_t, 3, 2K/k), (K/k, 3)
+        re, im = spectral._fft_spectrum(proj_l, proj_l.shape[0])
+        return spectral.lt_reduce(re, im, ku_l, freq_idx)
+
+    return jax.jit(jax.shard_map(
+        fn, mesh=mesh,
+        in_specs=(P(None, None, AXIS_K), P(AXIS_K, None), P(None)),
+        out_specs=(P(None, AXIS_K),) * 2, check_vma=False))
+
+
+@functools.lru_cache(maxsize=None)
 def _peaks_from_intensity_step(mesh: Mesh, n_peaks: int, exclusion_bins: int,
                                width_method: str = 'rms'):
     """Peak extraction from an already-summed intensity plane (the
@@ -512,7 +528,8 @@ def sharded_sed_spectrum(mesh: Mesh, data, mean_pos64: np.ndarray,
                          subtract_mean: bool = False,
                          comp_pair: Optional[Tuple[int, int]] = None,
                          angle_range_opt: str = 'C',
-                         width_method: str = 'rms'):
+                         width_method: str = 'rms',
+                         lt: bool = False):
     """SED spectrum over a device mesh, streamed in time-superchunks.
 
     Args:
@@ -557,22 +574,33 @@ def sharded_sed_spectrum(mesh: Mesh, data, mean_pos64: np.ndarray,
             planes; with ``n_peaks`` a fourth phase-at-peak array is
             appended (reference chiral flow psa_gui.py:976-988, pod form).
         angle_range_opt: chiral angle convention 'A' | 'B' | 'C'.
+        lt: return the longitudinal/transverse intensity split instead —
+            the pod analog of :meth:`SEDCalculator.calculate_lt` (I_L =
+            |k̂·Φ|², I_T = Σ_c|Φ_c|² − I_L; per-group pairs accumulate
+            in-mesh when ``atom_weights`` has several groups).  Requires
+            ``freq_indices``; exclusive with ``comp_pair``/``n_peaks``.
 
     Returns:
         Host NumPy: intensity (n_f, n_k) f32, or (re, im) pair of
         (n_f, n_k, 3), where n_f = n_t or len(freq_indices); with
         ``n_peaks`` set, the three (n_peaks, n_k) peak arrays (four with
         ``comp_pair``); with ``comp_pair`` + filtered intensity, the
-        (intensity, phase) plane pair.
+        (intensity, phase) plane pair; with ``lt``, the (I_L, I_T)
+        (n_keep, n_k) plane pair.
         Padding added for divisibility is stripped before returning.
     """
     if n_peaks is not None and (freq_indices is None or peak_freqs_thz is None):
         raise ValueError("n_peaks requires freq_indices and peak_freqs_thz")
+    if lt:
+        if freq_indices is None:
+            raise ValueError("lt=True requires freq_indices")
+        if comp_pair is not None or n_peaks is not None:
+            raise ValueError("lt=True is exclusive with comp_pair/n_peaks")
     n_groups = len(atom_weights) if atom_weights is not None else 1
     incoherent = n_groups > 1
-    if incoherent and not (want_intensity or n_peaks is not None):
+    if incoherent and not (want_intensity or n_peaks is not None or lt):
         raise ValueError("multiple atom_weights mean incoherent summation: "
-                         "set want_intensity=True or n_peaks")
+                         "set want_intensity=True, n_peaks, or lt")
     if incoherent and comp_pair is not None:
         raise ValueError("chiral phase needs a single (coherent) spectrum")
     if comp_pair is not None and n_peaks is None and not (
@@ -710,7 +738,21 @@ def sharded_sed_spectrum(mesh: Mesh, data, mean_pos64: np.ndarray,
         idx = jax.device_put(np.asarray(freq_indices, dtype=np.int32),
                              rep_sharding)
 
-    if incoherent:
+    if lt:
+        # L/T planes accumulate in-mesh per group (coherent = one group by
+        # construction; incoherent sums (I_L, I_T) pairs — the pod form of
+        # calculate_lt's group semantics)
+        ku_p = _pad_rows(spectral.unit_k_vectors(k_vectors), k_sh)
+        ku_dev = jax.device_put(ku_p, k_sharding)
+        lt_fn = _lt_step(mesh)
+        add = _add_step(mesh)
+        il_sum = it_sum = None
+        for proj in proj_fulls:
+            il, it = lt_fn(proj, ku_dev, idx)
+            il_sum = il if il_sum is None else add(il_sum, il)
+            it_sum = it if it_sum is None else add(it_sum, it)
+        out = (il_sum, it_sum)
+    elif incoherent:
         # per-group intensities accumulate in-mesh; peaks (if asked) reduce
         # the summed plane
         fft = _fft_step(mesh, True, freq_indices is not None)
@@ -750,7 +792,7 @@ def sharded_sed_spectrum(mesh: Mesh, data, mean_pos64: np.ndarray,
                 arr, tiled=True))
         return np.asarray(arr)
 
-    if n_peaks is not None:
+    if lt or n_peaks is not None:
         return tuple(fetch(o)[:, :n_k] for o in out)
     if want_intensity:
         if comp_pair is not None:

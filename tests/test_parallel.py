@@ -309,6 +309,39 @@ class TestShardedGroupSemantics:
         rf, ri, _ = calc.calculate_kgrid_browse(self.K)
         np.testing.assert_allclose(inten, ri, rtol=1e-5, atol=1e-8)
 
+    def test_lt_matches_single_chip(self, traj):
+        mesh = make_mesh(shape=(2, 2, 2))
+        calc = self._calc(traj)
+        freqs, il, it = calc.calculate_lt_sharded(mesh, self.K,
+                                                  t_superchunk=8)
+        rf, ril, rit = calc.calculate_lt(self.K)
+        np.testing.assert_allclose(freqs, rf, atol=0)
+        np.testing.assert_allclose(il, ril, rtol=1e-5, atol=1e-8)
+        np.testing.assert_allclose(it, rit, rtol=1e-5, atol=1e-8)
+
+    def test_lt_incoherent_matches_single_chip(self, traj):
+        mesh = make_mesh(shape=(2, 2, 2))
+        calc = self._calc(traj)
+        freqs, il, it = calc.calculate_lt_sharded(
+            mesh, self.K, basis_atom_types=[1, 2],
+            summation_mode='incoherent', t_superchunk=4)
+        rf, ril, rit = calc.calculate_lt(self.K, basis_atom_types=[1, 2],
+                                         summation_mode='incoherent')
+        np.testing.assert_allclose(il, ril, rtol=1e-5, atol=1e-8)
+        np.testing.assert_allclose(it, rit, rtol=1e-5, atol=1e-8)
+
+    def test_lt_validation(self, traj):
+        from psa_tpu.parallel import sharded_sed_spectrum
+        mesh = make_mesh(shape=(1, 1, 8))
+        mean64 = traj.positions.astype(np.float64).mean(axis=0)
+        with pytest.raises(ValueError, match="lt=True requires"):
+            sharded_sed_spectrum(mesh, traj.velocities, mean64, self.K,
+                                 lt=True)
+        with pytest.raises(ValueError, match="exclusive"):
+            sharded_sed_spectrum(mesh, traj.velocities, mean64, self.K,
+                                 lt=True, freq_indices=np.arange(4),
+                                 comp_pair=(0, 1))
+
     def test_multi_group_streams_data_once(self, traj):
         """Incoherent groups must NOT re-stream the trajectory per group."""
         mesh = make_mesh(shape=(2, 2, 2))
