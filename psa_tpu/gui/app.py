@@ -70,6 +70,7 @@ class PSAMainWindow:
         v.basis_types_var = tk.StringVar(value='')
         v.mode_var = tk.StringVar(value='coherent')
         v.welch_var = tk.StringVar(value='')
+        v.pol_var = tk.StringVar(value='total')
         v.chiral_var = tk.BooleanVar(value=False)
         v.chiral_axis_var = tk.StringVar(value='z')
         v.angle_opt_var = tk.StringVar(value='C')
@@ -197,6 +198,11 @@ class PSAMainWindow:
                       tooltip="Blank = single full-length FFT; N = average N "
                               "time windows (smoother lines, 1/N resolution; "
                               "not compatible with chiral phase)")
+        labeled_combo(grid, "Polarization:", self.pol_var,
+                      ('total', 'longitudinal', 'transverse'), row=7,
+                      tooltip="longitudinal = |k̂·Φ|² (LA branches), "
+                              "transverse = total − longitudinal (TA); "
+                              "not compatible with chiral/Welch")
         chiral_row = ttk.Frame(lf)
         chiral_row.pack(fill='x')
         ttk.Checkbutton(chiral_row, text="Chiral phase", variable=self.chiral_var
@@ -428,7 +434,8 @@ class PSAMainWindow:
                     chiral_axis=self.chiral_axis_var.get(),
                     angle_range_opt=self.angle_opt_var.get(),
                     welch_segments=(int(self.welch_var.get())
-                                    if self.welch_var.get().strip() else None))
+                                    if self.welch_var.get().strip() else None),
+                    polarization=self.pol_var.get())
                 err = None
             except Exception as e:
                 err = str(e)
@@ -470,7 +477,10 @@ class PSAMainWindow:
         ax.set_xlabel('k (2π/Å)', color=fg)
         ax.set_ylabel('Frequency (THz)', color=fg)
         ax.tick_params(colors=fg)
-        ax.set_title('SED dispersion — click to select a mode for iSED', color=fg)
+        pol = self.pol_var.get()
+        tag = '' if pol == 'total' else f' ({pol})'
+        ax.set_title(f'SED dispersion{tag} — click to select a mode for iSED',
+                     color=fg)
         if self.controller.selected_point:
             kc, wc = self.controller.selected_point
             ax.plot(kc, wc, 'g+', markersize=12, markeredgewidth=2)

@@ -193,7 +193,8 @@ class AnalysisController:
                           angle_range_opt: str = 'C',
                           reduced: bool = True,
                           welch_segments: Optional[int] = None,
-                          welch_window: str = 'hann') -> SED:
+                          welch_window: str = 'hann',
+                          polarization: str = 'total') -> SED:
         """Compute the k-path SED for display.
 
         ``reduced`` (default): intensity — and the chiral phase when asked —
@@ -210,15 +211,36 @@ class AnalysisController:
         smoother lines at n_frames // segments resolution).  Welch output
         has no complex spectra, so it is rejected in combination with
         ``chiral``.
+
+        ``polarization``: 'total' (default, Σ_α|Φ_α|²), or 'longitudinal' /
+        'transverse' — the on-device L/T split
+        (:meth:`SEDCalculator.calculate_lt`) that isolates LA / TA
+        branches.  Exclusive with ``chiral`` and ``welch_segments``.
         """
         calc = self._require_calc()
+        if polarization not in ('total', 'longitudinal', 'transverse'):
+            raise ValueError(f"polarization must be 'total', 'longitudinal' "
+                             f"or 'transverse', got {polarization!r}")
+        if polarization != 'total' and chiral:
+            raise ValueError("Chiral phase applies to the Cartesian "
+                             "components; set polarization to 'total'.")
+        if polarization != 'total' and welch_segments:
+            raise ValueError("Welch averaging is not available for the "
+                             "L/T split; set polarization to 'total'.")
         direction = parse_direction_input(direction_text)
         k_mags, k_vecs = calc.get_k_path(direction, bz_coverage=bz_coverage,
                                          n_k=n_k, lat_param=lattice_param)
         if chiral and summation_mode != 'coherent':
             logger.info("Chiral analysis requires coherent summation; forcing coherent.")
             summation_mode = 'coherent'
-        if welch_segments:
+        if polarization != 'total':
+            freqs, i_long, i_trans = calc.calculate_lt(
+                k_vecs, basis_atom_types=basis_atom_types,
+                summation_mode=summation_mode)
+            plane = i_long if polarization == 'longitudinal' else i_trans
+            sed = SED(plane, freqs, k_mags, k_vecs, is_complex=False,
+                      dt_ps=calc.dt_ps)
+        elif welch_segments:
             if chiral:
                 raise ValueError("Chiral analysis needs complex spectra; "
                                  "disable Welch averaging.")
@@ -240,9 +262,10 @@ class AnalysisController:
                 chiral_axis, angle_range_opt)
         self.sed_result = sed
         self.kpath_mags = k_mags
-        # Welch results carry no complex spectra either, so exports that
-        # need Φ_α recompute the full spectrum exactly like the reduced path.
-        self._kpath_reduced = reduced or bool(welch_segments)
+        # Welch and L/T results carry no complex spectra either, so exports
+        # that need Φ_α recompute the full spectrum like the reduced path.
+        self._kpath_reduced = (reduced or bool(welch_segments)
+                               or polarization != 'total')
         self._kpath_recompute = dict(
             k_mags=k_mags, k_vecs=k_vecs, basis_atom_types=basis_atom_types,
             summation_mode=summation_mode, chiral=chiral,

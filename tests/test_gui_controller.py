@@ -379,3 +379,31 @@ class TestWelchKPath:
         with pytest.raises(ValueError, match="Welch"):
             loaded.compute_kpath_sed('[1,0,0]', n_k=6, bz_coverage=0.5,
                                      welch_segments=4, chiral=True)
+
+
+class TestLTKPath:
+    def test_lt_planes_sum_to_total(self, loaded):
+        tot = loaded.compute_kpath_sed('x', n_k=6, bz_coverage=0.5)
+        il = loaded.compute_kpath_sed('x', n_k=6, bz_coverage=0.5,
+                                      polarization='longitudinal')
+        it = loaded.compute_kpath_sed('x', n_k=6, bz_coverage=0.5,
+                                      polarization='transverse')
+        assert not il.is_complex and not it.is_complex
+        np.testing.assert_allclose(il.sed + it.sed, tot.sed,
+                                   rtol=1e-4, atol=1e-7)
+        # the chain moves along x only: k ∥ x puts everything in I_L
+        assert il.sed.sum() > 1e6 * max(it.sed.sum(), 1e-30)
+        # export that needs Φ_α recomputes the full spectrum
+        assert loaded.full_kpath_sed().is_complex
+
+    def test_lt_rejects_chiral_welch_and_bad_value(self, loaded):
+        with pytest.raises(ValueError, match="Chiral"):
+            loaded.compute_kpath_sed('x', n_k=6, bz_coverage=0.5,
+                                     polarization='longitudinal', chiral=True)
+        with pytest.raises(ValueError, match="Welch"):
+            loaded.compute_kpath_sed('x', n_k=6, bz_coverage=0.5,
+                                     polarization='transverse',
+                                     welch_segments=4)
+        with pytest.raises(ValueError, match="polarization"):
+            loaded.compute_kpath_sed('x', n_k=6, bz_coverage=0.5,
+                                     polarization='LA')
