@@ -303,11 +303,21 @@ def main(argv=None) -> None:
         summation_mode = sed_cfg.get('summation_mode', 'coherent')
         k_chunk = int(sed_cfg.get('k_chunk_size', 500))
         welch_n = sed_cfg.get('welch_segments')
+        polarization = sed_cfg.get('polarization', 'total')
 
         def _path_sed(k_m, k_v):
-            """One k-path SED by the configured estimator (full FFT, or
-            Welch segment averaging when sed_calculation.welch_segments is
-            set — ConfigManager guarantees it is chiral-incompatible)."""
+            """One k-path SED by the configured estimator (full FFT, Welch
+            segment averaging when sed_calculation.welch_segments is set, or
+            the on-device L/T split when sed_calculation.polarization is
+            'longitudinal'/'transverse' — ConfigManager guarantees the
+            combinations are chiral/Welch-compatible)."""
+            if polarization != 'total':
+                freqs, i_l, i_t = calc.calculate_lt(
+                    k_v, basis_atom_indices=basis_idx,
+                    summation_mode=summation_mode, k_chunk_size=k_chunk)
+                plane = i_l if polarization == 'longitudinal' else i_t
+                return SED(plane, freqs, k_m, k_v, is_complex=False,
+                           dt_ps=calc.dt_ps)
             if welch_n:
                 return calc.calculate_welch(
                     k_m, k_v, segments=int(welch_n),
@@ -343,6 +353,8 @@ def main(argv=None) -> None:
             sed_sfx = "chiral" if gen_cfg['chiral_mode_enabled'] else "regular"
             if welch_n:
                 sed_sfx = f"welch{int(welch_n)}"  # do not collide with full-FFT caches
+            if polarization != 'total':          # ditto for the L/T planes
+                sed_sfx = f"lt_{'long' if polarization == 'longitudinal' else 'trans'}"
             sed_base = out_dir / f"sed_data_{sed_sfx}_{d_lbl}{basis_sfx}"
 
             sed_res = None

@@ -46,6 +46,7 @@ def default_config() -> Dict[str, Any]:
             'k_chunk_size': 500,
             'welch_segments': None,
             'welch_window': 'hann',
+            'polarization': 'total',
             'basis': {'atom_indices': None, 'atom_types': None},
         },
         'plotting': {
@@ -160,6 +161,18 @@ class ConfigManager:
                     "chiral_pair for ensemble chiral statistics).")
         if sed.get('welch_window', 'hann') not in ('rect', 'hann'):
             raise ValueError("sed_calculation.welch_window must be 'rect' or 'hann'.")
+        pol = sed.get('polarization', 'total')
+        if pol not in ('total', 'longitudinal', 'transverse'):
+            raise ValueError("sed_calculation.polarization must be 'total', "
+                             "'longitudinal' or 'transverse'.")
+        if pol != 'total':
+            if cfg['general'].get('chiral_mode_enabled'):
+                raise ValueError("chiral mode compares Cartesian components; "
+                                 "set sed_calculation.polarization to 'total'.")
+            if welch_n is not None:
+                raise ValueError("Welch averaging is not available for the "
+                                 "L/T split; set sed_calculation.polarization "
+                                 "to 'total'.")
         fmt = cfg['general']['trajectory_file_format']
         if fmt not in ('auto', 'lammps', 'vasp_outcar', 'extxyz', 'h5md'):
             raise ValueError(f"general.trajectory_file_format invalid: {fmt}")

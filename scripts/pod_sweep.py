@@ -71,6 +71,12 @@ def main():
                         'k-point ON DEVICE and store the dispersion-surface '
                         'triplet (freq/height/width) — ~n_f/(3N)x less '
                         'readback + disk than --browse (sharded engine only)')
+    p.add_argument('--lt', action='store_true',
+                   help='longitudinal/transverse split: store the (I_L, I_T) '
+                        'omega>=0 float32 plane pair (I_L = |k_hat . Phi|^2, '
+                        'LA branches; I_T = total - I_L, TA) instead of the '
+                        'total intensity — sharded engine only, exclusive '
+                        'with --browse/--peaks/--chiral')
     p.add_argument('--basis-types', default=None,
                    help='comma-separated atom types forming the basis '
                         '(default: all atoms); with --summation incoherent, '
@@ -162,6 +168,11 @@ def main():
 
     if args.peaks is not None and args.browse:
         p.error("--peaks is exclusive with --browse")
+    if args.lt:
+        if args.browse or args.peaks is not None or args.chiral:
+            p.error("--lt is exclusive with --browse/--peaks/--chiral")
+        if args.engine != 'sharded':
+            p.error("--lt requires the sharded engine")
     if args.engine == 'gridded' and args.summation == 'incoherent':
         p.error("--engine gridded is coherent-only; use the sharded "
                 "(direct) engine for incoherent sweeps")
@@ -173,9 +184,9 @@ def main():
     groups = calc._resolve_atom_groups(None, basis_types, args.summation)
     weights, single = calc._group_weights(groups, args.summation)
     incoherent = weights is not None and len(weights) > 1
-    if incoherent and not (args.browse or args.peaks is not None):
-        p.error("--summation incoherent needs --browse or --peaks (the pod "
-                "path accumulates per-group intensities in-mesh)")
+    if incoherent and not (args.browse or args.peaks is not None or args.lt):
+        p.error("--summation incoherent needs --browse, --peaks or --lt (the "
+                "pod path accumulates per-group intensities in-mesh)")
     if args.chiral:
         if not single:
             p.error("--chiral needs coherent summation (single spectrum)")
@@ -188,14 +199,15 @@ def main():
 
     all_freqs = spectral.fftfreq_thz(n_frames, args.dt)
     freq_idx = None
-    if args.browse or args.peaks is not None:
+    if args.browse or args.peaks is not None or args.lt:
         mask = all_freqs >= 0
         if args.max_freq is not None:
             mask &= all_freqs <= args.max_freq
         freq_idx = np.flatnonzero(mask).astype(np.int32)
 
     mode = (f'peaks-{args.peaks}-grid' if args.peaks is not None else
-            'browse-intensity-grid' if args.browse else 'coherent-grid')
+            'browse-intensity-grid' if args.browse else
+            'lt-grid' if args.lt else 'coherent-grid')
     cache = ShardedSEDCache(out_dir / "chunks", workload={
         'traj': traj_key,
         'k_vectors': k_vecs,
@@ -216,6 +228,9 @@ def main():
         freqs = all_freqs[freq_idx]
         n_planes = 2 if args.chiral else 1    # +chiral-phase planes
         full = np.zeros((n_planes, len(freq_idx), n_k), dtype=np.float32)
+    elif args.lt:
+        freqs = all_freqs[freq_idx]
+        full = np.zeros((2, len(freq_idx), n_k), dtype=np.float32)
     else:
         freqs = all_freqs
         full = np.zeros((n_frames, n_k, 3), dtype=np.complex64)
@@ -292,10 +307,10 @@ def main():
     else:
         for ci in range(n_chunks):
             s, e = bounds(ci)
+            reduced = args.peaks is not None or args.browse or args.lt
             cached = cache.load(ci)
-            if cached is not None and cached.shape[
-                    -1 if (args.peaks is not None or args.browse) else 1] == e - s:
-                if args.peaks is not None or args.browse:
+            if cached is not None and cached.shape[-1 if reduced else 1] == e - s:
+                if reduced:
                     full[..., s:e] = cached
                 else:
                     full[:, s:e, :] = cached
@@ -317,6 +332,13 @@ def main():
                     atom_weights=weights, comp_pair=comp_pair)
                 block = (np.stack(out) if args.chiral
                          else out[None])              # (1|2, n_f, chunk)
+                full[..., s:e] = block
+            elif args.lt:
+                out = sharded_sed_spectrum(
+                    mesh, data, mean64, k_vecs[s:e],
+                    precision=args.precision, t_superchunk=args.t_superchunk,
+                    freq_indices=freq_idx, atom_weights=weights, lt=True)
+                block = np.stack(out)                 # (2, n_f, chunk)
                 full[..., s:e] = block
             else:
                 re, im = sharded_sed_spectrum(
@@ -345,6 +367,12 @@ def main():
                   is_complex=False,
                   phase=(full[1] if args.chiral else None))
         sed.save(out_dir / "kgrid_sed")
+    elif args.lt:
+        np.savez(out_dir / "kgrid_lt.npz", i_long=full[0], i_trans=full[1],
+                 freqs=freqs, k_vectors=k_vecs,
+                 k_grid_shape=np.asarray(shape))
+        logger.info("L/T planes saved: %s (2 x %d freqs x %d k-points)",
+                    out_dir / "kgrid_lt.npz", len(freqs), n_k)
     else:
         sed = SED(full, freqs, np.array([]), k_vecs, k_grid_shape=shape,
                   is_complex=True)

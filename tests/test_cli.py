@@ -184,6 +184,41 @@ def test_cli_welch_mode(workdir, tmp_path):
     assert sed.shape[0] == 48 // 4  # n_freq = n_frames // segments
 
 
+def test_cli_lt_polarization(workdir, tmp_path):
+    tmp_path, dump, _ = workdir
+    config = {
+        'md_system': {'dt': 0.02, 'nx': 12, 'ny': 1, 'nz': 1},
+        'sed_calculation': {'directions': ['x'], 'n_kpoints': 10,
+                            'bz_coverage': 0.5,
+                            'polarization': 'longitudinal'},
+    }
+    cfg = tmp_path / "lt_cfg.yaml"
+    cfg.write_text(yaml.dump(config))
+    out = tmp_path / "out_lt"
+    main(['--trajectory', str(dump), '--config', str(cfg),
+          '--output-dir', str(out)])
+    assert (out / "sed_intensity_2D_x.png").exists()
+    sed = np.load(out / "sed_data_lt_long_x.sed.npy")
+    assert not np.iscomplexobj(sed)
+    # ω >= 0 rows only (the L/T reduction filters on device; even-n fftfreq
+    # labels the Nyquist row negative, so n/2 rows are kept)
+    assert sed.shape == (48 // 2, 10)
+
+    # transverse plane caches under a distinct label
+    config['sed_calculation']['polarization'] = 'transverse'
+    cfg.write_text(yaml.dump(config))
+    main(['--trajectory', str(dump), '--config', str(cfg),
+          '--output-dir', str(out)])
+    trans = np.load(out / "sed_data_lt_trans_x.sed.npy")
+    # chain motion is longitudinal: the transverse plane carries ~nothing
+    assert trans.sum() < 1e-5 * sed.sum()
+
+    # chiral + L/T rejected at validation
+    with pytest.raises(SystemExit):
+        main(['--trajectory', str(dump), '--config', str(cfg),
+              '--output-dir', str(out), '--chiral'])
+
+
 def test_cli_welch_chiral_conflict(workdir, tmp_path):
     tmp_path, dump, _ = workdir
     config = {

@@ -79,6 +79,27 @@ def test_from_dump_gridded_peaks_matches_resident(square_dump, tmp_path):
     np.testing.assert_allclose(d['peak_heights'], ph, rtol=1e-4)
 
 
+def test_lt_planes_match_single_chip(square_dump, tmp_path):
+    """--lt: the pod L/T plane pair must match the single-chip
+    calculate_lt and sum to the browse intensity."""
+    dump, traj = square_dump
+    out = tmp_path / "out_lt"
+    run_pod_sweep(['--trajectory', str(dump), '--dt', '0.01',
+                   '--nx', '8', '--ny', '8', '--nz', '1',
+                   '--grid', '8', '--k-min', '-1.2', '--k-max', '1.2',
+                   '--k-chunk', '32', '--lt', '--from-dump',
+                   '--out', str(out)])
+    d = np.load(out / "kgrid_lt.npz")
+    calc = SEDCalculator(traj, nx=8, ny=8, nz=1)
+    rf, ril, rit = calc.calculate_lt(d['k_vectors'])
+    np.testing.assert_allclose(d['freqs'], rf, atol=0)
+    # z-polarized modes with in-plane k: everything is transverse
+    scale = rit.max()
+    assert scale > 0 and ril.max() < 1e-8 * scale
+    assert np.abs(d['i_long'] - ril).max() < 1e-5 * scale
+    assert np.abs(d['i_trans'] - rit).max() < 1e-5 * scale
+
+
 def test_sharded_peaks_resume_from_cache(square_dump, tmp_path):
     """Interrupted sweeps resume: a second identical run must restore all
     chunks from the cache (and say so) without recomputing."""
