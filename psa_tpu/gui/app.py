@@ -86,6 +86,7 @@ class PSAMainWindow:
         v.grid_max_freq_var = tk.StringVar(value='')
         v.grid_chiral_var = tk.BooleanVar(value=False)
         v.grid_engine_var = tk.StringVar(value='auto')
+        v.grid_pol_var = tk.StringVar(value='total')
         v.width_method_var = tk.StringVar(value='lorentzian')
 
         v.aspect_var = tk.StringVar(value='')
@@ -247,6 +248,11 @@ class PSAMainWindow:
                               "NUFFT engine — measured fastest for Peak "
                               "surface on large uniform grids "
                               "(see docs/PERF_NOTES.md)")
+        labeled_combo(ggrid, "Polarization:", self.grid_pol_var,
+                      ('total', 'longitudinal', 'transverse'), row=11,
+                      tooltip="longitudinal = |k̂·Φ|² per grid point (LA), "
+                              "transverse = total − longitudinal (TA); "
+                              "direct engine, not compatible with chiral")
         labeled_combo(ggrid, "Linewidth:", self.width_method_var,
                       ('lorentzian', 'rms'), row=10,
                       tooltip="Peak-surface linewidths: 'lorentzian' = "
@@ -522,7 +528,8 @@ class PSAMainWindow:
                     summation_mode=self.mode_var.get(),
                     chiral=self.grid_chiral_var.get(),
                     chiral_axis=self.chiral_axis_var.get(),
-                    engine=self.grid_engine_var.get())
+                    engine=self.grid_engine_var.get(),
+                    polarization=self.grid_pol_var.get())
                 err = None
             except Exception as e:
                 err = str(e)
@@ -678,8 +685,10 @@ class PSAMainWindow:
         self.recip_fig.colorbar(pcm, ax=ax)
         ax.set_xlabel(f"{kg.labels[0]} (2π/Å)")
         ax.set_ylabel(f"{kg.labels[1]} (2π/Å)")
-        ax.set_title(f"k-grid SED @ {kg.freqs[freq_idx]:.3f} THz "
-                     f"({'phase' if use_phase else 'intensity'})")
+        gpol = self.grid_pol_var.get()
+        kind = ('phase' if use_phase else
+                'intensity' if gpol == 'total' else f'{gpol} intensity')
+        ax.set_title(f"k-grid SED @ {kg.freqs[freq_idx]:.3f} THz ({kind})")
         ax.set_aspect('equal', adjustable='box')
         self.recip_fig.tight_layout()
         self.recip_canvas.draw_idle()

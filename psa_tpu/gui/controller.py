@@ -341,7 +341,8 @@ class AnalysisController:
                           chiral: bool = False, chiral_axis: str = 'z',
                           k_chunk_size: int = 2048,
                           engine: str = 'auto',
-                          reduced: bool = True) -> KGridState:
+                          reduced: bool = True,
+                          polarization: str = 'total') -> KGridState:
         """``engine``: 'direct', 'gridded' (NUFFT), or 'auto'.
 
         'auto' resolves to DIRECT at every size: the round-2 crossover sweep
@@ -357,13 +358,47 @@ class AnalysisController:
         the complex spectrum never crosses the device boundary (it is not
         needed for browsing; iSED recomputes its own k-path).  Set
         ``reduced=False`` to keep the full complex SED on the state object.
+
+        ``polarization``: 'total' (default), or 'longitudinal' /
+        'transverse' — the on-device L/T split (:meth:`SEDCalculator.
+        calculate_lt`) per k-point of the grid; direct engine, reduced
+        planes only, incompatible with chiral.
         """
         calc = self._require_calc()
+        if polarization not in ('total', 'longitudinal', 'transverse'):
+            raise ValueError(f"polarization must be 'total', 'longitudinal' "
+                             f"or 'transverse', got {polarization!r}")
+        if polarization != 'total':
+            if chiral:
+                raise ValueError("chiral phase compares Cartesian "
+                                 "components; set polarization to 'total'.")
+            if engine == 'gridded':
+                raise ValueError("the L/T split runs on the direct engine; "
+                                 "set engine to 'auto' or 'direct'.")
+            if not reduced:
+                raise ValueError("the L/T split is a device-reduced path; "
+                                 "use reduced=True.")
         _, k_vecs, shape = calc.get_k_grid(plane, k_range_1, k_range_2,
                                            n_k1, n_k2, k_fixed_val=k_fixed)
         if chiral:
             summation_mode = 'coherent'
         use_gridded = engine == 'gridded'
+        if polarization != 'total':
+            freqs, i_l, i_t = calc.calculate_lt(
+                k_vecs, basis_atom_types=basis_atom_types,
+                summation_mode=summation_mode, max_freq=max_freq,
+                k_chunk_size=k_chunk_size)
+            intensity = i_l if polarization == 'longitudinal' else i_t
+            sed = SED(intensity, freqs, np.array([], dtype=np.float32),
+                      k_vecs, k_grid_shape=shape, is_complex=False,
+                      dt_ps=calc.dt_ps)
+            k1_axis, k2_axis, labels = plane_axes(plane, k_vecs, shape)
+            self.kgrid = KGridState(sed=sed, plane=plane.lower(), freqs=freqs,
+                                    intensity=intensity, phase=None,
+                                    k1_axis=k1_axis, k2_axis=k2_axis,
+                                    labels=labels)
+            self.last_grid_kind = 'browse'
+            return self.kgrid
         if reduced:
             freqs, intensity, phase = calc.calculate_kgrid_browse(
                 k_vecs, basis_atom_types=basis_atom_types,

@@ -141,6 +141,42 @@ class TestKGridFlow:
         loaded.compute_kgrid_sed('xy', (-1, 1), (-1, 1), 5, 5)
         assert loaded.last_grid_kind == 'browse'
 
+    def test_grid_lt_polarization(self, loaded):
+        """L/T split on the grid: a longitudinal chain (motion ∥ x) puts
+        everything in I_L along k̂=x̂ columns; L+T = total browse intensity."""
+        total = loaded.compute_kgrid_sed('xy', (-1, 1), (-1, 1), 5, 4,
+                                         max_freq=10.0)
+        ti = total.intensity.copy()
+        lg = loaded.compute_kgrid_sed('xy', (-1, 1), (-1, 1), 5, 4,
+                                      max_freq=10.0,
+                                      polarization='longitudinal')
+        assert loaded.last_grid_kind == 'browse'
+        il = lg.intensity.copy()
+        tr = loaded.compute_kgrid_sed('xy', (-1, 1), (-1, 1), 5, 4,
+                                      max_freq=10.0,
+                                      polarization='transverse')
+        it = tr.intensity.copy()
+        assert il.shape == ti.shape == it.shape
+        np.testing.assert_allclose(il + it, ti, atol=1e-5 * ti.max())
+        # pure-x motion: on the k_y axis (k ⟂ motion) everything transverse
+        # (grid is comp1-outer row-major: flat index = i1 * n_k2 + i2)
+        kv = lg.sed.k_vectors.reshape(5, 4, 3)
+        i1 = int(np.flatnonzero(np.abs(kv[:, 0, 0]) < 1e-9)[0])  # kx == 0 row
+        col = i1 * 4 + np.arange(4)            # ky ∈ {-1,-1/3,1/3,1}, no Γ
+        assert il[:, col].max() <= 1e-6 * ti.max()
+
+    def test_grid_lt_rejects_bad_combos(self, loaded):
+        with pytest.raises(ValueError, match="chiral"):
+            loaded.compute_kgrid_sed('xy', (-1, 1), (-1, 1), 4, 4,
+                                     chiral=True, polarization='transverse')
+        with pytest.raises(ValueError, match="direct engine"):
+            loaded.compute_kgrid_sed('xy', (-1, 1), (-1, 1), 4, 4,
+                                     engine='gridded',
+                                     polarization='longitudinal')
+        with pytest.raises(ValueError, match="reduced"):
+            loaded.compute_kgrid_sed('xy', (-1, 1), (-1, 1), 4, 4,
+                                     reduced=False, polarization='transverse')
+
     def test_dos(self, loaded):
         freqs, dos = loaded.compute_dos(max_freq=10.0)
         assert dos.shape == (1, len(freqs))
