@@ -28,7 +28,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..ops import spectral
+from ..ops import instantaneous, spectral
 from ..utils.helpers import DirectionSpec, parse_direction
 from .sed import SED
 from .trajectory import Trajectory
@@ -1131,6 +1131,203 @@ class SEDCalculator:
                 i_trans[:, start:end] += i_t[:, :end - start]
 
         return freqs_kept, i_long, i_trans
+
+    # ------------------------------------------------------------------
+    # Public: instantaneous-phase observables (DSF, current spectra)
+    # ------------------------------------------------------------------
+
+    def _dsf_plan(self, num_k_padded: int):
+        """(atom_chunk, t_chunk) bounding the (t, a, k) angle-tensor tiles.
+
+        The instantaneous kernel materializes ~4 f32 tensors of shape
+        (t_chunk, atom_chunk, K_pad) per scan step (angles, cos, sin, fused
+        temporaries); keep their footprint a small fraction of the device
+        budget so the accumulators and resident trajectory still fit.
+        """
+        budget_elems = max(1 << 22, int(self.max_device_bytes) // (4 * 8))
+        atom_chunk = max(1, min(self.traj.n_atoms, 4096))
+        t_chunk = budget_elems // max(1, atom_chunk * num_k_padded)
+        while t_chunk < 8 and atom_chunk > 64:
+            atom_chunk //= 2
+            t_chunk = budget_elems // max(1, atom_chunk * num_k_padded)
+        t_chunk = int(np.clip(t_chunk, 1, self.traj.n_frames))
+        return atom_chunk, t_chunk
+
+    def _dsf_freqs(self, max_freq: Optional[float]):
+        n_t = self.traj.n_frames
+        freqs = spectral.fftfreq_thz(n_t, self.dt_ps)
+        mask = freqs >= 0
+        if max_freq is not None:
+            mask &= freqs <= max_freq
+        freq_idx = np.flatnonzero(mask).astype(np.int32)
+        return freqs[mask], freq_idx
+
+    def _dsf_union_group(self, basis_atom_indices, basis_atom_types) -> np.ndarray:
+        groups = self._resolve_atom_groups(basis_atom_indices,
+                                           basis_atom_types, 'coherent')
+        if len(groups) > 1:
+            return np.unique(np.concatenate(groups)).astype(int)
+        return groups[0] if groups else np.array([], dtype=int)
+
+    def _dsf_blocks(self, group_idx: np.ndarray, atom_chunk: int):
+        """Yield (pos_block, vel_block, mask) f32 host arrays, atom-padded."""
+        n_a = group_idx.size
+        for a0 in range(0, n_a, atom_chunk):
+            idx = group_idx[a0:a0 + atom_chunk]
+            pos = np.asarray(self.traj.positions[:, idx, :], dtype=np.float32)
+            vel = np.asarray(self.traj.velocities[:, idx, :], dtype=np.float32)
+            mask = np.ones(atom_chunk, dtype=np.float32)
+            if idx.size < atom_chunk:
+                pad = atom_chunk - idx.size
+                zs = np.zeros((pos.shape[0], pad, 3), dtype=np.float32)
+                pos = np.concatenate([pos, zs], axis=1)
+                vel = np.concatenate([vel, zs], axis=1)
+                mask[idx.size:] = 0.0
+            yield pos, vel, mask
+
+    def calculate_dsf(self, k_vectors_3d: np.ndarray,
+                      basis_atom_indices=None, basis_atom_types=None,
+                      max_freq: Optional[float] = None,
+                      k_chunk_size: int = 512):
+        """Dynamic structure factor + current correlation spectra, on device.
+
+        Projects onto INSTANTANEOUS phases ``exp(i k·r_a(t))`` — observables
+        the harmonic SED (static ``exp(i k·r̄_a)``, reference
+        sed_calculator.py:78) cannot produce:
+
+            S(k,ω)   = |FFT_t Σ_a e^{i k·r_a(t)}|² / (n_t² N)
+            C_L(k,ω) = |k̂ · FFT_t Σ_a v_a e^{i k·r_a(t)}|² / (n_t² N)
+            C_T(k,ω) = (Σ_α |FFT_t j_α|² − C_L·n_t²N) / (n_t² N)
+
+        Parseval ties the convention down: Σ_ω S(k,ω) = S(k), the static
+        structure factor (summed over ALL rows; this method returns the
+        ω ≥ 0 rows).  In the harmonic small-displacement limit
+        N·(C_L + C_T) reduces exactly to the SED intensity.  At Γ the
+        convention is C_L = 0 (matching :meth:`calculate_lt`).
+
+        k must be box-commensurate for wrap-invariance — snap with
+        :func:`psa_tpu.ops.instantaneous.nearest_commensurate`.  The basis
+        selects one (union) atom set; per-species partials come from
+        calling per type list.
+
+        Returns:
+            (freqs_kept, S, C_L, C_T): freqs (n_keep,); planes (n_keep, n_k)
+            float32.
+        """
+        n_t = self.traj.n_frames
+        freqs_kept, freq_idx = self._dsf_freqs(max_freq)
+        group_idx = self._dsf_union_group(basis_atom_indices, basis_atom_types)
+        num_k = len(k_vectors_3d)
+        s_out = np.zeros((len(freq_idx), num_k), dtype=np.float32)
+        cl_out = np.zeros_like(s_out)
+        ct_out = np.zeros_like(s_out)
+        if num_k == 0 or group_idx.size == 0:
+            return freqs_kept, s_out, cl_out, ct_out
+
+        block = min(max(1, k_chunk_size), num_k)
+        padded_block = ((block + 63) // 64) * 64
+        atom_chunk, t_chunk = self._dsf_plan(padded_block)
+        n_t_pad = ((n_t + t_chunk - 1) // t_chunk) * t_chunk
+        freq_idx_dev = jnp.asarray(freq_idx)
+        k_unit = spectral.unit_k_vectors(k_vectors_3d)
+        num_chunks = (num_k + block - 1) // block
+        logger.info("DSF: %d k-points in %d chunks; atom_chunk=%d t_chunk=%d.",
+                    num_k, num_chunks, atom_chunk, t_chunk)
+
+        def t_padded(pos, vel):
+            if n_t_pad != n_t:
+                zs = np.zeros((n_t_pad - n_t, atom_chunk, 3), dtype=np.float32)
+                pos = np.concatenate([pos, zs], axis=0)
+                vel = np.concatenate([vel, zs], axis=0)
+            return pos, vel
+
+        # Resident mode: upload (positions, velocities) blocks ONCE and
+        # reuse them across k chunks; oversize trajectories re-stream from
+        # host per k chunk instead.
+        resident = (num_chunks > 1 and
+                    2 * self._group_bytes(group_idx) <= self.max_device_bytes)
+        device_blocks = None
+        if resident:
+            device_blocks = []
+            for pos, vel, mask in self._dsf_blocks(group_idx, atom_chunk):
+                pos, vel = t_padded(pos, vel)
+                device_blocks.append((jnp.asarray(pos), jnp.asarray(vel),
+                                      jnp.asarray(mask)))
+
+        for ci in range(num_chunks):
+            s, e = ci * block, min((ci + 1) * block, num_k)
+            k_chunk = np.zeros((padded_block, 3), dtype=np.float32)
+            k_chunk[:e - s] = np.asarray(k_vectors_3d[s:e], dtype=np.float32)
+            ku_chunk = np.zeros((padded_block, 3), dtype=np.float32)
+            ku_chunk[:e - s] = k_unit[s:e]
+            k_dev = jnp.asarray(k_chunk)
+            acc_re = jnp.zeros((n_t_pad, padded_block, 4), dtype=jnp.float32)
+            acc_im = jnp.zeros_like(acc_re)
+            if device_blocks is not None:
+                blocks = device_blocks
+            else:
+                blocks = ((*t_padded(pos, vel), mask) for pos, vel, mask
+                          in self._dsf_blocks(group_idx, atom_chunk))
+            for pos_b, vel_b, mask_b in blocks:
+                acc_re, acc_im = instantaneous.accumulate_instant_modes(
+                    acc_re, acc_im, jnp.asarray(pos_b), jnp.asarray(vel_b),
+                    jnp.asarray(mask_b), k_dev, t_chunk,
+                    precision=self.precision)
+            sp, cl, ct = instantaneous.dsf_reduce(
+                acc_re, acc_im, jnp.asarray(ku_chunk), freq_idx_dev, n_t)
+            inv_n = 1.0 / float(group_idx.size)
+            s_out[:, s:e] = np.asarray(sp)[:, :e - s] * inv_n
+            cl_out[:, s:e] = np.asarray(cl)[:, :e - s] * inv_n
+            ct_out[:, s:e] = np.asarray(ct)[:, :e - s] * inv_n
+        return freqs_kept, s_out, cl_out, ct_out
+
+    def calculate_dsf_self(self, k_vectors_3d: np.ndarray,
+                           basis_atom_indices=None, basis_atom_types=None,
+                           max_freq: Optional[float] = None,
+                           k_chunk_size: int = 256):
+        """Self (incoherent) dynamic structure factor, reduced on device:
+
+            S_s(k,ω) = Σ_a |FFT_t e^{i k·r_a(t)}|² / (n_t² N)
+
+        (Σ_ω over ALL rows = 1 exactly; this returns the ω ≥ 0 rows.)
+        The single-particle counterpart of :meth:`calculate_dsf` — its
+        k-dependent quasi-elastic broadening measures self-diffusion.
+        Needs the full time axis per atom (per-atom FFT), so atoms tile in
+        small chunks.
+
+        Returns:
+            (freqs_kept (n_keep,), S_s (n_keep, n_k) float32).
+        """
+        n_t = self.traj.n_frames
+        freqs_kept, freq_idx = self._dsf_freqs(max_freq)
+        group_idx = self._dsf_union_group(basis_atom_indices, basis_atom_types)
+        num_k = len(k_vectors_3d)
+        out = np.zeros((len(freq_idx), num_k), dtype=np.float32)
+        if num_k == 0 or group_idx.size == 0:
+            return freqs_kept, out
+
+        block = min(max(1, k_chunk_size), num_k)
+        padded_block = ((block + 63) // 64) * 64
+        # complex (n_t, A, K) spectrum resides per block: budget its c64 bytes
+        budget = max(1 << 24, int(self.max_device_bytes) // 4)
+        atom_chunk = int(np.clip(budget // max(1, 16 * n_t * padded_block),
+                                 1, max(1, group_idx.size)))
+        freq_idx_dev = jnp.asarray(freq_idx)
+        num_chunks = (num_k + block - 1) // block
+        logger.info("DSF-self: %d k-points in %d chunks; atom_chunk=%d.",
+                    num_k, num_chunks, atom_chunk)
+
+        for ci in range(num_chunks):
+            s, e = ci * block, min((ci + 1) * block, num_k)
+            k_chunk = np.zeros((padded_block, 3), dtype=np.float32)
+            k_chunk[:e - s] = np.asarray(k_vectors_3d[s:e], dtype=np.float32)
+            k_dev = jnp.asarray(k_chunk)
+            acc = np.zeros((len(freq_idx), padded_block), dtype=np.float32)
+            for pos, _, mask in self._dsf_blocks(group_idx, atom_chunk):
+                acc += np.asarray(instantaneous.dsf_self_block(
+                    jnp.asarray(pos), jnp.asarray(mask), k_dev, freq_idx_dev))
+            out[:, s:e] = acc[:, :e - s] / float(group_idx.size)
+        return freqs_kept, out
 
     # ------------------------------------------------------------------
     # Public: on-device peak extraction (dispersion surfaces)

@@ -1,4 +1,4 @@
 """JAX/XLA/Pallas compute kernels (the TPU hot path)."""
-from . import dispersion, spectral, transport
+from . import dispersion, instantaneous, spectral, transport
 
-__all__ = ["dispersion", "spectral", "transport"]
+__all__ = ["dispersion", "instantaneous", "spectral", "transport"]

@@ -1,0 +1,195 @@
+"""Instantaneous-phase spectral ops: dynamic structure factor + currents.
+
+The SED engine (ops/spectral.py) projects onto STATIC phase factors
+``exp(i k·r̄_a)`` — the harmonic-phonon picture of the reference
+(`/root/reference/src/psa/core/sed_calculator.py:78-83`).  This module
+computes collective modes with the INSTANTANEOUS phase ``exp(i k·r_a(t))``:
+
+    ρ_k(t) = Σ_a w_a exp(i k·r_a(t))              (density mode)
+    j_k(t) = Σ_a w_a v_a(t) exp(i k·r_a(t))       (current mode, 3 comps)
+
+and reduces them on device to the standard scattering/liquid-dynamics
+observables (per-atom normalization; FFT normalized by 1/n_t like the SED):
+
+    S(k,ω)   = |FFT_t ρ_k|²  / (n_t² N)    coherent dynamic structure factor
+    C_L(k,ω) = |k̂·FFT_t j_k|² / (n_t² N)   longitudinal current spectrum
+    C_T(k,ω) = (Σ_α|FFT_t j_α|² − |k̂·ĵ|²)/(n_t² N)   both transverse pols
+    S_s(k,ω) = Σ_a |FFT_t e^{i k·r_a}|² / (n_t² N)   self (incoherent) part
+
+With this convention Parseval gives  Σ_ω S(k,ω) = S(k)  (the static
+structure factor) and Σ_ω S_s(k,ω) = 1 exactly.  These are observables the
+harmonic SED cannot produce — anharmonic broadening and frequency shifts
+enter through the time-dependent phases, and liquids have no meaningful
+r̄ at all — and the reference lacks them entirely.
+
+TPU design.  Unlike the SED there is NO matmul structure: the phase depends
+on (t, atom, k) jointly, so the hot loop is VPU-bound transcendentals over a
+(t_chunk, atom_chunk, k_chunk) angle tensor.  We bound residency by tiling
+all three axes; the atom contraction (``einsum 'taw,tak->tkw'``) is a
+t-batched matmul XLA fuses with the cos/sin producers, and the t axis tiles
+under a ``lax.scan`` so one dispatch covers a whole (atom-chunk, k-chunk)
+pass.  Angles reuse the SED path's double-single dot + Cody-Waite folding
+(:func:`psa_tpu.ops.spectral._accurate_angles` with a zero low word — the
+trajectory stores f32 positions, and the folding keeps phases ~1e-7 rad
+accurate however many thousand radians k·r reaches).
+
+Physical validity: ``exp(i k·r)`` is periodic-image-consistent only for
+box-commensurate k (each component a multiple of 2π/L for the box edge L —
+on such k the phase is invariant under wrapping r by the box).  Use
+:func:`nearest_commensurate` to snap a k-path/grid onto the box lattice.
+"""
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
+
+from .spectral import _accurate_angles, resolve_precision
+
+__all__ = [
+    'instant_modes_scan', 'accumulate_instant_modes', 'dsf_reduce',
+    'dsf_self_block', 'nearest_commensurate',
+]
+
+
+def nearest_commensurate(k_vectors: np.ndarray,
+                         box_lengths: np.ndarray) -> np.ndarray:
+    """Snap k-vectors to the nearest box-commensurate values 2π·m/L.
+
+    Instantaneous-phase observables are only wrapping-invariant on the
+    reciprocal lattice of the simulation BOX (not the primitive cell);
+    off-lattice k leak the box-periodicity discontinuity into the spectra.
+    Zero box edges (degenerate axes) leave that component untouched.
+    """
+    kv = np.asarray(k_vectors, dtype=np.float64)
+    L = np.asarray(box_lengths, dtype=np.float64)
+    step = np.where(L > 0, 2.0 * np.pi / np.where(L > 0, L, 1.0), 0.0)
+    snapped = np.where(step > 0, np.round(kv / np.where(step > 0, step, 1.0))
+                       * step, kv)
+    return snapped.astype(np.float32)
+
+
+def _instant_angles(pos: jnp.ndarray, k_vectors: jnp.ndarray) -> jnp.ndarray:
+    """Folded angles A[t,a,k] = k·r_a(t) mod 2π for an f32 position block."""
+    t, a, _ = pos.shape
+    flat = pos.reshape(t * a, 3).astype(jnp.float32)
+    ang = _accurate_angles(flat, jnp.zeros_like(flat), k_vectors)
+    return ang.reshape(t, a, ang.shape[-1])
+
+
+@functools.partial(jax.jit, static_argnames=('t_chunk', 'precision'))
+def instant_modes_scan(pos: jnp.ndarray, vel: jnp.ndarray,
+                       mask: jnp.ndarray, k_vectors: jnp.ndarray,
+                       t_chunk: int, precision: str = 'parity'
+                       ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Density + current modes of one atom chunk, (re, im) f32 pairs.
+
+    Args:
+        pos:  (n_t, A, 3) f32 instantaneous positions (n_t % t_chunk == 0;
+            zero-pad the t axis at the caller and drop the extra rows).
+        vel:  (n_t, A, 3) f32 velocities (zeros → current modes come out 0).
+        mask: (A,) f32 1/0 atom validity (kills zero-padded atoms, whose
+            exp(i·0) = 1 would otherwise pollute the density mode).
+        k_vectors: (K, 3) f32.
+        t_chunk: time-tile length — bounds the (t_chunk, A, K) angle-tensor
+            residency; one scan step per tile, all inside ONE dispatch.
+
+    Returns:
+        (re, im): (n_t, K, 4) f32 — mode stack [ρ, j_x, j_y, j_z] over time.
+    """
+    prec = resolve_precision(precision)
+    n_t = pos.shape[0]
+    n_steps = n_t // t_chunk
+
+    def body(_, i):
+        p = lax.dynamic_slice_in_dim(pos, i * t_chunk, t_chunk, axis=0)
+        v = lax.dynamic_slice_in_dim(vel, i * t_chunk, t_chunk, axis=0)
+        ang = _instant_angles(p, k_vectors)                   # (tc, A, K)
+        c, s = jnp.cos(ang), jnp.sin(ang)
+        ones = jnp.broadcast_to(mask[None, :, None], v[..., :1].shape)
+        w = jnp.concatenate([ones, v * mask[None, :, None]], axis=-1)
+        f_re = lax.dot_general(w, c, (((1,), (1,)), ((0,), (0,))),
+                               precision=prec,
+                               preferred_element_type=jnp.float32)
+        f_im = lax.dot_general(w, s, (((1,), (1,)), ((0,), (0,))),
+                               precision=prec,
+                               preferred_element_type=jnp.float32)
+        # dot_general batch layout: (tc, 4, K) -> (tc, K, 4)
+        return None, (jnp.transpose(f_re, (0, 2, 1)),
+                      jnp.transpose(f_im, (0, 2, 1)))
+
+    _, (re, im) = lax.scan(body, None, jnp.arange(n_steps))
+    k = k_vectors.shape[0]
+    return re.reshape(n_t, k, 4), im.reshape(n_t, k, 4)
+
+
+@functools.partial(jax.jit, donate_argnums=(0, 1),
+                   static_argnames=('t_chunk', 'precision'))
+def accumulate_instant_modes(acc_re: jnp.ndarray, acc_im: jnp.ndarray,
+                             pos: jnp.ndarray, vel: jnp.ndarray,
+                             mask: jnp.ndarray, k_vectors: jnp.ndarray,
+                             t_chunk: int, precision: str = 'parity'):
+    """acc += modes of one atom chunk (donated accumulators, one dispatch)."""
+    re, im = instant_modes_scan(pos, vel, mask, k_vectors, t_chunk,
+                                precision=precision)
+    return acc_re + re, acc_im + im
+
+
+@functools.partial(jax.jit, static_argnames=('n_t',))
+def dsf_reduce(f_re: jnp.ndarray, f_im: jnp.ndarray, k_unit: jnp.ndarray,
+               freq_idx: jnp.ndarray, n_t: int
+               ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Mode stack → (S, C_L, C_T) planes, filtered on device.
+
+    Args:
+        f_re, f_im: (n_t_padded, K, 4) f32 accumulated [ρ, j] modes; only
+            the first ``n_t`` rows are real data.
+        k_unit: (K, 3) f32 unit k-vectors (zero rows at Γ → C_L = 0).
+        freq_idx: (n_keep,) int32 retained frequency rows.
+        n_t: true number of frames (FFT length and normalization).
+
+    Returns:
+        (S, C_L, C_T): (n_keep, K) f32, each still missing the caller's
+        1/N_atoms factor (applied on host where the true group size lives).
+    """
+    sig = lax.complex(f_re[:n_t], f_im[:n_t])
+    spec = jnp.fft.fft(sig, axis=0) / n_t                     # (n_t, K, 4)
+    spec = jnp.take(spec, freq_idx, axis=0)                   # (F, K, 4)
+    rho = spec[..., 0]
+    j = spec[..., 1:]                                         # (F, K, 3)
+    s_plane = (jnp.real(rho) ** 2 + jnp.imag(rho) ** 2)
+    ku = k_unit.astype(jnp.float32)
+    jl_re = jnp.einsum('fkc,kc->fk', jnp.real(j), ku)
+    jl_im = jnp.einsum('fkc,kc->fk', jnp.imag(j), ku)
+    c_l = jl_re * jl_re + jl_im * jl_im
+    total = jnp.sum(jnp.real(j) ** 2 + jnp.imag(j) ** 2, axis=-1)
+    c_t = jnp.maximum(total - c_l, 0.0)                       # Cauchy-Schwarz
+    return (s_plane.astype(jnp.float32), c_l.astype(jnp.float32),
+            c_t.astype(jnp.float32))
+
+
+@jax.jit
+def dsf_self_block(pos: jnp.ndarray, mask: jnp.ndarray,
+                   k_vectors: jnp.ndarray, freq_idx: jnp.ndarray
+                   ) -> jnp.ndarray:
+    """Self (incoherent) intensity of one atom chunk: Σ_a |FFT e^{ikr_a}|²/n_t².
+
+    Args:
+        pos:  (n_t, A, 3) f32 — FULL time axis (the per-atom FFT needs it).
+        mask: (A,) f32 validity (padded atoms' constant-1 signal would
+            otherwise dump a spurious δ(ω=0)).
+        k_vectors: (K, 3); freq_idx: (n_keep,) int32.
+
+    Returns:
+        (n_keep, K) f32 partial S_s (missing the caller's 1/N factor).
+    """
+    n_t = pos.shape[0]
+    ang = _instant_angles(pos, k_vectors)                     # (n_t, A, K)
+    spec = jnp.fft.fft(lax.complex(jnp.cos(ang), jnp.sin(ang)), axis=0) / n_t
+    spec = jnp.take(spec, freq_idx, axis=0)                   # (F, A, K)
+    inten = jnp.real(spec) ** 2 + jnp.imag(spec) ** 2
+    return jnp.einsum('fak,a->fk', inten, mask).astype(jnp.float32)

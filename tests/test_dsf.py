@@ -1,0 +1,236 @@
+"""Instantaneous-phase observables: dynamic structure factor + currents.
+
+Net-new capability (the reference projects only onto static mean-position
+phases, sed_calculator.py:78-83).  Oracles:
+
+* float64 NumPy direct evaluation of the defining formulas on the same f32
+  inputs (parity ≤ 1e-6 of max, with km-scale coordinate offsets stressing
+  the Cody-Waite folding);
+* Parseval identities pinning the normalization convention:
+  Σ_ω S(k,ω) = S(k) and Σ_ω S_s(k,ω) = 1 exactly;
+* physics: Bragg condition on a static lattice, C_L peaks on the chain
+  dispersion, and the harmonic small-displacement limit where
+  N·(C_L + C_T) reduces to the SED intensity.
+"""
+import numpy as np
+import pytest
+
+from psa_tpu.core.calculator import SEDCalculator
+from psa_tpu.core.trajectory import Trajectory, make_box_arrays
+from psa_tpu.models import make_chain_trajectory
+from psa_tpu.ops import instantaneous, spectral
+
+
+def _traj(positions, velocities, box_edge, dt_ps=0.02):
+    n_frames, n_atoms = positions.shape[:2]
+    box = np.diag([box_edge] * 3).astype(np.float32)
+    lengths, tilts = make_box_arrays(box)
+    return Trajectory(positions=positions.astype(np.float32),
+                      velocities=velocities.astype(np.float32),
+                      types=np.ones(n_atoms, dtype=np.int32),
+                      timesteps=np.arange(n_frames, dtype=np.float32),
+                      box_matrix=box, box_lengths=lengths, box_tilts=tilts,
+                      dt_ps=dt_ps)
+
+
+def dsf_oracle(pos_f32, vel_f32, k_vecs, keep_all=False):
+    """float64 direct evaluation of S, C_L, C_T on the module's convention."""
+    pos = pos_f32.astype(np.float64)
+    vel = vel_f32.astype(np.float64)
+    n_t, n_a = pos.shape[:2]
+    ang = np.einsum('tac,kc->tak', pos, k_vecs.astype(np.float64))
+    ph = np.exp(1j * ang)
+    rho_w = np.fft.fft(ph.sum(axis=1), axis=0) / n_t                 # (T, K)
+    j = np.einsum('tac,tak->tkc', vel, ph)
+    j_w = np.fft.fft(j, axis=0) / n_t                                # (T, K, 3)
+    s = np.abs(rho_w) ** 2 / n_a
+    ku = spectral.unit_k_vectors(k_vecs).astype(np.float64)
+    jl = np.einsum('tkc,kc->tk', j_w, ku)
+    c_l = np.abs(jl) ** 2 / n_a
+    c_t = (np.sum(np.abs(j_w) ** 2, axis=-1) - np.abs(jl) ** 2) / n_a
+    return s, c_l, c_t
+
+
+class TestOracleParity:
+    def test_f64_parity_with_large_offsets(self):
+        """S/C_L/C_T match the f64 direct formulas on the same f32 inputs,
+        with coordinates offset to thousands of Å (folding stress)."""
+        rng = np.random.default_rng(7)
+        n_t, n_a = 32, 9
+        pos = (rng.uniform(0, 12, (n_t, n_a, 3)) + 4000.0).astype(np.float32)
+        vel = rng.standard_normal((n_t, n_a, 3)).astype(np.float32)
+        traj = _traj(pos, vel, box_edge=12.0)
+        calc = SEDCalculator(traj, nx=1, ny=1, nz=1)
+        kv = np.array([[0.7, 0, 0], [0, 1.3, 0], [0.4, 0.4, 0.2],
+                       [0, 0, 0], [2.1, -0.9, 0.5]], dtype=np.float32)
+        freqs, s, c_l, c_t = calc.calculate_dsf(kv, k_chunk_size=2)
+        so, clo, cto = dsf_oracle(pos, vel, kv)
+        mask = spectral.fftfreq_thz(n_t, traj.dt_ps) >= 0
+        for got, want in ((s, so), (c_l, clo), (c_t, cto)):
+            ref = want[mask]
+            assert np.abs(got - ref).max() <= 1e-6 * max(ref.max(), 1.0)
+
+    def test_self_part_f64_parity(self):
+        rng = np.random.default_rng(3)
+        n_t, n_a = 16, 5
+        pos = (rng.uniform(0, 8, (n_t, n_a, 3)) + 1500.0).astype(np.float32)
+        traj = _traj(pos, np.zeros_like(pos), box_edge=8.0)
+        calc = SEDCalculator(traj, nx=1, ny=1, nz=1)
+        kv = np.array([[0.9, 0.2, 0], [0, 0, 1.4]], dtype=np.float32)
+        freqs, s_s = calc.calculate_dsf_self(kv, k_chunk_size=1)
+        ang = np.einsum('tac,kc->tak', pos.astype(np.float64),
+                        kv.astype(np.float64))
+        spec = np.fft.fft(np.exp(1j * ang), axis=0) / n_t
+        want = (np.abs(spec) ** 2).sum(axis=1) / n_a
+        mask = spectral.fftfreq_thz(n_t, traj.dt_ps) >= 0
+        assert np.abs(s_s - want[mask]).max() <= 1e-6
+
+    def test_basis_selects_atoms(self):
+        rng = np.random.default_rng(11)
+        n_t, n_a = 8, 6
+        pos = rng.uniform(0, 5, (n_t, n_a, 3)).astype(np.float32)
+        vel = rng.standard_normal((n_t, n_a, 3)).astype(np.float32)
+        traj = _traj(pos, vel, box_edge=5.0)
+        calc = SEDCalculator(traj, nx=1, ny=1, nz=1)
+        kv = np.array([[1.1, 0, 0]], dtype=np.float32)
+        idx = [0, 2, 5]
+        _, s, _, _ = calc.calculate_dsf(kv, basis_atom_indices=idx)
+        so, _, _ = dsf_oracle(pos[:, idx], vel[:, idx], kv)
+        mask = spectral.fftfreq_thz(n_t, traj.dt_ps) >= 0
+        assert np.abs(s - so[mask]).max() <= 1e-6 * max(so.max(), 1.0)
+
+
+class TestParsevalConventions:
+    def test_sum_over_all_omega_is_static_structure_factor(self):
+        """Σ_ω S(k,ω) = S(k) = ⟨|ρ_k|²⟩/N (ops level, all rows kept)."""
+        rng = np.random.default_rng(1)
+        import jax.numpy as jnp
+        n_t, n_a, n_k = 16, 7, 3
+        pos = rng.uniform(0, 9, (n_t, n_a, 3)).astype(np.float32)
+        kv = rng.uniform(-2, 2, (n_k, 3)).astype(np.float32)
+        mask = np.ones(n_a, dtype=np.float32)
+        re, im = instantaneous.instant_modes_scan(
+            jnp.asarray(pos), jnp.zeros_like(jnp.asarray(pos)),
+            jnp.asarray(mask), jnp.asarray(kv), t_chunk=8)
+        s, _, _ = instantaneous.dsf_reduce(
+            re, im, jnp.asarray(spectral.unit_k_vectors(kv)),
+            jnp.arange(n_t, dtype=np.int32), n_t)
+        s_sum = np.asarray(s).sum(axis=0) / n_a
+        ang = np.einsum('tac,kc->tak', pos.astype(np.float64),
+                        kv.astype(np.float64))
+        rho = np.exp(1j * ang).sum(axis=1)
+        s_k = (np.abs(rho) ** 2).mean(axis=0) / n_a
+        np.testing.assert_allclose(s_sum, s_k, rtol=1e-5)
+
+    def test_self_part_sums_to_one(self):
+        import jax.numpy as jnp
+        rng = np.random.default_rng(2)
+        n_t, n_a = 12, 4
+        pos = rng.uniform(0, 6, (n_t, n_a, 3)).astype(np.float32)
+        kv = np.array([[0.8, -0.3, 1.1]], dtype=np.float32)
+        s_s = np.asarray(instantaneous.dsf_self_block(
+            jnp.asarray(pos), jnp.ones(n_a, dtype=jnp.float32),
+            jnp.asarray(kv), jnp.arange(n_t, dtype=np.int32))) / n_a
+        np.testing.assert_allclose(s_s.sum(axis=0), 1.0, rtol=1e-6)
+
+
+class TestPhysics:
+    def test_bragg_peak_on_static_lattice(self):
+        """Static chain, k = reciprocal-lattice vector: all the weight is
+        S(G, ω=0) = N; at half-integer k the lattice sum vanishes."""
+        a0, n_cells, n_t = 2.0, 8, 16
+        x = np.arange(n_cells, dtype=np.float64) * a0
+        pos0 = np.zeros((n_cells, 3))
+        pos0[:, 0] = x
+        pos = np.broadcast_to(pos0, (n_t, n_cells, 3)).copy()
+        traj = _traj(pos, np.zeros_like(pos), box_edge=n_cells * a0)
+        calc = SEDCalculator(traj, nx=n_cells, ny=1, nz=1)
+        g = 2 * np.pi / a0
+        # box-commensurate, non-reciprocal k (m=3 of 8): Σ_j e^{i2π·3j/8} = 0
+        kv = np.array([[g, 0, 0], [2 * np.pi * 3 / (n_cells * a0), 0, 0]],
+                      dtype=np.float32)
+        freqs, s, _, _ = calc.calculate_dsf(kv)
+        assert abs(s[0, 0] - n_cells) <= 1e-4 * n_cells   # Bragg: S = N at ω=0
+        assert s[1:, 0].max() <= 1e-6 * n_cells           # static: no ω ≠ 0
+        assert s[:, 1].max() <= 1e-4                      # destructive sum
+
+    def test_current_spectrum_peaks_on_chain_dispersion(self):
+        """Commensurate k on a vibrating chain: C_L peaks at
+        ν = ν_max|sin(ka/2)| and the transverse plane is empty (motion ∥ x)."""
+        traj = make_chain_trajectory(n_cells=16, n_frames=128, dt_ps=0.02,
+                                     a=2.5, omega_max_thz=8.0, seed=5)
+        calc = SEDCalculator(traj, nx=16, ny=1, nz=1)
+        a0 = 2.5
+        m = np.array([2, 5, 8])                           # commensurate modes
+        kv = np.zeros((len(m), 3), dtype=np.float32)
+        kv[:, 0] = 2 * np.pi * m / (16 * a0)
+        kv = instantaneous.nearest_commensurate(kv, traj.box_lengths)
+        freqs, s, c_l, c_t = calc.calculate_dsf(kv)
+        nu_pred = 8.0 * np.abs(np.sin(kv[:, 0] * a0 / 2))
+        for col in range(len(m)):
+            nu_meas = freqs[np.argmax(c_l[:, col])]
+            assert abs(nu_meas - nu_pred[col]) <= 0.5     # within ~1 bin
+        assert c_t.max() <= 1e-8 * c_l.max()
+
+    def test_harmonic_limit_matches_sed_intensity(self):
+        """Displacements → 0 with velocities fixed: N·(C_L + C_T) reduces to
+        the SED intensity exactly (the instantaneous phases degenerate to
+        the static mean-position phases)."""
+        base = make_chain_trajectory(n_cells=10, n_frames=64, dt_ps=0.02,
+                                     a=2.5, omega_max_thz=6.0, seed=9)
+        mean = base.positions.mean(axis=0, dtype=np.float64)
+        eps = 1e-6
+        pos = (mean[None] + eps * (base.positions.astype(np.float64)
+                                   - mean[None])).astype(np.float32)
+        traj = Trajectory(positions=pos, velocities=base.velocities,
+                          types=base.types, timesteps=base.timesteps,
+                          box_matrix=base.box_matrix,
+                          box_lengths=base.box_lengths,
+                          box_tilts=base.box_tilts, dt_ps=base.dt_ps)
+        calc = SEDCalculator(traj, nx=10, ny=1, nz=1)
+        km, kv = calc.get_k_path('x', bz_coverage=0.5, n_k=6)
+        freqs, _, c_l, c_t = calc.calculate_dsf(kv.astype(np.float32))
+        sed = calc.calculate(km, kv)
+        mask = sed.freqs >= 0
+        inten = sed.intensity[mask]
+        got = traj.n_atoms * (c_l + c_t)
+        assert np.abs(got - inten).max() <= 2e-3 * inten.max()
+
+
+class TestNearestCommensurate:
+    def test_snaps_to_box_lattice(self):
+        box = np.array([10.0, 20.0, 0.0])
+        kv = np.array([[0.70, 0.30, 0.5]])
+        out = instantaneous.nearest_commensurate(kv, box)
+        step_x, step_y = 2 * np.pi / 10.0, 2 * np.pi / 20.0
+        assert abs(out[0, 0] / step_x - round(out[0, 0] / step_x)) < 1e-6
+        assert abs(out[0, 1] / step_y - round(out[0, 1] / step_y)) < 1e-6
+        assert out[0, 2] == np.float32(0.5)               # degenerate axis kept
+
+    def test_empty_and_grid_shapes(self):
+        box = np.array([8.0, 8.0, 8.0])
+        kv = np.zeros((0, 3), dtype=np.float32)
+        assert instantaneous.nearest_commensurate(kv, box).shape == (0, 3)
+
+
+class TestEdgeCases:
+    def test_empty_k(self):
+        traj = make_chain_trajectory(n_cells=4, n_frames=8)
+        calc = SEDCalculator(traj, nx=4, ny=1, nz=1)
+        freqs, s, c_l, c_t = calc.calculate_dsf(np.zeros((0, 3), np.float32))
+        assert s.shape == (len(freqs), 0)
+        freqs, s_s = calc.calculate_dsf_self(np.zeros((0, 3), np.float32))
+        assert s_s.shape == (len(freqs), 0)
+
+    def test_gamma_point_conventions(self):
+        """ρ_0(t) = N: S(0, ω=0) = N; C_L(Γ) = 0 by the unit-k convention."""
+        rng = np.random.default_rng(4)
+        pos = rng.uniform(0, 5, (8, 6, 3)).astype(np.float32)
+        vel = rng.standard_normal((8, 6, 3)).astype(np.float32)
+        traj = _traj(pos, vel, box_edge=5.0)
+        calc = SEDCalculator(traj, nx=1, ny=1, nz=1)
+        freqs, s, c_l, c_t = calc.calculate_dsf(
+            np.zeros((1, 3), dtype=np.float32))
+        assert abs(s[0, 0] - 6.0) <= 1e-5
+        assert c_l.max() == 0.0
+        assert c_t.max() > 0.0
