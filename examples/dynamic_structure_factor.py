@@ -37,25 +37,30 @@ traj = make_chain_trajectory(n_cells=N_CELLS, n_frames=512, dt_ps=0.02,
                              a=A, omega_max_thz=NU_MAX, seed=2)
 calc = SEDCalculator(traj, nx=N_CELLS, ny=1, nz=1)
 
-# box-commensurate k-path through the first zone and past the zone boundary
-m = np.arange(1, N_CELLS + 1)
-k_vecs = np.zeros((len(m), 3), dtype=np.float32)
-k_vecs[:, 0] = 2 * np.pi * m / (N_CELLS * A)
+# box-commensurate k-path: the first Brillouin zone (m = 1 … N/2), plus
+# the reciprocal-lattice point G = 2π/a for the Bragg check.  (Beyond-zone
+# k would alias this synthetic trajectory's one-way travelling waves onto
+# the ω < 0 rows, which the ω ≥ 0 view drops — use the first zone for
+# dispersion reading, as with the SED.)
+m = np.arange(1, N_CELLS // 2 + 1)
+k_vecs = np.zeros((len(m) + 1, 3), dtype=np.float32)
+k_vecs[:-1, 0] = 2 * np.pi * m / (N_CELLS * A)
+k_vecs[-1, 0] = 2 * np.pi / A                     # G
 k_vecs = nearest_commensurate(k_vecs, traj.box_lengths)
 k_mags = k_vecs[:, 0]
 
 freqs, S, C_L, C_T = calc.calculate_dsf(k_vecs, max_freq=12.0)
 _, S_s = calc.calculate_dsf_self(k_vecs[:4])
 
-# 1) Brillouin peaks of C_L land on the analytic dispersion
-nu_pred = NU_MAX * np.abs(np.sin(k_mags * A / 2))
-nu_meas = freqs[np.argmax(C_L, axis=0)]
+# 1) Brillouin peaks of C_L land on the analytic dispersion (first zone)
+nu_pred = NU_MAX * np.abs(np.sin(k_mags[:-1] * A / 2))
+nu_meas = freqs[np.argmax(C_L[:, :-1], axis=0)]
 print(f"C_L dispersion error: max {np.abs(nu_meas - nu_pred).max():.3f} THz "
       f"(bin width {freqs[1] - freqs[0]:.3f})")
 
-# 2) Bragg: the reciprocal-lattice point m = N_CELLS (k = 2π/a) piles its
-#    weight into the elastic row; transverse plane is empty (motion ∥ x)
-g_col = len(m) - 1
+# 2) Bragg: the reciprocal-lattice point k = G piles its weight into the
+#    elastic (ω=0) row; transverse plane is empty (motion ∥ x)
+g_col = len(m)
 print(f"S at G = 2π/a: elastic row {S[0, g_col]:.1f} (≈ N·|⟨e^{{iku}}⟩|², "
       f"Debye-Waller-reduced from N = {traj.n_atoms}); "
       f"inelastic max {S[1:, g_col].max():.3f}")

@@ -1958,6 +1958,38 @@ class SEDCalculator:
             subtract_mean=subtract, lt=True)
         return freqs_kept, i_l, i_t
 
+    def calculate_dsf_sharded(self, mesh, k_vectors_3d: np.ndarray,
+                              basis_atom_indices=None,
+                              basis_atom_types=None,
+                              max_freq: Optional[float] = None,
+                              t_superchunk: Optional[int] = None):
+        """:meth:`calculate_dsf` over a (t, a, k) device mesh.
+
+        Instantaneous phases need BOTH positions and velocities, so the two
+        stream in lockstep time-superchunks; k stripes are
+        communication-free, atom shards psum the (tiny) mode stack, time
+        shards all_gather it before the in-shard FFT + reduction.  Only
+        the three filtered float32 planes leave the mesh.
+
+        Returns:
+            (freqs_kept, S, C_L, C_T) — same contract as
+            :meth:`calculate_dsf`.
+        """
+        from ..parallel.sharded import sharded_dsf
+        freqs_kept, freq_idx = self._dsf_freqs(max_freq)
+        group_idx = self._dsf_union_group(basis_atom_indices,
+                                          basis_atom_types)
+        weights = None
+        if group_idx.size != self.traj.n_atoms or not np.array_equal(
+                group_idx, np.arange(self.traj.n_atoms)):
+            weights = np.zeros(self.traj.n_atoms, dtype=np.float32)
+            weights[group_idx] = 1.0
+        s, c_l, c_t = sharded_dsf(
+            mesh, self.traj.positions, self.traj.velocities, k_vectors_3d,
+            freq_indices=freq_idx, precision=self.precision,
+            t_superchunk=t_superchunk, atom_weights=weights)
+        return freqs_kept, s, c_l, c_t
+
     def calculate_dos(self, basis_atom_indices=None, basis_atom_types=None,
                       max_freq: Optional[float] = None,
                       atom_chunk_size: Optional[int] = None):

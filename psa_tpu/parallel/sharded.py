@@ -801,3 +801,199 @@ def sharded_sed_spectrum(mesh: Mesh, data, mean_pos64: np.ndarray,
         return fetch(out)[:, :n_k]
     re, im = out
     return fetch(re)[:, :n_k, :], fetch(im)[:, :n_k, :]
+
+
+# ---------------------------------------------------------------------------
+# Instantaneous-phase observables over the mesh (DSF / current spectra).
+# ---------------------------------------------------------------------------
+
+@functools.lru_cache(maxsize=None)
+def _instant_modes_step(mesh: Mesh, t_chunk: int, precision: str):
+    """Density+current modes over the (t, a) shards: each shard runs the
+    instantaneous kernel (ops.instantaneous.instant_modes_scan) on its
+    (T/t, N/a) window for its k stripe, atom shards reduce with one psum,
+    and the (tiny) mode stack all_gathers over time — the exact collective
+    pattern of the SED projection step, with VPU transcendentals in place
+    of the MXU matmul."""
+    from ..ops import instantaneous
+
+    def fn(pos_l, vel_l, mask_l, k_l):
+        re, im = instantaneous.instant_modes_scan(
+            pos_l, vel_l, mask_l, k_l, t_chunk, precision=precision)
+        re = lax.psum(re, AXIS_A)
+        im = lax.psum(im, AXIS_A)
+        re = lax.all_gather(re, AXIS_T, axis=0, tiled=True)
+        im = lax.all_gather(im, AXIS_T, axis=0, tiled=True)
+        return re, im                                   # (T, K/k, 4)
+
+    return jax.jit(jax.shard_map(
+        fn, mesh=mesh,
+        in_specs=(P(AXIS_T, AXIS_A, None), P(AXIS_T, AXIS_A, None),
+                  P(AXIS_A), P(AXIS_K, None)),
+        out_specs=(P(None, AXIS_K, None),) * 2, check_vma=False))
+
+
+@functools.lru_cache(maxsize=None)
+def _dsf_reduce_step(mesh: Mesh):
+    """FFT + (S, C_L, C_T) reduction inside the k shard (no collectives)."""
+    from ..ops import instantaneous
+
+    def fn(re_l, im_l, ku_l, freq_idx):                 # (n_t, K/k, 4)
+        return instantaneous.dsf_reduce(re_l, im_l, ku_l, freq_idx,
+                                        re_l.shape[0])
+
+    return jax.jit(jax.shard_map(
+        fn, mesh=mesh,
+        in_specs=(P(None, AXIS_K, None), P(None, AXIS_K, None),
+                  P(AXIS_K, None), P(None)),
+        out_specs=(P(None, AXIS_K),) * 3, check_vma=False))
+
+
+def _dsf_t_chunk(local_t: int, local_a: int, local_k: int,
+                 budget_elems: int = 1 << 26) -> int:
+    """Largest divisor of the local time extent whose (t, a, k) angle tile
+    stays under the element budget."""
+    target = max(1, budget_elems // max(1, local_a * local_k))
+    best = 1
+    for d in range(1, local_t + 1):
+        if local_t % d == 0 and d <= target:
+            best = d
+    return best
+
+
+def sharded_dsf(mesh: Mesh, positions, velocities, k_vectors: np.ndarray,
+                freq_indices: np.ndarray, precision: str = 'parity',
+                t_superchunk: Optional[int] = None, prefetch: bool = True,
+                atom_weights: Optional[np.ndarray] = None):
+    """Dynamic structure factor + current spectra over a device mesh.
+
+    The pod form of :meth:`SEDCalculator.calculate_dsf`: instantaneous
+    phases ``exp(i k·r_a(t))``, so BOTH positions and velocities stream
+    (in lockstep time-superchunks when ``t_superchunk`` bounds residency).
+    k stripes are communication-free; atom shards psum the mode stack;
+    time shards all_gather only the (n_t, K/k, 4) modes before local FFTs.
+
+    Args:
+        mesh: (t, a, k) mesh from :func:`make_mesh` (t extent must divide
+            n_frames).
+        positions, velocities: (n_t, n_atoms, 3) array-likes or
+            :class:`BlockSource`\\ s with matching extents.
+        k_vectors: (n_k, 3) float32 — box-commensurate (see
+            :func:`psa_tpu.ops.instantaneous.nearest_commensurate`).
+        freq_indices: (n_keep,) int32 retained frequency rows (the planes
+            are the only readback, as in the browse paths).
+        atom_weights: optional (n_atoms,) float32 per-atom weights (0/1
+            membership for sub-group selection); normalization divides by
+            Σw (= N for the default all-ones).
+
+    Returns:
+        (S, C_L, C_T): (n_keep, n_k) float32 host arrays, each normalized
+        by Σ atom_weights.
+    """
+    pos_src = _as_source(positions)
+    vel_src = _as_source(velocities)
+    if (pos_src.n_frames, pos_src.n_atoms) != (vel_src.n_frames,
+                                               vel_src.n_atoms):
+        raise ValueError("positions and velocities extents differ")
+    n_t, n_atoms = pos_src.n_frames, pos_src.n_atoms
+    n_k = k_vectors.shape[0]
+    t_sh, a_sh, k_sh = (mesh.shape[AXIS_T], mesh.shape[AXIS_A],
+                        mesh.shape[AXIS_K])
+    if n_t % t_sh:
+        raise ValueError(f"time axis ({n_t}) must divide evenly over the t "
+                         f"mesh axis ({t_sh})")
+    if t_superchunk is None or t_superchunk >= n_t:
+        t_superchunk = n_t
+    else:
+        t_superchunk = max(t_sh, -(-t_superchunk // t_sh) * t_sh)
+        while n_t % t_superchunk and t_superchunk > t_sh:
+            t_superchunk -= t_sh
+        if n_t % t_superchunk:
+            t_superchunk = n_t
+
+    n_atoms_p = -(-n_atoms // a_sh) * a_sh
+    k_p = _pad_rows(np.asarray(k_vectors, dtype=np.float32), k_sh)
+    ku_p = _pad_rows(spectral.unit_k_vectors(k_vectors), k_sh)
+    k_sharding = NamedSharding(mesh, P(AXIS_K, None))
+    k_dev = jax.device_put(k_p, k_sharding)
+    ku_dev = jax.device_put(ku_p, k_sharding)
+
+    if atom_weights is None:
+        w = np.ones(n_atoms, dtype=np.float32)
+    else:
+        w = np.asarray(atom_weights, dtype=np.float32)
+        if w.shape != (n_atoms,):
+            raise ValueError(f"atom_weights must be ({n_atoms},), got {w.shape}")
+    norm = float(w.sum())
+    mask_dev = jax.device_put(_pad_rows(w, a_sh),
+                              NamedSharding(mesh, P(AXIS_A)))
+
+    local_t = t_superchunk // t_sh
+    t_chunk = _dsf_t_chunk(local_t, n_atoms_p // a_sh,
+                           k_p.shape[0] // k_sh)
+    modes = _instant_modes_step(mesh, t_chunk, precision)
+
+    starts = list(range(0, n_t, t_superchunk))
+    if len(starts) == 1:
+        pos0 = _superchunk_array(mesh, pos_src, 0, n_t, n_atoms_p)
+        vel0 = _superchunk_array(mesh, vel_src, 0, n_t, n_atoms_p)
+        f_re, f_im = modes(pos0, vel0, mask_dev, k_dev)
+    else:
+        write_rows = _write_rows_step(mesh)
+        # the global mode buffer is (n_t, K_pad, 4), k-sharded
+        make_zeros = jax.jit(
+            functools.partial(jnp.zeros, (n_t, k_p.shape[0], 4), jnp.float32),
+            out_shardings=NamedSharding(mesh, P(None, AXIS_K, None)))
+        f_re, f_im = make_zeros(), make_zeros()
+
+        next_chunk = [None, None]
+
+        def load(t0):
+            return (_superchunk_array(mesh, pos_src, t0, t0 + t_superchunk,
+                                      n_atoms_p),
+                    _superchunk_array(mesh, vel_src, t0, t0 + t_superchunk,
+                                      n_atoms_p))
+
+        def load_async(t0):
+            def run():
+                try:
+                    next_chunk[:] = [None, load(t0)]
+                except BaseException as e:   # noqa: BLE001 — re-raised below
+                    next_chunk[:] = [e, None]
+            th = threading.Thread(target=run, daemon=True)
+            th.start()
+            return th
+
+        chunk = load(starts[0])
+        for i, t0 in enumerate(starts):
+            loader = (load_async(starts[i + 1])
+                      if prefetch and i + 1 < len(starts) else None)
+            re_c, im_c = modes(chunk[0], chunk[1], mask_dev, k_dev)
+            f_re = write_rows(f_re, re_c, t0)
+            f_im = write_rows(f_im, im_c, t0)
+            # same value-dependent backpressure fence as the SED sweep
+            np.asarray(f_im[0, 0, 0])
+            if loader is not None:
+                loader.join()
+                if next_chunk[0] is not None:
+                    raise RuntimeError(
+                        f"prefetch of superchunk t0={starts[i + 1]} failed"
+                    ) from next_chunk[0]
+                chunk = next_chunk[1]
+            elif i + 1 < len(starts):
+                chunk = load(starts[i + 1])
+
+    idx = jax.device_put(np.asarray(freq_indices, dtype=np.int32),
+                         NamedSharding(mesh, P(None)))
+    s_p, cl_p, ct_p = _dsf_reduce_step(mesh)(f_re, f_im, ku_dev, idx)
+
+    def fetch(arr):
+        if jax.process_count() > 1 and not arr.is_fully_addressable:
+            from jax.experimental import multihost_utils
+            return np.asarray(multihost_utils.process_allgather(
+                arr, tiled=True))
+        return np.asarray(arr)
+
+    inv = 1.0 / max(norm, 1.0)
+    return (fetch(s_p)[:, :n_k] * inv, fetch(cl_p)[:, :n_k] * inv,
+            fetch(ct_p)[:, :n_k] * inv)

@@ -197,6 +197,58 @@ class TestPhysics:
         assert np.abs(got - inten).max() <= 2e-3 * inten.max()
 
 
+class TestSharded:
+    """Mesh form vs the single-chip path on the 8-device virtual mesh."""
+
+    def _chain(self):
+        traj = make_chain_trajectory(n_cells=12, n_frames=64, dt_ps=0.02,
+                                     a=2.5, omega_max_thz=7.0, seed=4)
+        calc = SEDCalculator(traj, nx=12, ny=1, nz=1)
+        m = np.arange(1, 7)
+        kv = np.zeros((len(m), 3), dtype=np.float32)
+        kv[:, 0] = 2 * np.pi * m / (12 * 2.5)
+        return calc, instantaneous.nearest_commensurate(kv, traj.box_lengths)
+
+    def test_matches_single_chip(self):
+        from psa_tpu.parallel import make_mesh
+        calc, kv = self._chain()
+        mesh = make_mesh(shape=(2, 2, 2))
+        rf, rs, rcl, rct = calc.calculate_dsf(kv, max_freq=10.0)
+        sf, ss, scl, sct = calc.calculate_dsf_sharded(mesh, kv, max_freq=10.0)
+        np.testing.assert_allclose(sf, rf, atol=0)
+        for got, want in ((ss, rs), (scl, rcl), (sct, rct)):
+            assert np.abs(got - want).max() <= 1e-5 * max(want.max(), 1.0)
+
+    def test_streamed_superchunks_match(self):
+        from psa_tpu.parallel import make_mesh
+        calc, kv = self._chain()
+        mesh = make_mesh(shape=(2, 2, 2))
+        _, rs, rcl, rct = calc.calculate_dsf(kv)
+        _, ss, scl, sct = calc.calculate_dsf_sharded(mesh, kv,
+                                                     t_superchunk=16)
+        for got, want in ((ss, rs), (scl, rcl), (sct, rct)):
+            assert np.abs(got - want).max() <= 1e-5 * max(want.max(), 1.0)
+
+    def test_basis_selection_matches(self):
+        from psa_tpu.parallel import make_mesh
+        calc, kv = self._chain()
+        mesh = make_mesh(shape=(2, 2, 2))
+        idx = list(range(0, 12, 2))
+        _, rs, rcl, _ = calc.calculate_dsf(kv, basis_atom_indices=idx)
+        _, ss, scl, _ = calc.calculate_dsf_sharded(mesh, kv,
+                                                   basis_atom_indices=idx)
+        assert np.abs(ss - rs).max() <= 1e-5 * max(rs.max(), 1.0)
+        assert np.abs(scl - rcl).max() <= 1e-5 * max(rcl.max(), 1.0)
+
+    def test_k_outer_placement_matches(self):
+        from psa_tpu.parallel import make_mesh
+        calc, kv = self._chain()
+        mesh = make_mesh(shape=(2, 2, 2), k_outer=True)
+        _, rs, _, _ = calc.calculate_dsf(kv)
+        _, ss, _, _ = calc.calculate_dsf_sharded(mesh, kv)
+        assert np.abs(ss - rs).max() <= 1e-5 * max(rs.max(), 1.0)
+
+
 class TestNearestCommensurate:
     def test_snaps_to_box_lattice(self):
         box = np.array([10.0, 20.0, 0.0])
