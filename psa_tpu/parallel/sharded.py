@@ -892,6 +892,13 @@ def sharded_dsf(mesh: Mesh, positions, velocities, k_vectors: np.ndarray,
     """
     pos_src = _as_source(positions)
     vel_src = _as_source(velocities)
+    if any(isinstance(d, np.memmap)
+           or not isinstance(d, (jnp.ndarray, np.ndarray))
+           for d in (positions, velocities)):
+        # lazy sources stage fresh multi-GB host blocks per superchunk;
+        # arena reuse avoids first-touch page-fault storms (host_alloc.py)
+        from ..utils.host_alloc import enable_arena_reuse
+        enable_arena_reuse()
     if (pos_src.n_frames, pos_src.n_atoms) != (vel_src.n_frames,
                                                vel_src.n_atoms):
         raise ValueError("positions and velocities extents differ")

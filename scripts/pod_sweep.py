@@ -77,6 +77,14 @@ def main():
                         'LA branches; I_T = total - I_L, TA) instead of the '
                         'total intensity — sharded engine only, exclusive '
                         'with --browse/--peaks/--chiral')
+    p.add_argument('--dsf', action='store_true',
+                   help='instantaneous-phase observables: store the '
+                        '(S, C_L, C_T) omega>=0 float32 plane triplet '
+                        '(dynamic structure factor + longitudinal/'
+                        'transverse current spectra, exp(i k.r(t)) phases) '
+                        '— sharded engine, coherent only, exclusive with '
+                        '--browse/--peaks/--chiral/--lt; positions AND '
+                        'velocities stream')
     p.add_argument('--basis-types', default=None,
                    help='comma-separated atom types forming the basis '
                         '(default: all atoms); with --summation incoherent, '
@@ -109,7 +117,8 @@ def main():
                                         trajectory_fingerprint)
     from psa_tpu.ops import spectral
     from psa_tpu.core.trajectory import Trajectory, make_box_arrays
-    from psa_tpu.parallel import DumpBlockSource, make_mesh, sharded_sed_spectrum
+    from psa_tpu.parallel import (DumpBlockSource, make_mesh, sharded_dsf,
+                                  sharded_sed_spectrum)
     from psa_tpu.utils.profiling import throughput_report
 
     out_dir = Path(args.out)
@@ -173,6 +182,14 @@ def main():
             p.error("--lt is exclusive with --browse/--peaks/--chiral")
         if args.engine != 'sharded':
             p.error("--lt requires the sharded engine")
+    if args.dsf:
+        if args.browse or args.peaks is not None or args.chiral or args.lt:
+            p.error("--dsf is exclusive with --browse/--peaks/--chiral/--lt")
+        if args.engine != 'sharded':
+            p.error("--dsf requires the sharded engine")
+        if args.summation == 'incoherent':
+            p.error("--dsf is coherent-only (the density mode sums "
+                    "amplitudes; use --basis-types for sub-group selection)")
     if args.engine == 'gridded' and args.summation == 'incoherent':
         p.error("--engine gridded is coherent-only; use the sharded "
                 "(direct) engine for incoherent sweeps")
@@ -197,9 +214,22 @@ def main():
     comp_pair = (spectral.CHIRAL_AXIS_COMPONENTS[args.chiral_axis]
                  if args.chiral else None)
 
+    dsf_sources = dsf_weights = None
+    if args.dsf:
+        # instantaneous phases need positions AND velocities in lockstep
+        if args.from_dump:
+            dsf_sources = (DumpBlockSource(args.trajectory,
+                                           field='positions'), source)
+        else:
+            dsf_sources = (traj.positions, traj.velocities)
+        if basis_types is not None:
+            gi = np.unique(np.concatenate(groups)).astype(int)
+            dsf_weights = np.zeros(n_atoms, dtype=np.float32)
+            dsf_weights[gi] = 1.0
+
     all_freqs = spectral.fftfreq_thz(n_frames, args.dt)
     freq_idx = None
-    if args.browse or args.peaks is not None or args.lt:
+    if args.browse or args.peaks is not None or args.lt or args.dsf:
         mask = all_freqs >= 0
         if args.max_freq is not None:
             mask &= all_freqs <= args.max_freq
@@ -207,7 +237,8 @@ def main():
 
     mode = (f'peaks-{args.peaks}-grid' if args.peaks is not None else
             'browse-intensity-grid' if args.browse else
-            'lt-grid' if args.lt else 'coherent-grid')
+            'lt-grid' if args.lt else
+            'dsf-grid' if args.dsf else 'coherent-grid')
     cache = ShardedSEDCache(out_dir / "chunks", workload={
         'traj': traj_key,
         'k_vectors': k_vecs,
@@ -231,6 +262,9 @@ def main():
     elif args.lt:
         freqs = all_freqs[freq_idx]
         full = np.zeros((2, len(freq_idx), n_k), dtype=np.float32)
+    elif args.dsf:
+        freqs = all_freqs[freq_idx]
+        full = np.zeros((3, len(freq_idx), n_k), dtype=np.float32)
     else:
         freqs = all_freqs
         full = np.zeros((n_frames, n_k, 3), dtype=np.complex64)
@@ -307,7 +341,8 @@ def main():
     else:
         for ci in range(n_chunks):
             s, e = bounds(ci)
-            reduced = args.peaks is not None or args.browse or args.lt
+            reduced = (args.peaks is not None or args.browse or args.lt
+                       or args.dsf)
             cached = cache.load(ci)
             if cached is not None and cached.shape[-1 if reduced else 1] == e - s:
                 if reduced:
@@ -339,6 +374,14 @@ def main():
                     precision=args.precision, t_superchunk=args.t_superchunk,
                     freq_indices=freq_idx, atom_weights=weights, lt=True)
                 block = np.stack(out)                 # (2, n_f, chunk)
+                full[..., s:e] = block
+            elif args.dsf:
+                out = sharded_dsf(
+                    mesh, dsf_sources[0], dsf_sources[1], k_vecs[s:e],
+                    freq_indices=freq_idx, precision=args.precision,
+                    t_superchunk=args.t_superchunk,
+                    atom_weights=dsf_weights)
+                block = np.stack(out)                 # (3, n_f, chunk)
                 full[..., s:e] = block
             else:
                 re, im = sharded_sed_spectrum(
@@ -373,6 +416,12 @@ def main():
                  k_grid_shape=np.asarray(shape))
         logger.info("L/T planes saved: %s (2 x %d freqs x %d k-points)",
                     out_dir / "kgrid_lt.npz", len(freqs), n_k)
+    elif args.dsf:
+        np.savez(out_dir / "kgrid_dsf.npz", s=full[0], c_long=full[1],
+                 c_trans=full[2], freqs=freqs, k_vectors=k_vecs,
+                 k_grid_shape=np.asarray(shape))
+        logger.info("DSF planes saved: %s (S, C_L, C_T x %d freqs x %d "
+                    "k-points)", out_dir / "kgrid_dsf.npz", len(freqs), n_k)
     else:
         sed = SED(full, freqs, np.array([]), k_vecs, k_grid_shape=shape,
                   is_complex=True)

@@ -100,6 +100,24 @@ def test_lt_planes_match_single_chip(square_dump, tmp_path):
     assert np.abs(d['i_trans'] - rit).max() < 1e-5 * scale
 
 
+def test_dsf_planes_match_single_chip(square_dump, tmp_path):
+    """--dsf: the pod (S, C_L, C_T) triplet must match single-chip
+    calculate_dsf, streaming positions AND velocities from the text dump."""
+    dump, traj = square_dump
+    out = tmp_path / "out_dsf"
+    run_pod_sweep(['--trajectory', str(dump), '--dt', '0.01',
+                   '--nx', '8', '--ny', '8', '--nz', '1',
+                   '--grid', '6', '--k-min', '-1.0', '--k-max', '1.0',
+                   '--k-chunk', '20', '--dsf', '--from-dump',
+                   '--out', str(out)])
+    d = np.load(out / "kgrid_dsf.npz")
+    calc = SEDCalculator(traj, nx=8, ny=8, nz=1)
+    rf, rs, rcl, rct = calc.calculate_dsf(d['k_vectors'])
+    np.testing.assert_allclose(d['freqs'], rf, atol=0)
+    for got, want in ((d['s'], rs), (d['c_long'], rcl), (d['c_trans'], rct)):
+        assert np.abs(got - want).max() <= 1e-5 * max(want.max(), 1.0)
+
+
 def test_sharded_peaks_resume_from_cache(square_dump, tmp_path):
     """Interrupted sweeps resume: a second identical run must restore all
     chunks from the cache (and say so) without recomputing."""
