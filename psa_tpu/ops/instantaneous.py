@@ -74,7 +74,17 @@ def nearest_commensurate(k_vectors: np.ndarray,
 
 
 def _instant_angles(pos: jnp.ndarray, k_vectors: jnp.ndarray) -> jnp.ndarray:
-    """Folded angles A[t,a,k] = k·r_a(t) mod 2π for an f32 position block."""
+    """Folded angles A[t,a,k] = k·r_a(t) mod 2π for an f32 position block.
+
+    Full double-single dot + Cody-Waite folding per (t, atom, k) element.
+    A split form A = fold(k·r₀) + k·(r(t)−r₀) that hoists the compensated
+    arithmetic out of the time axis was measured on the chip and REVERTED:
+    warm time was the same within session variance (23.5 vs 20.4 s at
+    N=1e4/n_t=2500/K=512 — cos/sin + the atom reduction dominate, not the
+    angle dot) while parity degraded ~1000× (C_L 2.1e-3 vs 4.9e-7 of max;
+    the residual contraction lowers to bf16 MXU passes by default on TPU).
+    See docs/PERF_NOTES.md.
+    """
     t, a, _ = pos.shape
     flat = pos.reshape(t * a, 3).astype(jnp.float32)
     ang = _accurate_angles(flat, jnp.zeros_like(flat), k_vectors)
