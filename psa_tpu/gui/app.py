@@ -225,6 +225,15 @@ class PSAMainWindow:
                 "Vibrational density of states (velocity-autocorrelation "
                 "transform), computed on device; one curve per atom type "
                 "when a flat type list is set")
+        self.dsf_btn = ttk.Button(kbtns, text="DSF", state='disabled',
+                                  command=self._calculate_dsf)
+        self.dsf_btn.pack(side='left', padx=2)
+        ToolTip(self.dsf_btn,
+                "Instantaneous-phase map over this k-path (snapped to "
+                "box-commensurate k): Polarization 'total' → S(k,ω) "
+                "(dynamic structure factor), 'longitudinal' → C_L, "
+                "'transverse' → C_T current spectra — anharmonic shifts "
+                "and broadening the harmonic SED cannot see")
 
         gf = ttk.LabelFrame(tab, text="k-grid SED")
         gf.pack(fill='x', padx=4, pady=4)
@@ -409,7 +418,7 @@ class PSAMainWindow:
                 else:
                     self.status_var.set(msg)
                     for b in (self.calc_btn, self.grid_btn, self.peaks_btn,
-                              self.dos_btn):
+                              self.dos_btn, self.dsf_btn):
                         b.state(['!disabled'])
             self.root.after(0, done)
 
@@ -593,6 +602,60 @@ class PSAMainWindow:
                 self.plot_nb.select(0)
                 self.status_var.set(
                     f"DOS computed ({dos.shape[0]} curve(s)).")
+            self.root.after(0, done)
+
+        threading.Thread(target=work, daemon=True).start()
+
+    def _calculate_dsf(self):
+        observable = self.pol_var.get()
+        dialog = ProgressDialog(
+            self.root, "Calculating",
+            "Computing instantaneous-phase map on device…")
+
+        def work():
+            try:
+                lat = self.lat_param_var.get().strip()
+                mf = self.max_freq_var.get().strip()
+                k_mags, freqs, plane = self.controller.compute_kpath_dsf(
+                    self.direction_var.get(), n_k=self.nk_var.get(),
+                    bz_coverage=self.bz_var.get(),
+                    lattice_param=float(lat) if lat else None,
+                    basis_atom_types=self._basis_types(),
+                    max_freq=float(mf) if mf else None,
+                    observable=observable)
+                err = None
+            except Exception as e:
+                k_mags, freqs, plane, err = None, None, None, str(e)
+
+            def done():
+                dialog.close()
+                if err:
+                    messagebox.showerror("PSA", f"DSF failed: {err}")
+                    return
+                title = {'total': 'S(k,ω) — dynamic structure factor',
+                         'longitudinal': 'C_L(k,ω) — longitudinal current',
+                         'transverse': 'C_T(k,ω) — transverse current'}[observable]
+                self.recip_fig.clear()
+                ax = self.recip_fig.add_subplot(111)
+                dark = self.theme_var.get() == 'dark'
+                self.recip_fig.patch.set_facecolor('black' if dark else 'white')
+                ax.set_facecolor('black' if dark else 'white')
+                fg = 'white' if dark else 'black'
+                shown = apply_scale(plane, self.scale_var.get())
+                pcm = ax.pcolormesh(k_mags, freqs, shown,
+                                    cmap=self.cmap_var.get(), shading='gouraud')
+                cbar = self.recip_fig.colorbar(pcm, ax=ax)
+                cbar.ax.tick_params(colors=fg)
+                ax.set_xlabel('k (2π/Å)', color=fg)
+                ax.set_ylabel('Frequency (THz)', color=fg)
+                ax.tick_params(colors=fg)
+                ax.set_title(title + ' — instantaneous phases', color=fg)
+                self.recip_fig.tight_layout()
+                self.recip_canvas.draw_idle()
+                self.plot_nb.select(0)
+                self.status_var.set(
+                    f"DSF computed: {len(k_mags)} commensurate k-points "
+                    f"× {len(freqs)} frequencies.")
             self.root.after(0, done)
 
         threading.Thread(target=work, daemon=True).start()

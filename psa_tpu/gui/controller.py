@@ -23,6 +23,7 @@ from ..core.sed import SED
 from ..core.trajectory import Trajectory
 from ..io.loader import TrajectoryLoader
 from ..ops import spectral
+from ..ops.instantaneous import nearest_commensurate
 
 logger = logging.getLogger(__name__)
 
@@ -272,6 +273,47 @@ class AnalysisController:
             chiral_axis=chiral_axis, angle_range_opt=angle_range_opt)
         self.selected_point = None
         return sed
+
+    def compute_kpath_dsf(self, direction_text: str, n_k: int,
+                          bz_coverage: float,
+                          lattice_param: Optional[float] = None,
+                          basis_atom_types: Optional[list] = None,
+                          max_freq: Optional[float] = None,
+                          observable: str = 'longitudinal'):
+        """Instantaneous-phase map over a k-path (the GUI's DSF view).
+
+        The path is snapped onto the box reciprocal lattice
+        (:func:`nearest_commensurate` — instantaneous phases are only
+        wrap-invariant there) and de-duplicated after snapping.
+        ``observable``: 'total' → S(k,ω) (density / dynamic structure
+        factor), 'longitudinal' → C_L, 'transverse' → C_T current spectra.
+
+        Returns (k_mags, freqs, plane) for display; the SED state is NOT
+        touched — iSED keeps operating on the last SED result.
+        """
+        if observable not in ('total', 'longitudinal', 'transverse'):
+            raise ValueError(f"observable must be 'total', 'longitudinal' "
+                             f"or 'transverse', got {observable!r}")
+        calc = self._require_calc()
+        direction = parse_direction_input(direction_text)
+        _, k_vecs = calc.get_k_path(direction, bz_coverage=bz_coverage,
+                                    n_k=n_k, lat_param=lattice_param)
+        k_vecs = nearest_commensurate(k_vecs, calc.traj.box_lengths)
+        # snapping can collapse neighbouring path points onto the same
+        # lattice k: keep the first of each run (path order preserved)
+        _, first = np.unique(np.round(k_vecs, 7), axis=0, return_index=True)
+        k_vecs = k_vecs[np.sort(first)]
+        if len(k_vecs) < 2:
+            raise ValueError(
+                "k-path snaps to fewer than 2 distinct box-commensurate "
+                "k-points — widen bz_coverage or raise n_k (the box is too "
+                "small along this direction for a DSF map)")
+        k_mags = np.linalg.norm(k_vecs, axis=1)
+        freqs, s, c_l, c_t = calc.calculate_dsf(
+            k_vecs, basis_atom_types=basis_atom_types, max_freq=max_freq)
+        plane = {'total': s, 'longitudinal': c_l,
+                 'transverse': c_t}[observable]
+        return k_mags, freqs, plane
 
     def _full_kpath_calculate(self, k_mags, k_vecs, basis_atom_types,
                               summation_mode, chiral, chiral_axis,

@@ -443,3 +443,39 @@ class TestLTKPath:
         with pytest.raises(ValueError, match="polarization"):
             loaded.compute_kpath_sed('x', n_k=6, bz_coverage=0.5,
                                      polarization='LA')
+
+
+class TestKPathDSF:
+    """GUI DSF view: instantaneous-phase map over a snapped k-path."""
+
+    def test_shapes_and_state_untouched(self, loaded):
+        k, f, plane = loaded.compute_kpath_dsf('x', n_k=16, bz_coverage=0.5,
+                                               max_freq=8.0,
+                                               observable='longitudinal')
+        assert plane.shape == (len(f), len(k))
+        assert plane.dtype == np.float32
+        assert len(k) >= 2 and np.all(np.diff(k) > 0)
+        assert np.all(f >= 0) and np.all(f <= 8.0)
+        # the DSF view must not clobber the SED state iSED relies on
+        assert loaded.sed_result is None
+
+    def test_matches_direct_calculate_dsf(self, loaded):
+        from psa_tpu.ops.instantaneous import nearest_commensurate
+        k, f, plane = loaded.compute_kpath_dsf('x', n_k=12, bz_coverage=0.5,
+                                               observable='total')
+        calc = loaded.calculator
+        _, k_vecs = calc.get_k_path('x', bz_coverage=0.5, n_k=12)
+        k_vecs = nearest_commensurate(k_vecs, calc.traj.box_lengths)
+        _, first = np.unique(np.round(k_vecs, 7), axis=0, return_index=True)
+        k_vecs = k_vecs[np.sort(first)]
+        f2, s, _, _ = calc.calculate_dsf(k_vecs)
+        np.testing.assert_allclose(plane, s, rtol=1e-6)
+        np.testing.assert_allclose(f, f2, rtol=1e-6)
+
+    def test_rejects_bad_observable_and_degenerate_path(self, loaded):
+        with pytest.raises(ValueError, match="observable"):
+            loaded.compute_kpath_dsf('x', n_k=8, bz_coverage=0.5,
+                                     observable='density')
+        with pytest.raises(ValueError, match="commensurate"):
+            # a 2-point path over a tiny k range snaps to a single point
+            loaded.compute_kpath_dsf('x', n_k=2, bz_coverage=0.01)
