@@ -220,6 +220,68 @@ def _run_dos_section(calc, dos_cfg, out_dir: Path, traj):
     logger.info("DOS written: dos.{csv,png} (%d curve(s))", dos.shape[0])
 
 
+def _run_dsf_section(calc, dsf_cfg, sed_cfg, out_dir: Path, eff_lat_param,
+                     traj):
+    """Optional instantaneous-phase section (beyond the reference).
+
+    For each direction, snaps the k-path onto the box reciprocal lattice
+    and writes the requested planes — S(k,ω) / C_L / C_T from one device
+    sweep, plus the self part S_s(k,ω) when asked — as one npz and one png
+    per observable.
+    """
+    import matplotlib
+    matplotlib.use('Agg')
+    import matplotlib.pyplot as plt
+    from .ops.instantaneous import commensurate_kpath
+
+    observables = dsf_cfg.get('observables') or ['total']
+    basis_cfg = dsf_cfg.get('basis') or {}
+    basis_idx, _, _ = _resolve_basis_indices(basis_cfg, traj)
+    dirs_list = dsf_cfg.get('directions') or sed_cfg['directions']
+    n_k = int(dsf_cfg.get('n_kpoints') or sed_cfg['n_kpoints'])
+    bz_cov = float(dsf_cfg.get('bz_coverage') or sed_cfg['bz_coverage'])
+    max_freq = dsf_cfg.get('max_freq')
+
+    for i_d, dir_spec in enumerate(dirs_list, 1):
+        d_lbl = direction_label(dir_spec, i_d)
+        _, k_vecs = calc.get_k_path(dir_spec, bz_cov, n_k, eff_lat_param)
+        k_vecs = commensurate_kpath(k_vecs, calc.traj.box_lengths)
+        k_mags = np.linalg.norm(k_vecs, axis=1)
+
+        arrays = {'k_mags': k_mags, 'k_vectors': k_vecs}
+        planes = {}
+        if {'total', 'longitudinal', 'transverse'} & set(observables):
+            freqs, s, c_l, c_t = calc.calculate_dsf(
+                k_vecs, basis_atom_indices=basis_idx, max_freq=max_freq)
+            arrays.update(freqs=freqs, s=s, c_l=c_l, c_t=c_t)
+            planes.update(total=(s, 'S(k,ω)'),
+                          longitudinal=(c_l, 'C_L(k,ω)'),
+                          transverse=(c_t, 'C_T(k,ω)'))
+        if 'self' in observables:
+            freqs_s, s_self = calc.calculate_dsf_self(
+                k_vecs, basis_atom_indices=basis_idx, max_freq=max_freq)
+            arrays.update(freqs=freqs_s, s_self=s_self)
+            planes['self'] = (s_self, 'S_s(k,ω)')
+        np.savez(out_dir / f"dsf_{d_lbl}.npz", **arrays)
+
+        for obs in observables:
+            plane, sym = planes[obs]
+            fig, ax = plt.subplots(figsize=(7, 5))
+            shown = np.sqrt(np.maximum(plane, 0.0))
+            pcm = ax.pcolormesh(k_mags, arrays['freqs'], shown,
+                                cmap='inferno', shading='gouraud')
+            fig.colorbar(pcm, ax=ax, label=f"√{sym} (arb.)")
+            ax.set_xlabel('k (2π/Å)')
+            ax.set_ylabel('Frequency (THz)')
+            ax.set_title(f"{sym} — instantaneous phases, {d_lbl}")
+            fig.savefig(out_dir / f"dsf_{obs}_{d_lbl}.png", dpi=200,
+                        bbox_inches='tight')
+            plt.close(fig)
+        logger.info("DSF maps written for %s: dsf_%s.npz + %d plot(s) "
+                    "(%d commensurate k-points)", d_lbl, d_lbl,
+                    len(observables), len(k_mags))
+
+
 def main(argv=None) -> None:
     logging.basicConfig(level=logging.INFO,
                         format='%(asctime)s - %(levelname)s - %(message)s',
@@ -235,6 +297,9 @@ def main(argv=None) -> None:
             manager.load(args.config)
         except FileNotFoundError:
             logger.error("Config file not found: %s. Using defaults.", args.config)
+        except ValueError as e:
+            logger.error("Invalid configuration: %s", e)
+            raise SystemExit(1)
     config = manager.config
     if args.dt is not None:
         config['md_system']['dt'] = args.dt
@@ -429,6 +494,11 @@ def main(argv=None) -> None:
         dos_cfg = config.get('dos', {})
         if dos_cfg.get('apply'):
             _run_dos_section(calc, dos_cfg, out_dir, traj)
+
+        dsf_cfg = config.get('dsf', {})
+        if dsf_cfg.get('apply'):
+            _run_dsf_section(calc, dsf_cfg, sed_cfg, out_dir, eff_lat_param,
+                             traj)
 
         if ised_cfg['apply']:
             logger.info("Performing iSED reconstruction...")

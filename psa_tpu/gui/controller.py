@@ -23,7 +23,7 @@ from ..core.sed import SED
 from ..core.trajectory import Trajectory
 from ..io.loader import TrajectoryLoader
 from ..ops import spectral
-from ..ops.instantaneous import nearest_commensurate
+from ..ops.instantaneous import commensurate_kpath
 
 logger = logging.getLogger(__name__)
 
@@ -283,7 +283,7 @@ class AnalysisController:
         """Instantaneous-phase map over a k-path (the GUI's DSF view).
 
         The path is snapped onto the box reciprocal lattice
-        (:func:`nearest_commensurate` — instantaneous phases are only
+        (:func:`commensurate_kpath` — instantaneous phases are only
         wrap-invariant there) and de-duplicated after snapping.
         ``observable``: 'total' → S(k,ω) (density / dynamic structure
         factor), 'longitudinal' → C_L, 'transverse' → C_T current spectra.
@@ -298,16 +298,7 @@ class AnalysisController:
         direction = parse_direction_input(direction_text)
         _, k_vecs = calc.get_k_path(direction, bz_coverage=bz_coverage,
                                     n_k=n_k, lat_param=lattice_param)
-        k_vecs = nearest_commensurate(k_vecs, calc.traj.box_lengths)
-        # snapping can collapse neighbouring path points onto the same
-        # lattice k: keep the first of each run (path order preserved)
-        _, first = np.unique(np.round(k_vecs, 7), axis=0, return_index=True)
-        k_vecs = k_vecs[np.sort(first)]
-        if len(k_vecs) < 2:
-            raise ValueError(
-                "k-path snaps to fewer than 2 distinct box-commensurate "
-                "k-points — widen bz_coverage or raise n_k (the box is too "
-                "small along this direction for a DSF map)")
+        k_vecs = commensurate_kpath(k_vecs, calc.traj.box_lengths)
         k_mags = np.linalg.norm(k_vecs, axis=1)
         freqs, s, c_l, c_t = calc.calculate_dsf(
             k_vecs, basis_atom_types=basis_atom_types, max_freq=max_freq)

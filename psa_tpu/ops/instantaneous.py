@@ -52,7 +52,7 @@ from .spectral import _accurate_angles, resolve_precision
 
 __all__ = [
     'instant_modes_scan', 'accumulate_instant_modes', 'dsf_reduce',
-    'dsf_self_block', 'nearest_commensurate',
+    'dsf_self_block', 'nearest_commensurate', 'commensurate_kpath',
 ]
 
 
@@ -71,6 +71,26 @@ def nearest_commensurate(k_vectors: np.ndarray,
     snapped = np.where(step > 0, np.round(kv / np.where(step > 0, step, 1.0))
                        * step, kv)
     return snapped.astype(np.float32)
+
+
+def commensurate_kpath(k_vectors: np.ndarray,
+                       box_lengths: np.ndarray) -> np.ndarray:
+    """Snap a k-path onto the box reciprocal lattice and de-duplicate.
+
+    Snapping (:func:`nearest_commensurate`) can collapse neighbouring path
+    points onto the same lattice k; the first of each run is kept with
+    path order preserved.  Raises if fewer than 2 distinct points survive
+    (the box is too small along this direction for a dispersion map).
+    """
+    k_vecs = nearest_commensurate(k_vectors, box_lengths)
+    _, first = np.unique(np.round(k_vecs, 7), axis=0, return_index=True)
+    k_vecs = k_vecs[np.sort(first)]
+    if len(k_vecs) < 2:
+        raise ValueError(
+            "k-path snaps to fewer than 2 distinct box-commensurate "
+            "k-points — widen bz_coverage or raise n_k (the box is too "
+            "small along this direction for a DSF map)")
+    return k_vecs
 
 
 def _instant_angles(pos: jnp.ndarray, k_vectors: jnp.ndarray) -> jnp.ndarray:

@@ -92,6 +92,20 @@ def default_config() -> Dict[str, Any]:
             'max_freq': None,
             'per_type': False,                 # one curve per atom type
         },
+        'dsf': {
+            'apply': False,
+            # None ⇒ inherit the matching sed_calculation values, so a
+            # config's k-paths get both the harmonic SED and the DSF maps.
+            'directions': None,
+            'n_kpoints': None,
+            'bz_coverage': None,
+            'max_freq': None,
+            # which instantaneous-phase planes to write: any subset of
+            # 'total' (S(k,ω)), 'longitudinal' (C_L), 'transverse' (C_T),
+            # 'self' (S_s(k,ω), incoherent/self part)
+            'observables': ['total', 'longitudinal', 'transverse'],
+            'basis': {'atom_indices': None, 'atom_types': None},
+        },
     }
 
 
@@ -106,7 +120,7 @@ class ConfigManager:
     """
 
     SECTIONS = ('general', 'md_system', 'sed_calculation', 'plotting', 'ised',
-                'kgrid', 'dos')
+                'kgrid', 'dos', 'dsf')
 
     def __init__(self, config_path: Optional[Union[str, Path]] = None):
         self.config: Dict[str, Any] = default_config()
@@ -184,6 +198,20 @@ class ConfigManager:
                 raise ValueError("kgrid.plane must be 'xy', 'yz' or 'zx'.")
             if int(kg.get('n_k', 50)) < 1:
                 raise ValueError("kgrid.n_k must be >= 1.")
+        ds = cfg.get('dsf', {})
+        if ds.get('apply'):
+            obs = ds.get('observables') or []
+            bad = set(obs) - {'total', 'longitudinal', 'transverse', 'self'}
+            if not obs or bad:
+                raise ValueError(
+                    "dsf.observables must be a non-empty subset of "
+                    "'total'/'longitudinal'/'transverse'/'self'; got "
+                    f"{obs!r}.")
+            dirs = ds.get('directions')
+            if dirs is not None and (not isinstance(dirs, list) or not dirs):
+                raise ValueError(
+                    "dsf.directions must be a non-empty list or null "
+                    "(null inherits sed_calculation.directions).")
 
     def get(self, *keys: str, default: Any = None) -> Any:
         """Nested lookup: cfg.get('md_system', 'dt')."""

@@ -232,3 +232,40 @@ def test_cli_welch_chiral_conflict(workdir, tmp_path):
     with pytest.raises(SystemExit):
         main(['--trajectory', str(dump), '--config', str(cfg),
               '--output-dir', str(out), '--chiral'])
+
+
+def test_cli_dsf_section(workdir):
+    """The optional dsf config section writes instantaneous-phase maps
+    (snapped to box-commensurate k) alongside the harmonic SED run."""
+    tmp_path, dump, _ = workdir
+    config = {
+        'md_system': {'dt': 0.02, 'nx': 12, 'ny': 1, 'nz': 1},
+        'sed_calculation': {'directions': ['x'], 'n_kpoints': 8,
+                            'bz_coverage': 0.5},
+        'dsf': {'apply': True, 'max_freq': 8.0,
+                'observables': ['total', 'longitudinal', 'self']},
+    }
+    cfg = tmp_path / "dsf.yaml"
+    cfg.write_text(yaml.dump(config))
+    out = tmp_path / "out_dsf"
+    main(['--trajectory', str(dump), '--config', str(cfg),
+          '--output-dir', str(out)])
+    z = np.load(out / "dsf_x.npz")
+    n_k, n_f = len(z['k_mags']), len(z['freqs'])
+    assert n_k >= 2                       # snapped + de-duplicated path
+    assert z['s'].shape == z['c_l'].shape == z['s_self'].shape == (n_f, n_k)
+    assert np.all(z['freqs'] >= 0) and np.all(z['freqs'] <= 8.0)
+    # commensurate: every k component is an integer multiple of 2pi/L
+    box_l = 12 * 2.5
+    m = z['k_vectors'][:, 0] * box_l / (2 * np.pi)
+    np.testing.assert_allclose(m, np.round(m), atol=1e-5)
+    for obs in ('total', 'longitudinal', 'self'):
+        assert (out / f"dsf_{obs}_x.png").exists()
+    assert not (out / "dsf_transverse_x.png").exists()
+
+    # invalid observable is rejected at config validation
+    config['dsf']['observables'] = ['density']
+    cfg.write_text(yaml.dump(config))
+    with pytest.raises(SystemExit):
+        main(['--trajectory', str(dump), '--config', str(cfg),
+              '--output-dir', str(out)])
