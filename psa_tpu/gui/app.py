@@ -893,7 +893,10 @@ class PSAMainWindow:
         # peak-surface CSV, not the stale browse grid (and vice versa).
         prefer_peaks = (self.controller.last_grid_kind == 'peaks'
                         and self.controller.kgrid_peaks is not None)
-        if prefer_peaks:
+        if (self.controller.last_compute == 'dsf'
+                and self.controller.dsf is not None):
+            export.export_dsf_csv(self.controller.dsf, Path(path))
+        elif prefer_peaks:
             export.export_peaks_csv(self.controller.kgrid_peaks, Path(path))
         elif self.controller.kgrid is not None:
             export.export_kgrid_csv(self.controller.kgrid, Path(path))

@@ -109,6 +109,17 @@ class KGridPeaksState:
         return data[rank].T
 
 
+@dataclass
+class DSFState:
+    """Last instantaneous-phase map (GUI DSF view): one (n_freq, n_k)
+    plane over a commensurate k-path — exportable as a wide CSV."""
+    k_mags: np.ndarray                # (n_k,)
+    freqs: np.ndarray                 # (n_freq,)
+    plane: np.ndarray                 # (n_freq, n_k) float32
+    observable: str                   # 'total' | 'longitudinal' | 'transverse'
+    direction_text: str
+
+
 def plane_axes(plane: str, k_vecs: np.ndarray, shape: Tuple[int, int]):
     """(k1_axis, k2_axis, labels) for a k-grid plane — unique component
     values, with a linspace fallback when float noise breaks uniqueness."""
@@ -151,6 +162,10 @@ class AnalysisController:
         #: CSV export follows this so "Calculate k-grid" → "Peak surface" →
         #: export writes the peak surface, not the stale browse grid.
         self.last_grid_kind: Optional[str] = None
+        self.dsf: Optional[DSFState] = None
+        #: most recent compute overall ('kpath'|'browse'|'peaks'|'dsf'|None)
+        #: — CSV export prefers the DSF plane only when it was last
+        self.last_compute: Optional[str] = None
         self.selected_point: Optional[Tuple[float, float]] = None  # (k, ω)
         self.ised_dump_path: Optional[Path] = None
         self.temp_dirs: List[tempfile.TemporaryDirectory] = []
@@ -176,6 +191,8 @@ class AnalysisController:
         self.kgrid = None
         self.kgrid_peaks = None
         self.last_grid_kind = None
+        self.dsf = None
+        self.last_compute = None
         self.selected_point = None
         return self.trajectory
 
@@ -272,6 +289,7 @@ class AnalysisController:
             summation_mode=summation_mode, chiral=chiral,
             chiral_axis=chiral_axis, angle_range_opt=angle_range_opt)
         self.selected_point = None
+        self.last_compute = 'kpath'
         return sed
 
     def compute_kpath_dsf(self, direction_text: str, n_k: int,
@@ -304,6 +322,10 @@ class AnalysisController:
             k_vecs, basis_atom_types=basis_atom_types, max_freq=max_freq)
         plane = {'total': s, 'longitudinal': c_l,
                  'transverse': c_t}[observable]
+        self.dsf = DSFState(k_mags=k_mags, freqs=freqs, plane=plane,
+                            observable=observable,
+                            direction_text=direction_text)
+        self.last_compute = 'dsf'
         return k_mags, freqs, plane
 
     def _full_kpath_calculate(self, k_mags, k_vecs, basis_atom_types,
@@ -431,6 +453,7 @@ class AnalysisController:
                                     k1_axis=k1_axis, k2_axis=k2_axis,
                                     labels=labels)
             self.last_grid_kind = 'browse'
+            self.last_compute = 'browse'
             return self.kgrid
         if reduced:
             freqs, intensity, phase = calc.calculate_kgrid_browse(
@@ -478,6 +501,7 @@ class AnalysisController:
                                 k1_axis=k1_axis, k2_axis=k2_axis,
                                 labels=labels)
         self.last_grid_kind = 'browse'
+        self.last_compute = 'browse'
         return self.kgrid
 
     def compute_kgrid_peaks(self, plane: str, k_range_1: Tuple[float, float],
@@ -523,6 +547,7 @@ class AnalysisController:
                             if pphase is not None else None),
             width_method=width_method)
         self.last_grid_kind = 'peaks'
+        self.last_compute = 'peaks'
         return self.kgrid_peaks
 
     def compute_dos(self, basis_atom_types: Optional[list] = None,

@@ -107,6 +107,25 @@ def export_peaks_csv(peaks, path: Path) -> Path:
     return path
 
 
+def export_dsf_csv(dsf, path: Path) -> Path:
+    """Wide-format CSV of an instantaneous-phase map (GUI DSF view):
+    rows = frequencies, one column per commensurate k-point; a leading
+    comment row names the observable and direction."""
+    import pandas as pd
+    path = Path(path)
+    cols = {'frequency_THz': dsf.freqs}
+    for i, k in enumerate(dsf.k_mags):
+        cols[f"k_{k:.4f}"] = dsf.plane[:, i]
+    df = pd.DataFrame(cols)
+    path.parent.mkdir(parents=True, exist_ok=True)
+    with open(path, 'w') as f:
+        f.write(f"# observable={dsf.observable} direction={dsf.direction_text} "
+                f"(instantaneous phases, box-commensurate k)\n")
+        df.to_csv(f, index=False)
+    logger.info("DSF CSV written: %s (%d rows)", path, len(df))
+    return path
+
+
 def export_kgrid_gif(kgrid: KGridState, path: Path, scale: str = 'sqrt',
                      cmap: str = 'inferno', fps: int = 5,
                      max_frames: int = 60, use_phase: bool = False) -> Path:

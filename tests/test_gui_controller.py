@@ -479,3 +479,24 @@ class TestKPathDSF:
         with pytest.raises(ValueError, match="commensurate"):
             # a 2-point path over a tiny k range snaps to a single point
             loaded.compute_kpath_dsf('x', n_k=2, bz_coverage=0.01)
+
+
+def test_dsf_csv_export_and_recency(loaded, tmp_path):
+    """DSF CSV export carries the plane wide-format; the last_compute
+    marker lets the save menu prefer the most recent result."""
+    loaded.compute_kpath_sed('x', n_k=8, bz_coverage=0.5)
+    assert loaded.last_compute == 'kpath'
+    k, f, plane = loaded.compute_kpath_dsf('x', n_k=12, bz_coverage=0.5,
+                                           observable='transverse')
+    assert loaded.last_compute == 'dsf'
+    out = tmp_path / "dsf.csv"
+    export.export_dsf_csv(loaded.dsf, out)
+    lines = out.read_text().splitlines()
+    assert lines[0].startswith("# observable=transverse direction=x")
+    data = np.loadtxt(out.as_posix(), delimiter=',', skiprows=2)
+    assert data.shape == (len(f), len(k) + 1)
+    np.testing.assert_allclose(data[:, 1:], plane, rtol=1e-5)
+    # a later grid compute takes back the preference
+    loaded.compute_kgrid_sed('xy', (-0.5, 0.5), (-0.5, 0.5), 4, 4,
+                             max_freq=8.0)
+    assert loaded.last_compute == 'browse'
