@@ -245,7 +245,7 @@ def _run_dsf_section(calc, dsf_cfg, sed_cfg, out_dir: Path, eff_lat_param,
     for i_d, dir_spec in enumerate(dirs_list, 1):
         d_lbl = direction_label(dir_spec, i_d)
         _, k_vecs = calc.get_k_path(dir_spec, bz_cov, n_k, eff_lat_param)
-        k_vecs = commensurate_kpath(k_vecs, calc.traj.box_lengths)
+        k_vecs = commensurate_kpath(k_vecs, calc.traj.box_matrix)
         k_mags = np.linalg.norm(k_vecs, axis=1)
 
         arrays = {'k_mags': k_mags, 'k_vectors': k_vecs}

@@ -1165,9 +1165,24 @@ class SEDCalculator:
     def _dsf_union_group(self, basis_atom_indices, basis_atom_types) -> np.ndarray:
         groups = self._resolve_atom_groups(basis_atom_indices,
                                            basis_atom_types, 'coherent')
-        if len(groups) > 1:
-            return np.unique(np.concatenate(groups)).astype(int)
-        return groups[0] if groups else np.array([], dtype=int)
+        if not groups:
+            return np.array([], dtype=int)
+        # np.unique also collapses duplicate user indices so each atom enters
+        # the density mode exactly once — matching the sharded path's 0/1
+        # weight vector (calculate_dsf_sharded).
+        return np.unique(np.concatenate(
+            [np.asarray(g).ravel() for g in groups])).astype(int)
+
+    def _dsf_commensurate_warn(self, k_vectors_3d) -> None:
+        dev = instantaneous.commensurate_deviation(k_vectors_3d,
+                                                   self.traj.box_matrix)
+        if dev > 1e-4:
+            logger.warning(
+                "DSF k-vectors are off the box reciprocal lattice (max "
+                "fractional deviation %.3g): exp(i k·r(t)) is not invariant "
+                "under periodic wrapping and box-periodicity discontinuities "
+                "will leak into the spectra — snap with "
+                "psa_tpu.ops.instantaneous.nearest_commensurate.", dev)
 
     def _dsf_blocks(self, group_idx: np.ndarray, atom_chunk: int):
         """Yield (pos_block, vel_block, mask) f32 host arrays, atom-padded."""
@@ -1215,6 +1230,7 @@ class SEDCalculator:
             float32.
         """
         n_t = self.traj.n_frames
+        self._dsf_commensurate_warn(k_vectors_3d)
         freqs_kept, freq_idx = self._dsf_freqs(max_freq)
         group_idx = self._dsf_union_group(basis_atom_indices, basis_atom_types)
         num_k = len(k_vectors_3d)
@@ -1299,6 +1315,7 @@ class SEDCalculator:
             (freqs_kept (n_keep,), S_s (n_keep, n_k) float32).
         """
         n_t = self.traj.n_frames
+        self._dsf_commensurate_warn(k_vectors_3d)
         freqs_kept, freq_idx = self._dsf_freqs(max_freq)
         group_idx = self._dsf_union_group(basis_atom_indices, basis_atom_types)
         num_k = len(k_vectors_3d)
@@ -1976,6 +1993,7 @@ class SEDCalculator:
             :meth:`calculate_dsf`.
         """
         from ..parallel.sharded import sharded_dsf
+        self._dsf_commensurate_warn(k_vectors_3d)
         freqs_kept, freq_idx = self._dsf_freqs(max_freq)
         group_idx = self._dsf_union_group(basis_atom_indices,
                                           basis_atom_types)

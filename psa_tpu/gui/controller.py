@@ -316,7 +316,7 @@ class AnalysisController:
         direction = parse_direction_input(direction_text)
         _, k_vecs = calc.get_k_path(direction, bz_coverage=bz_coverage,
                                     n_k=n_k, lat_param=lattice_param)
-        k_vecs = commensurate_kpath(k_vecs, calc.traj.box_lengths)
+        k_vecs = commensurate_kpath(k_vecs, calc.traj.box_matrix)
         k_mags = np.linalg.norm(k_vecs, axis=1)
         freqs, s, c_l, c_t = calc.calculate_dsf(
             k_vecs, basis_atom_types=basis_atom_types, max_freq=max_freq)

@@ -114,8 +114,10 @@ def export_dsf_csv(dsf, path: Path) -> Path:
     import pandas as pd
     path = Path(path)
     cols = {'frequency_THz': dsf.freqs}
+    # the column index disambiguates snapped |k| that collide at 1e-4
+    # resolution (large boxes step |k| by ~(2π/L)²/2|k| between kept points)
     for i, k in enumerate(dsf.k_mags):
-        cols[f"k_{k:.4f}"] = dsf.plane[:, i]
+        cols[f"k{i}_{k:.4f}"] = dsf.plane[:, i]
     df = pd.DataFrame(cols)
     path.parent.mkdir(parents=True, exist_ok=True)
     with open(path, 'w') as f:

@@ -53,36 +53,81 @@ from .spectral import _accurate_angles, resolve_precision
 __all__ = [
     'instant_modes_scan', 'accumulate_instant_modes', 'dsf_reduce',
     'dsf_self_block', 'nearest_commensurate', 'commensurate_kpath',
+    'commensurate_deviation',
 ]
 
 
-def nearest_commensurate(k_vectors: np.ndarray,
-                         box_lengths: np.ndarray) -> np.ndarray:
-    """Snap k-vectors to the nearest box-commensurate values 2π·m/L.
+def _box_fractional(kv: np.ndarray, box: np.ndarray):
+    """k in box-reciprocal fractional coordinates, or None for the
+    degenerate-axis orthorhombic form (handled per component)."""
+    box = np.asarray(box, dtype=np.float64)
+    if box.ndim == 2:
+        if np.allclose(box, np.diag(np.diagonal(box))):
+            box = np.diagonal(box).copy()
+        else:
+            return kv @ box.T / (2.0 * np.pi), box
+    if np.all(box > 0):
+        return kv * box / (2.0 * np.pi), np.diag(box)
+    return None, box
 
-    Instantaneous-phase observables are only wrapping-invariant on the
+
+def nearest_commensurate(k_vectors: np.ndarray,
+                         box: np.ndarray) -> np.ndarray:
+    """Snap k-vectors onto the box reciprocal lattice (wrap-invariant k).
+
+    ``box`` is either the (3,) edge lengths (orthorhombic) or the full
+    (3, 3) cell matrix H with rows a_i — triclinic cells supported.  PBC
+    wrapping moves r by integer row combinations n·H, so exp(i k·r) is
+    wrap-invariant iff a_i·k = 2π·m_i, i.e. k = 2π·H⁻¹m lies on the
     reciprocal lattice of the simulation BOX (not the primitive cell);
     off-lattice k leak the box-periodicity discontinuity into the spectra.
-    Zero box edges (degenerate axes) leave that component untouched.
+    Snapping rounds the fractional coordinates m = H·k/2π (for orthorhombic
+    cells exactly the per-component 2π·m/L rule).  Zero box edges
+    (degenerate axes, orthorhombic form) leave that component untouched.
     """
     kv = np.asarray(k_vectors, dtype=np.float64)
-    L = np.asarray(box_lengths, dtype=np.float64)
+    frac, H = _box_fractional(kv, box)
+    if frac is not None:
+        try:
+            h_inv = np.linalg.inv(H)
+        except np.linalg.LinAlgError:
+            raise ValueError("singular box matrix — k cannot be snapped "
+                             "onto its reciprocal lattice")
+        return (2.0 * np.pi * np.round(frac) @ h_inv.T).astype(np.float32)
+    L = np.asarray(H, dtype=np.float64)
     step = np.where(L > 0, 2.0 * np.pi / np.where(L > 0, L, 1.0), 0.0)
     snapped = np.where(step > 0, np.round(kv / np.where(step > 0, step, 1.0))
                        * step, kv)
     return snapped.astype(np.float32)
 
 
+def commensurate_deviation(k_vectors: np.ndarray, box: np.ndarray) -> float:
+    """Max |frac − round(frac)| of k in box-reciprocal fractional
+    coordinates — 0 means exactly wrap-invariant.  The DSF entry points
+    use this to warn when handed off-lattice k (``box`` as in
+    :func:`nearest_commensurate`; degenerate axes contribute 0).
+    """
+    kv = np.asarray(k_vectors, dtype=np.float64)
+    if kv.size == 0:
+        return 0.0
+    frac, H = _box_fractional(kv, box)
+    if frac is None:
+        L = np.asarray(H, dtype=np.float64)
+        frac = np.where(L > 0, kv * np.where(L > 0, L, 1.0), 0.0) / (2 * np.pi)
+    return float(np.max(np.abs(frac - np.round(frac))))
+
+
 def commensurate_kpath(k_vectors: np.ndarray,
-                       box_lengths: np.ndarray) -> np.ndarray:
+                       box: np.ndarray) -> np.ndarray:
     """Snap a k-path onto the box reciprocal lattice and de-duplicate.
 
-    Snapping (:func:`nearest_commensurate`) can collapse neighbouring path
+    ``box``: (3,) edge lengths or the full (3, 3) cell matrix (see
+    :func:`nearest_commensurate`).  Snapping can collapse neighbouring path
     points onto the same lattice k; the first of each run is kept with
     path order preserved.  Raises if fewer than 2 distinct points survive
     (the box is too small along this direction for a dispersion map).
     """
-    k_vecs = nearest_commensurate(k_vectors, box_lengths)
+    k_vecs = nearest_commensurate(k_vectors, box)
     _, first = np.unique(np.round(k_vecs, 7), axis=0, return_index=True)
     k_vecs = k_vecs[np.sort(first)]
     if len(k_vecs) < 2:

@@ -247,20 +247,34 @@ class DumpBlockSource(BlockSource):
         field: 'velocities' (default) or 'positions'.
     """
 
-    def __init__(self, filepath, field: str = 'velocities'):
+    def __init__(self, filepath, field: str = 'velocities', _share=None):
         from ..io.lammps import MmapDumpFrames
         if field not in ('velocities', 'positions'):
             raise ValueError("field must be 'velocities' or 'positions'")
-        self._src = MmapDumpFrames(filepath)
+        if _share is not None:
+            self._src, self._state = _share
+        else:
+            self._src = MmapDumpFrames(filepath)
+            # [key, pos, vel, lock, both] — ``both`` flips on when a sibling
+            # exists; a lone source keeps only its own field resident.
+            self._state = [None, None, None, threading.Lock(), False]
         if field == 'velocities' and not self._src.has_velocities:
-            raise ValueError(f"{filepath} has no velocity columns; use "
-                             "field='positions' with displacement-mode SED")
+            raise ValueError(f"{self._src.filepath} has no velocity columns; "
+                             "use field='positions' with displacement-mode SED")
         self._field = field
         self.n_frames = self._src.n_frames
         self.n_atoms = self._src.n_atoms
-        self._memo_key = None
-        self._memo = None
-        self._memo_lock = threading.Lock()
+
+    def sibling(self, field: str) -> 'DumpBlockSource':
+        """A source over the OTHER field sharing this one's parse memo.
+
+        Each text window is scanned once and serves both positions and
+        velocities — the lockstep (pos, vel) streams of a DSF sweep cost
+        one parse per superchunk instead of two.
+        """
+        self._state[4] = True
+        return DumpBlockSource(None, field=field,
+                               _share=(self._src, self._state))
 
     @property
     def types(self):
@@ -295,13 +309,23 @@ class DumpBlockSource(BlockSource):
         return acc / self.n_frames
 
     def read_block(self, t0, t1, a0, a1):
-        with self._memo_lock:
-            if self._memo_key != (t0, t1):
+        st = self._state
+        with st[3]:
+            if st[0] != (t0, t1):
                 pos, vel = self._src.frames(t0, t1)
-                self._memo = pos if self._field == 'positions' else vel
-                self._memo_key = (t0, t1)
-            return np.ascontiguousarray(self._memo[:, a0:a1, :],
-                                        dtype=np.float32)
+                if st[4]:                       # shared: keep both fields
+                    st[1], st[2] = pos, vel
+                elif self._field == 'positions':
+                    st[1], st[2] = pos, None
+                else:
+                    st[1], st[2] = None, vel
+                st[0] = (t0, t1)
+            memo = st[1] if self._field == 'positions' else st[2]
+            if memo is None:                    # window parsed pre-sibling
+                pos, vel = self._src.frames(t0, t1)
+                st[1], st[2] = pos, vel
+                memo = pos if self._field == 'positions' else vel
+            return np.ascontiguousarray(memo[:, a0:a1, :], dtype=np.float32)
 
     def close(self):
         self._src.close()

@@ -216,10 +216,22 @@ def main():
 
     dsf_sources = dsf_weights = None
     if args.dsf:
-        # instantaneous phases need positions AND velocities in lockstep
+        # Instantaneous phases are wrap-invariant only on the BOX reciprocal
+        # lattice: snap each raster point to the nearest commensurate k
+        # (grid shape preserved; adjacent bins may coincide on coarse boxes).
+        from psa_tpu.ops.instantaneous import nearest_commensurate
+        snapped = nearest_commensurate(k_vecs, traj.box_matrix)
+        shift = float(np.max(np.linalg.norm(
+            snapped.astype(np.float64) - k_vecs, axis=1))) if len(k_vecs) else 0.0
+        if shift > 0:
+            logger.info("DSF k-grid snapped onto the box reciprocal lattice "
+                        "(max shift %.3g 2π/Å); snapped k saved as k_vectors",
+                        shift)
+        k_vecs = snapped
+        # positions AND velocities stream in lockstep; from a text dump the
+        # two sources share one parse memo (one scan per time window)
         if args.from_dump:
-            dsf_sources = (DumpBlockSource(args.trajectory,
-                                           field='positions'), source)
+            dsf_sources = (source.sibling('positions'), source)
         else:
             dsf_sources = (traj.positions, traj.velocities)
         if basis_types is not None:

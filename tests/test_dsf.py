@@ -264,8 +264,64 @@ class TestNearestCommensurate:
         kv = np.zeros((0, 3), dtype=np.float32)
         assert instantaneous.nearest_commensurate(kv, box).shape == (0, 3)
 
+    def test_matrix_form_matches_lengths_for_orthorhombic(self):
+        box = np.array([10.0, 14.0, 9.0])
+        rng = np.random.default_rng(3)
+        kv = rng.uniform(-2, 2, (17, 3))
+        np.testing.assert_allclose(
+            instantaneous.nearest_commensurate(kv, box),
+            instantaneous.nearest_commensurate(kv, np.diag(box)), atol=0)
+
+    def test_triclinic_snap_is_wrap_invariant(self):
+        """For a tilted cell the admissible k satisfy H·k = 2π·m (rows of H
+        = cell vectors): per-component 2π/L multiples are NOT on that
+        lattice, and the snapped k must be."""
+        H = np.array([[12.0, 0.0, 0.0],
+                      [4.0, 10.0, 0.0],       # xy tilt
+                      [0.0, 2.0, 9.0]])       # yz tilt
+        rng = np.random.default_rng(5)
+        kv = rng.uniform(-1.5, 1.5, (23, 3))
+        out = instantaneous.nearest_commensurate(kv, H).astype(np.float64)
+        m = out @ H.T / (2 * np.pi)
+        np.testing.assert_allclose(m, np.round(m), atol=1e-5)
+        assert instantaneous.commensurate_deviation(out, H) < 1e-5
+        # the phase is genuinely invariant under wrapping by any cell vector
+        r = rng.uniform(0, 10, (6, 3))
+        for row in H:
+            d = (out @ (r + row).T - out @ r.T) / (2 * np.pi)
+            np.testing.assert_allclose(d, np.round(d), atol=1e-5)
+
+    def test_deviation_detects_off_lattice_k(self):
+        box = np.array([10.0, 10.0, 10.0])
+        on = instantaneous.nearest_commensurate(
+            np.array([[0.7, 0.3, 0.0]]), box)
+        assert instantaneous.commensurate_deviation(on, box) < 1e-5
+        off = on + np.float32(0.25 * 2 * np.pi / 10.0)
+        assert instantaneous.commensurate_deviation(off, box) > 0.2
+        assert instantaneous.commensurate_deviation(
+            np.zeros((0, 3), np.float32), box) == 0.0
+
+    def test_singular_matrix_raises(self):
+        H = np.array([[10.0, 0.0, 0.0], [10.0, 0.0, 0.0], [1.0, 2.0, 3.0]])
+        with pytest.raises(ValueError, match="singular"):
+            instantaneous.nearest_commensurate(np.ones((2, 3)), H)
+
 
 class TestEdgeCases:
+    def test_duplicate_basis_indices_collapse(self):
+        """Repeated basis_atom_indices count once (matching the sharded
+        path's 0/1 weight vector) — not as doubled amplitude."""
+        traj = make_chain_trajectory(n_cells=8, n_frames=16, seed=2)
+        calc = SEDCalculator(traj, nx=8, ny=1, nz=1)
+        kv = instantaneous.nearest_commensurate(
+            np.array([[0.5, 0, 0], [1.0, 0, 0]], np.float32),
+            traj.box_lengths)
+        f1, s1, cl1, ct1 = calc.calculate_dsf(kv, basis_atom_indices=[0, 0, 2, 5])
+        f2, s2, cl2, ct2 = calc.calculate_dsf(kv, basis_atom_indices=[0, 2, 5])
+        np.testing.assert_allclose(s1, s2, atol=0)
+        np.testing.assert_allclose(cl1, cl2, atol=0)
+        np.testing.assert_allclose(ct1, ct2, atol=0)
+
     def test_empty_k(self):
         traj = make_chain_trajectory(n_cells=4, n_frames=8)
         calc = SEDCalculator(traj, nx=4, ny=1, nz=1)

@@ -500,3 +500,18 @@ def test_dsf_csv_export_and_recency(loaded, tmp_path):
     loaded.compute_kgrid_sed('xy', (-0.5, 0.5), (-0.5, 0.5), 4, 4,
                              max_freq=8.0)
     assert loaded.last_compute == 'browse'
+
+
+def test_dsf_csv_keeps_columns_on_magnitude_collision(tmp_path):
+    """Snapped k-points whose |k| collide at 1e-4 resolution must not
+    overwrite each other's CSV column (the index disambiguates)."""
+    from psa_tpu.gui.controller import DSFState
+    freqs = np.linspace(0, 5, 4)
+    plane = np.arange(12, dtype=np.float32).reshape(4, 3)
+    dsf = DSFState(k_mags=np.array([0.12345, 0.123452, 0.2]), freqs=freqs,
+                   plane=plane, observable='total', direction_text='x')
+    out = tmp_path / "collide.csv"
+    export.export_dsf_csv(dsf, out)
+    data = np.loadtxt(out.as_posix(), delimiter=',', skiprows=2)
+    assert data.shape == (4, 4)           # freq + one column per k-point
+    np.testing.assert_allclose(data[:, 1:], plane, rtol=1e-5)

@@ -473,6 +473,42 @@ class TestDumpBlockSource:
         assert err < 1e-5, err
 
 
+    def test_sibling_shares_one_parse_per_window(self, traj, tmp_path):
+        """positions/velocities siblings serve both fields of a DSF sweep
+        from ONE text parse per time window."""
+        from psa_tpu.io import native
+        from psa_tpu.parallel import DumpBlockSource
+        if not native.bulk_dump_available():
+            pytest.skip("native parallel parser unavailable")
+        dump = tmp_path / "sib.dump"
+        with open(dump, "w") as f:
+            for t in range(traj.n_frames):
+                f.write(f"ITEM: TIMESTEP\n{t}\nITEM: NUMBER OF ATOMS\n{traj.n_atoms}\n")
+                f.write("ITEM: BOX BOUNDS pp pp pp\n")
+                for d in range(3):
+                    f.write(f"0.0 {traj.box_matrix[d, d]:.6f}\n")
+                f.write("ITEM: ATOMS id type x y z vx vy vz\n")
+                for a in range(traj.n_atoms):
+                    p, v = traj.positions[t, a], traj.velocities[t, a]
+                    f.write(f"{a+1} {traj.types[a]} "
+                            f"{p[0]:.8f} {p[1]:.8f} {p[2]:.8f} "
+                            f"{v[0]:.8f} {v[1]:.8f} {v[2]:.8f}\n")
+        vel_src = DumpBlockSource(dump)
+        pos_src = vel_src.sibling('positions')
+        parses = []
+        inner = vel_src._src.frames
+        vel_src._src.frames = lambda i, j: (parses.append((i, j)),
+                                            inner(i, j))[1]
+        n_a = traj.n_atoms
+        for (t0, t1) in [(0, 4), (4, 8)]:
+            p = pos_src.read_block(t0, t1, 0, n_a)
+            v = vel_src.read_block(t0, t1, 0, n_a)
+            np.testing.assert_allclose(p, traj.positions[t0:t1], atol=1e-6)
+            np.testing.assert_allclose(v, traj.velocities[t0:t1], atol=1e-6)
+        assert parses == [(0, 4), (4, 8)]     # one parse per window, not two
+        vel_src.close()
+
+
 class TestTiledBlockSource:
     """Virtual tiled trajectory: frame t == pool[t % p], zero-copy when a
     window stays inside one tile."""

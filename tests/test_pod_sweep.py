@@ -111,6 +111,9 @@ def test_dsf_planes_match_single_chip(square_dump, tmp_path):
                    '--k-chunk', '20', '--dsf', '--from-dump',
                    '--out', str(out)])
     d = np.load(out / "kgrid_dsf.npz")
+    # the sweep snapped the raster onto the box reciprocal lattice
+    from psa_tpu.ops.instantaneous import commensurate_deviation
+    assert commensurate_deviation(d['k_vectors'], traj.box_matrix) < 1e-4
     calc = SEDCalculator(traj, nx=8, ny=8, nz=1)
     rf, rs, rcl, rct = calc.calculate_dsf(d['k_vectors'])
     np.testing.assert_allclose(d['freqs'], rf, atol=0)
