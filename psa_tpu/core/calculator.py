@@ -2008,6 +2008,39 @@ class SEDCalculator:
             t_superchunk=t_superchunk, atom_weights=weights)
         return freqs_kept, s, c_l, c_t
 
+    def calculate_dsf_self_sharded(self, mesh, k_vectors_3d: np.ndarray,
+                                   basis_atom_indices=None,
+                                   basis_atom_types=None,
+                                   max_freq: Optional[float] = None,
+                                   atom_chunk: Optional[int] = None):
+        """:meth:`calculate_dsf_self` over a (t, a, k) device mesh.
+
+        The per-atom FFT needs the full time axis, so atoms shard over the
+        COMBINED (t, a) mesh axes (full time resident per device, streamed
+        from host in atom chunks) and k stripes run data-parallel; the only
+        collective is one psum of the partial planes over the atom shards.
+
+        Returns:
+            (freqs_kept, S_s) — same contract as :meth:`calculate_dsf_self`.
+        """
+        from ..parallel.sharded import sharded_dsf_self
+        self._dsf_commensurate_warn(k_vectors_3d)
+        freqs_kept, freq_idx = self._dsf_freqs(max_freq)
+        group_idx = self._dsf_union_group(basis_atom_indices,
+                                          basis_atom_types)
+        if len(k_vectors_3d) == 0 or group_idx.size == 0:
+            return freqs_kept, np.zeros((len(freq_idx), len(k_vectors_3d)),
+                                        dtype=np.float32)
+        weights = None
+        if group_idx.size != self.traj.n_atoms or not np.array_equal(
+                group_idx, np.arange(self.traj.n_atoms)):
+            weights = np.zeros(self.traj.n_atoms, dtype=np.float32)
+            weights[group_idx] = 1.0
+        s_s = sharded_dsf_self(mesh, self.traj.positions, k_vectors_3d,
+                               freq_indices=freq_idx, atom_weights=weights,
+                               atom_chunk=atom_chunk)
+        return freqs_kept, s_s
+
     def calculate_dos(self, basis_atom_indices=None, basis_atom_types=None,
                       max_freq: Optional[float] = None,
                       atom_chunk_size: Optional[int] = None):

@@ -71,6 +71,7 @@ class PSAMainWindow:
         v.mode_var = tk.StringVar(value='coherent')
         v.welch_var = tk.StringVar(value='')
         v.pol_var = tk.StringVar(value='total')
+        v.dsf_self_var = tk.BooleanVar(value=False)
         v.chiral_var = tk.BooleanVar(value=False)
         v.chiral_axis_var = tk.StringVar(value='z')
         v.angle_opt_var = tk.StringVar(value='C')
@@ -234,6 +235,13 @@ class PSAMainWindow:
                 "(dynamic structure factor), 'longitudinal' → C_L, "
                 "'transverse' → C_T current spectra — anharmonic shifts "
                 "and broadening the harmonic SED cannot see")
+        self.dsf_self_chk = ttk.Checkbutton(kbtns, text="self",
+                                            variable=self.dsf_self_var)
+        self.dsf_self_chk.pack(side='left')
+        ToolTip(self.dsf_self_chk,
+                "DSF computes the SELF (incoherent) part S_s(k,ω) instead "
+                "— single-particle motion; its quasi-elastic width vs k² "
+                "gives the self-diffusion coefficient")
 
         gf = ttk.LabelFrame(tab, text="k-grid SED")
         gf.pack(fill='x', padx=4, pady=4)
@@ -607,7 +615,7 @@ class PSAMainWindow:
         threading.Thread(target=work, daemon=True).start()
 
     def _calculate_dsf(self):
-        observable = self.pol_var.get()
+        observable = 'self' if self.dsf_self_var.get() else self.pol_var.get()
         dialog = ProgressDialog(
             self.root, "Calculating",
             "Computing instantaneous-phase map on device…")
@@ -634,7 +642,8 @@ class PSAMainWindow:
                     return
                 title = {'total': 'S(k,ω) — dynamic structure factor',
                          'longitudinal': 'C_L(k,ω) — longitudinal current',
-                         'transverse': 'C_T(k,ω) — transverse current'}[observable]
+                         'transverse': 'C_T(k,ω) — transverse current',
+                         'self': 'S_s(k,ω) — self (incoherent) part'}[observable]
                 self.recip_fig.clear()
                 ax = self.recip_fig.add_subplot(111)
                 dark = self.theme_var.get() == 'dark'

@@ -304,24 +304,30 @@ class AnalysisController:
         (:func:`commensurate_kpath` — instantaneous phases are only
         wrap-invariant there) and de-duplicated after snapping.
         ``observable``: 'total' → S(k,ω) (density / dynamic structure
-        factor), 'longitudinal' → C_L, 'transverse' → C_T current spectra.
+        factor), 'longitudinal' → C_L, 'transverse' → C_T current spectra,
+        'self' → S_s(k,ω) (incoherent part; quasi-elastic width measures
+        self-diffusion).
 
         Returns (k_mags, freqs, plane) for display; the SED state is NOT
         touched — iSED keeps operating on the last SED result.
         """
-        if observable not in ('total', 'longitudinal', 'transverse'):
-            raise ValueError(f"observable must be 'total', 'longitudinal' "
-                             f"or 'transverse', got {observable!r}")
+        if observable not in ('total', 'longitudinal', 'transverse', 'self'):
+            raise ValueError(f"observable must be 'total', 'longitudinal', "
+                             f"'transverse' or 'self', got {observable!r}")
         calc = self._require_calc()
         direction = parse_direction_input(direction_text)
         _, k_vecs = calc.get_k_path(direction, bz_coverage=bz_coverage,
                                     n_k=n_k, lat_param=lattice_param)
         k_vecs = commensurate_kpath(k_vecs, calc.traj.box_matrix)
         k_mags = np.linalg.norm(k_vecs, axis=1)
-        freqs, s, c_l, c_t = calc.calculate_dsf(
-            k_vecs, basis_atom_types=basis_atom_types, max_freq=max_freq)
-        plane = {'total': s, 'longitudinal': c_l,
-                 'transverse': c_t}[observable]
+        if observable == 'self':
+            freqs, plane = calc.calculate_dsf_self(
+                k_vecs, basis_atom_types=basis_atom_types, max_freq=max_freq)
+        else:
+            freqs, s, c_l, c_t = calc.calculate_dsf(
+                k_vecs, basis_atom_types=basis_atom_types, max_freq=max_freq)
+            plane = {'total': s, 'longitudinal': c_l,
+                     'transverse': c_t}[observable]
         self.dsf = DSFState(k_mags=k_mags, freqs=freqs, plane=plane,
                             observable=observable,
                             direction_text=direction_text)

@@ -1028,3 +1028,107 @@ def sharded_dsf(mesh: Mesh, positions, velocities, k_vectors: np.ndarray,
     inv = 1.0 / max(norm, 1.0)
     return (fetch(s_p)[:, :n_k] * inv, fetch(cl_p)[:, :n_k] * inv,
             fetch(ct_p)[:, :n_k] * inv)
+
+
+@functools.lru_cache(maxsize=None)
+def _dsf_self_step(mesh: Mesh):
+    """Per-atom full-time FFT intensity, atoms sharded over the COMBINED
+    (t, a) mesh axes (the per-atom FFT needs the whole time axis, so the t
+    axis cannot shard time here — it lends its devices to the atom split),
+    k stripes data-parallel, one psum over the atom shards."""
+    from ..ops import instantaneous
+
+    def fn(pos_l, mask_l, k_l, freq_idx):
+        part = instantaneous.dsf_self_block(pos_l, mask_l, k_l, freq_idx)
+        return lax.psum(part, (AXIS_T, AXIS_A))            # (F, K/k)
+
+    return jax.jit(jax.shard_map(
+        fn, mesh=mesh,
+        in_specs=(P(None, (AXIS_T, AXIS_A), None), P((AXIS_T, AXIS_A)),
+                  P(AXIS_K, None), P(None)),
+        out_specs=P(None, AXIS_K), check_vma=False))
+
+
+def sharded_dsf_self(mesh: Mesh, positions, k_vectors: np.ndarray,
+                     freq_indices: np.ndarray,
+                     atom_weights: Optional[np.ndarray] = None,
+                     atom_chunk: Optional[int] = None):
+    """Self (incoherent) dynamic structure factor over a device mesh.
+
+    The pod form of :meth:`SEDCalculator.calculate_dsf_self`:
+    S_s(k,ω) = Σ_a |FFT_t e^{i k·r_a(t)}|² / (n_t²·Σw).  Each atom's FFT
+    needs the FULL time axis, so atoms shard over the combined (t, a) mesh
+    axes (full time resident per device) and stream from the source in
+    chunks; k stripes are communication-free and the only collective is
+    one psum of the (n_keep, K/k) partial planes over the atom shards.
+
+    Args:
+        mesh: (t, a, k) mesh from :func:`make_mesh`.
+        positions: (n_t, n_atoms, 3) array-like or :class:`BlockSource`.
+        k_vectors: (n_k, 3) float32 — box-commensurate.
+        freq_indices: (n_keep,) int32 retained frequency rows.
+        atom_weights: optional (n_atoms,) float32 (0/1 membership);
+            normalization divides by Σw.
+        atom_chunk: atoms per streamed chunk (None = sized so each
+            device's complex (n_t, A_local, K_local) transient stays
+            under ~1 GB).
+
+    Returns:
+        S_s: (n_keep, n_k) float32 host array.
+    """
+    src = _as_source(positions)
+    n_t, n_atoms = src.n_frames, src.n_atoms
+    n_k = k_vectors.shape[0]
+    t_sh, a_sh, k_sh = (mesh.shape[AXIS_T], mesh.shape[AXIS_A],
+                        mesh.shape[AXIS_K])
+    atom_devs = t_sh * a_sh
+    k_p = _pad_rows(np.asarray(k_vectors, dtype=np.float32), k_sh)
+    k_local = k_p.shape[0] // k_sh
+
+    if atom_weights is None:
+        w = np.ones(n_atoms, dtype=np.float32)
+    else:
+        w = np.asarray(atom_weights, dtype=np.float32)
+        if w.shape != (n_atoms,):
+            raise ValueError(f"atom_weights must be ({n_atoms},), got {w.shape}")
+    norm = float(w.sum())
+
+    if atom_chunk is None:
+        budget = 1 << 30                        # c64 transient per device
+        per_dev = max(1, budget // (16 * n_t * max(1, k_local)))
+        atom_chunk = per_dev * atom_devs
+    atom_chunk = max(atom_devs, -(-atom_chunk // atom_devs) * atom_devs)
+
+    idx = np.asarray(freq_indices, dtype=np.int32)
+    idx_dev = jax.device_put(idx, NamedSharding(mesh, P(None)))
+    k_dev = jax.device_put(k_p, NamedSharding(mesh, P(AXIS_K, None)))
+    step = _dsf_self_step(mesh)
+
+    pos_sharding = NamedSharding(mesh, P(None, (AXIS_T, AXIS_A), None))
+    out = np.zeros((len(idx), k_p.shape[0]), dtype=np.float32)
+    for a0 in range(0, n_atoms, atom_chunk):
+        a1 = min(a0 + atom_chunk, n_atoms)
+
+        def fill(index, a0=a0, a1=a1):
+            _, as_, _ = index
+            ba0 = as_.start or 0
+            ba1 = as_.stop if as_.stop is not None else atom_chunk
+            block = np.zeros((n_t, ba1 - ba0, 3), dtype=np.float32)
+            real = min(a0 + ba1, a1) - (a0 + ba0)
+            if real > 0:
+                block[:, :real, :] = src.read_block(0, n_t, a0 + ba0,
+                                                    a0 + ba0 + real)
+            return block
+
+        pos_dev = jax.make_array_from_callback((n_t, atom_chunk, 3),
+                                               pos_sharding, fill)
+        w_chunk = np.zeros(atom_chunk, dtype=np.float32)
+        w_chunk[:a1 - a0] = w[a0:a1]
+        mask_dev = jax.device_put(w_chunk,
+                                  NamedSharding(mesh, P((AXIS_T, AXIS_A))))
+        part = step(pos_dev, mask_dev, k_dev, idx_dev)
+        if jax.process_count() > 1 and not part.is_fully_addressable:
+            from jax.experimental import multihost_utils
+            part = multihost_utils.process_allgather(part, tiled=True)
+        out += np.asarray(part)
+    return out[:, :n_k] / max(norm, 1.0)

@@ -248,6 +248,28 @@ class TestSharded:
         _, ss, _, _ = calc.calculate_dsf_sharded(mesh, kv)
         assert np.abs(ss - rs).max() <= 1e-5 * max(rs.max(), 1.0)
 
+    def test_self_matches_single_chip(self):
+        """S_s over the mesh: atoms shard over the combined (t, a) axes,
+        k stripes data-parallel; must reproduce the single-chip planes
+        (incl. the Parseval sum) and honor basis selection + chunking."""
+        from psa_tpu.parallel import make_mesh
+        calc, kv = self._chain()
+        mesh = make_mesh(shape=(2, 2, 2))
+        rf, rss = calc.calculate_dsf_self(kv, max_freq=10.0)
+        sf, sss = calc.calculate_dsf_self_sharded(mesh, kv, max_freq=10.0)
+        np.testing.assert_allclose(sf, rf, atol=0)
+        assert np.abs(sss - rss).max() <= 1e-5 * max(rss.max(), 1.0)
+        # streamed atom chunks (2 chunks of 8 over 12 atoms, padded)
+        _, sss_c = calc.calculate_dsf_self_sharded(mesh, kv, max_freq=10.0,
+                                                   atom_chunk=8)
+        assert np.abs(sss_c - sss).max() <= 1e-6 * max(sss.max(), 1.0)
+        # basis sub-group
+        idx = [0, 3, 7, 9]
+        _, r_g = calc.calculate_dsf_self(kv, basis_atom_indices=idx)
+        _, s_g = calc.calculate_dsf_self_sharded(mesh, kv,
+                                                 basis_atom_indices=idx)
+        assert np.abs(s_g - r_g).max() <= 1e-5 * max(r_g.max(), 1.0)
+
 
 class TestNearestCommensurate:
     def test_snaps_to_box_lattice(self):

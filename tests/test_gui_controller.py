@@ -472,6 +472,18 @@ class TestKPathDSF:
         np.testing.assert_allclose(plane, s, rtol=1e-6)
         np.testing.assert_allclose(f, f2, rtol=1e-6)
 
+    def test_self_observable_matches_calculate_dsf_self(self, loaded):
+        from psa_tpu.ops.instantaneous import commensurate_kpath
+        k, f, plane = loaded.compute_kpath_dsf('x', n_k=12, bz_coverage=0.5,
+                                               observable='self')
+        calc = loaded.calculator
+        _, k_vecs = calc.get_k_path('x', bz_coverage=0.5, n_k=12)
+        k_vecs = commensurate_kpath(k_vecs, calc.traj.box_matrix)
+        f2, s_s = calc.calculate_dsf_self(k_vecs)
+        np.testing.assert_allclose(plane, s_s, rtol=1e-6)
+        np.testing.assert_allclose(f, f2, rtol=1e-6)
+        assert loaded.dsf.observable == 'self'
+
     def test_rejects_bad_observable_and_degenerate_path(self, loaded):
         with pytest.raises(ValueError, match="observable"):
             loaded.compute_kpath_dsf('x', n_k=8, bz_coverage=0.5,
