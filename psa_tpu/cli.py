@@ -262,9 +262,25 @@ def _run_dsf_section(calc, dsf_cfg, sed_cfg, out_dir: Path, eff_lat_param,
                 k_vecs, basis_atom_indices=basis_idx, max_freq=max_freq)
             arrays.update(freqs=freqs_s, s_self=s_self)
             planes['self'] = (s_self, 'S_s(k,ω)')
+        if 'sk' in observables:
+            arrays['sk'] = calc.calculate_sk(
+                k_vecs, basis_atom_indices=basis_idx)
         np.savez(out_dir / f"dsf_{d_lbl}.npz", **arrays)
 
+        if 'sk' in observables:
+            fig, ax = plt.subplots(figsize=(7, 5))
+            ax.plot(k_mags, arrays['sk'], 'o-')
+            ax.axhline(1.0, color='k', ls=':', lw=0.8)
+            ax.set_xlabel('k (2π/Å)')
+            ax.set_ylabel('S(k)')
+            ax.set_title(f"Static structure factor — {d_lbl}")
+            fig.savefig(out_dir / f"dsf_sk_{d_lbl}.png", dpi=200,
+                        bbox_inches='tight')
+            plt.close(fig)
+
         for obs in observables:
+            if obs == 'sk':
+                continue
             plane, sym = planes[obs]
             fig, ax = plt.subplots(figsize=(7, 5))
             shown = np.sqrt(np.maximum(plane, 0.0))

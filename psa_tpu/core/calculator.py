@@ -1240,11 +1240,30 @@ class SEDCalculator:
         if num_k == 0 or group_idx.size == 0:
             return freqs_kept, s_out, cl_out, ct_out
 
+        freq_idx_dev = jnp.asarray(freq_idx)
+        inv_n = 1.0 / float(group_idx.size)
+        for s, e, acc_re, acc_im, ku_chunk in self._dsf_mode_chunks(
+                group_idx, k_vectors_3d, k_chunk_size):
+            sp, cl, ct = instantaneous.dsf_reduce(
+                acc_re, acc_im, jnp.asarray(ku_chunk), freq_idx_dev, n_t)
+            s_out[:, s:e] = np.asarray(sp)[:, :e - s] * inv_n
+            cl_out[:, s:e] = np.asarray(cl)[:, :e - s] * inv_n
+            ct_out[:, s:e] = np.asarray(ct)[:, :e - s] * inv_n
+        return freqs_kept, s_out, cl_out, ct_out
+
+    def _dsf_mode_chunks(self, group_idx: np.ndarray, k_vectors_3d,
+                         k_chunk_size: int):
+        """Yield (s, e, acc_re, acc_im, ku_chunk) per k chunk: the
+        [ρ, j_x, j_y, j_z] instantaneous-mode stack accumulated over all
+        atom blocks of the group (device arrays, k-padded to ×64; only the
+        first ``n_frames`` time rows are real data).  Shared by
+        :meth:`calculate_dsf` and :meth:`calculate_sk`."""
+        n_t = self.traj.n_frames
+        num_k = len(k_vectors_3d)
         block = min(max(1, k_chunk_size), num_k)
         padded_block = ((block + 63) // 64) * 64
         atom_chunk, t_chunk = self._dsf_plan(padded_block)
         n_t_pad = ((n_t + t_chunk - 1) // t_chunk) * t_chunk
-        freq_idx_dev = jnp.asarray(freq_idx)
         k_unit = spectral.unit_k_vectors(k_vectors_3d)
         num_chunks = (num_k + block - 1) // block
         logger.info("DSF: %d k-points in %d chunks; atom_chunk=%d t_chunk=%d.",
@@ -1289,13 +1308,38 @@ class SEDCalculator:
                     acc_re, acc_im, jnp.asarray(pos_b), jnp.asarray(vel_b),
                     jnp.asarray(mask_b), k_dev, t_chunk,
                     precision=self.precision)
-            sp, cl, ct = instantaneous.dsf_reduce(
-                acc_re, acc_im, jnp.asarray(ku_chunk), freq_idx_dev, n_t)
-            inv_n = 1.0 / float(group_idx.size)
-            s_out[:, s:e] = np.asarray(sp)[:, :e - s] * inv_n
-            cl_out[:, s:e] = np.asarray(cl)[:, :e - s] * inv_n
-            ct_out[:, s:e] = np.asarray(ct)[:, :e - s] * inv_n
-        return freqs_kept, s_out, cl_out, ct_out
+            yield s, e, acc_re, acc_im, ku_chunk
+
+    def calculate_sk(self, k_vectors_3d: np.ndarray,
+                     basis_atom_indices=None, basis_atom_types=None,
+                     k_chunk_size: int = 512) -> np.ndarray:
+        """Static structure factor S(k) = ⟨|ρ_k(t)|²⟩_t / N, on device.
+
+        The equal-time pair-correlation observable of liquid-state theory:
+        Bragg peaks at reciprocal-lattice k for crystals, the structure of
+        the first sharp diffraction peak for liquids/glasses, S(k) → 1 at
+        large k for uncorrelated positions.  Equals Σ_ω S(k,ω) over ALL
+        frequency rows of :meth:`calculate_dsf` (Parseval) but skips the
+        FFT entirely.  k must be box-commensurate (snap with
+        :func:`psa_tpu.ops.instantaneous.nearest_commensurate`); group
+        semantics as in :meth:`calculate_dsf`.
+
+        Returns:
+            S: (n_k,) float32.
+        """
+        n_t = self.traj.n_frames
+        self._dsf_commensurate_warn(k_vectors_3d)
+        group_idx = self._dsf_union_group(basis_atom_indices, basis_atom_types)
+        num_k = len(k_vectors_3d)
+        out = np.zeros(num_k, dtype=np.float32)
+        if num_k == 0 or group_idx.size == 0:
+            return out
+        inv_n = 1.0 / float(group_idx.size)
+        for s, e, acc_re, acc_im, _ in self._dsf_mode_chunks(
+                group_idx, k_vectors_3d, k_chunk_size):
+            sk = instantaneous.sk_reduce(acc_re, acc_im, n_t)
+            out[s:e] = np.asarray(sk)[:e - s] * inv_n
+        return out
 
     def calculate_dsf_self(self, k_vectors_3d: np.ndarray,
                            basis_atom_indices=None, basis_atom_types=None,

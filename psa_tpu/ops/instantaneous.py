@@ -52,8 +52,8 @@ from .spectral import _accurate_angles, resolve_precision
 
 __all__ = [
     'instant_modes_scan', 'accumulate_instant_modes', 'dsf_reduce',
-    'dsf_self_block', 'nearest_commensurate', 'commensurate_kpath',
-    'commensurate_deviation',
+    'sk_reduce', 'dsf_self_block', 'nearest_commensurate',
+    'commensurate_kpath', 'commensurate_deviation',
 ]
 
 
@@ -245,6 +245,24 @@ def dsf_reduce(f_re: jnp.ndarray, f_im: jnp.ndarray, k_unit: jnp.ndarray,
     c_t = jnp.maximum(total - c_l, 0.0)                       # Cauchy-Schwarz
     return (s_plane.astype(jnp.float32), c_l.astype(jnp.float32),
             c_t.astype(jnp.float32))
+
+
+@functools.partial(jax.jit, static_argnames=('n_t',))
+def sk_reduce(f_re: jnp.ndarray, f_im: jnp.ndarray, n_t: int) -> jnp.ndarray:
+    """Accumulated mode stack → static structure factor S(k) = ⟨|ρ_k|²⟩_t.
+
+    Args:
+        f_re, f_im: (n_t_padded, K, 4) f32 accumulated modes (channel 0 is
+            the density mode ρ); only the first ``n_t`` rows are real data.
+        n_t: true number of frames.
+
+    Returns:
+        (K,) f32 — ⟨|ρ_k(t)|²⟩_t, still missing the caller's 1/N factor.
+        Equals Σ_ω S(k,ω) over ALL frequency rows (Parseval).
+    """
+    rho_re = f_re[:n_t, :, 0]
+    rho_im = f_im[:n_t, :, 0]
+    return jnp.mean(rho_re ** 2 + rho_im ** 2, axis=0).astype(jnp.float32)
 
 
 @jax.jit

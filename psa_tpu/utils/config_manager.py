@@ -201,11 +201,12 @@ class ConfigManager:
         ds = cfg.get('dsf', {})
         if ds.get('apply'):
             obs = ds.get('observables') or []
-            bad = set(obs) - {'total', 'longitudinal', 'transverse', 'self'}
+            bad = set(obs) - {'total', 'longitudinal', 'transverse', 'self',
+                              'sk'}
             if not obs or bad:
                 raise ValueError(
                     "dsf.observables must be a non-empty subset of "
-                    "'total'/'longitudinal'/'transverse'/'self'; got "
+                    "'total'/'longitudinal'/'transverse'/'self'/'sk'; got "
                     f"{obs!r}.")
             dirs = ds.get('directions')
             if dirs is not None and (not isinstance(dirs, list) or not dirs):

@@ -243,7 +243,7 @@ def test_cli_dsf_section(workdir):
         'sed_calculation': {'directions': ['x'], 'n_kpoints': 8,
                             'bz_coverage': 0.5},
         'dsf': {'apply': True, 'max_freq': 8.0,
-                'observables': ['total', 'longitudinal', 'self']},
+                'observables': ['total', 'longitudinal', 'self', 'sk']},
     }
     cfg = tmp_path / "dsf.yaml"
     cfg.write_text(yaml.dump(config))
@@ -259,9 +259,13 @@ def test_cli_dsf_section(workdir):
     box_l = 12 * 2.5
     m = z['k_vectors'][:, 0] * box_l / (2 * np.pi)
     np.testing.assert_allclose(m, np.round(m), atol=1e-5)
-    for obs in ('total', 'longitudinal', 'self'):
+    for obs in ('total', 'longitudinal', 'self', 'sk'):
         assert (out / f"dsf_{obs}_x.png").exists()
     assert not (out / "dsf_transverse_x.png").exists()
+    # static structure factor: one value per k, and Parseval ties it to the
+    # full-frequency integral of S(k,ω) (only ω>=0 rows are saved here, so
+    # just check shape/positivity at this level; physics pinned in test_dsf)
+    assert z['sk'].shape == (n_k,) and np.all(z['sk'] >= 0)
 
     # invalid observable is rejected at config validation
     config['dsf']['observables'] = ['density']

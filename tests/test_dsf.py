@@ -197,6 +197,105 @@ class TestPhysics:
         assert np.abs(got - inten).max() <= 2e-3 * inten.max()
 
 
+class TestStaticStructureFactor:
+    def test_matches_f64_oracle_and_parseval(self):
+        rng = np.random.default_rng(9)
+        n_t, n_a = 24, 11
+        pos = rng.uniform(0, 9, (n_t, n_a, 3)).astype(np.float32)
+        traj = _traj(pos, rng.normal(size=(n_t, n_a, 3)).astype(np.float32),
+                     box_edge=9.0)
+        calc = SEDCalculator(traj, nx=1, ny=1, nz=1)
+        kv = instantaneous.nearest_commensurate(
+            rng.uniform(-2, 2, (5, 3)).astype(np.float32), traj.box_lengths)
+        sk = calc.calculate_sk(kv)
+        ang = np.einsum('tac,kc->tak', pos.astype(np.float64),
+                        kv.astype(np.float64))
+        rho = np.exp(1j * ang).sum(axis=1)
+        oracle = (np.abs(rho) ** 2).mean(axis=0) / n_a
+        np.testing.assert_allclose(sk, oracle, rtol=1e-5)
+        # Parseval: equals Σ over ALL ω rows of S(k,ω) = Σ_{ω≥0} + Σ_{ω<0}
+        freqs_all = spectral.fftfreq_thz(n_t, traj.dt_ps)
+        _, s_plane, _, _ = calc.calculate_dsf(kv)
+        neg = dsf_oracle(pos, np.zeros_like(pos), kv)[0][freqs_all < 0]
+        np.testing.assert_allclose(sk, s_plane.sum(axis=0) + neg.sum(axis=0),
+                                   rtol=1e-4)
+
+    def test_bragg_and_ideal_gas_limits(self):
+        """Static crystal: S(G) = N, destructive k ≈ 0; uncorrelated
+        uniform positions: S(k) ≈ 1 at box-commensurate k ≠ 0."""
+        a0, n_cells, n_t = 2.0, 8, 8
+        pos0 = np.zeros((n_cells, 3))
+        pos0[:, 0] = np.arange(n_cells) * a0
+        pos = np.broadcast_to(pos0, (n_t, n_cells, 3)).copy()
+        traj = _traj(pos, np.zeros_like(pos), box_edge=n_cells * a0)
+        calc = SEDCalculator(traj, nx=n_cells, ny=1, nz=1)
+        g = 2 * np.pi / a0
+        kv = np.array([[g, 0, 0], [2 * np.pi * 3 / (n_cells * a0), 0, 0]],
+                      dtype=np.float32)
+        sk = calc.calculate_sk(kv)
+        assert abs(sk[0] - n_cells) <= 1e-4 * n_cells
+        assert sk[1] <= 1e-6 * n_cells
+        # ideal gas: fresh uniform positions every frame
+        rng = np.random.default_rng(3)
+        n_t2, n_a = 512, 400
+        L = 20.0
+        posg = rng.uniform(0, L, (n_t2, n_a, 3)).astype(np.float32)
+        trajg = _traj(posg, np.zeros_like(posg), box_edge=L)
+        calcg = SEDCalculator(trajg, nx=1, ny=1, nz=1)
+        kvg = instantaneous.nearest_commensurate(
+            np.array([[1.0, 0.6, 0], [2.0, 0, 1.2]], np.float32),
+            trajg.box_lengths)
+        skg = calcg.calculate_sk(kvg)
+        # |ρ|²/N per frame has O(1) relative variance; 512 independent
+        # frames → ~4.4% standard error
+        np.testing.assert_allclose(skg, 1.0, atol=0.2)
+
+    def test_group_selection(self):
+        rng = np.random.default_rng(5)
+        n_t, n_a = 12, 10
+        pos = rng.uniform(0, 8, (n_t, n_a, 3)).astype(np.float32)
+        traj = _traj(pos, np.zeros_like(pos), box_edge=8.0)
+        calc = SEDCalculator(traj, nx=1, ny=1, nz=1)
+        kv = np.array([[0.9, 0.2, -0.5]], np.float32)
+        idx = [1, 4, 8]
+        sk = calc.calculate_sk(kv, basis_atom_indices=idx)
+        ang = np.einsum('tac,kc->tak', pos[:, idx].astype(np.float64),
+                        kv.astype(np.float64))
+        rho = np.exp(1j * ang).sum(axis=1)
+        oracle = (np.abs(rho) ** 2).mean(axis=0) / len(idx)
+        np.testing.assert_allclose(sk, oracle, rtol=1e-5)
+
+
+class TestSelfDiffusionOracle:
+    def test_quasielastic_width_recovers_diffusion_constant(self):
+        """Brownian particles with a KNOWN diffusion constant D: the self
+        intermediate scattering function is F_s(k, n) = exp(-k²·D·dt·n), so
+        the ω = 0 value of the (Σ_ω = 1)-normalized S_s pins the decay rate
+        λ = k²·D·dt exactly:  n_t·S_s(k, 0) = (1+e^{-λ})/(1−e^{-λ}).
+        Inverting per k must recover D — the liquid-dynamics use case."""
+        rng = np.random.default_rng(11)
+        n_t, n_a = 2048, 256
+        d_true, dt_ps = 0.5, 0.1                   # Å²/ps, ps
+        sigma = np.sqrt(2 * d_true * dt_ps)
+        steps = rng.normal(0, sigma, (n_t, n_a, 3))
+        pos = np.cumsum(steps, axis=0).astype(np.float32)
+        traj = _traj(pos, np.zeros_like(pos), box_edge=50.0, dt_ps=dt_ps)
+        calc = SEDCalculator(traj, nx=1, ny=1, nz=1)
+        kv = instantaneous.nearest_commensurate(
+            np.array([[0.5, 0, 0], [0.75, 0, 0], [1.0, 0, 0]], np.float32),
+            traj.box_lengths)
+        freqs, s_s = calc.calculate_dsf_self(kv)
+        assert freqs[0] == 0.0
+        s0n = n_t * s_s[0].astype(np.float64)      # n_t · S_s(k, ω=0)
+        q = (s0n - 1.0) / (s0n + 1.0)              # e^{-λ}
+        lam = -np.log(q)
+        d_est = lam / (kv[:, 0].astype(np.float64) ** 2 * dt_ps)
+        # periodogram noise averages over 256 atoms (~6% at ω=0)
+        np.testing.assert_allclose(d_est, d_true, rtol=0.15)
+        # and the estimates tighten when pooled over the three k
+        assert abs(d_est.mean() - d_true) < 0.08 * d_true
+
+
 class TestSharded:
     """Mesh form vs the single-chip path on the 8-device virtual mesh."""
 
