@@ -2085,6 +2085,31 @@ class SEDCalculator:
                                atom_chunk=atom_chunk)
         return freqs_kept, s_s
 
+    def calculate_sk_sharded(self, mesh, k_vectors_3d: np.ndarray,
+                             basis_atom_indices=None, basis_atom_types=None,
+                             t_superchunk: Optional[int] = None) -> np.ndarray:
+        """:meth:`calculate_sk` over a (t, a, k) device mesh.
+
+        Only positions stream (time-superchunked) and only the density
+        mode accumulates — half the traffic and a quarter of the
+        accumulate FLOPs of :meth:`calculate_dsf_sharded`, with no FFT in
+        the reduction.  Returns the (n_k,) float32 S(k) host array.
+        """
+        from ..parallel.sharded import sharded_sk
+        self._dsf_commensurate_warn(k_vectors_3d)
+        group_idx = self._dsf_union_group(basis_atom_indices,
+                                          basis_atom_types)
+        if len(k_vectors_3d) == 0 or group_idx.size == 0:
+            return np.zeros(len(k_vectors_3d), dtype=np.float32)
+        weights = None
+        if group_idx.size != self.traj.n_atoms or not np.array_equal(
+                group_idx, np.arange(self.traj.n_atoms)):
+            weights = np.zeros(self.traj.n_atoms, dtype=np.float32)
+            weights[group_idx] = 1.0
+        return sharded_sk(mesh, self.traj.positions, k_vectors_3d,
+                          precision=self.precision,
+                          t_superchunk=t_superchunk, atom_weights=weights)
+
     def calculate_dos(self, basis_atom_indices=None, basis_atom_types=None,
                       max_freq: Optional[float] = None,
                       atom_chunk_size: Optional[int] = None):

@@ -51,8 +51,8 @@ from jax import lax
 from .spectral import _accurate_angles, resolve_precision
 
 __all__ = [
-    'instant_modes_scan', 'accumulate_instant_modes', 'dsf_reduce',
-    'sk_reduce', 'dsf_self_block', 'nearest_commensurate',
+    'instant_modes_scan', 'density_modes_scan', 'accumulate_instant_modes',
+    'dsf_reduce', 'sk_reduce', 'dsf_self_block', 'nearest_commensurate',
     'commensurate_kpath', 'commensurate_deviation',
 ]
 
@@ -200,6 +200,48 @@ def instant_modes_scan(pos: jnp.ndarray, vel: jnp.ndarray,
     _, (re, im) = lax.scan(body, None, jnp.arange(n_steps))
     k = k_vectors.shape[0]
     return re.reshape(n_t, k, 4), im.reshape(n_t, k, 4)
+
+
+@functools.partial(jax.jit, static_argnames=('t_chunk', 'precision'))
+def density_modes_scan(pos: jnp.ndarray, mask: jnp.ndarray,
+                       k_vectors: jnp.ndarray, t_chunk: int,
+                       precision: str = 'parity'
+                       ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Density mode ρ_k(t) only — the S(k) path needs no velocities.
+
+    Identical contraction to :func:`instant_modes_scan`'s channel 0 (same
+    dot_general, same precision), so the static-structure-factor pipeline
+    is bit-compatible with the DSF density channel at 1/4 the accumulate
+    FLOPs and half the host→device traffic (no velocity stream).
+
+    Returns:
+        (re, im): (n_t, K, 1) f32 — trailing channel dim kept so the
+        sharded superchunk plumbing (buffers, row writes) is shared with
+        the 4-channel DSF stack.
+    """
+    prec = resolve_precision(precision)
+    n_t = pos.shape[0]
+    n_steps = n_t // t_chunk
+
+    def body(_, i):
+        p = lax.dynamic_slice_in_dim(pos, i * t_chunk, t_chunk, axis=0)
+        ang = _instant_angles(p, k_vectors)                   # (tc, A, K)
+        c, s = jnp.cos(ang), jnp.sin(ang)
+        w = jnp.broadcast_to(mask[None, :, None],
+                             (p.shape[0], mask.shape[0], 1))
+        f_re = lax.dot_general(w, c, (((1,), (1,)), ((0,), (0,))),
+                               precision=prec,
+                               preferred_element_type=jnp.float32)
+        f_im = lax.dot_general(w, s, (((1,), (1,)), ((0,), (0,))),
+                               precision=prec,
+                               preferred_element_type=jnp.float32)
+        # dot_general batch layout: (tc, 1, K) -> (tc, K, 1)
+        return None, (jnp.transpose(f_re, (0, 2, 1)),
+                      jnp.transpose(f_im, (0, 2, 1)))
+
+    _, (re, im) = lax.scan(body, None, jnp.arange(n_steps))
+    k = k_vectors.shape[0]
+    return re.reshape(n_t, k, 1), im.reshape(n_t, k, 1)
 
 
 @functools.partial(jax.jit, donate_argnums=(0, 1),

@@ -1,8 +1,10 @@
 """Multi-device sharding: mesh construction, sharded SED sweeps."""
 from .sharded import (ArrayBlockSource, BlockSource, DumpBlockSource,
                       TiledBlockSource, make_mesh, mesh_shape_for,
-                      sharded_dsf, sharded_dsf_self, sharded_sed_spectrum)
+                      sharded_dsf, sharded_dsf_self, sharded_sed_spectrum,
+                      sharded_sk)
 
 __all__ = ["ArrayBlockSource", "BlockSource", "DumpBlockSource",
            "TiledBlockSource", "make_mesh", "mesh_shape_for",
-           "sharded_dsf", "sharded_dsf_self", "sharded_sed_spectrum"]
+           "sharded_dsf", "sharded_dsf_self", "sharded_sed_spectrum",
+           "sharded_sk"]

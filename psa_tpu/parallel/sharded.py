@@ -873,6 +873,81 @@ def _dsf_reduce_step(mesh: Mesh):
         out_specs=(P(None, AXIS_K),) * 3, check_vma=False))
 
 
+def _round_t_superchunk(n_t: int, t_sh: int,
+                        t_superchunk: Optional[int]) -> int:
+    """Round a requested time-superchunk to a multiple of the t mesh extent
+    that divides n_t (falling back to the whole axis)."""
+    if t_superchunk is None or t_superchunk >= n_t:
+        return n_t
+    t_superchunk = max(t_sh, -(-t_superchunk // t_sh) * t_sh)
+    while n_t % t_superchunk and t_superchunk > t_sh:
+        t_superchunk -= t_sh
+    return n_t if n_t % t_superchunk else t_superchunk
+
+
+def _accumulate_modes_superchunks(mesh: Mesh, sources, modes, mask_dev,
+                                  k_dev, n_t: int, t_superchunk: int,
+                                  n_atoms_p: int, k_pad_rows: int,
+                                  n_ch: int, prefetch: bool):
+    """Run an instantaneous-modes step over time-superchunks, accumulating
+    the (n_t, K_pad, n_ch) k-sharded mode buffers.
+
+    ``sources``: tuple of BlockSources streamed in LOCKSTEP (positions, or
+    positions+velocities); ``modes`` is called as
+    ``modes(*superchunk_arrays, mask_dev, k_dev)`` and must return the
+    (T, K/k, n_ch) (re, im) pair.  Double-buffered host prefetch with the
+    same value-dependent backpressure fence as the SED sweep.
+    """
+    starts = list(range(0, n_t, t_superchunk))
+    if len(starts) == 1:
+        chunks = tuple(_superchunk_array(mesh, s, 0, n_t, n_atoms_p)
+                       for s in sources)
+        return modes(*chunks, mask_dev, k_dev)
+
+    write_rows = _write_rows_step(mesh)
+    # the global mode buffer is (n_t, K_pad, n_ch), k-sharded
+    make_zeros = jax.jit(
+        functools.partial(jnp.zeros, (n_t, k_pad_rows, n_ch), jnp.float32),
+        out_shardings=NamedSharding(mesh, P(None, AXIS_K, None)))
+    f_re, f_im = make_zeros(), make_zeros()
+
+    next_chunk = [None, None]
+
+    def load(t0):
+        return tuple(_superchunk_array(mesh, s, t0, t0 + t_superchunk,
+                                       n_atoms_p) for s in sources)
+
+    def load_async(t0):
+        def run():
+            try:
+                next_chunk[:] = [None, load(t0)]
+            except BaseException as e:   # noqa: BLE001 — re-raised below
+                next_chunk[:] = [e, None]
+        th = threading.Thread(target=run, daemon=True)
+        th.start()
+        return th
+
+    chunk = load(starts[0])
+    for i, t0 in enumerate(starts):
+        loader = (load_async(starts[i + 1])
+                  if prefetch and i + 1 < len(starts) else None)
+        re_c, im_c = modes(*chunk, mask_dev, k_dev)
+        f_re = write_rows(f_re, re_c, t0)
+        f_im = write_rows(f_im, im_c, t0)
+        # same value-dependent backpressure fence as the SED sweep
+        np.asarray(f_im[0, 0, 0])
+        if loader is not None:
+            loader.join()
+            if next_chunk[0] is not None:
+                raise RuntimeError(
+                    f"prefetch of superchunk t0={starts[i + 1]} failed"
+                ) from next_chunk[0]
+            chunk = next_chunk[1]
+        elif i + 1 < len(starts):
+            chunk = load(starts[i + 1])
+    return f_re, f_im
+
+
 def _dsf_t_chunk(local_t: int, local_a: int, local_k: int,
                  budget_elems: int = 1 << 26) -> int:
     """Largest divisor of the local time extent whose (t, a, k) angle tile
@@ -933,14 +1008,7 @@ def sharded_dsf(mesh: Mesh, positions, velocities, k_vectors: np.ndarray,
     if n_t % t_sh:
         raise ValueError(f"time axis ({n_t}) must divide evenly over the t "
                          f"mesh axis ({t_sh})")
-    if t_superchunk is None or t_superchunk >= n_t:
-        t_superchunk = n_t
-    else:
-        t_superchunk = max(t_sh, -(-t_superchunk // t_sh) * t_sh)
-        while n_t % t_superchunk and t_superchunk > t_sh:
-            t_superchunk -= t_sh
-        if n_t % t_superchunk:
-            t_superchunk = n_t
+    t_superchunk = _round_t_superchunk(n_t, t_sh, t_superchunk)
 
     n_atoms_p = -(-n_atoms // a_sh) * a_sh
     k_p = _pad_rows(np.asarray(k_vectors, dtype=np.float32), k_sh)
@@ -964,55 +1032,9 @@ def sharded_dsf(mesh: Mesh, positions, velocities, k_vectors: np.ndarray,
                            k_p.shape[0] // k_sh)
     modes = _instant_modes_step(mesh, t_chunk, precision)
 
-    starts = list(range(0, n_t, t_superchunk))
-    if len(starts) == 1:
-        pos0 = _superchunk_array(mesh, pos_src, 0, n_t, n_atoms_p)
-        vel0 = _superchunk_array(mesh, vel_src, 0, n_t, n_atoms_p)
-        f_re, f_im = modes(pos0, vel0, mask_dev, k_dev)
-    else:
-        write_rows = _write_rows_step(mesh)
-        # the global mode buffer is (n_t, K_pad, 4), k-sharded
-        make_zeros = jax.jit(
-            functools.partial(jnp.zeros, (n_t, k_p.shape[0], 4), jnp.float32),
-            out_shardings=NamedSharding(mesh, P(None, AXIS_K, None)))
-        f_re, f_im = make_zeros(), make_zeros()
-
-        next_chunk = [None, None]
-
-        def load(t0):
-            return (_superchunk_array(mesh, pos_src, t0, t0 + t_superchunk,
-                                      n_atoms_p),
-                    _superchunk_array(mesh, vel_src, t0, t0 + t_superchunk,
-                                      n_atoms_p))
-
-        def load_async(t0):
-            def run():
-                try:
-                    next_chunk[:] = [None, load(t0)]
-                except BaseException as e:   # noqa: BLE001 — re-raised below
-                    next_chunk[:] = [e, None]
-            th = threading.Thread(target=run, daemon=True)
-            th.start()
-            return th
-
-        chunk = load(starts[0])
-        for i, t0 in enumerate(starts):
-            loader = (load_async(starts[i + 1])
-                      if prefetch and i + 1 < len(starts) else None)
-            re_c, im_c = modes(chunk[0], chunk[1], mask_dev, k_dev)
-            f_re = write_rows(f_re, re_c, t0)
-            f_im = write_rows(f_im, im_c, t0)
-            # same value-dependent backpressure fence as the SED sweep
-            np.asarray(f_im[0, 0, 0])
-            if loader is not None:
-                loader.join()
-                if next_chunk[0] is not None:
-                    raise RuntimeError(
-                        f"prefetch of superchunk t0={starts[i + 1]} failed"
-                    ) from next_chunk[0]
-                chunk = next_chunk[1]
-            elif i + 1 < len(starts):
-                chunk = load(starts[i + 1])
+    f_re, f_im = _accumulate_modes_superchunks(
+        mesh, (pos_src, vel_src), modes, mask_dev, k_dev, n_t, t_superchunk,
+        n_atoms_p, k_p.shape[0], 4, prefetch)
 
     idx = jax.device_put(np.asarray(freq_indices, dtype=np.int32),
                          NamedSharding(mesh, P(None)))
@@ -1028,6 +1050,104 @@ def sharded_dsf(mesh: Mesh, positions, velocities, k_vectors: np.ndarray,
     inv = 1.0 / max(norm, 1.0)
     return (fetch(s_p)[:, :n_k] * inv, fetch(cl_p)[:, :n_k] * inv,
             fetch(ct_p)[:, :n_k] * inv)
+
+
+@functools.lru_cache(maxsize=None)
+def _density_modes_step(mesh: Mesh, t_chunk: int, precision: str):
+    """Density-only modes over the (t, a) shards — the S(k) pipeline.
+
+    Same collective pattern as :func:`_instant_modes_step` (psum over atom
+    shards, tiled all_gather over time), but the kernel contracts a single
+    channel (ops.instantaneous.density_modes_scan): no velocity input, 1/4
+    the accumulate FLOPs of the 4-channel DSF stack."""
+    from ..ops import instantaneous
+
+    def fn(pos_l, mask_l, k_l):
+        re, im = instantaneous.density_modes_scan(
+            pos_l, mask_l, k_l, t_chunk, precision=precision)
+        re = lax.psum(re, AXIS_A)
+        im = lax.psum(im, AXIS_A)
+        re = lax.all_gather(re, AXIS_T, axis=0, tiled=True)
+        im = lax.all_gather(im, AXIS_T, axis=0, tiled=True)
+        return re, im                                   # (T, K/k, 1)
+
+    return jax.jit(jax.shard_map(
+        fn, mesh=mesh,
+        in_specs=(P(AXIS_T, AXIS_A, None), P(AXIS_A), P(AXIS_K, None)),
+        out_specs=(P(None, AXIS_K, None),) * 2, check_vma=False))
+
+
+@functools.lru_cache(maxsize=None)
+def _sk_reduce_step(mesh: Mesh):
+    """⟨|ρ_k|²⟩_t inside the k shard (no collectives, no FFT)."""
+    def fn(re_l, im_l):                                 # (n_t, K/k, 1)
+        rho_re, rho_im = re_l[:, :, 0], im_l[:, :, 0]
+        return jnp.mean(rho_re ** 2 + rho_im ** 2,
+                        axis=0).astype(jnp.float32)
+
+    return jax.jit(jax.shard_map(
+        fn, mesh=mesh, in_specs=(P(None, AXIS_K, None),) * 2,
+        out_specs=P(AXIS_K), check_vma=False))
+
+
+def sharded_sk(mesh: Mesh, positions, k_vectors: np.ndarray,
+               precision: str = 'parity',
+               t_superchunk: Optional[int] = None, prefetch: bool = True,
+               atom_weights: Optional[np.ndarray] = None) -> np.ndarray:
+    """Static structure factor S(k) = ⟨|ρ_k(t)|²⟩_t / Σw over a device mesh.
+
+    The pod form of :meth:`SEDCalculator.calculate_sk`: only POSITIONS
+    stream (time-superchunked when ``t_superchunk`` bounds residency) and
+    only the density mode accumulates — half the host→device traffic and a
+    quarter of the accumulate FLOPs of :func:`sharded_dsf`, with no FFT at
+    all in the reduction.  Arguments as in :func:`sharded_dsf`.
+
+    Returns:
+        S: (n_k,) float32 host array, normalized by Σ atom_weights.
+    """
+    pos_src = _as_source(positions)
+    if (isinstance(positions, np.memmap)
+            or not isinstance(positions, (jnp.ndarray, np.ndarray))):
+        from ..utils.host_alloc import enable_arena_reuse
+        enable_arena_reuse()
+    n_t, n_atoms = pos_src.n_frames, pos_src.n_atoms
+    n_k = k_vectors.shape[0]
+    t_sh, a_sh, k_sh = (mesh.shape[AXIS_T], mesh.shape[AXIS_A],
+                        mesh.shape[AXIS_K])
+    if n_t % t_sh:
+        raise ValueError(f"time axis ({n_t}) must divide evenly over the t "
+                         f"mesh axis ({t_sh})")
+    t_superchunk = _round_t_superchunk(n_t, t_sh, t_superchunk)
+
+    n_atoms_p = -(-n_atoms // a_sh) * a_sh
+    k_p = _pad_rows(np.asarray(k_vectors, dtype=np.float32), k_sh)
+    k_dev = jax.device_put(k_p, NamedSharding(mesh, P(AXIS_K, None)))
+
+    if atom_weights is None:
+        w = np.ones(n_atoms, dtype=np.float32)
+    else:
+        w = np.asarray(atom_weights, dtype=np.float32)
+        if w.shape != (n_atoms,):
+            raise ValueError(f"atom_weights must be ({n_atoms},), got {w.shape}")
+    norm = float(w.sum())
+    mask_dev = jax.device_put(_pad_rows(w, a_sh),
+                              NamedSharding(mesh, P(AXIS_A)))
+
+    local_t = t_superchunk // t_sh
+    t_chunk = _dsf_t_chunk(local_t, n_atoms_p // a_sh, k_p.shape[0] // k_sh)
+    modes = _density_modes_step(mesh, t_chunk, precision)
+
+    f_re, f_im = _accumulate_modes_superchunks(
+        mesh, (pos_src,), modes, mask_dev, k_dev, n_t, t_superchunk,
+        n_atoms_p, k_p.shape[0], 1, prefetch)
+    sk_p = _sk_reduce_step(mesh)(f_re, f_im)
+
+    if jax.process_count() > 1 and not sk_p.is_fully_addressable:
+        from jax.experimental import multihost_utils
+        sk = np.asarray(multihost_utils.process_allgather(sk_p, tiled=True))
+    else:
+        sk = np.asarray(sk_p)
+    return sk[:n_k] / max(norm, 1.0)
 
 
 @functools.lru_cache(maxsize=None)

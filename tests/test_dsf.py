@@ -347,6 +347,23 @@ class TestSharded:
         _, ss, _, _ = calc.calculate_dsf_sharded(mesh, kv)
         assert np.abs(ss - rs).max() <= 1e-5 * max(rs.max(), 1.0)
 
+    def test_sk_matches_single_chip(self):
+        """S(k) over the mesh (density-only stream, no FFT) must reproduce
+        the single-chip value, incl. streamed superchunks and basis
+        selection."""
+        from psa_tpu.parallel import make_mesh
+        calc, kv = self._chain()
+        mesh = make_mesh(shape=(2, 2, 2))
+        want = calc.calculate_sk(kv)
+        got = calc.calculate_sk_sharded(mesh, kv)
+        np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-6)
+        got_stream = calc.calculate_sk_sharded(mesh, kv, t_superchunk=16)
+        np.testing.assert_allclose(got_stream, want, rtol=1e-5, atol=1e-6)
+        idx = list(range(0, 12, 3))
+        want_g = calc.calculate_sk(kv, basis_atom_indices=idx)
+        got_g = calc.calculate_sk_sharded(mesh, kv, basis_atom_indices=idx)
+        np.testing.assert_allclose(got_g, want_g, rtol=1e-5, atol=1e-6)
+
     def test_self_matches_single_chip(self):
         """S_s over the mesh: atoms shard over the combined (t, a) axes,
         k stripes data-parallel; must reproduce the single-chip planes
