@@ -64,6 +64,16 @@ print(f"S_s planes: {s_s.shape} (Σ_ω≥0 ≈ {s_s.sum(axis=0).round(3)})")
 sk = calc.calculate_sk(kv)
 print(f"S(k) = {sk.round(3)}  (ideal-gas limit: 1)")
 
+# time-domain route: the self intermediate scattering function decays as
+# F_s(k,τ) = exp(−k²·D·τ) for Fickian diffusion
+lags, f_s = calc.calculate_isf_self(kv, n_lags=50)
+k2 = kv[:, 0].astype(np.float64) ** 2
+slopes = [np.polyfit(lags[1:30], np.log(np.maximum(f_s[1:30, j], 1e-6)), 1)[0]
+          for j in range(len(kv))]
+d_isf = -np.asarray(slopes) / k2
+print(f"pooled D̂ from F_s decay = {d_isf.mean():.3f} Å²/ps")
+assert abs(d_isf.mean() - D_TRUE) < 0.1 * D_TRUE
+
 # --- invert the quasi-elastic peak for D per k -----------------------------
 s0n = N_T * s_s[0].astype(np.float64)          # n_t · S_s(k, ω=0)
 lam = -np.log((s0n - 1.0) / (s0n + 1.0))       # k²·D·dt

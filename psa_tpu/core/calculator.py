@@ -1341,6 +1341,97 @@ class SEDCalculator:
             out[s:e] = np.asarray(sk)[:e - s] * inv_n
         return out
 
+    def _isf_lags(self, n_lags: Optional[int]) -> int:
+        n_t = self.traj.n_frames
+        if n_lags is None:
+            n_lags = n_t // 2          # beyond n_t/2 the overlap statistics thin out
+        return int(np.clip(n_lags, 1, n_t))
+
+    def calculate_isf(self, k_vectors_3d: np.ndarray,
+                      basis_atom_indices=None, basis_atom_types=None,
+                      n_lags: Optional[int] = None,
+                      k_chunk_size: int = 512):
+        """Coherent intermediate scattering function F(k,τ), on device.
+
+        F(k,τ) = ⟨ρ_k(t')* ρ_k(t'+τ)⟩_{t'} / N — the time-domain companion
+        of :meth:`calculate_dsf` (its FFT over τ) and the central
+        relaxation observable of liquids and glasses (α-relaxation decay,
+        plateau heights/non-ergodicity factors).  F(k,0) = S(k) exactly;
+        linear (non-circular) autocorrelation with per-lag overlap
+        normalization; the real part is returned.  k must be
+        box-commensurate; group semantics as in :meth:`calculate_dsf`.
+
+        Args:
+            n_lags: τ rows returned (default n_t // 2).
+
+        Returns:
+            (lags_ps (n_lags,), F (n_lags, n_k) float32) — τ in ps.
+        """
+        n_t = self.traj.n_frames
+        self._dsf_commensurate_warn(k_vectors_3d)
+        group_idx = self._dsf_union_group(basis_atom_indices, basis_atom_types)
+        n_lags = self._isf_lags(n_lags)
+        lags_ps = np.arange(n_lags, dtype=np.float32) * float(self.dt_ps)
+        num_k = len(k_vectors_3d)
+        out = np.zeros((n_lags, num_k), dtype=np.float32)
+        if num_k == 0 or group_idx.size == 0:
+            return lags_ps, out
+        inv_n = 1.0 / float(group_idx.size)
+        for s, e, acc_re, acc_im, _ in self._dsf_mode_chunks(
+                group_idx, k_vectors_3d, k_chunk_size):
+            f = instantaneous.isf_reduce(acc_re, acc_im, n_t, n_lags)
+            out[:, s:e] = np.asarray(f)[:, :e - s] * inv_n
+        return lags_ps, out
+
+    def calculate_isf_self(self, k_vectors_3d: np.ndarray,
+                           basis_atom_indices=None, basis_atom_types=None,
+                           n_lags: Optional[int] = None,
+                           k_chunk_size: int = 256):
+        """Self intermediate scattering function F_s(k,τ), on device.
+
+        F_s(k,τ) = (1/N)Σ_a ⟨e^{i k·(r_a(t'+τ) − r_a(t'))}⟩_{t'} — the
+        single-particle relaxation function (F_s(k,0) = 1; for Fickian
+        diffusion F_s = e^{−k²·D·τ}, the direct time-domain route to D).
+        Per-atom FFT autocorrelation needs the full time axis, so atoms
+        tile in chunks as in :meth:`calculate_dsf_self`.
+
+        Returns:
+            (lags_ps (n_lags,), F_s (n_lags, n_k) float32).
+        """
+        n_t = self.traj.n_frames
+        self._dsf_commensurate_warn(k_vectors_3d)
+        group_idx = self._dsf_union_group(basis_atom_indices, basis_atom_types)
+        n_lags = self._isf_lags(n_lags)
+        lags_ps = np.arange(n_lags, dtype=np.float32) * float(self.dt_ps)
+        num_k = len(k_vectors_3d)
+        out = np.zeros((n_lags, num_k), dtype=np.float32)
+        if num_k == 0 or group_idx.size == 0:
+            return lags_ps, out
+
+        block = min(max(1, k_chunk_size), num_k)
+        padded_block = ((block + 63) // 64) * 64
+        # the padded complex (2·n_t, A, K) spectrum resides per block
+        budget = max(1 << 24, int(self.max_device_bytes) // 4)
+        fft_len = instantaneous._autocorr_fft_len(n_t)
+        atom_chunk = int(np.clip(
+            budget // max(1, 16 * fft_len * padded_block),
+            1, max(1, group_idx.size)))
+        num_chunks = (num_k + block - 1) // block
+        logger.info("ISF-self: %d k-points in %d chunks; atom_chunk=%d.",
+                    num_k, num_chunks, atom_chunk)
+
+        for ci in range(num_chunks):
+            s, e = ci * block, min((ci + 1) * block, num_k)
+            k_chunk = np.zeros((padded_block, 3), dtype=np.float32)
+            k_chunk[:e - s] = np.asarray(k_vectors_3d[s:e], dtype=np.float32)
+            k_dev = jnp.asarray(k_chunk)
+            acc = np.zeros((n_lags, padded_block), dtype=np.float32)
+            for pos, _, mask in self._dsf_blocks(group_idx, atom_chunk):
+                acc += np.asarray(instantaneous.isf_self_block(
+                    jnp.asarray(pos), jnp.asarray(mask), k_dev, n_lags))
+            out[:, s:e] = acc[:, :e - s] / float(group_idx.size)
+        return lags_ps, out
+
     def calculate_dsf_self(self, k_vectors_3d: np.ndarray,
                            basis_atom_indices=None, basis_atom_types=None,
                            max_freq: Optional[float] = None,

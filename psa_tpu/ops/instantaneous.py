@@ -52,8 +52,9 @@ from .spectral import _accurate_angles, resolve_precision
 
 __all__ = [
     'instant_modes_scan', 'density_modes_scan', 'accumulate_instant_modes',
-    'dsf_reduce', 'sk_reduce', 'dsf_self_block', 'nearest_commensurate',
-    'commensurate_kpath', 'commensurate_deviation',
+    'dsf_reduce', 'sk_reduce', 'isf_reduce', 'dsf_self_block',
+    'isf_self_block', 'nearest_commensurate', 'commensurate_kpath',
+    'commensurate_deviation',
 ]
 
 
@@ -305,6 +306,69 @@ def sk_reduce(f_re: jnp.ndarray, f_im: jnp.ndarray, n_t: int) -> jnp.ndarray:
     rho_re = f_re[:n_t, :, 0]
     rho_im = f_im[:n_t, :, 0]
     return jnp.mean(rho_re ** 2 + rho_im ** 2, axis=0).astype(jnp.float32)
+
+
+def _autocorr_fft_len(n_t: int) -> int:
+    """FFT length for LINEAR (non-circular) autocorrelation: the next
+    power of two ≥ 2·n_t (≥ 2·n_t − 1 kills the wrap-around terms; the
+    power-of-two round-up keeps the TPU FFT on its fast path)."""
+    return 1 << (2 * n_t - 1).bit_length()
+
+
+@functools.partial(jax.jit, static_argnames=('n_t', 'n_lags'))
+def isf_reduce(f_re: jnp.ndarray, f_im: jnp.ndarray, n_t: int,
+               n_lags: int) -> jnp.ndarray:
+    """Accumulated mode stack → coherent intermediate scattering function.
+
+    F(k,τ) = ⟨ρ_k(t')* ρ_k(t'+τ)⟩_{t'} via Wiener–Khinchin: zero-pad the
+    density mode to the linear-autocorrelation length, |FFT|², inverse
+    FFT, normalize each lag by its overlap count (n_t − τ).  The real part
+    is returned (F is real up to finite-sampling noise for time-reversal
+    invariant dynamics); F(k,0) equals ⟨|ρ_k|²⟩_t = N·S(k) exactly.
+
+    Args:
+        f_re, f_im: (n_t_padded, K, C) f32 accumulated modes, channel 0 = ρ.
+        n_t: true number of frames.
+        n_lags: number of τ rows returned (τ = 0 … n_lags−1 frames).
+
+    Returns:
+        (n_lags, K) f32 — still missing the caller's 1/N factor.
+    """
+    rho = lax.complex(f_re[:n_t, :, 0], f_im[:n_t, :, 0])     # (n_t, K)
+    spec = jnp.fft.fft(rho, n=_autocorr_fft_len(n_t), axis=0)
+    power = jnp.real(spec) ** 2 + jnp.imag(spec) ** 2
+    corr = jnp.fft.ifft(power.astype(jnp.complex64), axis=0)[:n_lags]
+    counts = (n_t - jnp.arange(n_lags)).astype(jnp.float32)
+    return (jnp.real(corr) / counts[:, None]).astype(jnp.float32)
+
+
+@functools.partial(jax.jit, static_argnames=('n_lags',))
+def isf_self_block(pos: jnp.ndarray, mask: jnp.ndarray,
+                   k_vectors: jnp.ndarray, n_lags: int) -> jnp.ndarray:
+    """Self ISF of one atom chunk: Σ_a per-atom phase autocorrelation.
+
+    F_s(k,τ) = (1/N)Σ_a ⟨e^{i k·(r_a(t'+τ) − r_a(t'))}⟩_{t'} — each atom's
+    e^{i k·r_a(t)} signal is linearly autocorrelated by FFT (full time
+    axis required, as in :func:`dsf_self_block`) and the real parts summed
+    over the chunk.  F_s(k,0) = 1 exactly.
+
+    Args:
+        pos:  (n_t, A, 3) f32 — FULL time axis.
+        mask: (A,) f32 validity (padded atoms excluded).
+        k_vectors: (K, 3) f32; n_lags: τ rows returned.
+
+    Returns:
+        (n_lags, K) f32 partial F_s (missing the caller's 1/N factor).
+    """
+    n_t = pos.shape[0]
+    ang = _instant_angles(pos, k_vectors)                     # (n_t, A, K)
+    sig = lax.complex(jnp.cos(ang), jnp.sin(ang))
+    spec = jnp.fft.fft(sig, n=_autocorr_fft_len(n_t), axis=0)
+    power = jnp.real(spec) ** 2 + jnp.imag(spec) ** 2
+    corr = jnp.fft.ifft(power.astype(jnp.complex64), axis=0)[:n_lags]
+    counts = (n_t - jnp.arange(n_lags)).astype(jnp.float32)
+    acc = jnp.einsum('lak,a->lk', jnp.real(corr), mask)
+    return (acc / counts[:, None]).astype(jnp.float32)
 
 
 @jax.jit

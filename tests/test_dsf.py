@@ -266,6 +266,69 @@ class TestStaticStructureFactor:
         np.testing.assert_allclose(sk, oracle, rtol=1e-5)
 
 
+class TestISF:
+    def test_coherent_matches_f64_oracle_and_sk_at_zero_lag(self):
+        rng = np.random.default_rng(21)
+        n_t, n_a = 32, 9
+        pos = rng.uniform(0, 7, (n_t, n_a, 3)).astype(np.float32)
+        traj = _traj(pos, np.zeros_like(pos), box_edge=7.0)
+        calc = SEDCalculator(traj, nx=1, ny=1, nz=1)
+        kv = instantaneous.nearest_commensurate(
+            rng.uniform(-2, 2, (4, 3)).astype(np.float32), traj.box_lengths)
+        lags, f = calc.calculate_isf(kv, n_lags=16)
+        np.testing.assert_allclose(lags, np.arange(16) * traj.dt_ps,
+                                   rtol=1e-6)
+        # f64 oracle: direct lagged products of rho_k(t)
+        ang = np.einsum('tac,kc->tak', pos.astype(np.float64),
+                        kv.astype(np.float64))
+        rho = np.exp(1j * ang).sum(axis=1)                     # (n_t, K)
+        want = np.empty((16, len(kv)))
+        for tau in range(16):
+            prods = np.conj(rho[:n_t - tau]) * rho[tau:]
+            want[tau] = prods.real.mean(axis=0) / n_a
+        np.testing.assert_allclose(f, want, rtol=2e-4, atol=1e-5)
+        # F(k, 0) = S(k) exactly (same statistic)
+        np.testing.assert_allclose(f[0], calc.calculate_sk(kv), rtol=1e-5)
+
+    def test_static_crystal_is_constant_at_bragg(self):
+        a0, n_cells, n_t = 2.0, 8, 16
+        pos0 = np.zeros((n_cells, 3))
+        pos0[:, 0] = np.arange(n_cells) * a0
+        pos = np.broadcast_to(pos0, (n_t, n_cells, 3)).copy()
+        traj = _traj(pos, np.zeros_like(pos), box_edge=n_cells * a0)
+        calc = SEDCalculator(traj, nx=n_cells, ny=1, nz=1)
+        kv = np.array([[2 * np.pi / a0, 0, 0]], np.float32)
+        _, f = calc.calculate_isf(kv, n_lags=12)
+        np.testing.assert_allclose(f[:, 0], n_cells, rtol=1e-4)
+
+    def test_self_brownian_decay_recovers_diffusion(self):
+        """F_s(k,τ) = exp(−k²·D·dt·τ) for Brownian walkers — fitting the
+        log-slope over the early decay must recover the injected D."""
+        rng = np.random.default_rng(13)
+        n_t, n_a = 1024, 256
+        d_true, dt_ps = 0.4, 0.1
+        sigma = np.sqrt(2 * d_true * dt_ps)
+        pos = (rng.uniform(0, 40.0, (1, n_a, 3))
+               + np.cumsum(rng.normal(0, sigma, (n_t, n_a, 3)), axis=0)
+               ).astype(np.float32)
+        traj = _traj(pos, np.zeros_like(pos), box_edge=40.0, dt_ps=dt_ps)
+        calc = SEDCalculator(traj, nx=1, ny=1, nz=1)
+        kv = instantaneous.nearest_commensurate(
+            np.array([[0.6, 0, 0], [0.9, 0, 0]], np.float32),
+            traj.box_lengths)
+        lags, f_s = calc.calculate_isf_self(kv, n_lags=40)
+        np.testing.assert_allclose(f_s[0], 1.0, rtol=1e-5)   # F_s(k,0) = 1
+        k2 = kv[:, 0].astype(np.float64) ** 2
+        # log-linear fit over lags where the signal is well above noise
+        tail = slice(1, 25)
+        tau = lags[tail].astype(np.float64)
+        for j in range(len(kv)):
+            y = np.log(np.maximum(f_s[tail, j].astype(np.float64), 1e-6))
+            slope = np.polyfit(tau, y, 1)[0]
+            d_est = -slope / k2[j]
+            np.testing.assert_allclose(d_est, d_true, rtol=0.12)
+
+
 class TestSelfDiffusionOracle:
     def test_quasielastic_width_recovers_diffusion_constant(self):
         """Brownian particles with a KNOWN diffusion constant D: the self
