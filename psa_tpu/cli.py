@@ -265,6 +265,19 @@ def _run_dsf_section(calc, dsf_cfg, sed_cfg, out_dir: Path, eff_lat_param,
         if 'sk' in observables:
             arrays['sk'] = calc.calculate_sk(
                 k_vecs, basis_atom_indices=basis_idx)
+        n_lags = dsf_cfg.get('n_lags')
+        n_lags = int(n_lags) if n_lags else None
+        isf_planes = {}
+        if 'isf' in observables:
+            lags, f = calc.calculate_isf(k_vecs, basis_atom_indices=basis_idx,
+                                         n_lags=n_lags)
+            arrays.update(lags_ps=lags, isf=f)
+            isf_planes['isf'] = (f, 'F(k,τ)')
+        if 'isf_self' in observables:
+            lags, f_s = calc.calculate_isf_self(
+                k_vecs, basis_atom_indices=basis_idx, n_lags=n_lags)
+            arrays.update(lags_ps=lags, isf_self=f_s)
+            isf_planes['isf_self'] = (f_s, 'F_s(k,τ)')
         np.savez(out_dir / f"dsf_{d_lbl}.npz", **arrays)
 
         if 'sk' in observables:
@@ -278,8 +291,20 @@ def _run_dsf_section(calc, dsf_cfg, sed_cfg, out_dir: Path, eff_lat_param,
                         bbox_inches='tight')
             plt.close(fig)
 
+        for obs, (plane, sym) in isf_planes.items():
+            fig, ax = plt.subplots(figsize=(7, 5))
+            pcm = ax.pcolormesh(k_mags, arrays['lags_ps'], plane,
+                                cmap='viridis', shading='gouraud')
+            fig.colorbar(pcm, ax=ax, label=sym)
+            ax.set_xlabel('k (2π/Å)')
+            ax.set_ylabel('τ (ps)')
+            ax.set_title(f"{sym} — intermediate scattering, {d_lbl}")
+            fig.savefig(out_dir / f"dsf_{obs}_{d_lbl}.png", dpi=200,
+                        bbox_inches='tight')
+            plt.close(fig)
+
         for obs in observables:
-            if obs == 'sk':
+            if obs in ('sk', 'isf', 'isf_self'):
                 continue
             plane, sym = planes[obs]
             fig, ax = plt.subplots(figsize=(7, 5))

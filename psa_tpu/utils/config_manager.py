@@ -102,8 +102,10 @@ def default_config() -> Dict[str, Any]:
             'max_freq': None,
             # which instantaneous-phase planes to write: any subset of
             # 'total' (S(k,ω)), 'longitudinal' (C_L), 'transverse' (C_T),
-            # 'self' (S_s(k,ω), incoherent/self part)
+            # 'self' (S_s(k,ω), incoherent/self part), 'sk' (static S(k)),
+            # 'isf'/'isf_self' (intermediate scattering functions over τ)
             'observables': ['total', 'longitudinal', 'transverse'],
+            'n_lags': None,                    # ISF τ rows (None ⇒ n_t // 2)
             'basis': {'atom_indices': None, 'atom_types': None},
         },
     }
@@ -202,12 +204,12 @@ class ConfigManager:
         if ds.get('apply'):
             obs = ds.get('observables') or []
             bad = set(obs) - {'total', 'longitudinal', 'transverse', 'self',
-                              'sk'}
+                              'sk', 'isf', 'isf_self'}
             if not obs or bad:
                 raise ValueError(
                     "dsf.observables must be a non-empty subset of "
-                    "'total'/'longitudinal'/'transverse'/'self'/'sk'; got "
-                    f"{obs!r}.")
+                    "'total'/'longitudinal'/'transverse'/'self'/'sk'/"
+                    f"'isf'/'isf_self'; got {obs!r}.")
             dirs = ds.get('directions')
             if dirs is not None and (not isinstance(dirs, list) or not dirs):
                 raise ValueError(

@@ -242,8 +242,9 @@ def test_cli_dsf_section(workdir):
         'md_system': {'dt': 0.02, 'nx': 12, 'ny': 1, 'nz': 1},
         'sed_calculation': {'directions': ['x'], 'n_kpoints': 8,
                             'bz_coverage': 0.5},
-        'dsf': {'apply': True, 'max_freq': 8.0,
-                'observables': ['total', 'longitudinal', 'self', 'sk']},
+        'dsf': {'apply': True, 'max_freq': 8.0, 'n_lags': 10,
+                'observables': ['total', 'longitudinal', 'self', 'sk',
+                                'isf', 'isf_self']},
     }
     cfg = tmp_path / "dsf.yaml"
     cfg.write_text(yaml.dump(config))
@@ -259,13 +260,18 @@ def test_cli_dsf_section(workdir):
     box_l = 12 * 2.5
     m = z['k_vectors'][:, 0] * box_l / (2 * np.pi)
     np.testing.assert_allclose(m, np.round(m), atol=1e-5)
-    for obs in ('total', 'longitudinal', 'self', 'sk'):
+    for obs in ('total', 'longitudinal', 'self', 'sk', 'isf', 'isf_self'):
         assert (out / f"dsf_{obs}_x.png").exists()
     assert not (out / "dsf_transverse_x.png").exists()
     # static structure factor: one value per k, and Parseval ties it to the
     # full-frequency integral of S(k,ω) (only ω>=0 rows are saved here, so
     # just check shape/positivity at this level; physics pinned in test_dsf)
     assert z['sk'].shape == (n_k,) and np.all(z['sk'] >= 0)
+    # ISF: τ axis honors n_lags, zero-lag identities hold
+    assert z['lags_ps'].shape == (10,) and z['lags_ps'][0] == 0.0
+    assert z['isf'].shape == z['isf_self'].shape == (10, n_k)
+    np.testing.assert_allclose(z['isf'][0], z['sk'], rtol=1e-5)
+    np.testing.assert_allclose(z['isf_self'][0], 1.0, rtol=1e-5)
 
     # invalid observable is rejected at config validation
     config['dsf']['observables'] = ['density']
