@@ -1184,19 +1184,25 @@ class SEDCalculator:
                 "will leak into the spectra — snap with "
                 "psa_tpu.ops.instantaneous.nearest_commensurate.", dev)
 
-    def _dsf_blocks(self, group_idx: np.ndarray, atom_chunk: int):
-        """Yield (pos_block, vel_block, mask) f32 host arrays, atom-padded."""
+    def _dsf_blocks(self, group_idx: np.ndarray, atom_chunk: int,
+                    with_velocities: bool = True):
+        """Yield (pos_block, vel_block_or_None, mask) f32 host arrays,
+        atom-padded.  ``with_velocities=False`` skips the velocity copy —
+        the density-only observables (S(k), ISF, self parts) never read it.
+        """
         n_a = group_idx.size
         for a0 in range(0, n_a, atom_chunk):
             idx = group_idx[a0:a0 + atom_chunk]
             pos = np.asarray(self.traj.positions[:, idx, :], dtype=np.float32)
-            vel = np.asarray(self.traj.velocities[:, idx, :], dtype=np.float32)
+            vel = (np.asarray(self.traj.velocities[:, idx, :],
+                              dtype=np.float32) if with_velocities else None)
             mask = np.ones(atom_chunk, dtype=np.float32)
             if idx.size < atom_chunk:
                 pad = atom_chunk - idx.size
                 zs = np.zeros((pos.shape[0], pad, 3), dtype=np.float32)
                 pos = np.concatenate([pos, zs], axis=1)
-                vel = np.concatenate([vel, zs], axis=1)
+                if vel is not None:
+                    vel = np.concatenate([vel, zs], axis=1)
                 mask[idx.size:] = 0.0
             yield pos, vel, mask
 
@@ -1252,12 +1258,15 @@ class SEDCalculator:
         return freqs_kept, s_out, cl_out, ct_out
 
     def _dsf_mode_chunks(self, group_idx: np.ndarray, k_vectors_3d,
-                         k_chunk_size: int):
+                         k_chunk_size: int, density_only: bool = False):
         """Yield (s, e, acc_re, acc_im, ku_chunk) per k chunk: the
-        [ρ, j_x, j_y, j_z] instantaneous-mode stack accumulated over all
-        atom blocks of the group (device arrays, k-padded to ×64; only the
-        first ``n_frames`` time rows are real data).  Shared by
-        :meth:`calculate_dsf` and :meth:`calculate_sk`."""
+        instantaneous-mode stack accumulated over all atom blocks of the
+        group (device arrays, k-padded to ×64; only the first ``n_frames``
+        time rows are real data).  Channels are [ρ, j_x, j_y, j_z], or
+        just [ρ] with ``density_only=True`` — the S(k)/ISF path, which
+        skips the velocity stream entirely (half the host traffic, 1/4 the
+        accumulate FLOPs).  Shared by :meth:`calculate_dsf`,
+        :meth:`calculate_sk` and :meth:`calculate_isf`."""
         n_t = self.traj.n_frames
         num_k = len(k_vectors_3d)
         block = min(max(1, k_chunk_size), num_k)
@@ -1273,21 +1282,30 @@ class SEDCalculator:
             if n_t_pad != n_t:
                 zs = np.zeros((n_t_pad - n_t, atom_chunk, 3), dtype=np.float32)
                 pos = np.concatenate([pos, zs], axis=0)
-                vel = np.concatenate([vel, zs], axis=0)
+                if vel is not None:
+                    vel = np.concatenate([vel, zs], axis=0)
             return pos, vel
 
-        # Resident mode: upload (positions, velocities) blocks ONCE and
-        # reuse them across k chunks; oversize trajectories re-stream from
-        # host per k chunk instead.
-        resident = (num_chunks > 1 and
-                    2 * self._group_bytes(group_idx) <= self.max_device_bytes)
+        # Resident mode: upload the needed blocks ONCE and reuse them
+        # across k chunks; oversize trajectories re-stream from host per
+        # k chunk instead.  Density-only residency costs half (no vel).
+        res_factor = 1 if density_only else 2
+        resident = (num_chunks > 1 and res_factor *
+                    self._group_bytes(group_idx) <= self.max_device_bytes)
+        n_ch = 1 if density_only else 4
+
+        def to_device(pos, vel, mask):
+            return (jnp.asarray(pos),
+                    None if vel is None else jnp.asarray(vel),
+                    jnp.asarray(mask))
+
         device_blocks = None
         if resident:
-            device_blocks = []
-            for pos, vel, mask in self._dsf_blocks(group_idx, atom_chunk):
-                pos, vel = t_padded(pos, vel)
-                device_blocks.append((jnp.asarray(pos), jnp.asarray(vel),
-                                      jnp.asarray(mask)))
+            device_blocks = [
+                to_device(*t_padded(pos, vel), mask)
+                for pos, vel, mask in self._dsf_blocks(
+                    group_idx, atom_chunk,
+                    with_velocities=not density_only)]
 
         for ci in range(num_chunks):
             s, e = ci * block, min((ci + 1) * block, num_k)
@@ -1296,18 +1314,25 @@ class SEDCalculator:
             ku_chunk = np.zeros((padded_block, 3), dtype=np.float32)
             ku_chunk[:e - s] = k_unit[s:e]
             k_dev = jnp.asarray(k_chunk)
-            acc_re = jnp.zeros((n_t_pad, padded_block, 4), dtype=jnp.float32)
+            acc_re = jnp.zeros((n_t_pad, padded_block, n_ch),
+                               dtype=jnp.float32)
             acc_im = jnp.zeros_like(acc_re)
             if device_blocks is not None:
                 blocks = device_blocks
             else:
-                blocks = ((*t_padded(pos, vel), mask) for pos, vel, mask
-                          in self._dsf_blocks(group_idx, atom_chunk))
+                blocks = (to_device(*t_padded(pos, vel), mask)
+                          for pos, vel, mask in self._dsf_blocks(
+                              group_idx, atom_chunk,
+                              with_velocities=not density_only))
             for pos_b, vel_b, mask_b in blocks:
-                acc_re, acc_im = instantaneous.accumulate_instant_modes(
-                    acc_re, acc_im, jnp.asarray(pos_b), jnp.asarray(vel_b),
-                    jnp.asarray(mask_b), k_dev, t_chunk,
-                    precision=self.precision)
+                if density_only:
+                    acc_re, acc_im = instantaneous.accumulate_density_modes(
+                        acc_re, acc_im, pos_b, mask_b, k_dev, t_chunk,
+                        precision=self.precision)
+                else:
+                    acc_re, acc_im = instantaneous.accumulate_instant_modes(
+                        acc_re, acc_im, pos_b, vel_b, mask_b, k_dev, t_chunk,
+                        precision=self.precision)
             yield s, e, acc_re, acc_im, ku_chunk
 
     def calculate_sk(self, k_vectors_3d: np.ndarray,
@@ -1336,7 +1361,7 @@ class SEDCalculator:
             return out
         inv_n = 1.0 / float(group_idx.size)
         for s, e, acc_re, acc_im, _ in self._dsf_mode_chunks(
-                group_idx, k_vectors_3d, k_chunk_size):
+                group_idx, k_vectors_3d, k_chunk_size, density_only=True):
             sk = instantaneous.sk_reduce(acc_re, acc_im, n_t)
             out[s:e] = np.asarray(sk)[:e - s] * inv_n
         return out
@@ -1378,7 +1403,7 @@ class SEDCalculator:
             return lags_ps, out
         inv_n = 1.0 / float(group_idx.size)
         for s, e, acc_re, acc_im, _ in self._dsf_mode_chunks(
-                group_idx, k_vectors_3d, k_chunk_size):
+                group_idx, k_vectors_3d, k_chunk_size, density_only=True):
             f = instantaneous.isf_reduce(acc_re, acc_im, n_t, n_lags)
             out[:, s:e] = np.asarray(f)[:, :e - s] * inv_n
         return lags_ps, out
@@ -1408,29 +1433,47 @@ class SEDCalculator:
         if num_k == 0 or group_idx.size == 0:
             return lags_ps, out
 
+        # the padded complex (fft_len, A, K) spectrum resides per block
+        fft_len = instantaneous._autocorr_fft_len(n_t)
+        self._self_sweep(
+            out, group_idx, k_vectors_3d, k_chunk_size, 16 * fft_len,
+            lambda p, m, k: instantaneous.isf_self_block(p, m, k, n_lags),
+            'ISF-self')
+        return lags_ps, out
+
+    def _self_sweep(self, out: np.ndarray, group_idx: np.ndarray,
+                    k_vectors_3d, k_chunk_size: int, bytes_per_atom_k: int,
+                    kernel, label: str) -> None:
+        """Shared k-chunk/atom-chunk sweep for the per-atom-FFT ("self")
+        observables: ``kernel(pos_dev, mask_dev, k_dev)`` returns the
+        (out_rows, padded_block) partial plane of one atom chunk; blocks
+        accumulate on host into ``out`` (already shaped (out_rows, n_k)),
+        normalized by the group size.  ``bytes_per_atom_k`` is the device
+        transient per (atom, k) element — it sizes the atom chunks against
+        the device budget.  Velocities are never loaded.
+        """
+        num_k = out.shape[1]
         block = min(max(1, k_chunk_size), num_k)
         padded_block = ((block + 63) // 64) * 64
-        # the padded complex (2·n_t, A, K) spectrum resides per block
         budget = max(1 << 24, int(self.max_device_bytes) // 4)
-        fft_len = instantaneous._autocorr_fft_len(n_t)
         atom_chunk = int(np.clip(
-            budget // max(1, 16 * fft_len * padded_block),
+            budget // max(1, bytes_per_atom_k * padded_block),
             1, max(1, group_idx.size)))
         num_chunks = (num_k + block - 1) // block
-        logger.info("ISF-self: %d k-points in %d chunks; atom_chunk=%d.",
-                    num_k, num_chunks, atom_chunk)
+        logger.info("%s: %d k-points in %d chunks; atom_chunk=%d.",
+                    label, num_k, num_chunks, atom_chunk)
 
         for ci in range(num_chunks):
             s, e = ci * block, min((ci + 1) * block, num_k)
             k_chunk = np.zeros((padded_block, 3), dtype=np.float32)
             k_chunk[:e - s] = np.asarray(k_vectors_3d[s:e], dtype=np.float32)
             k_dev = jnp.asarray(k_chunk)
-            acc = np.zeros((n_lags, padded_block), dtype=np.float32)
-            for pos, _, mask in self._dsf_blocks(group_idx, atom_chunk):
-                acc += np.asarray(instantaneous.isf_self_block(
-                    jnp.asarray(pos), jnp.asarray(mask), k_dev, n_lags))
+            acc = np.zeros((out.shape[0], padded_block), dtype=np.float32)
+            for pos, _, mask in self._dsf_blocks(group_idx, atom_chunk,
+                                                 with_velocities=False):
+                acc += np.asarray(kernel(jnp.asarray(pos),
+                                         jnp.asarray(mask), k_dev))
             out[:, s:e] = acc[:, :e - s] / float(group_idx.size)
-        return lags_ps, out
 
     def calculate_dsf_self(self, k_vectors_3d: np.ndarray,
                            basis_atom_indices=None, basis_atom_types=None,
@@ -1458,27 +1501,13 @@ class SEDCalculator:
         if num_k == 0 or group_idx.size == 0:
             return freqs_kept, out
 
-        block = min(max(1, k_chunk_size), num_k)
-        padded_block = ((block + 63) // 64) * 64
         # complex (n_t, A, K) spectrum resides per block: budget its c64 bytes
-        budget = max(1 << 24, int(self.max_device_bytes) // 4)
-        atom_chunk = int(np.clip(budget // max(1, 16 * n_t * padded_block),
-                                 1, max(1, group_idx.size)))
         freq_idx_dev = jnp.asarray(freq_idx)
-        num_chunks = (num_k + block - 1) // block
-        logger.info("DSF-self: %d k-points in %d chunks; atom_chunk=%d.",
-                    num_k, num_chunks, atom_chunk)
-
-        for ci in range(num_chunks):
-            s, e = ci * block, min((ci + 1) * block, num_k)
-            k_chunk = np.zeros((padded_block, 3), dtype=np.float32)
-            k_chunk[:e - s] = np.asarray(k_vectors_3d[s:e], dtype=np.float32)
-            k_dev = jnp.asarray(k_chunk)
-            acc = np.zeros((len(freq_idx), padded_block), dtype=np.float32)
-            for pos, _, mask in self._dsf_blocks(group_idx, atom_chunk):
-                acc += np.asarray(instantaneous.dsf_self_block(
-                    jnp.asarray(pos), jnp.asarray(mask), k_dev, freq_idx_dev))
-            out[:, s:e] = acc[:, :e - s] / float(group_idx.size)
+        self._self_sweep(
+            out, group_idx, k_vectors_3d, k_chunk_size, 16 * n_t,
+            lambda p, m, k: instantaneous.dsf_self_block(p, m, k,
+                                                         freq_idx_dev),
+            'DSF-self')
         return freqs_kept, out
 
     # ------------------------------------------------------------------

@@ -247,6 +247,18 @@ def density_modes_scan(pos: jnp.ndarray, mask: jnp.ndarray,
 
 @functools.partial(jax.jit, donate_argnums=(0, 1),
                    static_argnames=('t_chunk', 'precision'))
+def accumulate_density_modes(acc_re: jnp.ndarray, acc_im: jnp.ndarray,
+                             pos: jnp.ndarray, mask: jnp.ndarray,
+                             k_vectors: jnp.ndarray, t_chunk: int,
+                             precision: str = 'parity'):
+    """acc += density mode of one atom chunk (donated, one dispatch)."""
+    re, im = density_modes_scan(pos, mask, k_vectors, t_chunk,
+                                precision=precision)
+    return acc_re + re, acc_im + im
+
+
+@functools.partial(jax.jit, donate_argnums=(0, 1),
+                   static_argnames=('t_chunk', 'precision'))
 def accumulate_instant_modes(acc_re: jnp.ndarray, acc_im: jnp.ndarray,
                              pos: jnp.ndarray, vel: jnp.ndarray,
                              mask: jnp.ndarray, k_vectors: jnp.ndarray,
@@ -295,8 +307,9 @@ def sk_reduce(f_re: jnp.ndarray, f_im: jnp.ndarray, n_t: int) -> jnp.ndarray:
     """Accumulated mode stack → static structure factor S(k) = ⟨|ρ_k|²⟩_t.
 
     Args:
-        f_re, f_im: (n_t_padded, K, 4) f32 accumulated modes (channel 0 is
-            the density mode ρ); only the first ``n_t`` rows are real data.
+        f_re, f_im: (n_t_padded, K, C) f32 accumulated modes (channel 0 is
+            the density mode ρ; C is 4 for the full stack or 1 for the
+            density-only path); only the first ``n_t`` rows are real data.
         n_t: true number of frames.
 
     Returns:

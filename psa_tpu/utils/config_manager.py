@@ -215,6 +215,12 @@ class ConfigManager:
                 raise ValueError(
                     "dsf.directions must be a non-empty list or null "
                     "(null inherits sed_calculation.directions).")
+            nl = ds.get('n_lags')
+            if nl is not None and (isinstance(nl, bool)
+                                   or not isinstance(nl, int) or nl < 1):
+                raise ValueError(
+                    f"dsf.n_lags must be a positive integer or null "
+                    f"(null ⇒ n_frames // 2); got {nl!r}.")
 
     def get(self, *keys: str, default: Any = None) -> Any:
         """Nested lookup: cfg.get('md_system', 'dt')."""

@@ -279,3 +279,11 @@ def test_cli_dsf_section(workdir):
     with pytest.raises(SystemExit):
         main(['--trajectory', str(dump), '--config', str(cfg),
               '--output-dir', str(out)])
+
+    # non-integer n_lags is rejected at config validation, before any compute
+    config['dsf']['observables'] = ['isf']
+    config['dsf']['n_lags'] = 'ten'
+    cfg.write_text(yaml.dump(config))
+    with pytest.raises(SystemExit):
+        main(['--trajectory', str(dump), '--config', str(cfg),
+              '--output-dir', str(out)])
