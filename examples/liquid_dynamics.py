@@ -74,6 +74,12 @@ d_isf = -np.asarray(slopes) / k2
 print(f"pooled D̂ from F_s decay = {d_isf.mean():.3f} Å²/ps")
 assert abs(d_isf.mean() - D_TRUE) < 0.1 * D_TRUE
 
+# real-space route: the Einstein relation MSD(τ) = 6·D·τ
+lags_m, msd = calc.calculate_msd(n_lags=60)
+d_msd = np.polyfit(lags_m[1:], msd[0, 1:].astype(np.float64), 1)[0] / 6.0
+print(f"D̂ from the MSD slope = {d_msd:.3f} Å²/ps")
+assert abs(d_msd - D_TRUE) < 0.1 * D_TRUE
+
 # --- invert the quasi-elastic peak for D per k -----------------------------
 s0n = N_T * s_s[0].astype(np.float64)          # n_t · S_s(k, ω=0)
 lam = -np.log((s0n - 1.0) / (s0n + 1.0))       # k²·D·dt

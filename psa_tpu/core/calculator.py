@@ -2298,6 +2298,86 @@ class SEDCalculator:
             out[gi] = np.asarray(dos)
         return freqs[mask], out
 
+    def _timecorr_sweep(self, data: np.ndarray, kernel,
+                        basis_atom_indices, basis_atom_types,
+                        n_lags: Optional[int],
+                        atom_chunk_size: Optional[int]):
+        """Shared atom-chunked sweep for the k-independent time-correlation
+        observables (MSD, VACF): ``kernel(block_dev, mask_dev)`` returns
+        the (n_lags,) partial sum of one atom chunk; groups resolve
+        incoherently (flat type list ⇒ one row per type, as in
+        :meth:`calculate_dos`).  ``data`` is read RAW from the trajectory —
+        no displacement/mass transforms (these observables are defined on
+        bare coordinates/velocities)."""
+        n_t = self.traj.n_frames
+        n_lags = self._isf_lags(n_lags)
+        lags_ps = np.arange(n_lags, dtype=np.float32) * float(self.dt_ps)
+        if atom_chunk_size is None:
+            # rfft transient: ~4 f32 tensors of (fft_len, A, 3)
+            fft_len = instantaneous._autocorr_fft_len(n_t)
+            atom_chunk_size = max(1, (1 << 30) // (48 * fft_len))
+        groups = self._resolve_atom_groups(basis_atom_indices,
+                                           basis_atom_types, 'incoherent')
+        out = np.zeros((len(groups), n_lags), dtype=np.float32)
+        for gi, group in enumerate(groups):
+            group = np.asarray(group, dtype=int)
+            if group.size == 0:
+                continue
+            acc = np.zeros(n_lags, dtype=np.float64)
+            for a0 in range(0, group.size, atom_chunk_size):
+                idx = group[a0:a0 + atom_chunk_size]
+                block = np.ascontiguousarray(data[:, idx, :],
+                                             dtype=np.float32)
+                mask = np.ones(idx.size, dtype=np.float32)
+                acc += np.asarray(kernel(jnp.asarray(block),
+                                         jnp.asarray(mask)),
+                                  dtype=np.float64)
+            out[gi] = (acc / group.size).astype(np.float32)
+        return lags_ps, out
+
+    def calculate_msd(self, basis_atom_indices=None, basis_atom_types=None,
+                      n_lags: Optional[int] = None,
+                      atom_chunk_size: Optional[int] = None):
+        """Mean-squared displacement ⟨|r(t+τ) − r(t)|²⟩, on device.
+
+        All time origins at O(n_t log n_t) per atom (FFT autocorrelation +
+        cumulative-sum identity, :func:`psa_tpu.ops.timecorr.msd_block`).
+        The Einstein relation MSD(τ) → 6·D·τ (3D) makes the long-τ slope
+        the standard self-diffusion estimate; positions must be UNWRAPPED.
+        Group semantics follow :meth:`calculate_dos` (flat type list ⇒ one
+        row per type).
+
+        Returns:
+            (lags_ps (n_lags,), msd (n_groups, n_lags) float32 in Å²).
+        """
+        from ..ops import timecorr
+        lags_ps, out = self._timecorr_sweep(
+            self.traj.positions,
+            lambda b, m: timecorr.msd_block(b, m, self._isf_lags(n_lags)),
+            basis_atom_indices, basis_atom_types, n_lags, atom_chunk_size)
+        return lags_ps, out
+
+    def calculate_vacf(self, basis_atom_indices=None, basis_atom_types=None,
+                       n_lags: Optional[int] = None,
+                       atom_chunk_size: Optional[int] = None):
+        """Velocity autocorrelation function ⟨v(t)·v(t+τ)⟩, on device.
+
+        The time-domain twin of :meth:`calculate_dos` (Wiener–Khinchin);
+        VACF(0) = ⟨|v|²⟩ (∝ 3·k_B·T/m at equilibrium), oscillation
+        frequencies are the vibrational modes, and the Green–Kubo integral
+        ∫VACF dτ / 3 is another D estimate.  Group semantics as in
+        :meth:`calculate_msd`.
+
+        Returns:
+            (lags_ps (n_lags,), vacf (n_groups, n_lags) float32, (Å/ps)²).
+        """
+        from ..ops import timecorr
+        lags_ps, out = self._timecorr_sweep(
+            self.traj.velocities,
+            lambda b, m: timecorr.vacf_block(b, m, self._isf_lags(n_lags)),
+            basis_atom_indices, basis_atom_types, n_lags, atom_chunk_size)
+        return lags_ps, out
+
     # ------------------------------------------------------------------
     # Gridded (NUFFT-accelerated) k-grid sweep
     # ------------------------------------------------------------------

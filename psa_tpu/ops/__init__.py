@@ -1,4 +1,5 @@
 """JAX/XLA/Pallas compute kernels (the TPU hot path)."""
-from . import dispersion, instantaneous, spectral, transport
+from . import dispersion, instantaneous, spectral, timecorr, transport
 
-__all__ = ["dispersion", "instantaneous", "spectral", "transport"]
+__all__ = ["dispersion", "instantaneous", "spectral", "timecorr",
+           "transport"]

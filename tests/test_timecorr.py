@@ -1,0 +1,149 @@
+"""MSD + VACF time-correlation observables: f64 oracles and physics.
+
+The FFT-trick kernels (ops/timecorr.py) must match the direct O(n²)
+all-origins double loop bit-closely, and the physics must come out:
+Einstein MSD slope → D for Brownian walkers, VACF(0) = ⟨|v|²⟩ and a pure
+cosine for a harmonic oscillator bath.
+"""
+import numpy as np
+import pytest
+
+from psa_tpu import SEDCalculator
+from psa_tpu.core.trajectory import Trajectory, make_box_arrays
+from psa_tpu.ops import timecorr
+
+import jax.numpy as jnp
+
+
+def _traj(pos, vel, box_edge=20.0, dt_ps=0.05, types=None):
+    n_t, n_a, _ = pos.shape
+    box = np.diag([box_edge] * 3).astype(np.float32)
+    lengths, tilts = make_box_arrays(box)
+    if types is None:
+        types = np.ones(n_a, np.int32)
+    return Trajectory(pos.astype(np.float32), vel.astype(np.float32),
+                      np.asarray(types, np.int32),
+                      np.arange(n_t, dtype=np.float32), box_matrix=box,
+                      box_lengths=lengths, box_tilts=tilts, dt_ps=dt_ps)
+
+
+def msd_oracle(pos, n_lags):
+    """Direct all-origins double loop, float64."""
+    pos = pos.astype(np.float64)
+    n_t = pos.shape[0]
+    out = np.zeros((n_lags, pos.shape[1]))
+    for tau in range(n_lags):
+        d = pos[tau:] - pos[:n_t - tau]
+        out[tau] = (d ** 2).sum(axis=-1).mean(axis=0)
+    return out
+
+
+def vacf_oracle(vel, n_lags):
+    vel = vel.astype(np.float64)
+    n_t = vel.shape[0]
+    out = np.zeros((n_lags, vel.shape[1]))
+    for tau in range(n_lags):
+        out[tau] = (vel[:n_t - tau] * vel[tau:]).sum(axis=-1).mean(axis=0)
+    return out
+
+
+class TestKernels:
+    def test_msd_block_matches_f64_oracle(self):
+        rng = np.random.default_rng(0)
+        n_t, n_a, n_lags = 37, 5, 20           # odd n_t exercises padding
+        pos = rng.normal(0, 2.0, (n_t, n_a, 3)).astype(np.float32)
+        got = np.asarray(timecorr.msd_block(
+            jnp.asarray(pos), jnp.ones(n_a, jnp.float32), n_lags))
+        want = msd_oracle(pos, n_lags).sum(axis=1)
+        np.testing.assert_allclose(got, want, rtol=5e-5, atol=1e-4)
+
+    def test_vacf_block_matches_f64_oracle(self):
+        rng = np.random.default_rng(1)
+        n_t, n_a, n_lags = 41, 4, 18
+        vel = rng.normal(0, 1.5, (n_t, n_a, 3)).astype(np.float32)
+        got = np.asarray(timecorr.vacf_block(
+            jnp.asarray(vel), jnp.ones(n_a, jnp.float32), n_lags))
+        want = vacf_oracle(vel, n_lags).sum(axis=1)
+        np.testing.assert_allclose(got, want, rtol=5e-5, atol=1e-4)
+
+    def test_mask_excludes_padded_atoms(self):
+        rng = np.random.default_rng(2)
+        pos = rng.normal(0, 1, (16, 6, 3)).astype(np.float32)
+        mask = np.array([1, 1, 1, 0, 0, 0], np.float32)
+        got = np.asarray(timecorr.msd_block(jnp.asarray(pos),
+                                            jnp.asarray(mask), 8))
+        want = np.asarray(timecorr.msd_block(jnp.asarray(pos[:, :3]),
+                                             jnp.ones(3, jnp.float32), 8))
+        np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
+
+
+class TestCalculator:
+    def test_msd_einstein_recovers_diffusion(self):
+        """Brownian walkers: MSD(τ) = 6·D·τ — the Einstein slope must
+        recover the injected D (the third independent D estimator after
+        S_s(k,0) and the F_s log-slope)."""
+        rng = np.random.default_rng(7)
+        n_t, n_a = 2048, 128
+        d_true, dt_ps = 0.3, 0.1
+        sigma = np.sqrt(2 * d_true * dt_ps)
+        pos = np.cumsum(rng.normal(0, sigma, (n_t, n_a, 3)), axis=0)
+        traj = _traj(pos, np.zeros_like(pos), dt_ps=dt_ps)
+        calc = SEDCalculator(traj, nx=1, ny=1, nz=1)
+        lags, msd = calc.calculate_msd(n_lags=100)
+        assert msd.shape == (1, 100)
+        # τ=0 cancels to FFT roundoff, negligible vs the physical scale
+        assert abs(msd[0, 0]) < 1e-4 * msd[0, -1]
+        slope = np.polyfit(lags[1:], msd[0, 1:].astype(np.float64), 1)[0]
+        np.testing.assert_allclose(slope / 6.0, d_true, rtol=0.05)
+
+    def test_msd_per_type_groups(self):
+        """Two species with different D: per-type rows separate them."""
+        rng = np.random.default_rng(8)
+        n_t, n_half = 1024, 64
+        dt_ps = 0.1
+        d1, d2 = 0.2, 0.8
+        p1 = np.cumsum(rng.normal(0, np.sqrt(2 * d1 * dt_ps),
+                                  (n_t, n_half, 3)), axis=0)
+        p2 = np.cumsum(rng.normal(0, np.sqrt(2 * d2 * dt_ps),
+                                  (n_t, n_half, 3)), axis=0)
+        pos = np.concatenate([p1, p2], axis=1)
+        types = np.array([1] * n_half + [2] * n_half, np.int32)
+        traj = _traj(pos, np.zeros_like(pos), dt_ps=dt_ps, types=types)
+        calc = SEDCalculator(traj, nx=1, ny=1, nz=1)
+        lags, msd = calc.calculate_msd(basis_atom_types=[1, 2], n_lags=80)
+        assert msd.shape == (2, 80)
+        for row, d in zip(msd, (d1, d2)):
+            slope = np.polyfit(lags[1:], row[1:].astype(np.float64), 1)[0]
+            np.testing.assert_allclose(slope / 6.0, d, rtol=0.08)
+
+    def test_vacf_harmonic_oscillators(self):
+        """v_a(t) = A·cos(ω·t + φ_a) with random phases: the normalized
+        VACF is cos(ω·τ) and VACF(0) = ⟨|v|²⟩ = 3A²/2."""
+        rng = np.random.default_rng(9)
+        n_t, n_a = 512, 200
+        dt_ps, nu_thz, amp = 0.02, 4.0, 1.3
+        t = np.arange(n_t) * dt_ps
+        phases = rng.uniform(0, 2 * np.pi, (n_a, 3))
+        vel = amp * np.cos(2 * np.pi * nu_thz * t[:, None, None]
+                           + phases[None, :, :])
+        pos = np.zeros_like(vel)
+        traj = _traj(pos, vel, dt_ps=dt_ps)
+        calc = SEDCalculator(traj, nx=1, ny=1, nz=1)
+        lags, vacf = calc.calculate_vacf(n_lags=64)
+        v = vacf[0].astype(np.float64)
+        np.testing.assert_allclose(v[0], 3 * amp ** 2 / 2, rtol=0.02)
+        want = v[0] * np.cos(2 * np.pi * nu_thz * lags.astype(np.float64))
+        np.testing.assert_allclose(v, want, atol=0.05 * v[0])
+
+    def test_atom_chunking_matches_single_pass(self):
+        rng = np.random.default_rng(10)
+        pos = rng.normal(0, 1, (64, 10, 3)).astype(np.float32)
+        vel = rng.normal(0, 1, (64, 10, 3)).astype(np.float32)
+        traj = _traj(pos, vel)
+        calc = SEDCalculator(traj, nx=1, ny=1, nz=1)
+        l1, m1 = calc.calculate_msd(n_lags=16)
+        _, m2 = calc.calculate_msd(n_lags=16, atom_chunk_size=3)
+        np.testing.assert_allclose(m1, m2, rtol=1e-5, atol=1e-5)
+        _, v1 = calc.calculate_vacf(n_lags=16)
+        _, v2 = calc.calculate_vacf(n_lags=16, atom_chunk_size=4)
+        np.testing.assert_allclose(v1, v2, rtol=1e-5, atol=1e-5)
