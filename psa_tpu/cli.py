@@ -220,6 +220,45 @@ def _run_dos_section(calc, dos_cfg, out_dir: Path, traj):
     logger.info("DOS written: dos.{csv,png} (%d curve(s))", dos.shape[0])
 
 
+def _run_timecorr_section(calc, tc_cfg, out_dir: Path, traj):
+    """Optional MSD/VACF section (on-device; beyond the reference).
+
+    Writes one CSV + one png per requested observable; ``per_type: true``
+    yields one curve per atom type (the incoherent group semantics of
+    :meth:`SEDCalculator.calculate_dos`)."""
+    import matplotlib
+    matplotlib.use('Agg')
+    import matplotlib.pyplot as plt
+
+    types = (sorted(np.unique(traj.types).tolist())
+             if tc_cfg.get('per_type') else None)
+    n_lags = tc_cfg.get('n_lags')
+    n_lags = int(n_lags) if n_lags else None
+    observables = tc_cfg.get('observables') or ['msd']
+    specs = {'msd': (calc.calculate_msd, 'MSD (Å²)'),
+             'vacf': (calc.calculate_vacf, 'VACF ((Å/ps)²)')}
+    for obs in observables:
+        fn, ylabel = specs[obs]
+        lags, curves = fn(basis_atom_types=types, n_lags=n_lags)
+        labels = ([f"type_{t}" for t in types]
+                  if types and curves.shape[0] == len(types)
+                  else [f"group_{i+1}" for i in range(curves.shape[0])])
+        np.savetxt(out_dir / f"{obs}.csv",
+                   np.column_stack([lags, curves.T]), delimiter=',',
+                   header='lag_ps,' + ','.join(labels), comments='')
+        fig, ax = plt.subplots(figsize=(6, 4))
+        for lab, row in zip(labels, curves):
+            ax.plot(lags, row, label=lab if curves.shape[0] > 1 else 'total')
+        ax.set_xlabel("τ (ps)")
+        ax.set_ylabel(ylabel)
+        if curves.shape[0] > 1:
+            ax.legend()
+        fig.savefig(out_dir / f"{obs}.png", dpi=200, bbox_inches='tight')
+        plt.close(fig)
+        logger.info("%s written: %s.{csv,png} (%d curve(s))",
+                    obs.upper(), obs, curves.shape[0])
+
+
 def _run_dsf_section(calc, dsf_cfg, sed_cfg, out_dir: Path, eff_lat_param,
                      traj):
     """Optional instantaneous-phase section (beyond the reference).
@@ -540,6 +579,10 @@ def main(argv=None) -> None:
         if dsf_cfg.get('apply'):
             _run_dsf_section(calc, dsf_cfg, sed_cfg, out_dir, eff_lat_param,
                              traj)
+
+        tc_cfg = config.get('timecorr', {})
+        if tc_cfg.get('apply'):
+            _run_timecorr_section(calc, tc_cfg, out_dir, traj)
 
         if ised_cfg['apply']:
             logger.info("Performing iSED reconstruction...")

@@ -108,6 +108,12 @@ def default_config() -> Dict[str, Any]:
             'n_lags': None,                    # ISF τ rows (None ⇒ n_t // 2)
             'basis': {'atom_indices': None, 'atom_types': None},
         },
+        'timecorr': {
+            'apply': False,
+            'observables': ['msd'],            # any subset of msd / vacf
+            'n_lags': None,                    # τ rows (None ⇒ n_t // 2)
+            'per_type': False,                 # one curve per atom type
+        },
     }
 
 
@@ -122,7 +128,7 @@ class ConfigManager:
     """
 
     SECTIONS = ('general', 'md_system', 'sed_calculation', 'plotting', 'ised',
-                'kgrid', 'dos', 'dsf')
+                'kgrid', 'dos', 'dsf', 'timecorr')
 
     def __init__(self, config_path: Optional[Union[str, Path]] = None):
         self.config: Dict[str, Any] = default_config()
@@ -220,6 +226,19 @@ class ConfigManager:
                                    or not isinstance(nl, int) or nl < 1):
                 raise ValueError(
                     f"dsf.n_lags must be a positive integer or null "
+                    f"(null ⇒ n_frames // 2); got {nl!r}.")
+        tc = cfg.get('timecorr', {})
+        if tc.get('apply'):
+            obs = tc.get('observables') or []
+            bad = set(obs) - {'msd', 'vacf'}
+            if not obs or bad:
+                raise ValueError("timecorr.observables must be a non-empty "
+                                 f"subset of 'msd'/'vacf'; got {obs!r}.")
+            nl = tc.get('n_lags')
+            if nl is not None and (isinstance(nl, bool)
+                                   or not isinstance(nl, int) or nl < 1):
+                raise ValueError(
+                    f"timecorr.n_lags must be a positive integer or null "
                     f"(null ⇒ n_frames // 2); got {nl!r}.")
 
     def get(self, *keys: str, default: Any = None) -> Any:

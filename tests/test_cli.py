@@ -134,6 +134,8 @@ def test_cli_kgrid_and_dos_sections(workdir):
                   'width_method': 'lorentzian', 'group_velocity': True,
                   'thermal_conductivity': True},
         'dos': {'apply': True, 'max_freq': 8.0, 'per_type': True},
+        'timecorr': {'apply': True, 'observables': ['msd', 'vacf'],
+                     'n_lags': 12, 'per_type': True},
     }
     cfg = tmp_path / "kgdos.yaml"
     cfg.write_text(yaml.dump(config))
@@ -154,6 +156,16 @@ def test_cli_kgrid_and_dos_sections(workdir):
     dos = np.loadtxt(out / "dos.csv", delimiter=',', skiprows=1)
     assert dos.shape[1] == 2           # freq + one curve (single type)
     assert (out / "dos.png").exists()
+    for obs in ('msd', 'vacf'):
+        curve = np.loadtxt(out / f"{obs}.csv", delimiter=',', skiprows=1)
+        assert curve.shape == (12, 2)  # lag_ps + one curve (single type)
+        assert curve[0, 0] == 0.0      # τ axis starts at 0
+        assert (out / f"{obs}.png").exists()
+    # VACF(0) = <|v|^2> > 0; MSD starts at ~0 and grows
+    vacf = np.loadtxt(out / "vacf.csv", delimiter=',', skiprows=1)
+    assert vacf[0, 1] > 0 and vacf[0, 1] >= np.abs(vacf[1:, 1]).max() - 1e-6
+    msd = np.loadtxt(out / "msd.csv", delimiter=',', skiprows=1)
+    assert msd[1:, 1].max() > msd[0, 1]
 
     # browse mode + chiral
     config['kgrid'].update({'mode': 'browse', 'chiral': True})
