@@ -2378,6 +2378,113 @@ class SEDCalculator:
             basis_atom_indices, basis_atom_types, n_lags, atom_chunk_size)
         return lags_ps, out
 
+    def calculate_rdf(self, r_max: Optional[float] = None, n_bins: int = 200,
+                      basis_atom_indices=None, basis_atom_types=None,
+                      basis_atom_indices_b=None, basis_atom_types_b=None,
+                      max_frames: int = 64,
+                      atom_block: int = 1024):
+        """Radial distribution function g(r), computed ON DEVICE.
+
+        The real-space twin of :meth:`calculate_sk`: coordination shells
+        for crystals, short-range order for liquids; for an ideal gas
+        g(r) = 1.  Pair distances are minimum-imaged through the FULL cell
+        matrix (triclinic-safe) and histogrammed per (frame, A-block,
+        B-block) tile — the brute-force O(N²) pair sweep is the XLA-shaped
+        choice (static shapes, no neighbor lists); cost scales as
+        n_frames_used · N_A · N_B.
+
+        The second basis (``*_b``) selects a PARTIAL (cross) RDF —
+        g_AB(r) between two species/groups; omitted ⇒ same-group g(r)
+        with self pairs excluded.
+
+        Args:
+            r_max: histogram range (default: half the minimum perpendicular
+                cell width — the minimum-image validity radius).
+            n_bins: bins in [0, r_max).
+            max_frames: frames sampled (evenly strided; g(r) statistics
+                converge quickly and frames are perfectly correlated at
+                small lag anyway).
+            atom_block: A/B tile edge — bounds the (t, A, B) distance
+                tensor residency.
+
+        Returns:
+            (r_centers (n_bins,), g (n_bins,) float32).
+        """
+        from ..ops import structure
+        h = np.asarray(self.traj.box_matrix, dtype=np.float64)
+        vol = float(abs(np.linalg.det(h)))
+        if vol <= 0:
+            raise ValueError("degenerate cell — g(r) needs a 3D box")
+        # minimum perpendicular width: V / max face area
+        cols = [h[:, i] for i in range(3)]
+        widths = [vol / np.linalg.norm(np.cross(cols[j], cols[k]))
+                  for j, k in ((1, 2), (2, 0), (0, 1))]
+        r_valid = 0.5 * min(widths)
+        if r_max is None:
+            r_max = r_valid
+        elif r_max > r_valid + 1e-9:
+            logger.warning("r_max=%.3f exceeds the minimum-image validity "
+                           "radius %.3f; shells beyond it are undercounted.",
+                           r_max, r_valid)
+
+        group_a = self._dsf_union_group(basis_atom_indices, basis_atom_types)
+        same = basis_atom_indices_b is None and basis_atom_types_b is None
+        group_b = group_a if same else self._dsf_union_group(
+            basis_atom_indices_b, basis_atom_types_b)
+        edges = np.linspace(0.0, float(r_max), n_bins + 1)
+        centers = 0.5 * (edges[:-1] + edges[1:]).astype(np.float32)
+        if group_a.size == 0 or group_b.size == 0:
+            return centers, np.zeros(n_bins, dtype=np.float32)
+
+        n_t = self.traj.n_frames
+        stride = max(1, -(-n_t // max_frames))
+        frames = np.arange(0, n_t, stride)
+        # (t, A, B) f32 distance tiles ×~4 transients against the budget
+        budget_elems = max(1 << 22, int(self.max_device_bytes) // (4 * 8))
+        t_chunk = int(np.clip(budget_elems // (atom_block * atom_block),
+                              1, len(frames)))
+        h_dev = jnp.asarray(h, dtype=jnp.float32)
+        hinv_dev = jnp.asarray(np.linalg.inv(h), dtype=jnp.float32)
+        r_max_dev = jnp.float32(r_max)
+        logger.info("RDF: %d frames (stride %d), %dx%d atoms, "
+                    "block=%d t_chunk=%d.", len(frames), stride,
+                    group_a.size, group_b.size, atom_block, t_chunk)
+
+        def blocks(group):
+            for a0 in range(0, group.size, atom_block):
+                idx = group[a0:a0 + atom_block]
+                mask = np.ones(atom_block, dtype=np.float32)
+                mask[idx.size:] = 0.0
+                yield a0, idx, mask
+
+        counts = np.zeros(n_bins, dtype=np.float64)
+        for f0 in range(0, len(frames), t_chunk):
+            fidx = frames[f0:f0 + t_chunk]
+            pos_t = self.traj.positions[fidx]
+            for a0, ia, ma in blocks(group_a):
+                pa = np.zeros((len(fidx), atom_block, 3), dtype=np.float32)
+                pa[:, :ia.size] = pos_t[:, ia, :]
+                pa_dev = jnp.asarray(pa)
+                for b0, ib, mb in blocks(group_b):
+                    if same and b0 == a0:
+                        pb_dev, mb_use = pa_dev, ma
+                    else:
+                        pb = np.zeros((len(fidx), atom_block, 3),
+                                      dtype=np.float32)
+                        pb[:, :ib.size] = pos_t[:, ib, :]
+                        pb_dev, mb_use = jnp.asarray(pb), mb
+                    counts += np.asarray(structure.rdf_block(
+                        pa_dev, pb_dev, jnp.asarray(ma),
+                        jnp.asarray(mb_use), h_dev, hinv_dev, r_max_dev,
+                        n_bins, exclude_self=bool(same and b0 == a0)),
+                        dtype=np.float64)
+
+        shell_vol = 4.0 / 3.0 * np.pi * (edges[1:] ** 3 - edges[:-1] ** 3)
+        n_pairs = group_a.size * (group_b.size - (1 if same else 0))
+        ideal = len(frames) * n_pairs * shell_vol / vol
+        g = np.where(ideal > 0, counts / np.maximum(ideal, 1e-300), 0.0)
+        return centers, g.astype(np.float32)
+
     # ------------------------------------------------------------------
     # Gridded (NUFFT-accelerated) k-grid sweep
     # ------------------------------------------------------------------
