@@ -259,6 +259,45 @@ def _run_timecorr_section(calc, tc_cfg, out_dir: Path, traj):
                     obs.upper(), obs, curves.shape[0])
 
 
+def _run_rdf_section(calc, rdf_cfg, out_dir: Path, traj):
+    """Optional radial-distribution-function section (on-device; beyond
+    the reference).  ``per_type: true`` adds every unordered type-pair
+    partial g_AB next to the total."""
+    import matplotlib
+    matplotlib.use('Agg')
+    import matplotlib.pyplot as plt
+
+    kwargs = dict(n_bins=int(rdf_cfg.get('n_bins') or 200),
+                  max_frames=int(rdf_cfg.get('max_frames') or 64))
+    if rdf_cfg.get('r_max'):
+        kwargs['r_max'] = float(rdf_cfg['r_max'])
+    curves = {}
+    r, curves['total'] = calc.calculate_rdf(**kwargs)
+    if rdf_cfg.get('per_type'):
+        types = sorted(np.unique(traj.types).tolist())
+        for i, ta in enumerate(types):
+            for tb in types[i:]:
+                _, g = calc.calculate_rdf(basis_atom_types=[ta],
+                                          basis_atom_types_b=(
+                                              None if ta == tb else [tb]),
+                                          **kwargs)
+                curves[f"{ta}-{tb}"] = g
+    np.savetxt(out_dir / "rdf.csv",
+               np.column_stack([r] + list(curves.values())), delimiter=',',
+               header='r_angstrom,' + ','.join(curves), comments='')
+    fig, ax = plt.subplots(figsize=(6, 4))
+    for lab, g in curves.items():
+        ax.plot(r, g, label=lab)
+    ax.axhline(1.0, color='k', ls=':', lw=0.8)
+    ax.set_xlabel("r (Å)")
+    ax.set_ylabel("g(r)")
+    if len(curves) > 1:
+        ax.legend()
+    fig.savefig(out_dir / "rdf.png", dpi=200, bbox_inches='tight')
+    plt.close(fig)
+    logger.info("RDF written: rdf.{csv,png} (%d curve(s))", len(curves))
+
+
 def _run_dsf_section(calc, dsf_cfg, sed_cfg, out_dir: Path, eff_lat_param,
                      traj):
     """Optional instantaneous-phase section (beyond the reference).
@@ -583,6 +622,10 @@ def main(argv=None) -> None:
         tc_cfg = config.get('timecorr', {})
         if tc_cfg.get('apply'):
             _run_timecorr_section(calc, tc_cfg, out_dir, traj)
+
+        rdf_cfg = config.get('rdf', {})
+        if rdf_cfg.get('apply'):
+            _run_rdf_section(calc, rdf_cfg, out_dir, traj)
 
         if ised_cfg['apply']:
             logger.info("Performing iSED reconstruction...")

@@ -114,6 +114,13 @@ def default_config() -> Dict[str, Any]:
             'n_lags': None,                    # τ rows (None ⇒ n_t // 2)
             'per_type': False,                 # one curve per atom type
         },
+        'rdf': {
+            'apply': False,
+            'r_max': None,                     # None ⇒ min-image validity radius
+            'n_bins': 200,
+            'max_frames': 64,                  # evenly strided frame sample
+            'per_type': False,                 # add every type-pair partial
+        },
     }
 
 
@@ -128,7 +135,7 @@ class ConfigManager:
     """
 
     SECTIONS = ('general', 'md_system', 'sed_calculation', 'plotting', 'ised',
-                'kgrid', 'dos', 'dsf', 'timecorr')
+                'kgrid', 'dos', 'dsf', 'timecorr', 'rdf')
 
     def __init__(self, config_path: Optional[Union[str, Path]] = None):
         self.config: Dict[str, Any] = default_config()
@@ -227,6 +234,19 @@ class ConfigManager:
                 raise ValueError(
                     f"dsf.n_lags must be a positive integer or null "
                     f"(null ⇒ n_frames // 2); got {nl!r}.")
+        rd = cfg.get('rdf', {})
+        if rd.get('apply'):
+            rm = rd.get('r_max')
+            if rm is not None and (not isinstance(rm, (int, float))
+                                   or isinstance(rm, bool) or rm <= 0):
+                raise ValueError(f"rdf.r_max must be a positive number or "
+                                 f"null; got {rm!r}.")
+            for key in ('n_bins', 'max_frames'):
+                v = rd.get(key)
+                if v is not None and (isinstance(v, bool)
+                                      or not isinstance(v, int) or v < 1):
+                    raise ValueError(f"rdf.{key} must be a positive "
+                                     f"integer or null; got {v!r}.")
         tc = cfg.get('timecorr', {})
         if tc.get('apply'):
             obs = tc.get('observables') or []

@@ -136,6 +136,7 @@ def test_cli_kgrid_and_dos_sections(workdir):
         'dos': {'apply': True, 'max_freq': 8.0, 'per_type': True},
         'timecorr': {'apply': True, 'observables': ['msd', 'vacf'],
                      'n_lags': 12, 'per_type': True},
+        'rdf': {'apply': True, 'n_bins': 30, 'per_type': True},
     }
     cfg = tmp_path / "kgdos.yaml"
     cfg.write_text(yaml.dump(config))
@@ -166,6 +167,13 @@ def test_cli_kgrid_and_dos_sections(workdir):
     assert vacf[0, 1] > 0 and vacf[0, 1] >= np.abs(vacf[1:, 1]).max() - 1e-6
     msd = np.loadtxt(out / "msd.csv", delimiter=',', skiprows=1)
     assert msd[1:, 1].max() > msd[0, 1]
+    rdf = np.loadtxt(out / "rdf.csv", delimiter=',', skiprows=1)
+    # single type: total + the 1-1 partial, which must coincide
+    assert rdf.shape == (30, 3)
+    np.testing.assert_allclose(rdf[:, 1], rdf[:, 2], rtol=1e-6)
+    assert (out / "rdf.png").exists()
+    # crystal chain: no pairs below the nearest-neighbor distance
+    assert rdf[rdf[:, 0] < 2.0, 1].max() == 0.0
 
     # browse mode + chiral
     config['kgrid'].update({'mode': 'browse', 'chiral': True})
