@@ -2378,6 +2378,48 @@ class SEDCalculator:
             basis_atom_indices, basis_atom_types, n_lags, atom_chunk_size)
         return lags_ps, out
 
+    def _timecorr_sharded(self, mesh, data, kind: str,
+                          basis_atom_indices, basis_atom_types,
+                          n_lags: Optional[int], atom_chunk: Optional[int]):
+        from ..parallel.sharded import sharded_timecorr
+        n_lags = self._isf_lags(n_lags)
+        lags_ps = np.arange(n_lags, dtype=np.float32) * float(self.dt_ps)
+        groups = self._resolve_atom_groups(basis_atom_indices,
+                                           basis_atom_types, 'incoherent')
+        out = np.zeros((len(groups), n_lags), dtype=np.float32)
+        for gi, group in enumerate(groups):
+            group = np.asarray(group, dtype=int)
+            if group.size == 0:
+                continue
+            weights = np.zeros(self.traj.n_atoms, dtype=np.float32)
+            weights[group] = 1.0
+            out[gi] = sharded_timecorr(mesh, data, kind, n_lags,
+                                       atom_weights=weights,
+                                       atom_chunk=atom_chunk)
+        return lags_ps, out
+
+    def calculate_msd_sharded(self, mesh, basis_atom_indices=None,
+                              basis_atom_types=None,
+                              n_lags: Optional[int] = None,
+                              atom_chunk: Optional[int] = None):
+        """:meth:`calculate_msd` over a (t, a, k) device mesh — atoms
+        shard over ALL mesh axes (the observable is k-independent, so the
+        k-stripe devices take atom shards too), one psum per atom chunk.
+        Same (lags_ps, (n_groups, n_lags)) contract."""
+        return self._timecorr_sharded(mesh, self.traj.positions, 'msd',
+                                      basis_atom_indices, basis_atom_types,
+                                      n_lags, atom_chunk)
+
+    def calculate_vacf_sharded(self, mesh, basis_atom_indices=None,
+                               basis_atom_types=None,
+                               n_lags: Optional[int] = None,
+                               atom_chunk: Optional[int] = None):
+        """:meth:`calculate_vacf` over a (t, a, k) device mesh (see
+        :meth:`calculate_msd_sharded`)."""
+        return self._timecorr_sharded(mesh, self.traj.velocities, 'vacf',
+                                      basis_atom_indices, basis_atom_types,
+                                      n_lags, atom_chunk)
+
     def calculate_rdf(self, r_max: Optional[float] = None, n_bins: int = 200,
                       basis_atom_indices=None, basis_atom_types=None,
                       basis_atom_indices_b=None, basis_atom_types_b=None,

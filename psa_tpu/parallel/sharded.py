@@ -1169,6 +1169,98 @@ def _dsf_self_step(mesh: Mesh):
         out_specs=P(None, AXIS_K), check_vma=False))
 
 
+@functools.lru_cache(maxsize=None)
+def _timecorr_step(mesh: Mesh, kind: str, n_lags: int):
+    """MSD/VACF partial sums, atoms sharded over ALL mesh axes.
+
+    The observables are k-independent, so every device (including the k
+    stripes) takes an atom shard; each runs the full-time FFT kernel on
+    its atoms and ONE psum over all axes replicates the (n_lags,) sum."""
+    from ..ops import timecorr
+    kernel = timecorr.msd_block if kind == 'msd' else timecorr.vacf_block
+    axes = (AXIS_T, AXIS_A, AXIS_K)
+
+    def fn(data_l, mask_l):
+        return lax.psum(kernel(data_l, mask_l, n_lags), axes)
+
+    return jax.jit(jax.shard_map(
+        fn, mesh=mesh,
+        in_specs=(P(None, axes, None), P(axes)),
+        out_specs=P(None), check_vma=False))
+
+
+def sharded_timecorr(mesh: Mesh, data, kind: str, n_lags: int,
+                     atom_weights: Optional[np.ndarray] = None,
+                     atom_chunk: Optional[int] = None) -> np.ndarray:
+    """MSD ('msd') or VACF ('vacf') over a device mesh.
+
+    The pod form of :meth:`SEDCalculator.calculate_msd` /
+    :meth:`calculate_vacf` for ONE atom group: the per-atom FFT needs the
+    full time axis, so atoms shard over the COMBINED (t, a, k) mesh axes
+    and stream from the source in chunks; the only collective is one psum
+    of the (n_lags,) partial sums.
+
+    Args:
+        mesh: (t, a, k) mesh from :func:`make_mesh`.
+        data: (n_t, n_atoms, 3) array-like or :class:`BlockSource` —
+            positions for 'msd', velocities for 'vacf'.
+        atom_weights: optional (n_atoms,) float32 0/1 membership;
+            normalization divides by Σw.
+        atom_chunk: atoms per streamed chunk (None = sized so each
+            device's rfft transient stays under ~1 GB).
+
+    Returns:
+        (n_lags,) float32 host array, normalized by Σ atom_weights.
+    """
+    from ..ops.instantaneous import _autocorr_fft_len
+    src = _as_source(data)
+    n_t, n_atoms = src.n_frames, src.n_atoms
+    atom_devs = mesh.devices.size
+
+    if atom_weights is None:
+        w = np.ones(n_atoms, dtype=np.float32)
+    else:
+        w = np.asarray(atom_weights, dtype=np.float32)
+        if w.shape != (n_atoms,):
+            raise ValueError(f"atom_weights must be ({n_atoms},), got {w.shape}")
+    norm = float(w.sum())
+
+    if atom_chunk is None:
+        per_dev = max(1, (1 << 30) // (48 * _autocorr_fft_len(n_t)))
+        atom_chunk = per_dev * atom_devs
+    atom_chunk = max(atom_devs, -(-atom_chunk // atom_devs) * atom_devs)
+
+    step = _timecorr_step(mesh, kind, n_lags)
+    axes = (AXIS_T, AXIS_A, AXIS_K)
+    data_sharding = NamedSharding(mesh, P(None, axes, None))
+    out = np.zeros(n_lags, dtype=np.float64)
+    for a0 in range(0, n_atoms, atom_chunk):
+        a1 = min(a0 + atom_chunk, n_atoms)
+
+        def fill(index, a0=a0, a1=a1):
+            _, as_, _ = index
+            ba0 = as_.start or 0
+            ba1 = as_.stop if as_.stop is not None else atom_chunk
+            block = np.zeros((n_t, ba1 - ba0, 3), dtype=np.float32)
+            real = min(a0 + ba1, a1) - (a0 + ba0)
+            if real > 0:
+                block[:, :real, :] = src.read_block(0, n_t, a0 + ba0,
+                                                    a0 + ba0 + real)
+            return block
+
+        data_dev = jax.make_array_from_callback((n_t, atom_chunk, 3),
+                                                data_sharding, fill)
+        w_chunk = np.zeros(atom_chunk, dtype=np.float32)
+        w_chunk[:a1 - a0] = w[a0:a1]
+        mask_dev = jax.device_put(w_chunk, NamedSharding(mesh, P(axes)))
+        part = step(data_dev, mask_dev)
+        if jax.process_count() > 1 and not part.is_fully_addressable:
+            from jax.experimental import multihost_utils
+            part = multihost_utils.process_allgather(part, tiled=True)
+        out += np.asarray(part, dtype=np.float64)
+    return (out / max(norm, 1.0)).astype(np.float32)
+
+
 def sharded_dsf_self(mesh: Mesh, positions, k_vectors: np.ndarray,
                      freq_indices: np.ndarray,
                      atom_weights: Optional[np.ndarray] = None,

@@ -135,6 +135,30 @@ class TestCalculator:
         want = v[0] * np.cos(2 * np.pi * nu_thz * lags.astype(np.float64))
         np.testing.assert_allclose(v, want, atol=0.05 * v[0])
 
+    def test_sharded_matches_single_chip(self):
+        """Pod forms on the 8-device virtual mesh: atom shards over ALL
+        mesh axes + one psum must reproduce the single-chip curves, incl.
+        per-type groups and streamed atom chunks."""
+        from psa_tpu.parallel import make_mesh
+        rng = np.random.default_rng(12)
+        n_t, n_a = 64, 18
+        pos = rng.normal(0, 1, (n_t, n_a, 3)).astype(np.float32)
+        vel = rng.normal(0, 1, (n_t, n_a, 3)).astype(np.float32)
+        types = np.array([1] * 10 + [2] * 8, np.int32)
+        traj = _traj(pos, vel, types=types)
+        calc = SEDCalculator(traj, nx=1, ny=1, nz=1)
+        mesh = make_mesh(shape=(2, 2, 2))
+        for kind in ('msd', 'vacf'):
+            single = getattr(calc, f'calculate_{kind}')
+            pod = getattr(calc, f'calculate_{kind}_sharded')
+            l1, w1 = single(basis_atom_types=[1, 2], n_lags=16)
+            l2, w2 = pod(mesh, basis_atom_types=[1, 2], n_lags=16)
+            np.testing.assert_allclose(l2, l1, atol=0)
+            np.testing.assert_allclose(w2, w1, rtol=1e-4, atol=1e-4)
+            _, w3 = pod(mesh, basis_atom_types=[1, 2], n_lags=16,
+                        atom_chunk=8)
+            np.testing.assert_allclose(w3, w1, rtol=1e-4, atol=1e-4)
+
     def test_atom_chunking_matches_single_pass(self):
         rng = np.random.default_rng(10)
         pos = rng.normal(0, 1, (64, 10, 3)).astype(np.float32)
