@@ -242,6 +242,20 @@ class PSAMainWindow:
                 "DSF computes the SELF (incoherent) part S_s(k,ω) instead "
                 "— single-particle motion; its quasi-elastic width vs k² "
                 "gives the self-diffusion coefficient")
+        self.liquid_var = tk.StringVar(value='S(k)')
+        self.liquid_combo = ttk.Combobox(
+            kbtns, textvariable=self.liquid_var, width=6, state='readonly',
+            values=('S(k)', 'g(r)', 'MSD', 'VACF'))
+        self.liquid_combo.pack(side='left', padx=(8, 0))
+        self.liquid_btn = ttk.Button(kbtns, text="Liquid", state='disabled',
+                                     command=self._calculate_liquid)
+        self.liquid_btn.pack(side='left', padx=2)
+        ToolTip(self.liquid_btn,
+                "Liquid-workflow curves on device: static structure factor "
+                "S(k) over this k-path (snapped), radial distribution "
+                "function g(r), mean-squared displacement, or velocity "
+                "autocorrelation — one curve per atom type where a flat "
+                "type list is set")
 
         gf = ttk.LabelFrame(tab, text="k-grid SED")
         gf.pack(fill='x', padx=4, pady=4)
@@ -426,7 +440,7 @@ class PSAMainWindow:
                 else:
                     self.status_var.set(msg)
                     for b in (self.calc_btn, self.grid_btn, self.peaks_btn,
-                              self.dos_btn, self.dsf_btn):
+                              self.dos_btn, self.dsf_btn, self.liquid_btn):
                         b.state(['!disabled'])
             self.root.after(0, done)
 
@@ -610,6 +624,63 @@ class PSAMainWindow:
                 self.plot_nb.select(0)
                 self.status_var.set(
                     f"DOS computed ({dos.shape[0]} curve(s)).")
+            self.root.after(0, done)
+
+        threading.Thread(target=work, daemon=True).start()
+
+    def _calculate_liquid(self):
+        kind = {'S(k)': 'sk', 'g(r)': 'rdf', 'MSD': 'msd',
+                'VACF': 'vacf'}[self.liquid_var.get()]
+        dialog = ProgressDialog(self.root, "Calculating",
+                                f"Computing {self.liquid_var.get()} on device…")
+
+        def work():
+            try:
+                lat = self.lat_param_var.get().strip()
+                types = self._basis_types()
+                x, curves, xlabel, ylabel = \
+                    self.controller.compute_liquid_curve(
+                        kind, direction_text=self.direction_var.get(),
+                        n_k=self.nk_var.get(),
+                        bz_coverage=self.bz_var.get(),
+                        lattice_param=float(lat) if lat else None,
+                        basis_atom_types=types)
+                err = None
+            except Exception as e:
+                x = curves = xlabel = ylabel = None
+                err = str(e)
+
+            def done():
+                dialog.close()
+                if err:
+                    messagebox.showerror(
+                        "PSA", f"{self.liquid_var.get()} failed: {err}")
+                    return
+                self.recip_fig.clear()
+                ax = self.recip_fig.add_subplot(111)
+                if types and curves.shape[0] == len(types) \
+                        and curves.shape[0] > 1:
+                    labels = [f"type {t}" for t in types]
+                elif curves.shape[0] > 1:
+                    labels = [f"group {i + 1}"
+                              for i in range(curves.shape[0])]
+                else:
+                    labels = ["total"]
+                for row, lab in zip(curves, labels):
+                    ax.plot(x, row, label=lab)
+                if kind in ('sk', 'rdf'):
+                    ax.axhline(1.0, color='k', ls=':', lw=0.8)
+                ax.set_xlabel(xlabel)
+                ax.set_ylabel(ylabel)
+                ax.set_title(self.liquid_var.get())
+                if len(labels) > 1:
+                    ax.legend()
+                self.recip_fig.tight_layout()
+                self.recip_canvas.draw_idle()
+                self.plot_nb.select(0)
+                self.status_var.set(
+                    f"{self.liquid_var.get()} computed "
+                    f"({curves.shape[0]} curve(s), {curves.shape[1]} points).")
             self.root.after(0, done)
 
         threading.Thread(target=work, daemon=True).start()

@@ -556,6 +556,42 @@ class AnalysisController:
         self.last_compute = 'peaks'
         return self.kgrid_peaks
 
+    def compute_liquid_curve(self, kind: str, direction_text: str = 'x',
+                             n_k: int = 50, bz_coverage: float = 1.0,
+                             lattice_param: Optional[float] = None,
+                             basis_atom_types: Optional[list] = None):
+        """One of the liquid-workflow curve observables, on device.
+
+        ``kind``: 'sk' → static structure factor over the (snapped)
+        current k-path; 'rdf' → radial distribution function; 'msd' /
+        'vacf' → time-correlation functions (one curve per type when a
+        flat type list is set).
+
+        Returns (x, curves (n_curves, n), xlabel, ylabel) ready to plot.
+        """
+        calc = self._require_calc()
+        if kind == 'sk':
+            direction = parse_direction_input(direction_text)
+            _, k_vecs = calc.get_k_path(direction, bz_coverage=bz_coverage,
+                                        n_k=n_k, lat_param=lattice_param)
+            k_vecs = commensurate_kpath(k_vecs, calc.traj.box_matrix)
+            sk = calc.calculate_sk(k_vecs,
+                                   basis_atom_types=basis_atom_types)
+            return (np.linalg.norm(k_vecs, axis=1), sk[None, :],
+                    "k (2π/Å)", "S(k)")
+        if kind == 'rdf':
+            r, g = calc.calculate_rdf(basis_atom_types=basis_atom_types)
+            return r, g[None, :], "r (Å)", "g(r)"
+        if kind == 'msd':
+            lags, msd = calc.calculate_msd(basis_atom_types=basis_atom_types)
+            return lags, msd, "τ (ps)", "MSD (Å²)"
+        if kind == 'vacf':
+            lags, vacf = calc.calculate_vacf(
+                basis_atom_types=basis_atom_types)
+            return lags, vacf, "τ (ps)", "VACF ((Å/ps)²)"
+        raise ValueError(f"kind must be 'sk', 'rdf', 'msd' or 'vacf', "
+                         f"got {kind!r}")
+
     def compute_dos(self, basis_atom_types: Optional[list] = None,
                     max_freq: Optional[float] = None):
         """(freqs, dos (n_groups, n_keep)) — on-device vibrational DOS,

@@ -186,6 +186,26 @@ class TestKGridFlow:
         _, per_type = loaded.compute_dos(basis_atom_types=[1], max_freq=10.0)
         np.testing.assert_allclose(per_type, dos, rtol=1e-5)
 
+    def test_liquid_curves(self, loaded):
+        """The Liquid button's four curve observables come back plottable
+        and physically sane on the chain fixture."""
+        x, sk, xl, yl = loaded.compute_liquid_curve(
+            'sk', direction_text='x', n_k=8, bz_coverage=0.5)
+        assert sk.shape == (1, len(x)) and '2π' in xl and yl == 'S(k)'
+        assert np.all(sk >= 0)
+        r, g, xl, _ = loaded.compute_liquid_curve('rdf')
+        assert g.shape == (1, len(r)) and xl.startswith('r')
+        # chain with a = 2.5: no pairs below the nearest-neighbor distance
+        assert g[0][r < 2.0].max() == 0.0 and g[0].max() > 0
+        lags, msd, _, _ = loaded.compute_liquid_curve('msd')
+        assert msd.shape == (1, len(lags)) and lags[0] == 0.0
+        lags, vacf, _, _ = loaded.compute_liquid_curve('vacf')
+        # VACF(0) = <|v|^2> is the maximum for a stationary signal
+        assert vacf[0, 0] > 0
+        assert vacf[0, 0] >= np.abs(vacf[0, 1:]).max() - 1e-6
+        with pytest.raises(ValueError):
+            loaded.compute_liquid_curve('nope')
+
     def test_grid_chiral_phase_same_mask(self, loaded):
         """Phase must be filtered with the same freq mask as intensity
         (the reference's off-by-mask bug, psa_gui.py:2382)."""
