@@ -658,14 +658,7 @@ class PSAMainWindow:
                     return
                 self.recip_fig.clear()
                 ax = self.recip_fig.add_subplot(111)
-                if types and curves.shape[0] == len(types) \
-                        and curves.shape[0] > 1:
-                    labels = [f"type {t}" for t in types]
-                elif curves.shape[0] > 1:
-                    labels = [f"group {i + 1}"
-                              for i in range(curves.shape[0])]
-                else:
-                    labels = ["total"]
+                labels = self.controller.liquid.curve_labels
                 for row, lab in zip(curves, labels):
                     ax.plot(x, row, label=lab)
                 if kind in ('sk', 'rdf'):
@@ -973,7 +966,10 @@ class PSAMainWindow:
         # peak-surface CSV, not the stale browse grid (and vice versa).
         prefer_peaks = (self.controller.last_grid_kind == 'peaks'
                         and self.controller.kgrid_peaks is not None)
-        if (self.controller.last_compute == 'dsf'
+        if (self.controller.last_compute == 'liquid'
+                and self.controller.liquid is not None):
+            export.export_liquid_csv(self.controller.liquid, Path(path))
+        elif (self.controller.last_compute == 'dsf'
                 and self.controller.dsf is not None):
             export.export_dsf_csv(self.controller.dsf, Path(path))
         elif prefer_peaks:

@@ -120,6 +120,17 @@ class DSFState:
     direction_text: str
 
 
+@dataclass
+class LiquidState:
+    """Last liquid-workflow curve set (GUI Liquid view) — exportable as a
+    long CSV (x + one column per curve)."""
+    kind: str                         # 'sk' | 'rdf' | 'msd' | 'vacf'
+    x: np.ndarray                     # (n,)
+    curves: np.ndarray                # (n_curves, n)
+    labels: Tuple[str, ...]           # axis names: (xlabel, ylabel)
+    curve_labels: Tuple[str, ...]     # one per row
+
+
 def plane_axes(plane: str, k_vecs: np.ndarray, shape: Tuple[int, int]):
     """(k1_axis, k2_axis, labels) for a k-grid plane — unique component
     values, with a linspace fallback when float noise breaks uniqueness."""
@@ -163,8 +174,10 @@ class AnalysisController:
         #: export writes the peak surface, not the stale browse grid.
         self.last_grid_kind: Optional[str] = None
         self.dsf: Optional[DSFState] = None
-        #: most recent compute overall ('kpath'|'browse'|'peaks'|'dsf'|None)
-        #: — CSV export prefers the DSF plane only when it was last
+        self.liquid: Optional[LiquidState] = None
+        #: most recent compute overall
+        #: ('kpath'|'browse'|'peaks'|'dsf'|'liquid'|None) — CSV export
+        #: prefers the DSF plane / liquid curves only when they were last
         self.last_compute: Optional[str] = None
         self.selected_point: Optional[Tuple[float, float]] = None  # (k, ω)
         self.ised_dump_path: Optional[Path] = None
@@ -192,6 +205,7 @@ class AnalysisController:
         self.kgrid_peaks = None
         self.last_grid_kind = None
         self.dsf = None
+        self.liquid = None
         self.last_compute = None
         self.selected_point = None
         return self.trajectory
@@ -577,20 +591,34 @@ class AnalysisController:
             k_vecs = commensurate_kpath(k_vecs, calc.traj.box_matrix)
             sk = calc.calculate_sk(k_vecs,
                                    basis_atom_types=basis_atom_types)
-            return (np.linalg.norm(k_vecs, axis=1), sk[None, :],
-                    "k (2π/Å)", "S(k)")
-        if kind == 'rdf':
-            r, g = calc.calculate_rdf(basis_atom_types=basis_atom_types)
-            return r, g[None, :], "r (Å)", "g(r)"
-        if kind == 'msd':
-            lags, msd = calc.calculate_msd(basis_atom_types=basis_atom_types)
-            return lags, msd, "τ (ps)", "MSD (Å²)"
-        if kind == 'vacf':
-            lags, vacf = calc.calculate_vacf(
+            x, curves = np.linalg.norm(k_vecs, axis=1), sk[None, :]
+            xlabel, ylabel = "k (2π/Å)", "S(k)"
+        elif kind == 'rdf':
+            x, g = calc.calculate_rdf(basis_atom_types=basis_atom_types)
+            curves, xlabel, ylabel = g[None, :], "r (Å)", "g(r)"
+        elif kind == 'msd':
+            x, curves = calc.calculate_msd(basis_atom_types=basis_atom_types)
+            xlabel, ylabel = "τ (ps)", "MSD (Å²)"
+        elif kind == 'vacf':
+            x, curves = calc.calculate_vacf(
                 basis_atom_types=basis_atom_types)
-            return lags, vacf, "τ (ps)", "VACF ((Å/ps)²)"
-        raise ValueError(f"kind must be 'sk', 'rdf', 'msd' or 'vacf', "
-                         f"got {kind!r}")
+            xlabel, ylabel = "τ (ps)", "VACF ((Å/ps)²)"
+        else:
+            raise ValueError(f"kind must be 'sk', 'rdf', 'msd' or 'vacf', "
+                             f"got {kind!r}")
+        if (basis_atom_types and curves.shape[0] == len(basis_atom_types)
+                and curves.shape[0] > 1):
+            curve_labels = tuple(f"type {t}" for t in basis_atom_types)
+        elif curves.shape[0] > 1:
+            curve_labels = tuple(f"group {i + 1}"
+                                 for i in range(curves.shape[0]))
+        else:
+            curve_labels = ("total",)
+        self.liquid = LiquidState(kind=kind, x=x, curves=curves,
+                                  labels=(xlabel, ylabel),
+                                  curve_labels=curve_labels)
+        self.last_compute = 'liquid'
+        return x, curves, xlabel, ylabel
 
     def compute_dos(self, basis_atom_types: Optional[list] = None,
                     max_freq: Optional[float] = None):

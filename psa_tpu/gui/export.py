@@ -128,6 +128,24 @@ def export_dsf_csv(dsf, path: Path) -> Path:
     return path
 
 
+def export_liquid_csv(liquid, path: Path) -> Path:
+    """CSV of a liquid-workflow curve set (GUI Liquid view): the x axis
+    plus one column per curve, headed by the observable kind."""
+    import pandas as pd
+    path = Path(path)
+    xlabel, ylabel = liquid.labels
+    cols = {xlabel.split(' ')[0]: liquid.x}
+    for lab, row in zip(liquid.curve_labels, liquid.curves):
+        cols[lab.replace(' ', '_')] = row
+    df = pd.DataFrame(cols)
+    path.parent.mkdir(parents=True, exist_ok=True)
+    with open(path, 'w') as f:
+        f.write(f"# observable={liquid.kind} ({ylabel})\n")
+        df.to_csv(f, index=False)
+    logger.info("Liquid CSV written: %s (%d rows)", path, len(df))
+    return path
+
+
 def export_kgrid_gif(kgrid: KGridState, path: Path, scale: str = 'sqrt',
                      cmap: str = 'inferno', fps: int = 5,
                      max_frames: int = 60, use_phase: bool = False) -> Path:

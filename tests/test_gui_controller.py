@@ -203,8 +203,24 @@ class TestKGridFlow:
         # VACF(0) = <|v|^2> is the maximum for a stationary signal
         assert vacf[0, 0] > 0
         assert vacf[0, 0] >= np.abs(vacf[0, 1:]).max() - 1e-6
+        # state tracks the most recent compute for CSV export
+        assert loaded.last_compute == 'liquid'
+        assert loaded.liquid.kind == 'vacf'
+        assert loaded.liquid.curve_labels == ('total',)
         with pytest.raises(ValueError):
             loaded.compute_liquid_curve('nope')
+
+    def test_liquid_csv_export(self, loaded, tmp_path):
+        from psa_tpu.gui import export
+        loaded.compute_liquid_curve('rdf')
+        out = export.export_liquid_csv(loaded.liquid, tmp_path / "liq.csv")
+        lines = out.read_text().splitlines()
+        assert lines[0].startswith("# observable=rdf")
+        assert lines[1] == "r,total"
+        data = np.loadtxt(out, delimiter=',', skiprows=2)
+        assert data.shape == (len(loaded.liquid.x), 2)
+        np.testing.assert_allclose(data[:, 1], loaded.liquid.curves[0],
+                                   rtol=1e-6)
 
     def test_grid_chiral_phase_same_mask(self, loaded):
         """Phase must be filtered with the same freq mask as intensity
