@@ -2424,7 +2424,7 @@ class SEDCalculator:
                       basis_atom_indices=None, basis_atom_types=None,
                       basis_atom_indices_b=None, basis_atom_types_b=None,
                       max_frames: int = 64,
-                      atom_block: int = 1024):
+                      atom_block: int = 1024, mesh=None):
         """Radial distribution function g(r), computed ON DEVICE.
 
         The real-space twin of :meth:`calculate_sk`: coordination shells
@@ -2447,7 +2447,11 @@ class SEDCalculator:
                 converge quickly and frames are perfectly correlated at
                 small lag anyway).
             atom_block: A/B tile edge — bounds the (t, A, B) distance
-                tensor residency.
+                tensor residency (per device when ``mesh`` is given).
+            mesh: optional (t, a, k) device mesh — the A blocks shard
+                over ALL mesh axes (k-independent observable), the B
+                block replicates, and one psum merges the histograms;
+                per-device tiles keep the single-chip budget.
 
         Returns:
             (r_centers (n_bins,), g (n_bins,) float32).
@@ -2488,38 +2492,62 @@ class SEDCalculator:
         h_dev = jnp.asarray(h, dtype=jnp.float32)
         hinv_dev = jnp.asarray(np.linalg.inv(h), dtype=jnp.float32)
         r_max_dev = jnp.float32(r_max)
+        n_dev = int(mesh.devices.size) if mesh is not None else 1
+        a_block = atom_block * n_dev          # per-device tile stays atom_block
         logger.info("RDF: %d frames (stride %d), %dx%d atoms, "
-                    "block=%d t_chunk=%d.", len(frames), stride,
-                    group_a.size, group_b.size, atom_block, t_chunk)
+                    "block=%d t_chunk=%d devices=%d.", len(frames), stride,
+                    group_a.size, group_b.size, atom_block, t_chunk, n_dev)
+        if mesh is not None:
+            from ..parallel.sharded import rdf_step, AXIS_T, AXIS_A, AXIS_K
+            from jax.sharding import NamedSharding, PartitionSpec as P
+            axes = (AXIS_T, AXIS_A, AXIS_K)
+            shard_a3 = NamedSharding(mesh, P(None, axes, None))
+            shard_a1 = NamedSharding(mesh, P(axes))
+            step = rdf_step(mesh, n_bins)
 
-        def blocks(group):
-            for a0 in range(0, group.size, atom_block):
-                idx = group[a0:a0 + atom_block]
-                mask = np.ones(atom_block, dtype=np.float32)
+        def blocks(group, size):
+            for a0 in range(0, group.size, size):
+                idx = group[a0:a0 + size]
+                mask = np.ones(size, dtype=np.float32)
                 mask[idx.size:] = 0.0
-                yield a0, idx, mask
+                ids = np.full(size, -1, dtype=np.int32)
+                ids[:idx.size] = idx
+                yield a0, idx, mask, ids
 
         counts = np.zeros(n_bins, dtype=np.float64)
         for f0 in range(0, len(frames), t_chunk):
             fidx = frames[f0:f0 + t_chunk]
             pos_t = self.traj.positions[fidx]
-            for a0, ia, ma in blocks(group_a):
-                pa = np.zeros((len(fidx), atom_block, 3), dtype=np.float32)
+            for a0, ia, ma, ida in blocks(group_a, a_block):
+                pa = np.zeros((len(fidx), a_block, 3), dtype=np.float32)
                 pa[:, :ia.size] = pos_t[:, ia, :]
-                pa_dev = jnp.asarray(pa)
-                for b0, ib, mb in blocks(group_b):
-                    if same and b0 == a0:
-                        pb_dev, mb_use = pa_dev, ma
+                if mesh is None:
+                    pa_dev, ma_dev, ida_dev = (jnp.asarray(pa),
+                                               jnp.asarray(ma),
+                                               jnp.asarray(ida))
+                else:
+                    pa_dev = jax.device_put(pa, shard_a3)
+                    ma_dev = jax.device_put(ma, shard_a1)
+                    ida_dev = jax.device_put(ida, shard_a1)
+                for b0, ib, mb, idb in blocks(group_b, atom_block):
+                    if same and b0 == a0 and mesh is None:
+                        pb_dev, mb_use, idb_use = pa_dev, ma, ida
                     else:
                         pb = np.zeros((len(fidx), atom_block, 3),
                                       dtype=np.float32)
                         pb[:, :ib.size] = pos_t[:, ib, :]
-                        pb_dev, mb_use = jnp.asarray(pb), mb
-                    counts += np.asarray(structure.rdf_block(
-                        pa_dev, pb_dev, jnp.asarray(ma),
-                        jnp.asarray(mb_use), h_dev, hinv_dev, r_max_dev,
-                        n_bins, exclude_self=bool(same and b0 == a0)),
-                        dtype=np.float64)
+                        pb_dev, mb_use, idb_use = jnp.asarray(pb), mb, idb
+                    if mesh is None:
+                        part = structure.rdf_block(
+                            pa_dev, pb_dev, ma_dev, jnp.asarray(mb_use),
+                            h_dev, hinv_dev, r_max_dev, n_bins, ida_dev,
+                            jnp.asarray(idb_use))
+                    else:
+                        part = step(pa_dev, ma_dev, ida_dev, pb_dev,
+                                    jnp.asarray(mb_use),
+                                    jnp.asarray(idb_use), h_dev, hinv_dev,
+                                    r_max_dev)
+                    counts += np.asarray(part, dtype=np.float64)
 
         shell_vol = 4.0 / 3.0 * np.pi * (edges[1:] ** 3 - edges[:-1] ** 3)
         n_pairs = group_a.size * (group_b.size - (1 if same else 0))

@@ -22,12 +22,12 @@ import jax.numpy as jnp
 __all__ = ['rdf_block']
 
 
-@functools.partial(jax.jit, static_argnames=('n_bins', 'exclude_self'))
+@functools.partial(jax.jit, static_argnames=('n_bins',))
 def rdf_block(pos_a: jnp.ndarray, pos_b: jnp.ndarray,
               mask_a: jnp.ndarray, mask_b: jnp.ndarray,
               h: jnp.ndarray, h_inv: jnp.ndarray,
               r_max: jnp.ndarray, n_bins: int,
-              exclude_self: bool = False) -> jnp.ndarray:
+              a_ids: jnp.ndarray, b_ids: jnp.ndarray) -> jnp.ndarray:
     """Pair-distance histogram of one (frames × A-block × B-block) tile.
 
     Args:
@@ -39,9 +39,12 @@ def rdf_block(pos_a: jnp.ndarray, pos_b: jnp.ndarray,
             tilts within the LAMMPS bounds (|tilt| ≤ L/2).
         r_max: scalar f32 — histogram range [0, r_max), bin width r_max/n_bins.
         n_bins: static bin count.
-        exclude_self: True when pos_a/pos_b are the SAME atoms (the i == j
-            zero-distance pairs are dropped by index, not by r ≈ 0, so
-            genuinely coincident distinct atoms still count).
+        a_ids, b_ids: (A,) / (B,) int32 GLOBAL atom ids — equal ids are
+            dropped (the i == j zero-distance self pairs, excluded by
+            identity rather than by r ≈ 0, so genuinely coincident
+            distinct atoms still count; shard-safe because ids travel
+            with their blocks).  Cross-group tiles with overlapping
+            membership are handled for free.
 
     Returns:
         (n_bins,) f32 pair counts (summed over the tile's frames; both
@@ -59,10 +62,7 @@ def rdf_block(pos_a: jnp.ndarray, pos_b: jnp.ndarray,
     r = jnp.sqrt(jnp.sum(d * d, axis=-1))                 # (t, A, B)
 
     valid = mask_a[None, :, None] * mask_b[None, None, :]
-    if exclude_self:
-        a_ids = jnp.arange(pos_a.shape[1])
-        b_ids = jnp.arange(pos_b.shape[1])
-        valid = valid * (a_ids[:, None] != b_ids[None, :])[None, :, :]
+    valid = valid * (a_ids[:, None] != b_ids[None, :])[None, :, :]
 
     dr = r_max / n_bins
     bins = jnp.floor(r / dr).astype(jnp.int32)

@@ -1261,6 +1261,28 @@ def sharded_timecorr(mesh: Mesh, data, kind: str, n_lags: int,
     return (out / max(norm, 1.0)).astype(np.float32)
 
 
+@functools.lru_cache(maxsize=None)
+def rdf_step(mesh: Mesh, n_bins: int):
+    """One g(r) tile over the mesh: A-block atoms shard over ALL mesh
+    axes (the histogram is k-independent), the B block and cell matrices
+    replicate, and ONE psum merges the per-device (n_bins,) counts.
+    Used by :meth:`SEDCalculator.calculate_rdf` when handed a mesh."""
+    from ..ops import structure
+    axes = (AXIS_T, AXIS_A, AXIS_K)
+
+    def fn(pa_l, ma_l, ida_l, pb, mb, idb, h, hinv, r_max):
+        part = structure.rdf_block(pa_l, pb, ma_l, mb, h, hinv, r_max,
+                                   n_bins, ida_l, idb)
+        return lax.psum(part, axes)
+
+    return jax.jit(jax.shard_map(
+        fn, mesh=mesh,
+        in_specs=(P(None, axes, None), P(axes), P(axes),
+                  P(None, None, None), P(None), P(None),
+                  P(None, None), P(None, None), P()),
+        out_specs=P(None), check_vma=False))
+
+
 def sharded_dsf_self(mesh: Mesh, positions, k_vectors: np.ndarray,
                      freq_indices: np.ndarray,
                      atom_weights: Optional[np.ndarray] = None,

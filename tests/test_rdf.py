@@ -70,6 +70,30 @@ class TestOracle:
         want = rdf_oracle(pos, box, 3.5, 35)
         np.testing.assert_allclose(g, want, rtol=1e-4, atol=1e-5)
 
+    def test_mesh_sharded_matches_single_chip(self):
+        """g(r) over the 8-device virtual mesh (A shards over all axes,
+        one psum) must reproduce the single-chip histogram bin-for-bin,
+        incl. the cross-RDF path."""
+        from psa_tpu.parallel import make_mesh
+        rng = np.random.default_rng(4)
+        pos = rng.uniform(0, 12, (3, 37, 3))
+        types = np.array([1] * 20 + [2] * 17, np.int32)
+        traj = _traj(pos, np.diag([12.0] * 3), types=types)
+        calc = SEDCalculator(traj, nx=1, ny=1, nz=1)
+        mesh = make_mesh(shape=(2, 2, 2))
+        _, want = calc.calculate_rdf(r_max=5.0, n_bins=25)
+        _, got = calc.calculate_rdf(r_max=5.0, n_bins=25, mesh=mesh,
+                                    atom_block=8)
+        np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-6)
+        _, want_ab = calc.calculate_rdf(r_max=5.0, n_bins=25,
+                                        basis_atom_types=[1],
+                                        basis_atom_types_b=[2])
+        _, got_ab = calc.calculate_rdf(r_max=5.0, n_bins=25,
+                                       basis_atom_types=[1],
+                                       basis_atom_types_b=[2], mesh=mesh,
+                                       atom_block=8)
+        np.testing.assert_allclose(got_ab, want_ab, rtol=1e-5, atol=1e-6)
+
     def test_atom_blocking_invariance(self):
         rng = np.random.default_rng(2)
         pos = rng.uniform(0, 12, (2, 50, 3))
