@@ -2387,14 +2387,17 @@ class SEDCalculator:
         groups = self._resolve_atom_groups(basis_atom_indices,
                                            basis_atom_types, 'incoherent')
         out = np.zeros((len(groups), n_lags), dtype=np.float32)
+        all_atoms = np.arange(self.traj.n_atoms)
         for gi, group in enumerate(groups):
             group = np.asarray(group, dtype=int)
             if group.size == 0:
                 continue
-            weights = np.zeros(self.traj.n_atoms, dtype=np.float32)
-            weights[group] = 1.0
-            out[gi] = sharded_timecorr(mesh, data, kind, n_lags,
-                                       atom_weights=weights,
+            # gather the group's columns instead of zero-weighting the
+            # full atom set: a G-type system would otherwise stream and
+            # FFT all n_atoms once PER group (G× the I/O and FLOPs)
+            sub = (data if np.array_equal(group, all_atoms)
+                   else np.ascontiguousarray(data[:, group, :]))
+            out[gi] = sharded_timecorr(mesh, sub, kind, n_lags,
                                        atom_chunk=atom_chunk)
         return lags_ps, out
 
@@ -2547,10 +2550,18 @@ class SEDCalculator:
                                     jnp.asarray(mb_use),
                                     jnp.asarray(idb_use), h_dev, hinv_dev,
                                     r_max_dev)
+                        if jax.process_count() > 1 and \
+                                not part.is_fully_addressable:
+                            from jax.experimental import multihost_utils
+                            part = multihost_utils.process_allgather(part)
                     counts += np.asarray(part, dtype=np.float64)
 
         shell_vol = 4.0 / 3.0 * np.pi * (edges[1:] ** 3 - edges[:-1] ** 3)
-        n_pairs = group_a.size * (group_b.size - (1 if same else 0))
+        # the kernel drops equal-global-id pairs, so subtract |A ∩ B|
+        # (= N for the same-group case) from the ideal pair count
+        n_overlap = (group_a.size if same
+                     else np.intersect1d(group_a, group_b).size)
+        n_pairs = group_a.size * group_b.size - n_overlap
         ideal = len(frames) * n_pairs * shell_vol / vol
         g = np.where(ideal > 0, counts / np.maximum(ideal, 1e-300), 0.0)
         return centers, g.astype(np.float32)

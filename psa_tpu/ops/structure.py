@@ -69,7 +69,10 @@ def rdf_block(pos_a: jnp.ndarray, pos_b: jnp.ndarray,
     # out-of-range pairs go to the dropped overflow segment n_bins
     bins = jnp.where((bins >= 0) & (bins < n_bins) & (valid > 0),
                      bins, n_bins)
+    # int32 accumulation: an f32 histogram silently stops counting once a
+    # bin passes 2^24 within one tile (1.0 + 16777216.0 rounds back down)
+    # — reachable at default tile sizes with coarse bins
     counts = jax.ops.segment_sum(
-        jnp.broadcast_to(valid, r.shape).reshape(-1),
+        jnp.broadcast_to((valid > 0).astype(jnp.int32), r.shape).reshape(-1),
         bins.reshape(-1), num_segments=n_bins + 1)
     return counts[:n_bins].astype(jnp.float32)

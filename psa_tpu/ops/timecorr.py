@@ -57,6 +57,12 @@ def msd_block(pos: jnp.ndarray, mask: jnp.ndarray, n_lags: int
     """
     n_t = pos.shape[0]
     x = pos * mask[None, :, None]
+    # Per-atom time-mean centering: MSD is exactly invariant under a
+    # constant shift, but the f32 S1 − 2·S2 identity cancels
+    # catastrophically when |r| is large (measured: +1000 Å offset →
+    # 3× error at lag 1; the Si slab's absolute coordinates alone cost
+    # 1.8%).  Centering bounds |x| by the displacement scale.
+    x = x - jnp.mean(x, axis=0, keepdims=True)
     s2 = _lagged_products(x, n_lags).sum(axis=-1)             # (n_lags, A)
     d = (x ** 2).sum(axis=-1)                                 # (n_t, A)
     c = jnp.concatenate([jnp.zeros((1, d.shape[1]), d.dtype),

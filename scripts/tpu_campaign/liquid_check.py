@@ -95,8 +95,8 @@ def main():
                                 max_frames=16)
     res.update(rdf_first_s=round(first, 2), rdf_warm_s=round(warm, 3),
                rdf_pair_grate=round(16 * n_atoms * n_atoms / warm / 1e9, 2))
-    # Si-like slab: no pairs below ~2 Å, first shell near 2.35 Å
-    res["rdf_min_pair_distance_ok"] = bool(g[r < 1.8].max() == 0.0)
+    nz = np.flatnonzero(g > 0)
+    res["rdf_min_pair_r"] = float(r[nz[0]]) if nz.size else None
     res["rdf_first_peak_r"] = float(r[np.argmax(g)])
 
     OUT.write_text(json.dumps(res, indent=1))

@@ -70,6 +70,20 @@ class TestOracle:
         want = rdf_oracle(pos, box, 3.5, 35)
         np.testing.assert_allclose(g, want, rtol=1e-4, atol=1e-5)
 
+    def test_overlapping_cross_basis_matches_same_group(self):
+        """g_AB with B ≡ A must equal the same-group g(r): self pairs are
+        dropped by global id AND the normalization subtracts |A ∩ B|
+        (regression: it was (N−1)/N low)."""
+        rng = np.random.default_rng(6)
+        pos = rng.uniform(0, 10, (3, 30, 3))
+        traj = _traj(pos, np.diag([10.0] * 3))
+        calc = SEDCalculator(traj, nx=1, ny=1, nz=1)
+        _, want = calc.calculate_rdf(r_max=4.0, n_bins=20)
+        _, got = calc.calculate_rdf(r_max=4.0, n_bins=20,
+                                    basis_atom_types=[1],
+                                    basis_atom_types_b=[1])
+        np.testing.assert_allclose(got, want, rtol=1e-6)
+
     def test_mesh_sharded_matches_single_chip(self):
         """g(r) over the 8-device virtual mesh (A shards over all axes,
         one psum) must reproduce the single-chip histogram bin-for-bin,

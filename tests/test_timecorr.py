@@ -66,6 +66,20 @@ class TestKernels:
         want = vacf_oracle(vel, n_lags).sum(axis=1)
         np.testing.assert_allclose(got, want, rtol=5e-5, atol=1e-4)
 
+    def test_msd_invariant_to_large_coordinate_offset(self):
+        """MSD is shift-invariant; the f32 S1 − 2·S2 identity must not
+        cancel catastrophically for boxes far from the origin (regression:
+        +1000 Å offset gave 3× error at lag 1 before per-atom centering)."""
+        rng = np.random.default_rng(4)
+        n_t, n_a = 2048, 16
+        pos = np.cumsum(rng.normal(0, 0.1, (n_t, n_a, 3)),
+                        axis=0).astype(np.float32)
+        near = np.asarray(timecorr.msd_block(
+            jnp.asarray(pos), jnp.ones(n_a, jnp.float32), 32))
+        far = np.asarray(timecorr.msd_block(
+            jnp.asarray(pos + 1000.0), jnp.ones(n_a, jnp.float32), 32))
+        np.testing.assert_allclose(far[1:], near[1:], rtol=5e-3)
+
     def test_mask_excludes_padded_atoms(self):
         rng = np.random.default_rng(2)
         pos = rng.normal(0, 1, (16, 6, 3)).astype(np.float32)
