@@ -18,8 +18,9 @@ import functools
 
 import jax
 import jax.numpy as jnp
+from jax import lax
 
-__all__ = ['rdf_block']
+__all__ = ['rdf_block', 'rdf_sweep']
 
 
 @functools.partial(jax.jit, static_argnames=('n_bins',))
@@ -50,6 +51,12 @@ def rdf_block(pos_a: jnp.ndarray, pos_b: jnp.ndarray,
         (n_bins,) f32 pair counts (summed over the tile's frames; both
         (i, j) and (j, i) count when the caller tiles the full A×B square).
     """
+    return _tile_hist(pos_a, pos_b, mask_a, mask_b, h, h_inv, r_max,
+                      n_bins, a_ids, b_ids)
+
+
+def _tile_hist(pos_a, pos_b, mask_a, mask_b, h, h_inv, r_max, n_bins,
+               a_ids, b_ids):
     d = pos_a[:, :, None, :] - pos_b[:, None, :, :]       # (t, A, B, 3)
     # HIGHEST: the 3x3 cell transforms must stay true f32 — the TPU MXU
     # default (bf16 passes) moves distances by ~1e-2 of the box and
@@ -61,18 +68,67 @@ def rdf_block(pos_a: jnp.ndarray, pos_b: jnp.ndarray,
     d = jnp.einsum('ij,tabj->tabi', h, frac, precision=hp)
     r = jnp.sqrt(jnp.sum(d * d, axis=-1))                 # (t, A, B)
 
-    valid = mask_a[None, :, None] * mask_b[None, None, :]
-    valid = valid * (a_ids[:, None] != b_ids[None, :])[None, :, :]
+    valid = (mask_a[None, :, None] * mask_b[None, None, :]) > 0
+    valid = valid & (a_ids[:, None] != b_ids[None, :])[None, :, :]
 
-    dr = r_max / n_bins
-    bins = jnp.floor(r / dr).astype(jnp.int32)
-    # out-of-range pairs go to the dropped overflow segment n_bins
-    bins = jnp.where((bins >= 0) & (bins < n_bins) & (valid > 0),
-                     bins, n_bins)
+    # Cumulative edge-comparison binning: count[b] = Σ (r < edge_b), then
+    # diff.  No sort, no scatter — XLA fuses the (pairs × n_bins) bool
+    # broadcast into the reduction.  Measured ~14× the sort-based
+    # segment_sum on the chip (10.7 vs ~150 ms per 1.7e7-pair tile).
     # int32 accumulation: an f32 histogram silently stops counting once a
     # bin passes 2^24 within one tile (1.0 + 16777216.0 rounds back down)
-    # — reachable at default tile sizes with coarse bins
-    counts = jax.ops.segment_sum(
-        jnp.broadcast_to((valid > 0).astype(jnp.int32), r.shape).reshape(-1),
-        bins.reshape(-1), num_segments=n_bins + 1)
-    return counts[:n_bins].astype(jnp.float32)
+    # — reachable at default tile sizes with coarse bins.
+    edges = (jnp.arange(1, n_bins + 1, dtype=jnp.float32)
+             * (r_max / n_bins))
+    below = (r[..., None] < edges) & valid[..., None]
+    cum = jnp.sum(below.astype(jnp.int32), axis=(0, 1, 2))
+    return jnp.diff(cum, prepend=0)
+
+
+@functools.partial(jax.jit, static_argnames=('n_bins', 'block'))
+def rdf_sweep(pos_a: jnp.ndarray, mask_a: jnp.ndarray, a_ids: jnp.ndarray,
+              pos_b: jnp.ndarray, mask_b: jnp.ndarray, b_ids: jnp.ndarray,
+              h: jnp.ndarray, h_inv: jnp.ndarray, r_max: jnp.ndarray,
+              n_bins: int, block: int) -> jnp.ndarray:
+    """Full A×B pair histogram of one frame chunk in ONE dispatch.
+
+    The per-tile launch loop paid ~100–150 ms of remote-dispatch latency
+    PER TILE on the tunneled chip (measured: 0.08–0.11 G pairs/s end to
+    end against the tile kernel's own 65 G pairs/s) — so the whole
+    (A-blocks × B-blocks) sweep runs inside one program: `lax.scan` over
+    A rows, inner scan over B tiles, one (block, block) distance tile
+    resident per step.
+
+    Args:
+        pos_a: (t, A_pad, 3) f32, A_pad % block == 0; mask_a/a_ids as in
+            :func:`rdf_block` but full-length.  Same for the B side.
+        n_bins, block: static.
+
+    Returns:
+        (A_pad // block, n_bins) int32 — one histogram PER A ROW, summed
+        on the host: the inner accumulation is bounded by one row's pairs
+        (t · block · B_pad — the caller caps the frame chunk so this
+        stays below 2³¹), and emitting rows instead of a grand total
+        keeps int32 exact at any trajectory size.
+    """
+    n_a_rows = pos_a.shape[1] // block
+    n_b_rows = pos_b.shape[1] // block
+
+    def a_row(_, i):
+        pa = lax.dynamic_slice_in_dim(pos_a, i * block, block, axis=1)
+        ma = lax.dynamic_slice_in_dim(mask_a, i * block, block, axis=0)
+        ida = lax.dynamic_slice_in_dim(a_ids, i * block, block, axis=0)
+
+        def b_tile(acc, j):
+            pb = lax.dynamic_slice_in_dim(pos_b, j * block, block, axis=1)
+            mb = lax.dynamic_slice_in_dim(mask_b, j * block, block, axis=0)
+            idb = lax.dynamic_slice_in_dim(b_ids, j * block, block, axis=0)
+            return acc + _tile_hist(pa, pb, ma, mb, h, h_inv, r_max,
+                                    n_bins, ida, idb), None
+
+        row, _ = lax.scan(b_tile, jnp.zeros(n_bins, jnp.int32),
+                          jnp.arange(n_b_rows))
+        return None, row
+
+    _, rows = lax.scan(a_row, None, jnp.arange(n_a_rows))
+    return rows

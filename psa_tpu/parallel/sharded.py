@@ -1262,25 +1262,25 @@ def sharded_timecorr(mesh: Mesh, data, kind: str, n_lags: int,
 
 
 @functools.lru_cache(maxsize=None)
-def rdf_step(mesh: Mesh, n_bins: int):
-    """One g(r) tile over the mesh: A-block atoms shard over ALL mesh
-    axes (the histogram is k-independent), the B block and cell matrices
-    replicate, and ONE psum merges the per-device (n_bins,) counts.
-    Used by :meth:`SEDCalculator.calculate_rdf` when handed a mesh."""
+def rdf_sweep_step(mesh: Mesh, n_bins: int, block: int):
+    """Whole-frame-chunk g(r) sweep over the mesh: A atoms shard over ALL
+    mesh axes, B replicates, each device scans its A rows × all B tiles
+    in ONE program (ops.structure.rdf_sweep) and emits its per-row int32
+    histograms — no collectives; the host sums rows in f64."""
     from ..ops import structure
     axes = (AXIS_T, AXIS_A, AXIS_K)
 
     def fn(pa_l, ma_l, ida_l, pb, mb, idb, h, hinv, r_max):
-        part = structure.rdf_block(pa_l, pb, ma_l, mb, h, hinv, r_max,
-                                   n_bins, ida_l, idb)
-        return lax.psum(part, axes)
+        return structure.rdf_sweep(pa_l, ma_l, ida_l, pb, mb, idb,
+                                   h, hinv, r_max, n_bins=n_bins,
+                                   block=block)
 
     return jax.jit(jax.shard_map(
         fn, mesh=mesh,
         in_specs=(P(None, axes, None), P(axes), P(axes),
                   P(None, None, None), P(None), P(None),
                   P(None, None), P(None, None), P()),
-        out_specs=P(None), check_vma=False))
+        out_specs=P(axes, None), check_vma=False))
 
 
 def sharded_dsf_self(mesh: Mesh, positions, k_vectors: np.ndarray,
