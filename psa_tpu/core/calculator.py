@@ -2378,6 +2378,61 @@ class SEDCalculator:
             basis_atom_indices, basis_atom_types, n_lags, atom_chunk_size)
         return lags_ps, out
 
+    def calculate_isf_sharded(self, mesh, k_vectors_3d: np.ndarray,
+                              basis_atom_indices=None, basis_atom_types=None,
+                              n_lags: Optional[int] = None,
+                              t_superchunk: Optional[int] = None):
+        """:meth:`calculate_isf` over a (t, a, k) device mesh — the
+        density-only accumulate of :meth:`calculate_sk_sharded` with the
+        per-shard linear FFT autocorrelation as the reduction.  Returns
+        (lags_ps, F (n_lags, n_k))."""
+        from ..parallel.sharded import sharded_isf
+        self._dsf_commensurate_warn(k_vectors_3d)
+        group_idx = self._dsf_union_group(basis_atom_indices,
+                                          basis_atom_types)
+        n_lags = self._isf_lags(n_lags)
+        lags_ps = np.arange(n_lags, dtype=np.float32) * float(self.dt_ps)
+        if len(k_vectors_3d) == 0 or group_idx.size == 0:
+            return lags_ps, np.zeros((n_lags, len(k_vectors_3d)),
+                                     dtype=np.float32)
+        weights = None
+        if group_idx.size != self.traj.n_atoms or not np.array_equal(
+                group_idx, np.arange(self.traj.n_atoms)):
+            weights = np.zeros(self.traj.n_atoms, dtype=np.float32)
+            weights[group_idx] = 1.0
+        f = sharded_isf(mesh, self.traj.positions, k_vectors_3d, n_lags,
+                        precision=self.precision, t_superchunk=t_superchunk,
+                        atom_weights=weights)
+        return lags_ps, f
+
+    def calculate_isf_self_sharded(self, mesh, k_vectors_3d: np.ndarray,
+                                   basis_atom_indices=None,
+                                   basis_atom_types=None,
+                                   n_lags: Optional[int] = None,
+                                   atom_chunk: Optional[int] = None):
+        """:meth:`calculate_isf_self` over a (t, a, k) device mesh — the
+        sharding of :meth:`calculate_dsf_self_sharded` (atoms over the
+        combined (t, a) axes) with the autocorrelation kernel.  Returns
+        (lags_ps, F_s (n_lags, n_k))."""
+        from ..parallel.sharded import sharded_isf_self
+        self._dsf_commensurate_warn(k_vectors_3d)
+        group_idx = self._dsf_union_group(basis_atom_indices,
+                                          basis_atom_types)
+        n_lags = self._isf_lags(n_lags)
+        lags_ps = np.arange(n_lags, dtype=np.float32) * float(self.dt_ps)
+        if len(k_vectors_3d) == 0 or group_idx.size == 0:
+            return lags_ps, np.zeros((n_lags, len(k_vectors_3d)),
+                                     dtype=np.float32)
+        weights = None
+        if group_idx.size != self.traj.n_atoms or not np.array_equal(
+                group_idx, np.arange(self.traj.n_atoms)):
+            weights = np.zeros(self.traj.n_atoms, dtype=np.float32)
+            weights[group_idx] = 1.0
+        f_s = sharded_isf_self(mesh, self.traj.positions, k_vectors_3d,
+                               n_lags, atom_weights=weights,
+                               atom_chunk=atom_chunk)
+        return lags_ps, f_s
+
     def _timecorr_sharded(self, mesh, data, kind: str,
                           basis_atom_indices, basis_atom_types,
                           n_lags: Optional[int], atom_chunk: Optional[int]):

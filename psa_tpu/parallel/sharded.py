@@ -1090,21 +1090,12 @@ def _sk_reduce_step(mesh: Mesh):
         out_specs=P(AXIS_K), check_vma=False))
 
 
-def sharded_sk(mesh: Mesh, positions, k_vectors: np.ndarray,
-               precision: str = 'parity',
-               t_superchunk: Optional[int] = None, prefetch: bool = True,
-               atom_weights: Optional[np.ndarray] = None) -> np.ndarray:
-    """Static structure factor S(k) = ⟨|ρ_k(t)|²⟩_t / Σw over a device mesh.
-
-    The pod form of :meth:`SEDCalculator.calculate_sk`: only POSITIONS
-    stream (time-superchunked when ``t_superchunk`` bounds residency) and
-    only the density mode accumulates — half the host→device traffic and a
-    quarter of the accumulate FLOPs of :func:`sharded_dsf`, with no FFT at
-    all in the reduction.  Arguments as in :func:`sharded_dsf`.
-
-    Returns:
-        S: (n_k,) float32 host array, normalized by Σ atom_weights.
-    """
+def _sharded_density_stack(mesh: Mesh, positions, k_vectors: np.ndarray,
+                           precision: str, t_superchunk: Optional[int],
+                           prefetch: bool,
+                           atom_weights: Optional[np.ndarray]):
+    """Accumulate the k-sharded density-mode stack (shared by the S(k)
+    and coherent-ISF pod paths).  Returns (f_re, f_im, norm, n_t)."""
     pos_src = _as_source(positions)
     if (isinstance(positions, np.memmap)
             or not isinstance(positions, (jnp.ndarray, np.ndarray))):
@@ -1140,14 +1131,68 @@ def sharded_sk(mesh: Mesh, positions, k_vectors: np.ndarray,
     f_re, f_im = _accumulate_modes_superchunks(
         mesh, (pos_src,), modes, mask_dev, k_dev, n_t, t_superchunk,
         n_atoms_p, k_p.shape[0], 1, prefetch)
-    sk_p = _sk_reduce_step(mesh)(f_re, f_im)
+    return f_re, f_im, norm, n_t
 
-    if jax.process_count() > 1 and not sk_p.is_fully_addressable:
+
+def _fetch_k_sharded(arr, n_k: int) -> np.ndarray:
+    if jax.process_count() > 1 and not arr.is_fully_addressable:
         from jax.experimental import multihost_utils
-        sk = np.asarray(multihost_utils.process_allgather(sk_p, tiled=True))
-    else:
-        sk = np.asarray(sk_p)
-    return sk[:n_k] / max(norm, 1.0)
+        arr = multihost_utils.process_allgather(arr, tiled=True)
+    out = np.asarray(arr)
+    return out[..., :n_k]
+
+
+def sharded_sk(mesh: Mesh, positions, k_vectors: np.ndarray,
+               precision: str = 'parity',
+               t_superchunk: Optional[int] = None, prefetch: bool = True,
+               atom_weights: Optional[np.ndarray] = None) -> np.ndarray:
+    """Static structure factor S(k) = ⟨|ρ_k(t)|²⟩_t / Σw over a device mesh.
+
+    The pod form of :meth:`SEDCalculator.calculate_sk`: only POSITIONS
+    stream (time-superchunked when ``t_superchunk`` bounds residency) and
+    only the density mode accumulates — half the host→device traffic and a
+    quarter of the accumulate FLOPs of :func:`sharded_dsf`, with no FFT at
+    all in the reduction.  Arguments as in :func:`sharded_dsf`.
+
+    Returns:
+        S: (n_k,) float32 host array, normalized by Σ atom_weights.
+    """
+    f_re, f_im, norm, _ = _sharded_density_stack(
+        mesh, positions, k_vectors, precision, t_superchunk, prefetch,
+        atom_weights)
+    sk_p = _sk_reduce_step(mesh)(f_re, f_im)
+    return _fetch_k_sharded(sk_p, k_vectors.shape[0]) / max(norm, 1.0)
+
+
+@functools.lru_cache(maxsize=None)
+def _isf_reduce_step(mesh: Mesh, n_t: int, n_lags: int):
+    """Wiener–Khinchin linear autocorrelation inside the k shard."""
+    from ..ops import instantaneous
+
+    def fn(re_l, im_l):                                 # (n_t, K/k, 1)
+        return instantaneous.isf_reduce(re_l, im_l, n_t, n_lags)
+
+    return jax.jit(jax.shard_map(
+        fn, mesh=mesh, in_specs=(P(None, AXIS_K, None),) * 2,
+        out_specs=P(None, AXIS_K), check_vma=False))
+
+
+def sharded_isf(mesh: Mesh, positions, k_vectors: np.ndarray, n_lags: int,
+                precision: str = 'parity',
+                t_superchunk: Optional[int] = None, prefetch: bool = True,
+                atom_weights: Optional[np.ndarray] = None) -> np.ndarray:
+    """Coherent intermediate scattering function F(k,τ) over a device
+    mesh — the same density-only accumulate as :func:`sharded_sk`, with
+    the per-shard linear FFT autocorrelation as the reduction.
+
+    Returns:
+        F: (n_lags, n_k) float32 host array, normalized by Σ atom_weights.
+    """
+    f_re, f_im, norm, n_t = _sharded_density_stack(
+        mesh, positions, k_vectors, precision, t_superchunk, prefetch,
+        atom_weights)
+    f_p = _isf_reduce_step(mesh, n_t, n_lags)(f_re, f_im)
+    return _fetch_k_sharded(f_p, k_vectors.shape[0]) / max(norm, 1.0)
 
 
 @functools.lru_cache(maxsize=None)
@@ -1310,6 +1355,63 @@ def sharded_dsf_self(mesh: Mesh, positions, k_vectors: np.ndarray,
     Returns:
         S_s: (n_keep, n_k) float32 host array.
     """
+    idx = np.asarray(freq_indices, dtype=np.int32)
+
+    def step_call(mesh_, k_dev, pos_dev, mask_dev):
+        idx_dev = jax.device_put(idx, NamedSharding(mesh_, P(None)))
+        return _dsf_self_step(mesh_)(pos_dev, mask_dev, k_dev, idx_dev)
+
+    return _sharded_self_sweep(mesh, positions, k_vectors, step_call,
+                               len(idx), atom_weights, atom_chunk,
+                               time_bytes_fn=lambda n_t: 16 * n_t)
+
+
+@functools.lru_cache(maxsize=None)
+def _isf_self_step(mesh: Mesh, n_lags: int):
+    """Per-atom full-time linear FFT autocorrelation, atoms sharded over
+    the COMBINED (t, a) mesh axes, k stripes data-parallel, one psum."""
+    from ..ops import instantaneous
+
+    def fn(pos_l, mask_l, k_l):
+        part = instantaneous.isf_self_block(pos_l, mask_l, k_l, n_lags)
+        return lax.psum(part, (AXIS_T, AXIS_A))            # (n_lags, K/k)
+
+    return jax.jit(jax.shard_map(
+        fn, mesh=mesh,
+        in_specs=(P(None, (AXIS_T, AXIS_A), None), P((AXIS_T, AXIS_A)),
+                  P(AXIS_K, None)),
+        out_specs=P(None, AXIS_K), check_vma=False))
+
+
+def sharded_isf_self(mesh: Mesh, positions, k_vectors: np.ndarray,
+                     n_lags: int,
+                     atom_weights: Optional[np.ndarray] = None,
+                     atom_chunk: Optional[int] = None):
+    """Self intermediate scattering function F_s(k,τ) over a device mesh —
+    the sharding of :func:`sharded_dsf_self` (atoms over the combined
+    (t, a) axes, one psum of the partial planes) with the linear FFT
+    autocorrelation kernel.  Returns (n_lags, n_k) float32, /Σw.
+    """
+    from ..ops.instantaneous import _autocorr_fft_len
+
+    def step_call(mesh_, k_dev, pos_dev, mask_dev):
+        return _isf_self_step(mesh_, n_lags)(pos_dev, mask_dev, k_dev)
+
+    return _sharded_self_sweep(mesh, positions, k_vectors, step_call,
+                               n_lags, atom_weights, atom_chunk,
+                               time_bytes_fn=lambda n_t:
+                               16 * _autocorr_fft_len(n_t))
+
+
+def _sharded_self_sweep(mesh: Mesh, positions, k_vectors: np.ndarray,
+                        step_call, out_rows: int,
+                        atom_weights: Optional[np.ndarray],
+                        atom_chunk: Optional[int], time_bytes_fn):
+    """Shared atom-chunk streaming for the per-atom-FFT ("self") pod
+    observables: full time axis per device, atoms over the combined
+    (t, a) axes, ``step_call(mesh, k_dev, pos_dev, mask_dev)`` returns
+    the (out_rows, K_pad) k-sharded partial; chunks accumulate on host.
+    ``time_bytes_fn(n_t)`` sizes the per-(atom, k) device transient."""
     src = _as_source(positions)
     n_t, n_atoms = src.n_frames, src.n_atoms
     n_k = k_vectors.shape[0]
@@ -1329,17 +1431,13 @@ def sharded_dsf_self(mesh: Mesh, positions, k_vectors: np.ndarray,
 
     if atom_chunk is None:
         budget = 1 << 30                        # c64 transient per device
-        per_dev = max(1, budget // (16 * n_t * max(1, k_local)))
+        per_dev = max(1, budget // (time_bytes_fn(n_t) * max(1, k_local)))
         atom_chunk = per_dev * atom_devs
     atom_chunk = max(atom_devs, -(-atom_chunk // atom_devs) * atom_devs)
 
-    idx = np.asarray(freq_indices, dtype=np.int32)
-    idx_dev = jax.device_put(idx, NamedSharding(mesh, P(None)))
     k_dev = jax.device_put(k_p, NamedSharding(mesh, P(AXIS_K, None)))
-    step = _dsf_self_step(mesh)
-
     pos_sharding = NamedSharding(mesh, P(None, (AXIS_T, AXIS_A), None))
-    out = np.zeros((len(idx), k_p.shape[0]), dtype=np.float32)
+    out = np.zeros((out_rows, k_p.shape[0]), dtype=np.float32)
     for a0 in range(0, n_atoms, atom_chunk):
         a1 = min(a0 + atom_chunk, n_atoms)
 
@@ -1360,7 +1458,7 @@ def sharded_dsf_self(mesh: Mesh, positions, k_vectors: np.ndarray,
         w_chunk[:a1 - a0] = w[a0:a1]
         mask_dev = jax.device_put(w_chunk,
                                   NamedSharding(mesh, P((AXIS_T, AXIS_A))))
-        part = step(pos_dev, mask_dev, k_dev, idx_dev)
+        part = step_call(mesh, k_dev, pos_dev, mask_dev)
         if jax.process_count() > 1 and not part.is_fully_addressable:
             from jax.experimental import multihost_utils
             part = multihost_utils.process_allgather(part, tiled=True)

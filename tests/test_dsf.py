@@ -427,6 +427,32 @@ class TestSharded:
         got_g = calc.calculate_sk_sharded(mesh, kv, basis_atom_indices=idx)
         np.testing.assert_allclose(got_g, want_g, rtol=1e-5, atol=1e-6)
 
+    def test_isf_matches_single_chip(self):
+        """Coherent and self ISF over the mesh must reproduce the
+        single-chip curves, incl. streamed superchunks and basis
+        selection."""
+        from psa_tpu.parallel import make_mesh
+        calc, kv = self._chain()
+        mesh = make_mesh(shape=(2, 2, 2))
+        lags, want = calc.calculate_isf(kv, n_lags=24)
+        lags_m, got = calc.calculate_isf_sharded(mesh, kv, n_lags=24)
+        np.testing.assert_allclose(lags_m, lags, atol=0)
+        np.testing.assert_allclose(got, want, rtol=1e-4,
+                                   atol=1e-5 * abs(want).max())
+        _, got_s = calc.calculate_isf_sharded(mesh, kv, n_lags=24,
+                                              t_superchunk=16)
+        np.testing.assert_allclose(got_s, want, rtol=1e-4,
+                                   atol=1e-5 * abs(want).max())
+        idx = list(range(0, 12, 2))
+        _, want_g = calc.calculate_isf_self(kv, n_lags=24,
+                                            basis_atom_indices=idx)
+        _, got_g = calc.calculate_isf_self_sharded(
+            mesh, kv, n_lags=24, basis_atom_indices=idx)
+        np.testing.assert_allclose(got_g, want_g, rtol=1e-4, atol=1e-6)
+        _, got_c = calc.calculate_isf_self_sharded(
+            mesh, kv, n_lags=24, basis_atom_indices=idx, atom_chunk=4)
+        np.testing.assert_allclose(got_c, want_g, rtol=1e-4, atol=1e-6)
+
     def test_self_matches_single_chip(self):
         """S_s over the mesh: atoms shard over the combined (t, a) axes,
         k stripes data-parallel; must reproduce the single-chip planes
