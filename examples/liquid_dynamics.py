@@ -64,6 +64,11 @@ print(f"S_s planes: {s_s.shape} (Σ_ω≥0 ≈ {s_s.sum(axis=0).round(3)})")
 sk = calc.calculate_sk(kv)
 print(f"S(k) = {sk.round(3)}  (ideal-gas limit: 1)")
 
+# real-space structure: uncorrelated walkers are an ideal gas, g(r) = 1
+r_g, g_r = calc.calculate_rdf(n_bins=60, max_frames=8)
+print(f"g(r) mean over r > 2 Å = {g_r[r_g > 2].mean():.3f} "
+      f"(ideal-gas limit: 1)")
+
 # time-domain route: the self intermediate scattering function decays as
 # F_s(k,τ) = exp(−k²·D·τ) for Fickian diffusion
 lags, f_s = calc.calculate_isf_self(kv, n_lags=50)

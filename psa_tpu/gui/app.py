@@ -245,7 +245,7 @@ class PSAMainWindow:
         self.liquid_var = tk.StringVar(value='S(k)')
         self.liquid_combo = ttk.Combobox(
             kbtns, textvariable=self.liquid_var, width=6, state='readonly',
-            values=('S(k)', 'g(r)', 'MSD', 'VACF'))
+            values=('S(k)', 'g(r)', 'MSD', 'VACF', 'F_s'))
         self.liquid_combo.pack(side='left', padx=(8, 0))
         self.liquid_btn = ttk.Button(kbtns, text="Liquid", state='disabled',
                                      command=self._calculate_liquid)
@@ -630,7 +630,7 @@ class PSAMainWindow:
 
     def _calculate_liquid(self):
         kind = {'S(k)': 'sk', 'g(r)': 'rdf', 'MSD': 'msd',
-                'VACF': 'vacf'}[self.liquid_var.get()]
+                'VACF': 'vacf', 'F_s': 'isf_self'}[self.liquid_var.get()]
         dialog = ProgressDialog(self.root, "Calculating",
                                 f"Computing {self.liquid_var.get()} on device…")
 

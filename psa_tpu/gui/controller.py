@@ -579,7 +579,8 @@ class AnalysisController:
         ``kind``: 'sk' → static structure factor over the (snapped)
         current k-path; 'rdf' → radial distribution function; 'msd' /
         'vacf' → time-correlation functions (one curve per type when a
-        flat type list is set).
+        flat type list is set); 'isf_self' → F_s(k,τ) decay curves, one
+        per k sampled along the snapped current k-path (≤ 6).
 
         Returns (x, curves (n_curves, n), xlabel, ylabel) ready to plot.
         """
@@ -603,9 +604,28 @@ class AnalysisController:
             x, curves = calc.calculate_vacf(
                 basis_atom_types=basis_atom_types)
             xlabel, ylabel = "τ (ps)", "VACF ((Å/ps)²)"
+        elif kind == 'isf_self':
+            direction = parse_direction_input(direction_text)
+            _, k_vecs = calc.get_k_path(direction, bz_coverage=bz_coverage,
+                                        n_k=n_k, lat_param=lattice_param)
+            k_vecs = commensurate_kpath(k_vecs, calc.traj.box_matrix)
+            sel = np.unique(np.linspace(0, len(k_vecs) - 1,
+                                        min(6, len(k_vecs))).astype(int))
+            k_vecs = k_vecs[sel]
+            x, f_s = calc.calculate_isf_self(
+                k_vecs, basis_atom_types=basis_atom_types)
+            curves = f_s.T                       # one decay curve per k
+            xlabel, ylabel = "τ (ps)", "F_s(k,τ)"
+            k_mags = np.linalg.norm(k_vecs, axis=1)
+            curve_labels = tuple(f"k = {k:.2f}" for k in k_mags)
+            self.liquid = LiquidState(kind=kind, x=x, curves=curves,
+                                      labels=(xlabel, ylabel),
+                                      curve_labels=curve_labels)
+            self.last_compute = 'liquid'
+            return x, curves, xlabel, ylabel
         else:
-            raise ValueError(f"kind must be 'sk', 'rdf', 'msd' or 'vacf', "
-                             f"got {kind!r}")
+            raise ValueError(f"kind must be 'sk', 'rdf', 'msd', 'vacf' or "
+                             f"'isf_self', got {kind!r}")
         if (basis_atom_types and curves.shape[0] == len(basis_atom_types)
                 and curves.shape[0] > 1):
             curve_labels = tuple(f"type {t}" for t in basis_atom_types)

@@ -207,6 +207,13 @@ class TestKGridFlow:
         assert loaded.last_compute == 'liquid'
         assert loaded.liquid.kind == 'vacf'
         assert loaded.liquid.curve_labels == ('total',)
+        # F_s decay curves: one per sampled k, starting at 1
+        lags, fs, _, yl = loaded.compute_liquid_curve(
+            'isf_self', direction_text='x', n_k=8, bz_coverage=0.5)
+        assert yl == 'F_s(k,τ)' and fs.shape[1] == len(lags)
+        np.testing.assert_allclose(fs[:, 0], 1.0, rtol=1e-5)
+        assert all(lab.startswith('k = ')
+                   for lab in loaded.liquid.curve_labels)
         with pytest.raises(ValueError):
             loaded.compute_liquid_curve('nope')
 
