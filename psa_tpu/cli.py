@@ -356,6 +356,18 @@ def _run_dsf_section(calc, dsf_cfg, sed_cfg, out_dir: Path, eff_lat_param,
                 k_vecs, basis_atom_indices=basis_idx, n_lags=n_lags)
             arrays.update(lags_ps=lags, isf_self=f_s)
             isf_planes['isf_self'] = (f_s, 'F_s(k,τ)')
+        if dsf_cfg.get('kww') and isf_planes:
+            from .utils import isf_relaxation_time, kww_fit
+            window = dsf_cfg.get('kww_window')
+            window = tuple(float(v) for v in window) if window else None
+            for obs, (plane, _) in isf_planes.items():
+                amp, tau, beta, rms = kww_fit(arrays['lags_ps'], plane,
+                                              fit_window=window)
+                arrays.update({f'kww_amp_{obs}': amp, f'kww_tau_{obs}': tau,
+                               f'kww_beta_{obs}': beta,
+                               f'kww_rms_{obs}': rms,
+                               f'tau_alpha_{obs}': isf_relaxation_time(
+                                   arrays['lags_ps'], plane)})
         np.savez(out_dir / f"dsf_{d_lbl}.npz", **arrays)
 
         if 'sk' in observables:

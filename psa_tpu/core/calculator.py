@@ -2482,7 +2482,8 @@ class SEDCalculator:
                       basis_atom_indices=None, basis_atom_types=None,
                       basis_atom_indices_b=None, basis_atom_types_b=None,
                       max_frames: int = 64,
-                      atom_block: int = 1024, mesh=None):
+                      atom_block: int = 1024, mesh=None,
+                      method: str = 'auto', cell_block: int = 64):
         """Radial distribution function g(r), computed ON DEVICE.
 
         The real-space twin of :meth:`calculate_sk`: coordination shells
@@ -2490,8 +2491,13 @@ class SEDCalculator:
         g(r) = 1.  Pair distances are minimum-imaged through the FULL cell
         matrix (triclinic-safe) and histogrammed per (frame, A-block,
         B-block) tile — the brute-force O(N²) pair sweep is the XLA-shaped
-        choice (static shapes, no neighbor lists); cost scales as
-        n_frames_used · N_A · N_B.
+        choice for moderate N (static shapes, no neighbor lists); cost
+        scales as n_frames_used · N_A · N_B.  For LARGE systems with a
+        short histogram range (r_max ≪ box) a linked-cell path cuts the
+        pair count by ~n_cells/27 (``method``, below): fixed-capacity
+        cell buckets keep every shape static, pairs go only to the 27
+        wrapped neighbor cells, and the result is bin-for-bin identical
+        to the brute sweep.
 
         The second basis (``*_b``) selects a PARTIAL (cross) RDF —
         g_AB(r) between two species/groups; omitted ⇒ same-group g(r)
@@ -2510,6 +2516,14 @@ class SEDCalculator:
                 over ALL mesh axes (k-independent observable), the B
                 block replicates, and one psum merges the histograms;
                 per-device tiles keep the single-chip budget.
+            method: 'brute' | 'cells' | 'auto'.  'auto' (default) builds
+                the cell grid, measures the actual bucket occupancy, and
+                takes the cell path only when its padded pair count beats
+                the brute sweep by ≥ 2× (single-device only; a mesh always
+                runs the sharded brute sweep).  The choice taken is
+                recorded on ``self._last_rdf_method``.
+            cell_block: cells per device tile on the 'cells' path — bounds
+                the (t, cell_block, C, C) distance residency.
 
         Returns:
             (r_centers (n_bins,), g (n_bins,) float32).
@@ -2543,6 +2557,36 @@ class SEDCalculator:
         n_t = self.traj.n_frames
         stride = max(1, -(-n_t // max_frames))
         frames = np.arange(0, n_t, stride)
+        if method not in ('auto', 'brute', 'cells'):
+            raise ValueError("method must be 'auto', 'brute', or 'cells'")
+        if method == 'cells' and mesh is not None:
+            raise ValueError("method='cells' is single-device; drop mesh= "
+                             "(the mesh path shards the brute sweep)")
+        counts = None
+        if method != 'brute' and mesh is None:
+            counts = self._rdf_counts_cells(
+                group_a, group_b, same, frames, h, float(r_max), n_bins,
+                cell_block, force=(method == 'cells'))
+        if counts is None:
+            self._last_rdf_method = 'brute'
+            counts = self._rdf_counts_brute(
+                group_a, group_b, same, frames, stride, h, float(r_max),
+                n_bins, atom_block, mesh)
+
+        shell_vol = 4.0 / 3.0 * np.pi * (edges[1:] ** 3 - edges[:-1] ** 3)
+        # the kernel drops equal-global-id pairs, so subtract |A ∩ B|
+        # (= N for the same-group case) from the ideal pair count
+        n_overlap = (group_a.size if same
+                     else np.intersect1d(group_a, group_b).size)
+        n_pairs = group_a.size * group_b.size - n_overlap
+        ideal = len(frames) * n_pairs * shell_vol / vol
+        g = np.where(ideal > 0, counts / np.maximum(ideal, 1e-300), 0.0)
+        return centers, g.astype(np.float32)
+
+    def _rdf_counts_brute(self, group_a, group_b, same, frames, stride, h,
+                          r_max, n_bins, atom_block, mesh):
+        """Pair counts via the full A×B tile sweep (optionally mesh-sharded)."""
+        from ..ops import structure
         # (t, A, B) f32 distance tiles ×~4 transients against the budget
         budget_elems = max(1 << 22, int(self.max_device_bytes) // (4 * 8))
         t_chunk = int(np.clip(budget_elems // (atom_block * atom_block),
@@ -2615,16 +2659,111 @@ class SEDCalculator:
                     rows = multihost_utils.process_allgather(rows,
                                                              tiled=True)
             counts += np.asarray(rows, dtype=np.float64).sum(axis=0)
+        return counts
 
-        shell_vol = 4.0 / 3.0 * np.pi * (edges[1:] ** 3 - edges[:-1] ** 3)
-        # the kernel drops equal-global-id pairs, so subtract |A ∩ B|
-        # (= N for the same-group case) from the ideal pair count
-        n_overlap = (group_a.size if same
-                     else np.intersect1d(group_a, group_b).size)
-        n_pairs = group_a.size * group_b.size - n_overlap
-        ideal = len(frames) * n_pairs * shell_vol / vol
-        g = np.where(ideal > 0, counts / np.maximum(ideal, 1e-300), 0.0)
-        return centers, g.astype(np.float32)
+    def _rdf_counts_cells(self, group_a, group_b, same, frames, h, r_max,
+                          n_bins, cell_block, force):
+        """Pair counts via the linked-cell sweep, or None → use brute.
+
+        Builds the cell grid (cell width ≥ r_max per dim, so the wrapped
+        27-stencil is exact), measures the ACTUAL max bucket occupancy in
+        a cheap host pre-pass, and — unless ``force`` — bails out to the
+        brute sweep when the padded cell pair count is not at least 2×
+        smaller than N_A · N_B.
+        """
+        from ..ops import structure
+        vol = float(abs(np.linalg.det(h)))
+        cols = [h[:, i] for i in range(3)]
+        widths = [vol / np.linalg.norm(np.cross(cols[j], cols[k]))
+                  for j, k in ((1, 2), (2, 0), (0, 1))]
+        n_xyz = [max(1, int(w / r_max)) for w in widths]
+        # very short r_max can make the grid far finer than the atom
+        # count — coarsen (widening cells keeps the stencil exact) until
+        # occupancy is sane
+        n_big = max(group_a.size, group_b.size)
+        while np.prod(n_xyz) > 4 * n_big and max(n_xyz) > 1:
+            i = int(np.argmax(n_xyz))
+            n_xyz[i] = (n_xyz[i] + 1) // 2
+        n_xyz = tuple(n_xyz)
+        nc = int(np.prod(n_xyz))
+        if nc < 27 and not force:
+            return None                  # stencil ≈ whole box: no win
+        h_inv = np.linalg.inv(h)
+
+        def frac_of(pos):
+            fr = np.einsum('ij,taj->tai', h_inv, pos.astype(np.float64))
+            return fr - np.floor(fr)
+
+        # host pre-pass: actual per-cell occupancy → fixed bucket capacity
+        cap_a = cap_b = 0
+        chunk = max(1, (1 << 22) // max(1, group_a.size))
+        for f0 in range(0, len(frames), chunk):
+            fidx = frames[f0:f0 + chunk]
+            pos_t = self.traj.positions[fidx]
+            lin = structure.cell_counts(frac_of(pos_t[:, group_a, :]), n_xyz)
+            cap_a = max(cap_a, max(int(np.bincount(l, minlength=nc).max())
+                                   for l in lin))
+            if not same:
+                lin = structure.cell_counts(frac_of(pos_t[:, group_b, :]),
+                                            n_xyz)
+                cap_b = max(cap_b, max(int(np.bincount(l, minlength=nc).max())
+                                       for l in lin))
+        cap_a = -(-max(cap_a, 1) // 8) * 8
+        cap_b = cap_a if same else -(-max(cap_b, 1) // 8) * 8
+
+        cell_pairs = 27.0 * nc * cap_a * cap_b
+        brute_pairs = float(group_a.size) * group_b.size
+        if not force and cell_pairs > 0.5 * brute_pairs:
+            return None
+
+        nc_pad = -(-(nc + 1) // cell_block) * cell_block
+        neigh = jnp.asarray(structure.neighbor_table(n_xyz, nc_pad))
+        h_dev = jnp.asarray(h, dtype=jnp.float32)
+        hinv_dev = jnp.asarray(h_inv, dtype=jnp.float32)
+        r_max_dev = jnp.float32(r_max)
+        gid_a = jnp.asarray(group_a.astype(np.int32))
+        gid_b = gid_a if same else jnp.asarray(group_b.astype(np.int32))
+
+        # (t, cell_block, Ca, Cb) distance residency against the budget,
+        # and one cell block's pairs below the int32 row ceiling
+        budget_elems = max(1 << 22, int(self.max_device_bytes) // (4 * 8))
+        t_chunk = int(np.clip(
+            budget_elems // max(1, cell_block * cap_a * cap_b),
+            1, len(frames)))
+        t_chunk = min(t_chunk, max(1, (2 ** 31 - 1)
+                                   // max(1, cell_block * cap_a * 27 * cap_b)))
+        logger.info("RDF cells: grid %s (pad %d), caps (%d, %d), t_chunk=%d "
+                    "— %.1fx fewer padded pairs than brute.", n_xyz, nc_pad,
+                    cap_a, cap_b, t_chunk,
+                    brute_pairs / max(cell_pairs, 1.0))
+
+        counts = np.zeros(n_bins, dtype=np.float64)
+        for f0 in range(0, len(frames), t_chunk):
+            fidx = frames[f0:f0 + t_chunk]
+            pos_t = self.traj.positions[fidx]
+            fr_a = frac_of(pos_t[:, group_a, :])
+            lin_a = structure.cell_counts(fr_a, n_xyz)
+            idx_a = structure.bucketize_frames(lin_a, group_a.size, nc,
+                                               nc_pad, cap_a)
+            pa = jnp.asarray(np.einsum('ij,taj->tai', h,
+                                       fr_a).astype(np.float32))
+            ia = jnp.asarray(idx_a)
+            if same:
+                pb, ib = pa, ia
+            else:
+                fr_b = frac_of(pos_t[:, group_b, :])
+                lin_b = structure.cell_counts(fr_b, n_xyz)
+                idx_b = structure.bucketize_frames(lin_b, group_b.size, nc,
+                                                   nc_pad, cap_b)
+                pb = jnp.asarray(np.einsum('ij,taj->tai', h,
+                                           fr_b).astype(np.float32))
+                ib = jnp.asarray(idx_b)
+            rows = structure.rdf_cells_sweep(
+                pa, ia, gid_a, pb, ib, gid_b, neigh, h_dev, hinv_dev,
+                r_max_dev, n_bins=n_bins, cell_block=cell_block)
+            counts += np.asarray(rows, dtype=np.float64).sum(axis=0)
+        self._last_rdf_method = 'cells'
+        return counts
 
     # ------------------------------------------------------------------
     # Gridded (NUFFT-accelerated) k-grid sweep

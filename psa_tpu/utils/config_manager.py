@@ -106,6 +106,8 @@ def default_config() -> Dict[str, Any]:
             # 'isf'/'isf_self' (intermediate scattering functions over τ)
             'observables': ['total', 'longitudinal', 'transverse'],
             'n_lags': None,                    # ISF τ rows (None ⇒ n_t // 2)
+            'kww': False,                      # per-k KWW fit of isf planes
+            'kww_window': None,                # [τ_min, τ_max] ps fit window
             'basis': {'atom_indices': None, 'atom_types': None},
         },
         'timecorr': {
@@ -234,6 +236,19 @@ class ConfigManager:
                 raise ValueError(
                     f"dsf.n_lags must be a positive integer or null "
                     f"(null ⇒ n_frames // 2); got {nl!r}.")
+            kw = ds.get('kww_window')
+            if kw is not None and (
+                    not isinstance(kw, (list, tuple)) or len(kw) != 2
+                    or any(isinstance(v, bool)
+                           or not isinstance(v, (int, float)) for v in kw)
+                    or not kw[0] < kw[1]):
+                raise ValueError(
+                    f"dsf.kww_window must be null or an ascending "
+                    f"[tau_min, tau_max] pair (ps); got {kw!r}.")
+            if ds.get('kww') and not ({'isf', 'isf_self'}
+                                      & set(ds.get('observables') or [])):
+                raise ValueError("dsf.kww needs 'isf' and/or 'isf_self' in "
+                                 "dsf.observables.")
         rd = cfg.get('rdf', {})
         if rd.get('apply'):
             rm = rd.get('r_max')

@@ -262,7 +262,7 @@ def test_cli_dsf_section(workdir):
         'md_system': {'dt': 0.02, 'nx': 12, 'ny': 1, 'nz': 1},
         'sed_calculation': {'directions': ['x'], 'n_kpoints': 8,
                             'bz_coverage': 0.5},
-        'dsf': {'apply': True, 'max_freq': 8.0, 'n_lags': 10,
+        'dsf': {'apply': True, 'max_freq': 8.0, 'n_lags': 10, 'kww': True,
                 'observables': ['total', 'longitudinal', 'self', 'sk',
                                 'isf', 'isf_self']},
     }
@@ -292,6 +292,29 @@ def test_cli_dsf_section(workdir):
     assert z['isf'].shape == z['isf_self'].shape == (10, n_k)
     np.testing.assert_allclose(z['isf'][0], z['sk'], rtol=1e-5)
     np.testing.assert_allclose(z['isf_self'][0], 1.0, rtol=1e-5)
+    # kww: true adds per-k fit arrays for every isf plane
+    for obs in ('isf', 'isf_self'):
+        for fld in ('kww_amp', 'kww_tau', 'kww_beta', 'kww_rms',
+                    'tau_alpha'):
+            assert z[f'{fld}_{obs}'].shape == (n_k,)
+
+    # kww without an isf observable is rejected at config validation
+    config['dsf']['observables'] = ['total']
+    cfg.write_text(yaml.dump(config))
+    with pytest.raises(SystemExit):
+        main(['--trajectory', str(dump), '--config', str(cfg),
+              '--output-dir', str(out)])
+    config['dsf']['observables'] = ['total', 'longitudinal', 'self', 'sk',
+                                    'isf', 'isf_self']
+
+    # malformed kww_window is rejected at config validation
+    config['dsf']['kww_window'] = [2.0, 1.0]
+    cfg.write_text(yaml.dump(config))
+    with pytest.raises(SystemExit):
+        main(['--trajectory', str(dump), '--config', str(cfg),
+              '--output-dir', str(out)])
+    del config['dsf']['kww_window']
+    del config['dsf']['kww']
 
     # invalid observable is rejected at config validation
     config['dsf']['observables'] = ['density']

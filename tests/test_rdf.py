@@ -118,6 +118,105 @@ class TestOracle:
         np.testing.assert_allclose(g1, g2, rtol=1e-5, atol=1e-6)
 
 
+class TestCells:
+    """Linked-cell path: bin-for-bin identical to the brute sweep."""
+
+    def test_cells_matches_brute_unwrapped_positions(self):
+        """Fine grid (6³ cells) on UNWRAPPED positions (several images
+        outside the box) — the cells path must wrap before bucketing."""
+        rng = np.random.default_rng(10)
+        pos = rng.uniform(-24, 36, (3, 300, 3))     # spans ~5 images
+        traj = _traj(pos, np.diag([12.0] * 3))
+        calc = SEDCalculator(traj, nx=1, ny=1, nz=1)
+        _, want = calc.calculate_rdf(r_max=2.0, n_bins=20, method='brute')
+        _, got = calc.calculate_rdf(r_max=2.0, n_bins=20, method='cells')
+        assert calc._last_rdf_method == 'cells'
+        np.testing.assert_allclose(got, want, rtol=1e-6)
+
+    def test_cells_matches_brute_triclinic(self):
+        rng = np.random.default_rng(11)
+        box = np.array([[10.0, 2.0, 1.0],
+                        [0.0, 9.0, 1.5],
+                        [0.0, 0.0, 8.0]])
+        frac = rng.uniform(0, 1, (2, 200, 3))
+        pos = np.einsum('ij,taj->tai', box, frac)
+        traj = _traj(pos, box)
+        calc = SEDCalculator(traj, nx=1, ny=1, nz=1)
+        _, want = calc.calculate_rdf(r_max=1.5, n_bins=15, method='brute')
+        _, got = calc.calculate_rdf(r_max=1.5, n_bins=15, method='cells')
+        np.testing.assert_allclose(got, want, rtol=1e-6)
+
+    def test_cells_tiny_grid_wrap_dedup(self):
+        """r_max ≈ half box → 2 cells per dim: the wrapped 27-stencil
+        collapses onto duplicates, which the table dedups — forced cells
+        must still equal brute (and the f64 oracle)."""
+        rng = np.random.default_rng(12)
+        pos = rng.uniform(0, 12, (3, 60, 3))
+        traj = _traj(pos, np.diag([12.0] * 3))
+        calc = SEDCalculator(traj, nx=1, ny=1, nz=1)
+        _, want = calc.calculate_rdf(r_max=5.5, n_bins=22, method='brute')
+        _, got = calc.calculate_rdf(r_max=5.5, n_bins=22, method='cells')
+        np.testing.assert_allclose(got, want, rtol=1e-6)
+        oracle = rdf_oracle(pos, np.diag([12.0] * 3), 5.5, 22)
+        np.testing.assert_allclose(got, oracle, rtol=1e-4, atol=1e-5)
+
+    def test_cells_cross_group(self):
+        rng = np.random.default_rng(13)
+        pos = rng.uniform(0, 14, (2, 250, 3))
+        types = np.array([1] * 150 + [2] * 100, np.int32)
+        traj = _traj(pos, np.diag([14.0] * 3), types=types)
+        calc = SEDCalculator(traj, nx=1, ny=1, nz=1)
+        kw = dict(r_max=2.0, n_bins=20, basis_atom_types=[1],
+                  basis_atom_types_b=[2])
+        _, want = calc.calculate_rdf(method='brute', **kw)
+        _, got = calc.calculate_rdf(method='cells', **kw)
+        np.testing.assert_allclose(got, want, rtol=1e-6)
+
+    def test_cell_block_invariance(self):
+        rng = np.random.default_rng(14)
+        pos = rng.uniform(0, 12, (2, 150, 3))
+        traj = _traj(pos, np.diag([12.0] * 3))
+        calc = SEDCalculator(traj, nx=1, ny=1, nz=1)
+        _, g1 = calc.calculate_rdf(r_max=2.0, n_bins=20, method='cells',
+                                   cell_block=16)
+        _, g2 = calc.calculate_rdf(r_max=2.0, n_bins=20, method='cells',
+                                   cell_block=128)
+        np.testing.assert_allclose(g1, g2, rtol=1e-6)
+
+    def test_auto_prefers_brute_when_cells_lose(self):
+        """Small N, wide r_max: padded cell pairs exceed the brute count —
+        'auto' must take (and record) the brute path."""
+        rng = np.random.default_rng(15)
+        pos = rng.uniform(0, 10, (2, 40, 3))
+        traj = _traj(pos, np.diag([10.0] * 3))
+        calc = SEDCalculator(traj, nx=1, ny=1, nz=1)
+        calc.calculate_rdf(r_max=4.0, n_bins=20)       # method='auto'
+        assert calc._last_rdf_method == 'brute'
+
+    def test_auto_picks_cells_for_short_cutoff_large_n(self):
+        """Dense enough system + short r_max: auto must route to cells
+        and match brute."""
+        rng = np.random.default_rng(16)
+        pos = rng.uniform(0, 24, (1, 3000, 3))
+        traj = _traj(pos, np.diag([24.0] * 3))
+        calc = SEDCalculator(traj, nx=1, ny=1, nz=1)
+        _, want = calc.calculate_rdf(r_max=2.0, n_bins=20, method='brute')
+        _, got = calc.calculate_rdf(r_max=2.0, n_bins=20)  # auto
+        assert calc._last_rdf_method == 'cells'
+        np.testing.assert_allclose(got, want, rtol=1e-6)
+
+    def test_cells_with_mesh_raises(self):
+        import pytest
+        from psa_tpu.parallel import make_mesh
+        rng = np.random.default_rng(17)
+        pos = rng.uniform(0, 10, (1, 20, 3))
+        traj = _traj(pos, np.diag([10.0] * 3))
+        calc = SEDCalculator(traj, nx=1, ny=1, nz=1)
+        with pytest.raises(ValueError, match="single-device"):
+            calc.calculate_rdf(r_max=2.0, method='cells',
+                               mesh=make_mesh(shape=(2, 2, 2)))
+
+
 class TestPhysics:
     def test_ideal_gas_is_flat_one(self):
         rng = np.random.default_rng(3)
