@@ -37,7 +37,9 @@ Environment knobs:
     PSA_BENCH_BASELINE_K (default 8; k-subsample for the NumPy reference pass)
     PSA_BENCH_BASELINE_T (default 1000; n_t-subsample for a fresh baseline)
     PSA_BENCH_PRECISION  (default 'parity'; or 'fast' for bf16 MXU passes)
-    PSA_BENCH_EXTRAS  (default 1; 0 skips the user-facing path benches)
+    PSA_BENCH_EXTRAS  (default 0 — keep the driver capture lean; set 1
+                       to run the user-facing path benches after the
+                       headline, still under PSA_BENCH_BUDGET_S)
     PSA_BENCH_KBLOCK  (default 1280; k-points per compiled block)
     PSA_BENCH_BUDGET_S (default 3000; stop starting extras past this)
 """
@@ -228,10 +230,14 @@ def main():
                                 precision=precision)
     acc = _checksum(jnp.float32(0), *out)
     _ = float(acc)
-    log(f"compile+first block: {time.time() - t0:.1f}s")
+    compile_s = time.time() - t0
+    log(f"compile+first block: {compile_s:.1f}s")
     del out
 
     def headline_dict(kps, speedup, note=''):
+        # compile_s documents the capture's cache state: ~seconds when the
+        # persistent XLA cache hit, minutes on a cold container (VERDICT r3
+        # item 8 — the capture itself records cold-vs-warm).
         return {
             "metric": f"k-points/sec, coherent SED, {grid}x{grid} grid, "
                       f"{n_atoms} atoms x {n_steps} steps, "
@@ -239,6 +245,7 @@ def main():
             "value": round(kps, 2),
             "unit": "k-points/sec",
             "vs_baseline": round(speedup, 2),
+            "compile_s": round(compile_s, 1),
         }
 
     # timed sweep over all blocks (results stay device-side, like any fused
@@ -280,7 +287,7 @@ def main():
     _STATE['stage'] = 'extras'
 
     extras = {}
-    if os.environ.get('PSA_BENCH_EXTRAS', '1') != '0':
+    if os.environ.get('PSA_BENCH_EXTRAS', '0') not in ('', '0'):
         del data_dev, hi_dev, lo_dev, k_blocks  # free HBM for the extras
         budget_s = float(os.environ.get('PSA_BENCH_BUDGET_S', 3000))
         deadline = _RUN_START + budget_s

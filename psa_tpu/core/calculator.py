@@ -207,6 +207,8 @@ class SEDCalculator:
             if dev > 1e-3:
                 mode = 'exact'
         box = self._dsf_box() if mode == 'incremental' else None
+        if box is None:
+            mode = 'exact'     # singular box: min-imaging undefined
         return box, mode
 
     # ------------------------------------------------------------------
@@ -2644,6 +2646,7 @@ class SEDCalculator:
         if method == 'cells' and mesh is not None:
             raise ValueError("method='cells' is single-device; drop mesh= "
                              "(the mesh path shards the brute sweep)")
+        self._last_rdf_method = None   # set at the start of whichever path runs
         counts = None
         if method != 'brute' and mesh is None:
             counts = self._rdf_counts_cells(
@@ -2776,27 +2779,46 @@ class SEDCalculator:
             fr = np.einsum('ij,taj->tai', h_inv, pos.astype(np.float64))
             return fr - np.floor(fr)
 
-        # host pre-pass: actual per-cell occupancy → fixed bucket capacity
-        cap_a = cap_b = 0
-        chunk = max(1, (1 << 22) // max(1, group_a.size))
-        for f0 in range(0, len(frames), chunk):
-            fidx = frames[f0:f0 + chunk]
-            pos_t = self.traj.positions[fidx]
-            lin = structure.cell_counts(frac_of(pos_t[:, group_a, :]), n_xyz)
-            cap_a = max(cap_a, max(int(np.bincount(l, minlength=nc).max())
-                                   for l in lin))
-            if not same:
-                lin = structure.cell_counts(frac_of(pos_t[:, group_b, :]),
+        def occupancy_caps(frame_sel):
+            """Max per-cell bucket occupancy over the given frames (host)."""
+            cap_a = cap_b = 0
+            chunk = max(1, (1 << 22) // max(1, group_a.size))
+            for f0 in range(0, len(frame_sel), chunk):
+                fidx = frame_sel[f0:f0 + chunk]
+                pos_t = self.traj.positions[fidx]
+                lin = structure.cell_counts(frac_of(pos_t[:, group_a, :]),
                                             n_xyz)
-                cap_b = max(cap_b, max(int(np.bincount(l, minlength=nc).max())
-                                       for l in lin))
-        cap_a = -(-max(cap_a, 1) // 8) * 8
-        cap_b = cap_a if same else -(-max(cap_b, 1) // 8) * 8
+                cap_a = max(cap_a,
+                            max(int(np.bincount(l, minlength=nc).max())
+                                for l in lin))
+                if not same:
+                    lin = structure.cell_counts(
+                        frac_of(pos_t[:, group_b, :]), n_xyz)
+                    cap_b = max(cap_b,
+                                max(int(np.bincount(l, minlength=nc).max())
+                                    for l in lin))
+            cap_a = -(-max(cap_a, 1) // 8) * 8
+            cap_b = cap_a if same else -(-max(cap_b, 1) // 8) * 8
+            return cap_a, cap_b
 
-        cell_pairs = 27.0 * nc * cap_a * cap_b
         brute_pairs = float(group_a.size) * group_b.size
+        if not force:
+            # auto decision from a small frame subsample — occupancy only
+            # steers the choice here, so don't pay a full host pre-pass on
+            # the losing path; the exact capacity is re-measured below once
+            # the cells path is committed
+            probe = frames[np.unique(np.linspace(
+                0, len(frames) - 1, min(len(frames), 4)).astype(int))]
+            cap_a, cap_b = occupancy_caps(probe)
+            if 27.0 * nc * cap_a * cap_b > 0.5 * brute_pairs:
+                return None
+        # committed: exact caps over every sampled frame (bucket overflow
+        # would silently drop pairs, so capacity must be the true max)
+        cap_a, cap_b = occupancy_caps(frames)
+        cell_pairs = 27.0 * nc * cap_a * cap_b
         if not force and cell_pairs > 0.5 * brute_pairs:
             return None
+        self._last_rdf_method = 'cells'
 
         nc_pad = -(-(nc + 1) // cell_block) * cell_block
         neigh = jnp.asarray(structure.neighbor_table(n_xyz, nc_pad))
@@ -2844,7 +2866,6 @@ class SEDCalculator:
                 pa, ia, gid_a, pb, ib, gid_b, neigh, h_dev, hinv_dev,
                 r_max_dev, n_bins=n_bins, cell_block=cell_block)
             counts += np.asarray(rows, dtype=np.float64).sum(axis=0)
-        self._last_rdf_method = 'cells'
         return counts
 
     # ------------------------------------------------------------------

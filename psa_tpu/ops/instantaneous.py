@@ -23,15 +23,23 @@ enter through the time-dependent phases, and liquids have no meaningful
 r̄ at all — and the reference lacks them entirely.
 
 TPU design.  Unlike the SED there is NO matmul structure: the phase depends
-on (t, atom, k) jointly, so the hot loop is VPU-bound transcendentals over a
+on (t, atom, k) jointly, so the hot loop is VPU-bound over a
 (t_chunk, atom_chunk, k_chunk) angle tensor.  We bound residency by tiling
 all three axes; the atom contraction (``einsum 'taw,tak->tkw'``) is a
-t-batched matmul XLA fuses with the cos/sin producers, and the t axis tiles
+t-batched matmul XLA fuses with the phasor producers, and the t axis tiles
 under a ``lax.scan`` so one dispatch covers a whole (atom-chunk, k-chunk)
-pass.  Angles reuse the SED path's double-single dot + Cody-Waite folding
-(:func:`psa_tpu.ops.spectral._accurate_angles` with a zero low word — the
-trajectory stores f32 positions, and the folding keeps phases ~1e-7 rad
-accurate however many thousand radians k·r reaches).
+pass.  Two phase engines produce the per-element (cos, sin):
+
+* ``phase_mode='exact'`` — double-single dot + Cody-Waite folding
+  (:func:`psa_tpu.ops.spectral._accurate_angles` with a zero low word)
+  followed by hardware cos/sin: ~1e-7 rad however many thousand radians
+  k·r reaches, bit-identical to rounds 1-3.
+* ``phase_mode='incremental'`` (round-4 default via the calculator) —
+  one exact anchor phasor per :data:`_ANCHOR_WINDOW` frames, advanced by
+  the small in-window delta phase through FMA-only minimax kernels and a
+  complex multiply (:func:`_incremental_phasors`): NO per-element
+  transcendentals or compensated dots, ≤1e-6 phasor error, measured ≥3×
+  the exact engine on chip.
 
 Physical validity: ``exp(i k·r)`` is periodic-image-consistent only for
 box-commensurate k (each component a multiple of 2π/L for the box edge L —
@@ -48,7 +56,7 @@ import jax.numpy as jnp
 import numpy as np
 from jax import lax
 
-from .spectral import _accurate_angles, resolve_precision
+from .spectral import _accurate_angles, _two_prod, _two_sum, resolve_precision
 
 __all__ = [
     'instant_modes_scan', 'density_modes_scan', 'accumulate_instant_modes',
@@ -142,13 +150,15 @@ def commensurate_kpath(k_vectors: np.ndarray,
 def _instant_angles(pos: jnp.ndarray, k_vectors: jnp.ndarray) -> jnp.ndarray:
     """Folded angles A[t,a,k] = k·r_a(t) mod 2π for an f32 position block.
 
-    Full double-single dot + Cody-Waite folding per (t, atom, k) element.
-    A split form A = fold(k·r₀) + k·(r(t)−r₀) that hoists the compensated
-    arithmetic out of the time axis was measured on the chip and REVERTED:
-    warm time was the same within session variance (23.5 vs 20.4 s at
-    N=1e4/n_t=2500/K=512 — cos/sin + the atom reduction dominate, not the
-    angle dot) while parity degraded ~1000× (C_L 2.1e-3 vs 4.9e-7 of max;
-    the residual contraction lowers to bf16 MXU passes by default on TPU).
+    Full double-single dot + Cody-Waite folding per (t, atom, k) element —
+    the EXACT phase path.  A naive split form A = fold(k·r₀) + k·(r(t)−r₀)
+    was measured on the chip and REVERTED in round 3: warm time was the
+    same within session variance (23.5 vs 20.4 s at N=1e4/n_t=2500/K=512 —
+    cos/sin + the atom reduction dominate, not the angle dot) while parity
+    degraded ~1000× (the residual contraction lowered to bf16 MXU passes).
+    The round-4 incremental engine (:func:`_incremental_phasors`) instead
+    eliminates the per-element TRANSCENDENTALS — the part that actually
+    dominates — while keeping the delta arithmetic on the f32 VPU.
     See docs/PERF_NOTES.md.
     """
     t, a, _ = pos.shape
@@ -157,10 +167,178 @@ def _instant_angles(pos: jnp.ndarray, k_vectors: jnp.ndarray) -> jnp.ndarray:
     return ang.reshape(t, a, ang.shape[-1])
 
 
-@functools.partial(jax.jit, static_argnames=('t_chunk', 'precision'))
+# -- incremental (anchored) phasors ------------------------------------------
+#
+# VERDICT round-4 item 2.  The exact path pays, per (t, atom, k) element, a
+# double-single dot + Cody-Waite fold + TWO hardware transcendentals
+# (jnp.cos/jnp.sin each lower to a full range-reduction + polynomial
+# sequence on the VPU).  But successive frames differ by |k·Δr| ≪ |k·r|:
+# anchoring one EXACT phasor per window of frames, every other frame needs
+# only the small in-window delta phase
+#
+#     δ_t = k · minimage(r(t) − r(anchor))
+#
+# computed as a plain f32 dot (δ is small, so no compensated arithmetic or
+# full-range folding is required), ONE cheap π/2 Cody-Waite reduction, a
+# pair of FMA-only minimax kernels for (cos δ, sin δ), and one complex
+# multiply against the anchor phasor:  e^{iθ_t} = e^{iθ_anchor} · e^{iδ_t}.
+# No transcendental instructions appear in the per-element path at all;
+# the exact machinery runs once per window (1/window of the elements).
+#
+# Validity: min-imaging the window delta shifts the phase by exact 2π
+# multiples only for box-commensurate k (the instantaneous-phase engine's
+# documented validity domain — see `nearest_commensurate`); the calculator
+# falls back to the exact path for off-lattice k.  Accuracy: the anchor is
+# exact to ~1e-7 rad; the delta dot errs by ~|δ|·2⁻²⁴ with |δ| bounded by
+# k·(in-window displacement), so parity holds at the 1e-6 plane gate for
+# physical windows (default 64 frames).
+
+# 32 frames balances anchor amortization (~3% of elements run the exact
+# machinery) against in-window displacement: the plain-f32 delta dot errs
+# at ~|δ|·2⁻²⁴ rad, and |δ| = k·(displacement within the window).
+_ANCHOR_WINDOW = 32
+
+# Cody-Waite split of π/2 (2× the classic Cephes π/4 single-precision
+# words — doubling keeps the few-mantissa-bit property, so the products
+# j·DP_i stay exact for |j| ≲ 2¹³).
+_DP1 = np.float32(2 * 0.78515625)
+_DP2 = np.float32(2 * 2.4187564849853515625e-4)
+_DP3 = np.float32(2 * 3.77489497744594108e-8)
+_TWO_OVER_PI = np.float32(2.0 / np.pi)
+# Minimax kernel coefficients on [−π/4, π/4] (Cephes sinf/cosf).
+_SIN_C = (np.float32(-1.9515295891e-4), np.float32(8.3321608736e-3),
+          np.float32(-1.6666654611e-1))
+_COS_C = (np.float32(2.443315711809948e-5), np.float32(-1.388731625493765e-3),
+          np.float32(4.166664568298827e-2))
+
+
+def _folded_sincos(d: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """(cos d, sin d) from FMA-class VPU ops only — no transcendentals.
+
+    One Cody-Waite π/2 reduction + quadrant-selected minimax kernels;
+    exact for |d| ≲ 2¹³·π/2 (the products j·DP_i stay exact), ~1e-7 abs.
+    """
+    j = jnp.round(d * _TWO_OVER_PI)
+    x = ((d - j * _DP1) - j * _DP2) - j * _DP3            # [−π/4, π/4]
+    q = j.astype(jnp.int32) & 3
+    z = x * x
+    s = ((_SIN_C[0] * z + _SIN_C[1]) * z + _SIN_C[2]) * z * x + x
+    c = ((_COS_C[0] * z + _COS_C[1]) * z + _COS_C[2]) * z * z - 0.5 * z + 1.0
+    swap = (q & 1) == 1
+    sv = jnp.where(swap, c, s)
+    cv = jnp.where(swap, s, c)
+    sin_d = jnp.where((q & 2) == 2, -sv, sv)
+    cos_d = jnp.where(((q + 1) & 2) == 2, -cv, cv)
+    return cos_d, sin_d
+
+
+def _min_image_delta(d: jnp.ndarray, box: jnp.ndarray):
+    """Compensated minimum-image of window deltas: (d_hi, d_lo) f32 pair.
+
+    Wrap convention matches :func:`nearest_commensurate` (lattice
+    translations are integer combinations of the BOX ROWS, the LAMMPS
+    form): frac = d @ H⁻¹, correction = round(frac) @ H.  The correction
+    rows are computed with TwoProd/TwoSum compensation and subtracted
+    exactly, so a wrapped atom's delta loses nothing to the |d| ≈ L
+    cancellation — for box-commensurate k the removed lattice vector
+    shifts the phase by an exact 2π multiple (absorbed by the fold).
+    """
+    h = box.astype(jnp.float32)
+    hinv = jnp.linalg.inv(h)
+    n_img = jnp.round(jnp.einsum('...j,ji->...i', d, hinv,
+                                 precision=jax.lax.Precision.HIGHEST))
+    # corr = n_img @ H, exactly (double-single accumulation per component)
+    corr_hi = None
+    corr_lo = None
+    for i in range(3):
+        p, pe = _two_prod(n_img[..., i:i + 1], h[i][None, :])
+        if corr_hi is None:
+            corr_hi, corr_lo = p, pe
+        else:
+            corr_hi, se = _two_sum(corr_hi, p)
+            corr_lo = corr_lo + (pe + se)
+    d_hi, e = _two_sum(d, -corr_hi)
+    return d_hi, e - corr_lo, n_img
+
+
+def _incremental_phasors(pos: jnp.ndarray, k_vectors: jnp.ndarray,
+                         box, window: int = _ANCHOR_WINDOW
+                         ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """(cos, sin) of k·r_a(t) via anchored incremental phases.
+
+    One exact phasor per ``window`` frames (double-single dot + Cody-Waite
+    fold + hardware cos/sin, amortized 1/window); all other frames advance
+    it by the in-window delta phase through :func:`_folded_sincos` and one
+    complex multiply.  ``box`` may be None (no min-imaging — correct for
+    unwrapped trajectories).
+
+    Returns:
+        (c, s): each (n_t, A, K) float32.
+    """
+    n_t, n_a, _ = pos.shape
+    pos = pos.astype(jnp.float32)
+    w = int(min(max(window, 1), n_t))
+    n_w = -(-n_t // w)
+    pad = n_w * w - n_t
+    if pad:
+        pos = jnp.concatenate(
+            [pos, jnp.broadcast_to(pos[-1:], (pad, n_a, 3))], axis=0)
+    pr = pos.reshape(n_w, w, n_a, 3)
+    anchors = pr[:, 0]                                     # (n_w, A, 3)
+    flat = anchors.reshape(n_w * n_a, 3)
+    th0 = _accurate_angles(flat, jnp.zeros_like(flat), k_vectors)
+    th0 = th0.reshape(n_w, n_a, th0.shape[-1])
+    c0, s0 = jnp.cos(th0), jnp.sin(th0)                    # (n_w, A, K)
+
+    # exact difference: a wrapped-coordinate delta is box-sized, so a plain
+    # f32 subtraction rounds at ulp(L) ≈ 1e-6 Å — TwoSum keeps the bits
+    d, d_err = _two_sum(pr, -anchors[:, None])             # (n_w, w, A, 3)
+    # plain f32 dot — δ is small, so rounding is ~|δ|·2⁻²⁴; HIGHEST keeps
+    # the contraction off the bf16 MXU passes (the round-3 parity lesson)
+    hp = jax.lax.Precision.HIGHEST
+    kt = k_vectors.astype(jnp.float32)
+    if box is not None:
+        d_hi, d_lo, n_img = _min_image_delta(d, box)
+        d_lo = d_lo + d_err
+        delta = jnp.einsum('wtac,kc->wtak', d_hi, kt, precision=hp)
+        delta = delta + jnp.einsum('wtac,kc->wtak', d_lo, kt, precision=hp)
+        # f32 k sits ~2⁻²⁴ off the reciprocal lattice, so each removed
+        # image leaks the residual phase φ_i(k) = fold(k·H_i) ≈ 2π·dev —
+        # add it back exactly (tiny (3, K) table, one extra small dot)
+        h = box.astype(jnp.float32)
+        phi = _accurate_angles(h, jnp.zeros_like(h), kt)   # (3, K)
+        delta = delta + jnp.einsum('wtai,ik->wtak', n_img, phi, precision=hp)
+    else:
+        delta = jnp.einsum('wtac,kc->wtak', d, kt, precision=hp)
+    cd, sd = _folded_sincos(delta)                         # (n_w, w, A, K)
+    c = c0[:, None] * cd - s0[:, None] * sd
+    s = s0[:, None] * cd + c0[:, None] * sd
+    k = kt.shape[0]
+    return (c.reshape(n_w * w, n_a, k)[:n_t],
+            s.reshape(n_w * w, n_a, k)[:n_t])
+
+
+def _instant_phasors(pos: jnp.ndarray, k_vectors: jnp.ndarray,
+                     box=None, phase_mode: str = 'exact'
+                     ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """(cos, sin) of k·r_a(t), (n_t, A, K) f32 — the shared phase producer.
+
+    ``phase_mode='exact'`` is the per-element double-single path
+    (bit-identical to rounds 1-3); ``'incremental'`` is the anchored
+    engine above (≥3× on chip, ≤1e-6 plane parity for commensurate k).
+    """
+    if phase_mode == 'incremental':
+        return _incremental_phasors(pos, k_vectors, box)
+    ang = _instant_angles(pos, k_vectors)
+    return jnp.cos(ang), jnp.sin(ang)
+
+
+@functools.partial(jax.jit, static_argnames=('t_chunk', 'precision',
+                                              'phase_mode'))
 def instant_modes_scan(pos: jnp.ndarray, vel: jnp.ndarray,
                        mask: jnp.ndarray, k_vectors: jnp.ndarray,
-                       t_chunk: int, precision: str = 'parity'
+                       t_chunk: int, precision: str = 'parity',
+                       box=None, phase_mode: str = 'exact'
                        ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Density + current modes of one atom chunk, (re, im) f32 pairs.
 
@@ -173,6 +351,9 @@ def instant_modes_scan(pos: jnp.ndarray, vel: jnp.ndarray,
         k_vectors: (K, 3) f32.
         t_chunk: time-tile length — bounds the (t_chunk, A, K) angle-tensor
             residency; one scan step per tile, all inside ONE dispatch.
+        box, phase_mode: phase engine selection (see
+            :func:`_instant_phasors`) — 'incremental' anchors one exact
+            phasor per window and advances by small-delta phasors.
 
     Returns:
         (re, im): (n_t, K, 4) f32 — mode stack [ρ, j_x, j_y, j_z] over time.
@@ -184,8 +365,7 @@ def instant_modes_scan(pos: jnp.ndarray, vel: jnp.ndarray,
     def body(_, i):
         p = lax.dynamic_slice_in_dim(pos, i * t_chunk, t_chunk, axis=0)
         v = lax.dynamic_slice_in_dim(vel, i * t_chunk, t_chunk, axis=0)
-        ang = _instant_angles(p, k_vectors)                   # (tc, A, K)
-        c, s = jnp.cos(ang), jnp.sin(ang)
+        c, s = _instant_phasors(p, k_vectors, box, phase_mode)  # (tc, A, K)
         ones = jnp.broadcast_to(mask[None, :, None], v[..., :1].shape)
         w = jnp.concatenate([ones, v * mask[None, :, None]], axis=-1)
         f_re = lax.dot_general(w, c, (((1,), (1,)), ((0,), (0,))),
@@ -203,10 +383,12 @@ def instant_modes_scan(pos: jnp.ndarray, vel: jnp.ndarray,
     return re.reshape(n_t, k, 4), im.reshape(n_t, k, 4)
 
 
-@functools.partial(jax.jit, static_argnames=('t_chunk', 'precision'))
+@functools.partial(jax.jit, static_argnames=('t_chunk', 'precision',
+                                              'phase_mode'))
 def density_modes_scan(pos: jnp.ndarray, mask: jnp.ndarray,
                        k_vectors: jnp.ndarray, t_chunk: int,
-                       precision: str = 'parity'
+                       precision: str = 'parity',
+                       box=None, phase_mode: str = 'exact'
                        ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Density mode ρ_k(t) only — the S(k) path needs no velocities.
 
@@ -226,8 +408,7 @@ def density_modes_scan(pos: jnp.ndarray, mask: jnp.ndarray,
 
     def body(_, i):
         p = lax.dynamic_slice_in_dim(pos, i * t_chunk, t_chunk, axis=0)
-        ang = _instant_angles(p, k_vectors)                   # (tc, A, K)
-        c, s = jnp.cos(ang), jnp.sin(ang)
+        c, s = _instant_phasors(p, k_vectors, box, phase_mode)  # (tc, A, K)
         w = jnp.broadcast_to(mask[None, :, None],
                              (p.shape[0], mask.shape[0], 1))
         f_re = lax.dot_general(w, c, (((1,), (1,)), ((0,), (0,))),
@@ -246,26 +427,30 @@ def density_modes_scan(pos: jnp.ndarray, mask: jnp.ndarray,
 
 
 @functools.partial(jax.jit, donate_argnums=(0, 1),
-                   static_argnames=('t_chunk', 'precision'))
+                   static_argnames=('t_chunk', 'precision', 'phase_mode'))
 def accumulate_density_modes(acc_re: jnp.ndarray, acc_im: jnp.ndarray,
                              pos: jnp.ndarray, mask: jnp.ndarray,
                              k_vectors: jnp.ndarray, t_chunk: int,
-                             precision: str = 'parity'):
+                             precision: str = 'parity',
+                             box=None, phase_mode: str = 'exact'):
     """acc += density mode of one atom chunk (donated, one dispatch)."""
     re, im = density_modes_scan(pos, mask, k_vectors, t_chunk,
-                                precision=precision)
+                                precision=precision, box=box,
+                                phase_mode=phase_mode)
     return acc_re + re, acc_im + im
 
 
 @functools.partial(jax.jit, donate_argnums=(0, 1),
-                   static_argnames=('t_chunk', 'precision'))
+                   static_argnames=('t_chunk', 'precision', 'phase_mode'))
 def accumulate_instant_modes(acc_re: jnp.ndarray, acc_im: jnp.ndarray,
                              pos: jnp.ndarray, vel: jnp.ndarray,
                              mask: jnp.ndarray, k_vectors: jnp.ndarray,
-                             t_chunk: int, precision: str = 'parity'):
+                             t_chunk: int, precision: str = 'parity',
+                             box=None, phase_mode: str = 'exact'):
     """acc += modes of one atom chunk (donated accumulators, one dispatch)."""
     re, im = instant_modes_scan(pos, vel, mask, k_vectors, t_chunk,
-                                precision=precision)
+                                precision=precision, box=box,
+                                phase_mode=phase_mode)
     return acc_re + re, acc_im + im
 
 
@@ -355,9 +540,10 @@ def isf_reduce(f_re: jnp.ndarray, f_im: jnp.ndarray, n_t: int,
     return (jnp.real(corr) / counts[:, None]).astype(jnp.float32)
 
 
-@functools.partial(jax.jit, static_argnames=('n_lags',))
+@functools.partial(jax.jit, static_argnames=('n_lags', 'phase_mode'))
 def isf_self_block(pos: jnp.ndarray, mask: jnp.ndarray,
-                   k_vectors: jnp.ndarray, n_lags: int) -> jnp.ndarray:
+                   k_vectors: jnp.ndarray, n_lags: int,
+                   box=None, phase_mode: str = 'exact') -> jnp.ndarray:
     """Self ISF of one atom chunk: Σ_a per-atom phase autocorrelation.
 
     F_s(k,τ) = (1/N)Σ_a ⟨e^{i k·(r_a(t'+τ) − r_a(t'))}⟩_{t'} — each atom's
@@ -369,13 +555,14 @@ def isf_self_block(pos: jnp.ndarray, mask: jnp.ndarray,
         pos:  (n_t, A, 3) f32 — FULL time axis.
         mask: (A,) f32 validity (padded atoms excluded).
         k_vectors: (K, 3) f32; n_lags: τ rows returned.
+        box, phase_mode: phase engine (see :func:`_instant_phasors`).
 
     Returns:
         (n_lags, K) f32 partial F_s (missing the caller's 1/N factor).
     """
     n_t = pos.shape[0]
-    ang = _instant_angles(pos, k_vectors)                     # (n_t, A, K)
-    sig = lax.complex(jnp.cos(ang), jnp.sin(ang))
+    c, s = _instant_phasors(pos, k_vectors, box, phase_mode)  # (n_t, A, K)
+    sig = lax.complex(c, s)
     spec = jnp.fft.fft(sig, n=_autocorr_fft_len(n_t), axis=0)
     power = jnp.real(spec) ** 2 + jnp.imag(spec) ** 2
     corr = jnp.fft.ifft(power.astype(jnp.complex64), axis=0)[:n_lags]
@@ -384,10 +571,10 @@ def isf_self_block(pos: jnp.ndarray, mask: jnp.ndarray,
     return (acc / counts[:, None]).astype(jnp.float32)
 
 
-@jax.jit
+@functools.partial(jax.jit, static_argnames=('phase_mode',))
 def dsf_self_block(pos: jnp.ndarray, mask: jnp.ndarray,
-                   k_vectors: jnp.ndarray, freq_idx: jnp.ndarray
-                   ) -> jnp.ndarray:
+                   k_vectors: jnp.ndarray, freq_idx: jnp.ndarray,
+                   box=None, phase_mode: str = 'exact') -> jnp.ndarray:
     """Self (incoherent) intensity of one atom chunk: Σ_a |FFT e^{ikr_a}|²/n_t².
 
     Args:
@@ -395,13 +582,14 @@ def dsf_self_block(pos: jnp.ndarray, mask: jnp.ndarray,
         mask: (A,) f32 validity (padded atoms' constant-1 signal would
             otherwise dump a spurious δ(ω=0)).
         k_vectors: (K, 3); freq_idx: (n_keep,) int32.
+        box, phase_mode: phase engine (see :func:`_instant_phasors`).
 
     Returns:
         (n_keep, K) f32 partial S_s (missing the caller's 1/N factor).
     """
     n_t = pos.shape[0]
-    ang = _instant_angles(pos, k_vectors)                     # (n_t, A, K)
-    spec = jnp.fft.fft(lax.complex(jnp.cos(ang), jnp.sin(ang)), axis=0) / n_t
+    c, s = _instant_phasors(pos, k_vectors, box, phase_mode)  # (n_t, A, K)
+    spec = jnp.fft.fft(lax.complex(c, s), axis=0) / n_t
     spec = jnp.take(spec, freq_idx, axis=0)                   # (F, A, K)
     inten = jnp.real(spec) ** 2 + jnp.imag(spec) ** 2
     return jnp.einsum('fak,a->fk', inten, mask).astype(jnp.float32)

@@ -831,8 +831,22 @@ def sharded_sed_spectrum(mesh: Mesh, data, mean_pos64: np.ndarray,
 # Instantaneous-phase observables over the mesh (DSF / current spectra).
 # ---------------------------------------------------------------------------
 
+def _box_key(box, phase_mode: str):
+    """Hashable (box, phase_mode) pair for the cached step factories —
+    None unless the incremental phase engine is active."""
+    if phase_mode != 'incremental' or box is None:
+        return None
+    return tuple(np.asarray(box, dtype=np.float32).ravel().tolist())
+
+
+def _box_from_key(box_key):
+    return (None if box_key is None
+            else jnp.asarray(np.array(box_key, np.float32).reshape(3, 3)))
+
+
 @functools.lru_cache(maxsize=None)
-def _instant_modes_step(mesh: Mesh, t_chunk: int, precision: str):
+def _instant_modes_step(mesh: Mesh, t_chunk: int, precision: str,
+                        box_key=None, phase_mode: str = 'exact'):
     """Density+current modes over the (t, a) shards: each shard runs the
     instantaneous kernel (ops.instantaneous.instant_modes_scan) on its
     (T/t, N/a) window for its k stripe, atom shards reduce with one psum,
@@ -840,10 +854,12 @@ def _instant_modes_step(mesh: Mesh, t_chunk: int, precision: str):
     pattern of the SED projection step, with VPU transcendentals in place
     of the MXU matmul."""
     from ..ops import instantaneous
+    box = _box_from_key(box_key)
 
     def fn(pos_l, vel_l, mask_l, k_l):
         re, im = instantaneous.instant_modes_scan(
-            pos_l, vel_l, mask_l, k_l, t_chunk, precision=precision)
+            pos_l, vel_l, mask_l, k_l, t_chunk, precision=precision,
+            box=box, phase_mode=phase_mode)
         re = lax.psum(re, AXIS_A)
         im = lax.psum(im, AXIS_A)
         re = lax.all_gather(re, AXIS_T, axis=0, tiled=True)
@@ -963,7 +979,8 @@ def _dsf_t_chunk(local_t: int, local_a: int, local_k: int,
 def sharded_dsf(mesh: Mesh, positions, velocities, k_vectors: np.ndarray,
                 freq_indices: np.ndarray, precision: str = 'parity',
                 t_superchunk: Optional[int] = None, prefetch: bool = True,
-                atom_weights: Optional[np.ndarray] = None):
+                atom_weights: Optional[np.ndarray] = None,
+                box=None, phase_mode: str = 'exact'):
     """Dynamic structure factor + current spectra over a device mesh.
 
     The pod form of :meth:`SEDCalculator.calculate_dsf`: instantaneous
@@ -1030,7 +1047,8 @@ def sharded_dsf(mesh: Mesh, positions, velocities, k_vectors: np.ndarray,
     local_t = t_superchunk // t_sh
     t_chunk = _dsf_t_chunk(local_t, n_atoms_p // a_sh,
                            k_p.shape[0] // k_sh)
-    modes = _instant_modes_step(mesh, t_chunk, precision)
+    modes = _instant_modes_step(mesh, t_chunk, precision,
+                                _box_key(box, phase_mode), phase_mode)
 
     f_re, f_im = _accumulate_modes_superchunks(
         mesh, (pos_src, vel_src), modes, mask_dev, k_dev, n_t, t_superchunk,
@@ -1053,7 +1071,8 @@ def sharded_dsf(mesh: Mesh, positions, velocities, k_vectors: np.ndarray,
 
 
 @functools.lru_cache(maxsize=None)
-def _density_modes_step(mesh: Mesh, t_chunk: int, precision: str):
+def _density_modes_step(mesh: Mesh, t_chunk: int, precision: str,
+                        box_key=None, phase_mode: str = 'exact'):
     """Density-only modes over the (t, a) shards — the S(k) pipeline.
 
     Same collective pattern as :func:`_instant_modes_step` (psum over atom
@@ -1061,10 +1080,12 @@ def _density_modes_step(mesh: Mesh, t_chunk: int, precision: str):
     channel (ops.instantaneous.density_modes_scan): no velocity input, 1/4
     the accumulate FLOPs of the 4-channel DSF stack."""
     from ..ops import instantaneous
+    box = _box_from_key(box_key)
 
     def fn(pos_l, mask_l, k_l):
         re, im = instantaneous.density_modes_scan(
-            pos_l, mask_l, k_l, t_chunk, precision=precision)
+            pos_l, mask_l, k_l, t_chunk, precision=precision,
+            box=box, phase_mode=phase_mode)
         re = lax.psum(re, AXIS_A)
         im = lax.psum(im, AXIS_A)
         re = lax.all_gather(re, AXIS_T, axis=0, tiled=True)
@@ -1093,7 +1114,8 @@ def _sk_reduce_step(mesh: Mesh):
 def _sharded_density_stack(mesh: Mesh, positions, k_vectors: np.ndarray,
                            precision: str, t_superchunk: Optional[int],
                            prefetch: bool,
-                           atom_weights: Optional[np.ndarray]):
+                           atom_weights: Optional[np.ndarray],
+                           box=None, phase_mode: str = 'exact'):
     """Accumulate the k-sharded density-mode stack (shared by the S(k)
     and coherent-ISF pod paths).  Returns (f_re, f_im, norm, n_t)."""
     pos_src = _as_source(positions)
@@ -1126,7 +1148,8 @@ def _sharded_density_stack(mesh: Mesh, positions, k_vectors: np.ndarray,
 
     local_t = t_superchunk // t_sh
     t_chunk = _dsf_t_chunk(local_t, n_atoms_p // a_sh, k_p.shape[0] // k_sh)
-    modes = _density_modes_step(mesh, t_chunk, precision)
+    modes = _density_modes_step(mesh, t_chunk, precision,
+                                _box_key(box, phase_mode), phase_mode)
 
     f_re, f_im = _accumulate_modes_superchunks(
         mesh, (pos_src,), modes, mask_dev, k_dev, n_t, t_superchunk,
@@ -1145,7 +1168,8 @@ def _fetch_k_sharded(arr, n_k: int) -> np.ndarray:
 def sharded_sk(mesh: Mesh, positions, k_vectors: np.ndarray,
                precision: str = 'parity',
                t_superchunk: Optional[int] = None, prefetch: bool = True,
-               atom_weights: Optional[np.ndarray] = None) -> np.ndarray:
+               atom_weights: Optional[np.ndarray] = None,
+               box=None, phase_mode: str = 'exact') -> np.ndarray:
     """Static structure factor S(k) = ⟨|ρ_k(t)|²⟩_t / Σw over a device mesh.
 
     The pod form of :meth:`SEDCalculator.calculate_sk`: only POSITIONS
@@ -1159,7 +1183,7 @@ def sharded_sk(mesh: Mesh, positions, k_vectors: np.ndarray,
     """
     f_re, f_im, norm, _ = _sharded_density_stack(
         mesh, positions, k_vectors, precision, t_superchunk, prefetch,
-        atom_weights)
+        atom_weights, box, phase_mode)
     sk_p = _sk_reduce_step(mesh)(f_re, f_im)
     return _fetch_k_sharded(sk_p, k_vectors.shape[0]) / max(norm, 1.0)
 
@@ -1180,7 +1204,8 @@ def _isf_reduce_step(mesh: Mesh, n_t: int, n_lags: int):
 def sharded_isf(mesh: Mesh, positions, k_vectors: np.ndarray, n_lags: int,
                 precision: str = 'parity',
                 t_superchunk: Optional[int] = None, prefetch: bool = True,
-                atom_weights: Optional[np.ndarray] = None) -> np.ndarray:
+                atom_weights: Optional[np.ndarray] = None,
+                box=None, phase_mode: str = 'exact') -> np.ndarray:
     """Coherent intermediate scattering function F(k,τ) over a device
     mesh — the same density-only accumulate as :func:`sharded_sk`, with
     the per-shard linear FFT autocorrelation as the reduction.
@@ -1190,21 +1215,24 @@ def sharded_isf(mesh: Mesh, positions, k_vectors: np.ndarray, n_lags: int,
     """
     f_re, f_im, norm, n_t = _sharded_density_stack(
         mesh, positions, k_vectors, precision, t_superchunk, prefetch,
-        atom_weights)
+        atom_weights, box, phase_mode)
     f_p = _isf_reduce_step(mesh, n_t, n_lags)(f_re, f_im)
     return _fetch_k_sharded(f_p, k_vectors.shape[0]) / max(norm, 1.0)
 
 
 @functools.lru_cache(maxsize=None)
-def _dsf_self_step(mesh: Mesh):
+def _dsf_self_step(mesh: Mesh, box_key=None, phase_mode: str = 'exact'):
     """Per-atom full-time FFT intensity, atoms sharded over the COMBINED
     (t, a) mesh axes (the per-atom FFT needs the whole time axis, so the t
     axis cannot shard time here — it lends its devices to the atom split),
     k stripes data-parallel, one psum over the atom shards."""
     from ..ops import instantaneous
 
+    box = _box_from_key(box_key)
+
     def fn(pos_l, mask_l, k_l, freq_idx):
-        part = instantaneous.dsf_self_block(pos_l, mask_l, k_l, freq_idx)
+        part = instantaneous.dsf_self_block(pos_l, mask_l, k_l, freq_idx,
+                                            box=box, phase_mode=phase_mode)
         return lax.psum(part, (AXIS_T, AXIS_A))            # (F, K/k)
 
     return jax.jit(jax.shard_map(
@@ -1331,7 +1359,8 @@ def rdf_sweep_step(mesh: Mesh, n_bins: int, block: int):
 def sharded_dsf_self(mesh: Mesh, positions, k_vectors: np.ndarray,
                      freq_indices: np.ndarray,
                      atom_weights: Optional[np.ndarray] = None,
-                     atom_chunk: Optional[int] = None):
+                     atom_chunk: Optional[int] = None,
+                     box=None, phase_mode: str = 'exact'):
     """Self (incoherent) dynamic structure factor over a device mesh.
 
     The pod form of :meth:`SEDCalculator.calculate_dsf_self`:
@@ -1357,9 +1386,12 @@ def sharded_dsf_self(mesh: Mesh, positions, k_vectors: np.ndarray,
     """
     idx = np.asarray(freq_indices, dtype=np.int32)
 
+    bk = _box_key(box, phase_mode)
+
     def step_call(mesh_, k_dev, pos_dev, mask_dev):
         idx_dev = jax.device_put(idx, NamedSharding(mesh_, P(None)))
-        return _dsf_self_step(mesh_)(pos_dev, mask_dev, k_dev, idx_dev)
+        return _dsf_self_step(mesh_, bk, phase_mode)(pos_dev, mask_dev,
+                                                     k_dev, idx_dev)
 
     return _sharded_self_sweep(mesh, positions, k_vectors, step_call,
                                len(idx), atom_weights, atom_chunk,
@@ -1367,13 +1399,17 @@ def sharded_dsf_self(mesh: Mesh, positions, k_vectors: np.ndarray,
 
 
 @functools.lru_cache(maxsize=None)
-def _isf_self_step(mesh: Mesh, n_lags: int):
+def _isf_self_step(mesh: Mesh, n_lags: int, box_key=None,
+                   phase_mode: str = 'exact'):
     """Per-atom full-time linear FFT autocorrelation, atoms sharded over
     the COMBINED (t, a) mesh axes, k stripes data-parallel, one psum."""
     from ..ops import instantaneous
 
+    box = _box_from_key(box_key)
+
     def fn(pos_l, mask_l, k_l):
-        part = instantaneous.isf_self_block(pos_l, mask_l, k_l, n_lags)
+        part = instantaneous.isf_self_block(pos_l, mask_l, k_l, n_lags,
+                                            box=box, phase_mode=phase_mode)
         return lax.psum(part, (AXIS_T, AXIS_A))            # (n_lags, K/k)
 
     return jax.jit(jax.shard_map(
@@ -1386,7 +1422,8 @@ def _isf_self_step(mesh: Mesh, n_lags: int):
 def sharded_isf_self(mesh: Mesh, positions, k_vectors: np.ndarray,
                      n_lags: int,
                      atom_weights: Optional[np.ndarray] = None,
-                     atom_chunk: Optional[int] = None):
+                     atom_chunk: Optional[int] = None,
+                     box=None, phase_mode: str = 'exact'):
     """Self intermediate scattering function F_s(k,τ) over a device mesh —
     the sharding of :func:`sharded_dsf_self` (atoms over the combined
     (t, a) axes, one psum of the partial planes) with the linear FFT
@@ -1394,8 +1431,11 @@ def sharded_isf_self(mesh: Mesh, positions, k_vectors: np.ndarray,
     """
     from ..ops.instantaneous import _autocorr_fft_len
 
+    bk = _box_key(box, phase_mode)
+
     def step_call(mesh_, k_dev, pos_dev, mask_dev):
-        return _isf_self_step(mesh_, n_lags)(pos_dev, mask_dev, k_dev)
+        return _isf_self_step(mesh_, n_lags, bk,
+                              phase_mode)(pos_dev, mask_dev, k_dev)
 
     return _sharded_self_sweep(mesh, positions, k_vectors, step_call,
                                n_lags, atom_weights, atom_chunk,

@@ -69,7 +69,8 @@ def kww_fit(lags_ps: np.ndarray, f: np.ndarray,
     """Per-k KWW (stretched-exponential) fit A·exp(−(τ/τ₀)^β).
 
     Damped Gauss–Newton (Levenberg) on θ = (A, log τ₀, β) per k column,
-    float64, bounded to A ∈ (0, 1.5], τ₀ > 0, β ∈ [0.1, 2.5].  Simple
+    float64, bounded to A ∈ (0, 1.5·max(1, |F(k,0)|)], τ₀ > 0,
+    β ∈ [0.1, 2.5].  Simple
     exponentials recover β = 1; two-step (glassy) curves fitted with a
     ``fit_window`` past the microscopic step give A_k = the plateau
     height (non-ergodicity factor).
@@ -80,19 +81,27 @@ def kww_fit(lags_ps: np.ndarray, f: np.ndarray,
         fit_window: optional (τ_min, τ_max) in ps restricting the fitted
             rows (default: all τ > 0).
         normalize: divide each column by its τ=0 value first (fit then
-            describes F/F(0); set False for pre-normalized input).
+            describes F/F(0); set False for raw curves — the amplitude
+            bounds then scale with each column's F(k,0), so S(k) > 1.5
+            fits honestly instead of pinning A at the normalized cap).
         max_iter: Gauss–Newton iteration cap.
 
     Returns:
         (amp, tau_ps, beta, rms_resid) — each (n_k,) float64; NaN columns
-        where fewer than 3 usable points exist.
+        where fewer than 3 usable points exist, or (normalize=True) where
+        |F(k,0)| is within noise of zero — normalizing those would just
+        amplify noise into junk parameters indistinguishable from fits.
     """
     lags = np.asarray(lags_ps, dtype=np.float64)
     y_all = np.asarray(f, dtype=np.float64)
     if y_all.ndim == 1:
         y_all = y_all[:, None]
+    dead = ~np.isfinite(y_all[0])
     if normalize:
-        y_all = y_all / np.where(np.abs(y_all[0]) > 0, y_all[0], 1.0)
+        y0_abs = np.abs(np.where(np.isfinite(y_all[0]), y_all[0], 0.0))
+        floor = 1e-6 * max(float(y0_abs.max(initial=0.0)), 1e-300)
+        dead |= y0_abs < floor
+        y_all = y_all / np.where(y0_abs > 0, y_all[0], 1.0)
     sel = lags > 0
     if fit_window is not None:
         sel &= (lags >= fit_window[0]) & (lags <= fit_window[1])
@@ -109,10 +118,13 @@ def kww_fit(lags_ps: np.ndarray, f: np.ndarray,
     logt = np.log(t)
     for k in range(n_k):
         y = y_all[sel, k]
-        if not np.all(np.isfinite(y)):
+        if dead[k] or not np.all(np.isfinite(y)):
             continue
+        # amplitude bounds scale with the raw column's initial value so
+        # un-normalized F(k,0)=S(k) > 1.5 is fittable (normalized: scale=1)
+        a_cap = 1.5 * max(1.0, abs(y_all[0, k]))
         a = float(np.clip(y_all[0, k] if not np.isnan(y_all[0, k]) else 1.0,
-                          1e-3, 1.5))
+                          1e-3, a_cap))
         t0 = tau_init[k]
         if not np.isfinite(t0) or t0 <= 0:
             t0 = float(t[-1])            # barely-decayed curve: start slow
@@ -141,7 +153,7 @@ def kww_fit(lags_ps: np.ndarray, f: np.ndarray,
                     lam *= 10.0
                     continue
                 cand = th + delta
-                cand[0] = np.clip(cand[0], 1e-4, 1.5)
+                cand[0] = np.clip(cand[0], 1e-4, a_cap)
                 cand[1] = np.clip(cand[1], np.log(t[0]) - 8.0,
                                   np.log(t[-1]) + 8.0)
                 cand[2] = np.clip(cand[2], 0.1, 2.5)
