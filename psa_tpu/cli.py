@@ -90,6 +90,9 @@ def _run_kgrid_section(calc, kg, out_dir: Path, basis_idx, summation_mode):
     labels = {'xy': ('k_x', 'k_y'), 'yz': ('k_y', 'k_z'),
               'zx': ('k_z', 'k_x')}[plane]
     axis = np.linspace(lo, hi, n)
+    welch_n = kg.get('welch_segments')
+    welch_n = int(welch_n) if welch_n else None
+    welch_window = kg.get('welch_window', 'hann')
     if mode == 'peaks':
         res = calc.calculate_kgrid_peaks(
             k_vecs, basis_atom_indices=basis_idx,
@@ -98,7 +101,8 @@ def _run_kgrid_section(calc, kg, out_dir: Path, basis_idx, summation_mode):
             engine=kg.get('engine', 'auto'), k_grid_shape=shape,
             chiral=bool(kg.get('chiral', False)),
             chiral_axis=kg.get('chiral_axis', 'z'),
-            width_method=kg.get('width_method', 'lorentzian'))
+            width_method=kg.get('width_method', 'lorentzian'),
+            welch_segments=welch_n, welch_window=welch_window)
         arrays = {'peak_freqs': res[0], 'peak_heights': res[1],
                   'peak_widths': res[2], 'k_vectors': k_vecs,
                   'k_grid_shape': np.asarray(shape)}
@@ -179,7 +183,8 @@ def _run_kgrid_section(calc, kg, out_dir: Path, basis_idx, summation_mode):
             chiral=bool(kg.get('chiral', False)),
             chiral_axis=kg.get('chiral_axis', 'z'),
             engine='gridded' if kg.get('engine') == 'gridded' else 'direct',
-            k_grid_shape=shape)
+            k_grid_shape=shape,
+            welch_segments=welch_n, welch_window=welch_window)
         arrays = {'freqs': freqs, 'intensity': inten, 'k_vectors': k_vecs,
                   'k_grid_shape': np.asarray(shape)}
         if phase is not None:
@@ -319,6 +324,9 @@ def _run_dsf_section(calc, dsf_cfg, sed_cfg, out_dir: Path, eff_lat_param,
     n_k = int(dsf_cfg.get('n_kpoints') or sed_cfg['n_kpoints'])
     bz_cov = float(dsf_cfg.get('bz_coverage') or sed_cfg['bz_coverage'])
     max_freq = dsf_cfg.get('max_freq')
+    welch_n = dsf_cfg.get('welch_segments')
+    welch_n = int(welch_n) if welch_n else None
+    welch_window = dsf_cfg.get('welch_window', 'hann')
 
     for i_d, dir_spec in enumerate(dirs_list, 1):
         d_lbl = direction_label(dir_spec, i_d)
@@ -330,7 +338,8 @@ def _run_dsf_section(calc, dsf_cfg, sed_cfg, out_dir: Path, eff_lat_param,
         planes = {}
         if {'total', 'longitudinal', 'transverse'} & set(observables):
             freqs, s, c_l, c_t = calc.calculate_dsf(
-                k_vecs, basis_atom_indices=basis_idx, max_freq=max_freq)
+                k_vecs, basis_atom_indices=basis_idx, max_freq=max_freq,
+                welch_segments=welch_n, welch_window=welch_window)
             arrays.update(freqs=freqs, s=s, c_l=c_l, c_t=c_t)
             planes.update(total=(s, 'S(k,ω)'),
                           longitudinal=(c_l, 'C_L(k,ω)'),

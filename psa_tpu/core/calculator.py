@@ -875,24 +875,52 @@ class SEDCalculator:
     # ------------------------------------------------------------------
 
     def _group_browse_np(self, group_idx: np.ndarray, k_chunk: np.ndarray,
-                         freq_idx_dev, comp_pair, angle_range_opt: str):
+                         freq_idx_dev, comp_pair, angle_range_opt: str,
+                         segments: int = 1, window: str = 'hann',
+                         f16: bool = False):
         """Filtered (intensity, phase) planes for one group on one k-chunk —
-        the complex spectrum stays on device."""
+        the complex spectrum stays on device.  ``segments`` > 1 runs the
+        Welch estimator (freq_idx then indexes the segment spectrum);
+        ``f16`` ships the planes in the compressed display form
+        (:func:`psa_tpu.ops.spectral.compress_browse`) and rescales here."""
         n_keep = int(freq_idx_dev.shape[0])
         if group_idx.size == 0:
             zero = np.zeros((n_keep, len(k_chunk)), dtype=np.float32)
             return zero, (zero.copy() if comp_pair is not None else None)
         if self._group_bytes(group_idx) > self.max_device_bytes:
+            if segments > 1:
+                if comp_pair is not None:
+                    raise ValueError(
+                        "chiral Welch browse needs a device-resident group "
+                        "(raise max_device_bytes or drop welch_segments).")
+                # streamed per-segment spectrum (oracle-tested segmentation)
+                full = self._group_welch_np(group_idx, k_chunk, segments,
+                                            window)
+                return full[np.asarray(freq_idx_dev)], None
             re_dev, im_dev = self._streamed_spectrum(group_idx, k_chunk)
             inten, ph = spectral.browse_reduce(re_dev, im_dev, freq_idx_dev,
                                                comp_pair=comp_pair,
                                                angle_range_opt=angle_range_opt)
         else:
             data_dev, hi_dev, lo_dev = self._group_device_arrays(group_idx)
-            inten, ph = spectral.sed_grid_browse(
-                data_dev, hi_dev, lo_dev, jnp.asarray(k_chunk, dtype=jnp.float32),
-                freq_idx_dev, precision=self.precision, comp_pair=comp_pair,
-                angle_range_opt=angle_range_opt)
+            if segments > 1:
+                inten, ph = spectral.sed_grid_browse_welch(
+                    data_dev, hi_dev, lo_dev,
+                    jnp.asarray(k_chunk, dtype=jnp.float32), freq_idx_dev,
+                    segments, window=window, precision=self.precision,
+                    comp_pair=comp_pair, angle_range_opt=angle_range_opt)
+            else:
+                inten, ph = spectral.sed_grid_browse(
+                    data_dev, hi_dev, lo_dev,
+                    jnp.asarray(k_chunk, dtype=jnp.float32),
+                    freq_idx_dev, precision=self.precision,
+                    comp_pair=comp_pair, angle_range_opt=angle_range_opt)
+        if f16 and isinstance(inten, jnp.ndarray):
+            packed = spectral.compress_browse(inten, ph,
+                                              with_phase=ph is not None)
+            return (spectral.decompress_plane(packed[0], packed[1]),
+                    np.asarray(packed[2], dtype=np.float32)
+                    if ph is not None else None)
         return (np.asarray(inten, dtype=np.float32),
                 np.asarray(ph, dtype=np.float32) if ph is not None else None)
 
@@ -923,7 +951,10 @@ class SEDCalculator:
                                angle_range_opt: str = 'C',
                                k_chunk_size: int = 2048,
                                engine: str = 'direct',
-                               k_grid_shape: Optional[Tuple[int, int]] = None):
+                               k_grid_shape: Optional[Tuple[int, int]] = None,
+                               welch_segments: Optional[int] = None,
+                               welch_window: str = 'hann',
+                               readback_dtype: str = 'float32'):
         """K-grid sweep reduced ON DEVICE to what a heatmap browser reads.
 
         The full complex spectrum of a large grid is ~10 GB of device->host
@@ -943,14 +974,37 @@ class SEDCalculator:
         the host boundary, so the engine's ~Gx/12 FLOP cut survives slow
         host links.
 
+        ``welch_segments`` switches the planes to the segment-averaged
+        (Welch) estimator — variance drops ~1/segments at
+        n_t // segments frequency resolution; the chiral phase becomes the
+        segment-averaged cross-spectral phase (direct engine only).
+
+        ``readback_dtype='float16'`` halves the device→host bytes of the
+        planes (the dominant cost of every browse on slow links): intensity
+        transfers max-normalized f16 + one f32 scale, phase as plain f16 —
+        ≤ 2⁻¹¹ relative-to-max quantization, invisible in a heatmap.  The
+        returned arrays are float32 either way (direct engine only; exact
+        f32 stays the default for saves/iSED).
+
         Returns:
             (freqs_kept (n_keep,), intensity (n_keep, n_k) f32,
              phase (n_keep, n_k) f32 or None)
         """
         if summation_mode not in ('coherent', 'incoherent'):
             raise ValueError(f"summation_mode must be 'coherent' or 'incoherent', got {summation_mode}")
+        if readback_dtype not in ('float32', 'float16'):
+            raise ValueError("readback_dtype must be 'float32' or 'float16', "
+                             f"got {readback_dtype!r}")
+        f16 = readback_dtype == 'float16'
+        if f16 and engine == 'gridded':
+            raise ValueError("readback_dtype='float16' runs on the direct "
+                             "engine.")
         n_t = self.traj.n_frames
-        freqs = spectral.fftfreq_thz(n_t, self.dt_ps)
+        segments = self._welch_segments(welch_segments, welch_window)
+        if segments > 1 and engine == 'gridded':
+            raise ValueError("welch_segments runs on the direct engine "
+                             "(the NUFFT reduction carries no segment axis).")
+        freqs = spectral.fftfreq_thz(n_t // segments, self.dt_ps)
         mask = freqs >= 0
         if max_freq is not None:
             mask &= freqs <= max_freq
@@ -1035,13 +1089,28 @@ class SEDCalculator:
             k_stack_dev = jnp.asarray(k_stack)
             for grp_idx in groups:
                 data_dev, hi_dev, lo_dev = self._group_device_arrays(grp_idx)
-                inten_st, ph_st = spectral.sed_grid_browse_scan(
-                    data_dev, hi_dev, lo_dev, k_stack_dev, freq_idx_dev,
-                    precision=self.precision,
-                    comp_pair=comp_pair if single_spectrum else None,
-                    angle_range_opt=angle_range_opt)
-                inten_st = np.asarray(inten_st)
-                ph_st = np.asarray(ph_st) if ph_st is not None else None
+                if segments > 1:
+                    inten_st, ph_st = spectral.sed_grid_browse_welch_scan(
+                        data_dev, hi_dev, lo_dev, k_stack_dev, freq_idx_dev,
+                        segments, window=welch_window,
+                        precision=self.precision,
+                        comp_pair=comp_pair if single_spectrum else None,
+                        angle_range_opt=angle_range_opt)
+                else:
+                    inten_st, ph_st = spectral.sed_grid_browse_scan(
+                        data_dev, hi_dev, lo_dev, k_stack_dev, freq_idx_dev,
+                        precision=self.precision,
+                        comp_pair=comp_pair if single_spectrum else None,
+                        angle_range_opt=angle_range_opt)
+                if f16:
+                    packed = spectral.compress_browse(
+                        inten_st, ph_st, with_phase=ph_st is not None)
+                    inten_st = spectral.decompress_plane(packed[0], packed[1])
+                    ph_st = (np.asarray(packed[2], dtype=np.float32)
+                             if ph_st is not None else None)
+                else:
+                    inten_st = np.asarray(inten_st)
+                    ph_st = np.asarray(ph_st) if ph_st is not None else None
                 for i in range(num_chunks):
                     s, e = i * block, min((i + 1) * block, num_k)
                     intensity[:, s:e] += inten_st[i][:, :e - s]
@@ -1059,7 +1128,8 @@ class SEDCalculator:
                     [k_chunk, np.zeros((pad, 3), dtype=np.float32)], axis=0)
             if single_spectrum:
                 inten, ph = self._group_browse_np(groups[0], k_chunk, freq_idx_dev,
-                                                  comp_pair, angle_range_opt)
+                                                  comp_pair, angle_range_opt,
+                                                  segments, welch_window, f16)
                 intensity[:, start:end] = inten[:, :end - start]
                 if ph is not None:
                     phase[:, start:end] = ph[:, :end - start]
@@ -1068,7 +1138,9 @@ class SEDCalculator:
                     if grp_idx.size == 0:
                         continue
                     inten, _ = self._group_browse_np(grp_idx, k_chunk, freq_idx_dev,
-                                                     None, angle_range_opt)
+                                                     None, angle_range_opt,
+                                                     segments, welch_window,
+                                                     f16)
                     intensity[:, start:end] += inten[:, :end - start]
 
         return freqs_kept, intensity, phase
@@ -1210,8 +1282,27 @@ class SEDCalculator:
         t_chunk = int(np.clip(t_chunk, 1, self.traj.n_frames))
         return atom_chunk, t_chunk
 
-    def _dsf_freqs(self, max_freq: Optional[float]):
-        n_t = self.traj.n_frames
+    def _welch_segments(self, welch_segments, welch_window: str) -> int:
+        """Validate (welch_segments, welch_window); returns segments (1 =
+        single-window estimator)."""
+        if welch_segments is None:
+            return 1
+        if (not isinstance(welch_segments, (int, np.integer))
+                or welch_segments < 1):
+            raise ValueError("welch_segments must be a positive int, got "
+                             f"{welch_segments!r}")
+        seg = self.traj.n_frames // int(welch_segments)
+        if seg < 2:
+            raise ValueError(
+                f"welch_segments={welch_segments} leaves {seg} frames per "
+                f"segment (n_frames={self.traj.n_frames}); need at least 2")
+        spectral.welch_window(seg, welch_window)  # validates the name
+        return int(welch_segments)
+
+    def _dsf_freqs(self, max_freq: Optional[float], segments: int = 1):
+        """(freqs_kept, freq_idx) of the ω ≥ 0 rows; with ``segments`` > 1
+        the rows index the per-segment (Welch) spectrum."""
+        n_t = self.traj.n_frames // segments
         freqs = spectral.fftfreq_thz(n_t, self.dt_ps)
         mask = freqs >= 0
         if max_freq is not None:
@@ -1266,7 +1357,9 @@ class SEDCalculator:
     def calculate_dsf(self, k_vectors_3d: np.ndarray,
                       basis_atom_indices=None, basis_atom_types=None,
                       max_freq: Optional[float] = None,
-                      k_chunk_size: int = 512):
+                      k_chunk_size: int = 512,
+                      welch_segments: Optional[int] = None,
+                      welch_window: str = 'hann'):
         """Dynamic structure factor + current correlation spectra, on device.
 
         Projects onto INSTANTANEOUS phases ``exp(i k·r_a(t))`` — observables
@@ -1288,13 +1381,20 @@ class SEDCalculator:
         selects one (union) atom set; per-species partials come from
         calling per type list.
 
+        ``welch_segments`` switches to the segment-averaged (Welch)
+        estimator — the standard variance control for S(k,ω) on long
+        trajectories: the planes average over that many non-overlapping
+        time windows (``welch_window`` taper, unit coherent gain) at
+        n_t // welch_segments frequency resolution.
+
         Returns:
             (freqs_kept, S, C_L, C_T): freqs (n_keep,); planes (n_keep, n_k)
             float32.
         """
         n_t = self.traj.n_frames
         self._dsf_commensurate_warn(k_vectors_3d)
-        freqs_kept, freq_idx = self._dsf_freqs(max_freq)
+        segments = self._welch_segments(welch_segments, welch_window)
+        freqs_kept, freq_idx = self._dsf_freqs(max_freq, segments)
         group_idx = self._dsf_union_group(basis_atom_indices, basis_atom_types)
         num_k = len(k_vectors_3d)
         s_out = np.zeros((len(freq_idx), num_k), dtype=np.float32)
@@ -1308,7 +1408,9 @@ class SEDCalculator:
         for s, e, acc_re, acc_im, ku_chunk in self._dsf_mode_chunks(
                 group_idx, k_vectors_3d, k_chunk_size):
             sp, cl, ct = instantaneous.dsf_reduce(
-                acc_re, acc_im, jnp.asarray(ku_chunk), freq_idx_dev, n_t)
+                acc_re, acc_im, jnp.asarray(ku_chunk), freq_idx_dev, n_t,
+                segments=segments,
+                window=welch_window if segments > 1 else 'rect')
             s_out[:, s:e] = np.asarray(sp)[:, :e - s] * inv_n
             cl_out[:, s:e] = np.asarray(cl)[:, :e - s] * inv_n
             ct_out[:, s:e] = np.asarray(ct)[:, :e - s] * inv_n
@@ -1587,7 +1689,9 @@ class SEDCalculator:
                               k_grid_shape: Optional[Tuple[int, int]] = None,
                               chiral: bool = False, chiral_axis: str = 'z',
                               angle_range_opt: str = 'C',
-                              width_method: str = 'rms'):
+                              width_method: str = 'rms',
+                              welch_segments: Optional[int] = None,
+                              welch_window: str = 'hann'):
         """Top-``n_peaks`` spectral peaks per k-point, extracted ON DEVICE.
 
         The dispersion-analysis workflow reads only the peaks of I(ω, k) —
@@ -1626,7 +1730,11 @@ class SEDCalculator:
         if n_peaks < 1:
             raise ValueError(f"n_peaks must be >= 1, got {n_peaks}")
         n_t = self.traj.n_frames
-        freqs = spectral.fftfreq_thz(n_t, self.dt_ps)
+        segments = self._welch_segments(welch_segments, welch_window)
+        if segments > 1 and engine == 'gridded':
+            raise ValueError("welch_segments runs on the direct engine "
+                             "(the NUFFT reduction carries no segment axis).")
+        freqs = spectral.fftfreq_thz(n_t // segments, self.dt_ps)
         mask = freqs >= 0
         if max_freq is not None:
             mask &= freqs <= max_freq
@@ -1661,7 +1769,7 @@ class SEDCalculator:
             # when the shape is known, big enough, and the engine's
             # restrictions (coherent, device-resident, uniform grid) hold.
             engine = 'direct'
-            if (not chiral
+            if (not chiral and segments == 1
                     and k_grid_shape is not None and min(k_grid_shape) >= 128
                     and len(groups) == 1 and groups[0].size > 0
                     and self._group_bytes(groups[0]) <= self.max_device_bytes):
@@ -1733,10 +1841,17 @@ class SEDCalculator:
             phase_dev = None
             for grp_idx in groups:
                 data_dev, hi_dev, lo_dev = self._group_device_arrays(grp_idx)
-                inten_st, ph_st = spectral.sed_grid_browse_scan(
-                    data_dev, hi_dev, lo_dev, k_stack_dev, freq_idx_dev,
-                    precision=self.precision, comp_pair=comp_pair,
-                    angle_range_opt=angle_range_opt)
+                if segments > 1:
+                    inten_st, ph_st = spectral.sed_grid_browse_welch_scan(
+                        data_dev, hi_dev, lo_dev, k_stack_dev, freq_idx_dev,
+                        segments, window=welch_window,
+                        precision=self.precision, comp_pair=comp_pair,
+                        angle_range_opt=angle_range_opt)
+                else:
+                    inten_st, ph_st = spectral.sed_grid_browse_scan(
+                        data_dev, hi_dev, lo_dev, k_stack_dev, freq_idx_dev,
+                        precision=self.precision, comp_pair=comp_pair,
+                        angle_range_opt=angle_range_opt)
                 inten_dev = inten_st if inten_dev is None else inten_dev + inten_st
                 phase_dev = ph_st                     # single group (coherent)
             res = spectral.peak_reduce(inten_dev, jnp.asarray(freqs_kept),
@@ -1761,7 +1876,8 @@ class SEDCalculator:
         _, intensity, _ = self.calculate_kgrid_browse(
             k_vectors_3d, basis_atom_indices=basis_atom_indices,
             basis_atom_types=basis_atom_types, summation_mode=summation_mode,
-            max_freq=max_freq, k_chunk_size=k_chunk_size)
+            max_freq=max_freq, k_chunk_size=k_chunk_size,
+            welch_segments=welch_segments, welch_window=welch_window)
         return peaks_np(intensity, freqs_kept, n_peaks=n_peaks,
                         exclusion_bins=exclusion_bins,
                         width_method=width_method)
@@ -1951,8 +2067,9 @@ class SEDCalculator:
             weights.append(w)
         return weights, single
 
-    def _sharded_freq_mask(self, max_freq):
-        freqs = spectral.fftfreq_thz(self.traj.n_frames, self.dt_ps)
+    def _sharded_freq_mask(self, max_freq, segments: int = 1):
+        freqs = spectral.fftfreq_thz(self.traj.n_frames // segments,
+                                     self.dt_ps)
         mask = freqs >= 0
         if max_freq is not None:
             mask &= freqs <= max_freq
@@ -2031,7 +2148,9 @@ class SEDCalculator:
                                        t_superchunk: Optional[int] = None,
                                        data=None,
                                        engine: str = 'direct',
-                                       k_grid_shape: Optional[Tuple[int, int]] = None):
+                                       k_grid_shape: Optional[Tuple[int, int]] = None,
+                                       welch_segments: Optional[int] = None,
+                                       welch_window: str = 'hann'):
         """:meth:`calculate_kgrid_browse` over a (t, a, k) device mesh.
 
         Full single-chip group semantics on the pod path (reference
@@ -2071,7 +2190,11 @@ class SEDCalculator:
                              "use coherent summation.")
         comp_pair = (spectral.CHIRAL_AXIS_COMPONENTS[chiral_axis]
                      if chiral else None)
-        freq_idx, freqs_kept = self._sharded_freq_mask(max_freq)
+        segments = self._welch_segments(welch_segments, welch_window)
+        if segments > 1 and engine == 'gridded':
+            raise ValueError("welch_segments runs on the direct engine "
+                             "(the NUFFT reduction carries no segment axis).")
+        freq_idx, freqs_kept = self._sharded_freq_mask(max_freq, segments)
         if engine == 'gridded':
             gridded, plan, data_dev = self._gridded_sharded_setup(
                 atom_groups, single, k_vectors_3d, k_grid_shape, data)
@@ -2090,7 +2213,9 @@ class SEDCalculator:
             precision=self.precision, want_intensity=True,
             t_superchunk=t_superchunk, freq_indices=freq_idx,
             atom_weights=weights, subtract_mean=subtract,
-            comp_pair=comp_pair, angle_range_opt=angle_range_opt)
+            comp_pair=comp_pair, angle_range_opt=angle_range_opt,
+            welch_segments=segments,
+            welch_window=welch_window if segments > 1 else 'rect')
         if comp_pair is not None:
             intensity, phase = out
         else:
@@ -2111,7 +2236,9 @@ class SEDCalculator:
                                       t_superchunk: Optional[int] = None,
                                       data=None,
                                       engine: str = 'direct',
-                                      k_grid_shape: Optional[Tuple[int, int]] = None):
+                                      k_grid_shape: Optional[Tuple[int, int]] = None,
+                                      welch_segments: Optional[int] = None,
+                                      welch_window: str = 'hann'):
         """:meth:`calculate_kgrid_peaks` over a device mesh — dispersion
         surfaces with full group semantics, peak-triplet readback.
         ``chiral=True`` (coherent, direct engine) appends the phase-at-peak
@@ -2138,7 +2265,11 @@ class SEDCalculator:
             raise ValueError("chiral peaks need coherent summation.")
         comp_pair = (spectral.CHIRAL_AXIS_COMPONENTS[chiral_axis]
                      if chiral else None)
-        freq_idx, freqs_kept = self._sharded_freq_mask(max_freq)
+        segments = self._welch_segments(welch_segments, welch_window)
+        if segments > 1 and engine == 'gridded':
+            raise ValueError("welch_segments runs on the direct engine "
+                             "(the NUFFT reduction carries no segment axis).")
+        freq_idx, freqs_kept = self._sharded_freq_mask(max_freq, segments)
         if freq_idx.size == 0:
             raise ValueError("No frequencies retained; check max_freq.")
         if engine == 'gridded':
@@ -2163,7 +2294,8 @@ class SEDCalculator:
             peak_freqs_thz=freqs_kept, exclusion_bins=exclusion_bins,
             atom_weights=weights, subtract_mean=subtract,
             comp_pair=comp_pair, angle_range_opt=angle_range_opt,
-            width_method=width_method)
+            width_method=width_method, welch_segments=segments,
+            welch_window=welch_window if segments > 1 else 'rect')
 
     def calculate_lt_sharded(self, mesh, k_vectors_3d: np.ndarray,
                              basis_atom_indices=None,
@@ -2206,7 +2338,9 @@ class SEDCalculator:
                               basis_atom_indices=None,
                               basis_atom_types=None,
                               max_freq: Optional[float] = None,
-                              t_superchunk: Optional[int] = None):
+                              t_superchunk: Optional[int] = None,
+                              welch_segments: Optional[int] = None,
+                              welch_window: str = 'hann'):
         """:meth:`calculate_dsf` over a (t, a, k) device mesh.
 
         Instantaneous phases need BOTH positions and velocities, so the two
@@ -2214,6 +2348,8 @@ class SEDCalculator:
         communication-free, atom shards psum the (tiny) mode stack, time
         shards all_gather it before the in-shard FFT + reduction.  Only
         the three filtered float32 planes leave the mesh.
+        ``welch_segments`` runs the segment-averaged estimator in-shard
+        (same semantics as :meth:`calculate_dsf`).
 
         Returns:
             (freqs_kept, S, C_L, C_T) — same contract as
@@ -2221,7 +2357,8 @@ class SEDCalculator:
         """
         from ..parallel.sharded import sharded_dsf
         self._dsf_commensurate_warn(k_vectors_3d)
-        freqs_kept, freq_idx = self._dsf_freqs(max_freq)
+        segments = self._welch_segments(welch_segments, welch_window)
+        freqs_kept, freq_idx = self._dsf_freqs(max_freq, segments)
         group_idx = self._dsf_union_group(basis_atom_indices,
                                           basis_atom_types)
         weights = None
@@ -2234,7 +2371,9 @@ class SEDCalculator:
             mesh, self.traj.positions, self.traj.velocities, k_vectors_3d,
             freq_indices=freq_idx, precision=self.precision,
             t_superchunk=t_superchunk, atom_weights=weights,
-            box=self.traj.box_matrix, phase_mode=ph_mode)
+            box=self.traj.box_matrix, phase_mode=ph_mode,
+            welch_segments=segments,
+            welch_window=welch_window if segments > 1 else 'rect')
         return freqs_kept, s, c_l, c_t
 
     def calculate_dsf_self_sharded(self, mesh, k_vectors_3d: np.ndarray,

@@ -282,10 +282,13 @@ class AnalysisController:
                                        basis_atom_types=basis_atom_types,
                                        summation_mode=summation_mode)
         elif reduced:
+            # display path: f16 plane readback halves d2h; exact f32 is
+            # recomputed for saves/iSED (round-4 VERDICT item 6)
             freqs, intensity, phase = calc.calculate_kgrid_browse(
                 k_vecs, basis_atom_types=basis_atom_types,
                 summation_mode=summation_mode, chiral=chiral,
-                chiral_axis=chiral_axis, angle_range_opt=angle_range_opt)
+                chiral_axis=chiral_axis, angle_range_opt=angle_range_opt,
+                readback_dtype='float16')
             sed = SED(intensity, freqs, k_mags, k_vecs, is_complex=False,
                       phase=phase, dt_ps=calc.dt_ps)
         else:
@@ -482,7 +485,10 @@ class AnalysisController:
                 chiral=chiral, chiral_axis=chiral_axis,
                 k_chunk_size=k_chunk_size,
                 engine='gridded' if use_gridded else 'direct',
-                k_grid_shape=shape)
+                k_grid_shape=shape,
+                # f16 display readback on the direct engine (the gridded
+                # reduction has no compressed form)
+                readback_dtype='float32' if use_gridded else 'float16')
             # Reduced container: carries the filtered intensity as a
             # non-complex SED (the browser only reads k_grid_shape from it).
             sed = SED(intensity, freqs, np.array([], dtype=np.float32), k_vecs,

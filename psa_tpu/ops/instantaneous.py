@@ -244,7 +244,12 @@ def _min_image_delta(d: jnp.ndarray, box: jnp.ndarray):
     shifts the phase by an exact 2π multiple (absorbed by the fold).
     """
     h = box.astype(jnp.float32)
-    hinv = jnp.linalg.inv(h)
+    # closed-form 3x3 inverse (adjugate/det): jnp.linalg.inv lowers to an
+    # LU routine with control flow — needless inside the scan body
+    c0 = jnp.cross(h[1], h[2])
+    c1 = jnp.cross(h[2], h[0])
+    c2 = jnp.cross(h[0], h[1])
+    hinv = jnp.stack([c0, c1, c2], axis=1) / jnp.dot(h[0], c0)
     n_img = jnp.round(jnp.einsum('...j,ji->...i', d, hinv,
                                  precision=jax.lax.Precision.HIGHEST))
     # corr = n_img @ H, exactly (double-single accumulation per component)
@@ -293,23 +298,33 @@ def _incremental_phasors(pos: jnp.ndarray, k_vectors: jnp.ndarray,
     # exact difference: a wrapped-coordinate delta is box-sized, so a plain
     # f32 subtraction rounds at ulp(L) ≈ 1e-6 Å — TwoSum keeps the bits
     d, d_err = _two_sum(pr, -anchors[:, None])             # (n_w, w, A, 3)
-    # plain f32 dot — δ is small, so rounding is ~|δ|·2⁻²⁴; HIGHEST keeps
-    # the contraction off the bf16 MXU passes (the round-3 parity lesson)
-    hp = jax.lax.Precision.HIGHEST
+    # Plain f32 dot — δ is small, so rounding is ~|δ|·2⁻²⁴.  The dot is
+    # unrolled as elementwise broadcast FMAs on the VPU: an einsum with
+    # contraction dim 3 pads onto the MXU at 3/128 utilization (×6 passes
+    # at HIGHEST) — measured on chip DOMINATING the kernel (0.53× the
+    # exact engine before this rewrite).
     kt = k_vectors.astype(jnp.float32)
+
+    def vpu_dot(v, table):
+        acc = None
+        for c in range(3):
+            term = v[..., c:c + 1] * table[c][None, None, None, :]
+            acc = term if acc is None else acc + term
+        return acc
+
+    kt_cols = [kt[:, c] for c in range(3)]
     if box is not None:
         d_hi, d_lo, n_img = _min_image_delta(d, box)
         d_lo = d_lo + d_err
-        delta = jnp.einsum('wtac,kc->wtak', d_hi, kt, precision=hp)
-        delta = delta + jnp.einsum('wtac,kc->wtak', d_lo, kt, precision=hp)
+        delta = vpu_dot(d_hi, kt_cols) + vpu_dot(d_lo, kt_cols)
         # f32 k sits ~2⁻²⁴ off the reciprocal lattice, so each removed
         # image leaks the residual phase φ_i(k) = fold(k·H_i) ≈ 2π·dev —
         # add it back exactly (tiny (3, K) table, one extra small dot)
         h = box.astype(jnp.float32)
         phi = _accurate_angles(h, jnp.zeros_like(h), kt)   # (3, K)
-        delta = delta + jnp.einsum('wtai,ik->wtak', n_img, phi, precision=hp)
+        delta = delta + vpu_dot(n_img, [phi[0], phi[1], phi[2]])
     else:
-        delta = jnp.einsum('wtac,kc->wtak', d, kt, precision=hp)
+        delta = vpu_dot(d, kt_cols) + vpu_dot(d_err, kt_cols)
     cd, sd = _folded_sincos(delta)                         # (n_w, w, A, K)
     c = c0[:, None] * cd - s0[:, None] * sd
     s = s0[:, None] * cd + c0[:, None] * sd
@@ -454,9 +469,10 @@ def accumulate_instant_modes(acc_re: jnp.ndarray, acc_im: jnp.ndarray,
     return acc_re + re, acc_im + im
 
 
-@functools.partial(jax.jit, static_argnames=('n_t',))
+@functools.partial(jax.jit, static_argnames=('n_t', 'segments', 'window'))
 def dsf_reduce(f_re: jnp.ndarray, f_im: jnp.ndarray, k_unit: jnp.ndarray,
-               freq_idx: jnp.ndarray, n_t: int
+               freq_idx: jnp.ndarray, n_t: int, segments: int = 1,
+               window: str = 'rect'
                ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """Mode stack → (S, C_L, C_T) planes, filtered on device.
 
@@ -464,24 +480,39 @@ def dsf_reduce(f_re: jnp.ndarray, f_im: jnp.ndarray, k_unit: jnp.ndarray,
         f_re, f_im: (n_t_padded, K, 4) f32 accumulated [ρ, j] modes; only
             the first ``n_t`` rows are real data.
         k_unit: (K, 3) f32 unit k-vectors (zero rows at Γ → C_L = 0).
-        freq_idx: (n_keep,) int32 retained frequency rows.
+        freq_idx: (n_keep,) int32 retained frequency rows — into the FULL
+            spectrum at segments=1, into the SEGMENT spectrum otherwise.
         n_t: true number of frames (FFT length and normalization).
+        segments, window: Welch estimate — the planes average over
+            ``segments`` non-overlapping time windows, each tapered by
+            :func:`psa_tpu.ops.spectral.welch_window` (unit coherent gain)
+            and normalized FFT/seg, cutting per-bin variance ~1/segments at
+            n_t // segments frequency resolution.  segments=1 + 'rect' is
+            the single-window estimator, bit-identical to rounds 1-3.
 
     Returns:
         (S, C_L, C_T): (n_keep, K) f32, each still missing the caller's
         1/N_atoms factor (applied on host where the true group size lives).
     """
-    sig = lax.complex(f_re[:n_t], f_im[:n_t])
-    spec = jnp.fft.fft(sig, axis=0) / n_t                     # (n_t, K, 4)
-    spec = jnp.take(spec, freq_idx, axis=0)                   # (F, K, 4)
+    from .spectral import welch_window
+    seg = n_t // segments
+    k = f_re.shape[1]
+    sig = lax.complex(f_re[:seg * segments], f_im[:seg * segments])
+    sig = sig.reshape(segments, seg, k, f_re.shape[2])
+    w = welch_window(seg, window)
+    if w is not None:
+        sig = sig * w[None, :, None, None].astype(jnp.float32)
+    spec = jnp.fft.fft(sig, axis=1) / seg                     # (S, seg, K, 4)
+    spec = jnp.take(spec, freq_idx, axis=1)                   # (S, F, K, 4)
     rho = spec[..., 0]
-    j = spec[..., 1:]                                         # (F, K, 3)
-    s_plane = (jnp.real(rho) ** 2 + jnp.imag(rho) ** 2)
+    j = spec[..., 1:]                                         # (S, F, K, 3)
+    s_plane = jnp.mean(jnp.real(rho) ** 2 + jnp.imag(rho) ** 2, axis=0)
     ku = k_unit.astype(jnp.float32)
-    jl_re = jnp.einsum('fkc,kc->fk', jnp.real(j), ku)
-    jl_im = jnp.einsum('fkc,kc->fk', jnp.imag(j), ku)
-    c_l = jl_re * jl_re + jl_im * jl_im
-    total = jnp.sum(jnp.real(j) ** 2 + jnp.imag(j) ** 2, axis=-1)
+    jl_re = jnp.einsum('sfkc,kc->sfk', jnp.real(j), ku)
+    jl_im = jnp.einsum('sfkc,kc->sfk', jnp.imag(j), ku)
+    c_l = jnp.mean(jl_re * jl_re + jl_im * jl_im, axis=0)
+    total = jnp.mean(jnp.sum(jnp.real(j) ** 2 + jnp.imag(j) ** 2, axis=-1),
+                     axis=0)
     c_t = jnp.maximum(total - c_l, 0.0)                       # Cauchy-Schwarz
     return (s_plane.astype(jnp.float32), c_l.astype(jnp.float32),
             c_t.astype(jnp.float32))

@@ -432,13 +432,22 @@ def _write_rows_step(mesh: Mesh):
 @functools.lru_cache(maxsize=None)
 def _fft_step(mesh: Mesh, want_intensity: bool, filtered: bool,
               comp_pair: Optional[Tuple[int, int]] = None,
-              angle_range_opt: str = 'C'):
+              angle_range_opt: str = 'C', segments: int = 1,
+              window: str = 'rect'):
     """FFT (+ browse reduction) inside the k shard.
 
     ``comp_pair`` (requires ``want_intensity`` + ``filtered``): also compute
     the chiral phase of the two polarization components on device — the pod
-    analog of the single-chip chiral browse (spectral.browse_reduce)."""
+    analog of the single-chip chiral browse (spectral.browse_reduce).
+    ``segments`` > 1 (requires ``want_intensity`` + ``filtered``) runs the
+    Welch estimator in-shard (spectral.welch_browse_reduce)."""
     def fft_fn(proj_l, *freq_idx):                        # (n_t, 3, 2K/k)
+        if segments > 1:
+            return spectral.welch_browse_reduce(
+                proj_l, freq_idx[0], segments, window, comp_pair=comp_pair,
+                angle_range_opt=angle_range_opt) if comp_pair is not None \
+                else spectral.welch_browse_reduce(
+                    proj_l, freq_idx[0], segments, window)[0]
         re, im = spectral._fft_spectrum(proj_l, proj_l.shape[0])
         if filtered:  # keep only the requested frequency rows (browse d2h)
             re = jnp.take(re, freq_idx[0], axis=0)
@@ -468,21 +477,30 @@ def _fft_step(mesh: Mesh, want_intensity: bool, filtered: bool,
 @functools.lru_cache(maxsize=None)
 def _peaks_step(mesh: Mesh, n_peaks: int, exclusion_bins: int,
                 comp_pair: Optional[Tuple[int, int]] = None,
-                angle_range_opt: str = 'C', width_method: str = 'rms'):
+                angle_range_opt: str = 'C', width_method: str = 'rms',
+                segments: int = 1, window: str = 'rect'):
     """FFT + intensity + per-k peak extraction, all inside the k shard —
     peak-finding is column-local, so no collectives are added and only the
     (3, n_peaks, n_k) float32 triplet leaves the mesh (plus the chiral
-    phase-at-peak surface when ``comp_pair`` is given)."""
+    phase-at-peak surface when ``comp_pair`` is given).  ``segments`` > 1
+    extracts peaks from the Welch (segment-averaged) planes."""
     def fn(proj_l, freq_idx, freqs_kept):                 # (n_t, 3, 2K/k)
-        re, im = spectral._fft_spectrum(proj_l, proj_l.shape[0])
-        re = jnp.take(re, freq_idx, axis=0)
-        im = jnp.take(im, freq_idx, axis=0)
-        inten = jnp.sum(re * re + im * im, axis=-1).astype(jnp.float32)
+        if segments > 1:
+            inten, phase = spectral.welch_browse_reduce(
+                proj_l, freq_idx, segments, window, comp_pair=comp_pair,
+                angle_range_opt=angle_range_opt)
+        else:
+            re, im = spectral._fft_spectrum(proj_l, proj_l.shape[0])
+            re = jnp.take(re, freq_idx, axis=0)
+            im = jnp.take(im, freq_idx, axis=0)
+            inten = jnp.sum(re * re + im * im, axis=-1).astype(jnp.float32)
+            phase = None
+            if comp_pair is not None:
+                c1, c2 = comp_pair
+                phase = spectral.chiral_phase(re[..., c1], im[..., c1],
+                                              re[..., c2], im[..., c2],
+                                              angle_range_opt=angle_range_opt)
         if comp_pair is not None:
-            c1, c2 = comp_pair
-            phase = spectral.chiral_phase(re[..., c1], im[..., c1],
-                                          re[..., c2], im[..., c2],
-                                          angle_range_opt=angle_range_opt)
             pf, ph, pw, pp = spectral.peak_reduce(
                 inten[None], freqs_kept, n_peaks=n_peaks,
                 exclusion_bins=exclusion_bins, phase_stack=phase[None],
@@ -553,7 +571,8 @@ def sharded_sed_spectrum(mesh: Mesh, data, mean_pos64: np.ndarray,
                          comp_pair: Optional[Tuple[int, int]] = None,
                          angle_range_opt: str = 'C',
                          width_method: str = 'rms',
-                         lt: bool = False):
+                         lt: bool = False,
+                         welch_segments: int = 1, welch_window: str = 'rect'):
     """SED spectrum over a device mesh, streamed in time-superchunks.
 
     Args:
@@ -631,6 +650,16 @@ def sharded_sed_spectrum(mesh: Mesh, data, mean_pos64: np.ndarray,
             want_intensity and freq_indices is not None):
         raise ValueError("comp_pair requires freq_indices + want_intensity "
                          "(browse planes) or n_peaks (phase at peak)")
+    welch_segments = int(welch_segments)
+    if welch_segments > 1:
+        # Welch (segment-averaged) planes: the in-shard reduction averages
+        # |FFT|^2 over non-overlapping time windows — intensity-typed
+        # outputs only, and freq_indices must index the SEGMENT spectrum.
+        if lt:
+            raise ValueError("welch_segments does not support lt=True")
+        if freq_indices is None or not (want_intensity or n_peaks):
+            raise ValueError("welch_segments requires freq_indices plus "
+                             "want_intensity or n_peaks")
     source = _as_source(data)
     if (isinstance(data, np.memmap)
             or not isinstance(data, (jnp.ndarray, np.ndarray))):
@@ -779,7 +808,8 @@ def sharded_sed_spectrum(mesh: Mesh, data, mean_pos64: np.ndarray,
     elif incoherent:
         # per-group intensities accumulate in-mesh; peaks (if asked) reduce
         # the summed plane
-        fft = _fft_step(mesh, True, freq_indices is not None)
+        fft = _fft_step(mesh, True, freq_indices is not None,
+                        segments=welch_segments, window=welch_window)
         add = _add_step(mesh)
         inten_sum = None
         for proj in proj_fulls:
@@ -798,11 +828,13 @@ def sharded_sed_spectrum(mesh: Mesh, data, mean_pos64: np.ndarray,
             pfreqs = jax.device_put(
                 np.asarray(peak_freqs_thz, dtype=np.float32), rep_sharding)
             out = _peaks_step(mesh, n_peaks, exclusion_bins, comp_pair,
-                              angle_range_opt, width_method)(proj_full, idx,
-                                                             pfreqs)
+                              angle_range_opt, width_method,
+                              welch_segments, welch_window)(proj_full, idx,
+                                                            pfreqs)
         elif freq_indices is not None:
             out = _fft_step(mesh, want_intensity, True, comp_pair,
-                            angle_range_opt)(proj_full, idx)
+                            angle_range_opt, welch_segments,
+                            welch_window)(proj_full, idx)
         else:
             out = _fft_step(mesh, want_intensity, False)(proj_full)
 
@@ -874,13 +906,15 @@ def _instant_modes_step(mesh: Mesh, t_chunk: int, precision: str,
 
 
 @functools.lru_cache(maxsize=None)
-def _dsf_reduce_step(mesh: Mesh):
-    """FFT + (S, C_L, C_T) reduction inside the k shard (no collectives)."""
+def _dsf_reduce_step(mesh: Mesh, segments: int = 1, window: str = 'rect'):
+    """FFT + (S, C_L, C_T) reduction inside the k shard (no collectives);
+    ``segments`` > 1 runs the Welch (segment-averaged) estimator."""
     from ..ops import instantaneous
 
     def fn(re_l, im_l, ku_l, freq_idx):                 # (n_t, K/k, 4)
         return instantaneous.dsf_reduce(re_l, im_l, ku_l, freq_idx,
-                                        re_l.shape[0])
+                                        re_l.shape[0], segments=segments,
+                                        window=window)
 
     return jax.jit(jax.shard_map(
         fn, mesh=mesh,
@@ -980,7 +1014,8 @@ def sharded_dsf(mesh: Mesh, positions, velocities, k_vectors: np.ndarray,
                 freq_indices: np.ndarray, precision: str = 'parity',
                 t_superchunk: Optional[int] = None, prefetch: bool = True,
                 atom_weights: Optional[np.ndarray] = None,
-                box=None, phase_mode: str = 'exact'):
+                box=None, phase_mode: str = 'exact',
+                welch_segments: int = 1, welch_window: str = 'rect'):
     """Dynamic structure factor + current spectra over a device mesh.
 
     The pod form of :meth:`SEDCalculator.calculate_dsf`: instantaneous
@@ -1056,7 +1091,8 @@ def sharded_dsf(mesh: Mesh, positions, velocities, k_vectors: np.ndarray,
 
     idx = jax.device_put(np.asarray(freq_indices, dtype=np.int32),
                          NamedSharding(mesh, P(None)))
-    s_p, cl_p, ct_p = _dsf_reduce_step(mesh)(f_re, f_im, ku_dev, idx)
+    s_p, cl_p, ct_p = _dsf_reduce_step(mesh, int(welch_segments),
+                                       welch_window)(f_re, f_im, ku_dev, idx)
 
     def fetch(arr):
         if jax.process_count() > 1 and not arr.is_fully_addressable:

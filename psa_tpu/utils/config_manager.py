@@ -86,6 +86,8 @@ def default_config() -> Dict[str, Any]:
             'width_method': 'lorentzian',
             'chiral': False,
             'chiral_axis': 'z',
+            'welch_segments': None,            # Welch segment averaging
+            'welch_window': 'hann',
         },
         'dos': {
             'apply': False,
@@ -108,6 +110,8 @@ def default_config() -> Dict[str, Any]:
             'n_lags': None,                    # ISF τ rows (None ⇒ n_t // 2)
             'kww': False,                      # per-k KWW fit of isf planes
             'kww_window': None,                # [τ_min, τ_max] ps fit window
+            'welch_segments': None,            # Welch-averaged S(k,ω) planes
+            'welch_window': 'hann',
             'basis': {'atom_indices': None, 'atom_types': None},
         },
         'timecorr': {
@@ -215,6 +219,7 @@ class ConfigManager:
                 raise ValueError("kgrid.plane must be 'xy', 'yz' or 'zx'.")
             if int(kg.get('n_k', 50)) < 1:
                 raise ValueError("kgrid.n_k must be >= 1.")
+            self._check_welch(kg, 'kgrid')
         ds = cfg.get('dsf', {})
         if ds.get('apply'):
             obs = ds.get('observables') or []
@@ -249,6 +254,7 @@ class ConfigManager:
                                       & set(ds.get('observables') or [])):
                 raise ValueError("dsf.kww needs 'isf' and/or 'isf_self' in "
                                  "dsf.observables.")
+            self._check_welch(ds, 'dsf')
         rd = cfg.get('rdf', {})
         if rd.get('apply'):
             rm = rd.get('r_max')
@@ -303,3 +309,16 @@ class ConfigManager:
 
     def as_dict(self) -> Dict[str, Any]:
         return copy.deepcopy(self.config)
+
+    @staticmethod
+    def _check_welch(section, name):
+        """Shared welch_segments/welch_window validation for the optional
+        spectral sections (Welch estimates, psa_tpu extension)."""
+        wn = section.get('welch_segments')
+        if wn is not None and (isinstance(wn, bool)
+                               or not isinstance(wn, int) or wn < 1):
+            raise ValueError(f"{name}.welch_segments must be a positive "
+                             f"integer or null; got {wn!r}.")
+        if section.get('welch_window', 'hann') not in ('rect', 'hann'):
+            raise ValueError(f"{name}.welch_window must be 'rect' or "
+                             f"'hann'.")
