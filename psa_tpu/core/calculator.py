@@ -954,7 +954,8 @@ class SEDCalculator:
                                k_grid_shape: Optional[Tuple[int, int]] = None,
                                welch_segments: Optional[int] = None,
                                welch_window: str = 'hann',
-                               readback_dtype: str = 'float32'):
+                               readback_dtype: str = 'float32',
+                               cache_dir=None):
         """K-grid sweep reduced ON DEVICE to what a heatmap browser reads.
 
         The full complex spectrum of a large grid is ~10 GB of device->host
@@ -986,6 +987,12 @@ class SEDCalculator:
         returned arrays are float32 either way (direct engine only; exact
         f32 stays the default for saves/iSED).
 
+        ``cache_dir`` enables per-k-chunk checkpointing (content-keyed, see
+        :class:`psa_tpu.io.shard_cache.ShardedSEDCache`): a killed sweep
+        resumes by recomputing only missing chunks.  A partially filled
+        cache runs the per-chunk dispatch loop instead of the whole-sweep
+        scan program (direct engine only).
+
         Returns:
             (freqs_kept (n_keep,), intensity (n_keep, n_k) f32,
              phase (n_keep, n_k) f32 or None)
@@ -1004,6 +1011,9 @@ class SEDCalculator:
         if segments > 1 and engine == 'gridded':
             raise ValueError("welch_segments runs on the direct engine "
                              "(the NUFFT reduction carries no segment axis).")
+        if cache_dir is not None and engine == 'gridded':
+            raise ValueError("cache_dir checkpointing runs on the direct "
+                             "engine (the NUFFT sweep has no k-chunk axis).")
         freqs = spectral.fftfreq_thz(n_t // segments, self.dt_ps)
         mask = freqs >= 0
         if max_freq is not None:
@@ -1067,6 +1077,32 @@ class SEDCalculator:
         else:
             groups = atom_groups
 
+        cache = self._chunk_cache(
+            cache_dir, 'browse', k_vectors_3d, block,
+            {'groups': [g.tolist() for g in groups], 'mode': summation_mode,
+             'max_freq': max_freq, 'chiral': list(comp_pair) if comp_pair
+             else None, 'angle': angle_range_opt,
+             'welch': [segments, welch_window], 'readback': readback_dtype})
+        skip = set()
+        if cache is not None:
+            for ci in range(num_chunks):
+                cached = cache.load(ci)
+                s, e = ci * block, min((ci + 1) * block, num_k)
+                want_rows = 3 if comp_pair is not None else 2
+                if cached is not None and cached.ndim == want_rows \
+                        and cached.shape[-1] == e - s:
+                    if comp_pair is not None:
+                        intensity[:, s:e] = cached[0]
+                        phase[:, s:e] = cached[1]
+                    else:
+                        intensity[:, s:e] = cached
+                    skip.add(ci)
+            if skip:
+                logger.info("browse chunk cache %s: %d/%d chunks resumed.",
+                            cache.key, len(skip), num_chunks)
+            if len(skip) == num_chunks:
+                return freqs_kept, intensity, phase
+
         # Single-dispatch fast path: a device-resident group sweeps ALL
         # chunks through one lax.map program — a Python chunk loop pays one
         # dispatch round trip per chunk, which dominates on tunneled runtimes
@@ -1076,10 +1112,13 @@ class SEDCalculator:
         # minutes to compile on remote-compile runtimes, while the per-chunk
         # fallback compiles one chunk shape in ~1 min — a better trade for
         # one-off interactive sessions (steady-state throughput is lower).
+        # A partially filled cache also routes per-chunk (only missing
+        # chunks recompute).
         scannable = (num_chunks > 1 and all(g.size > 0 for g in groups)
                      and all(self._group_bytes(g) <= self.max_device_bytes
                              for g in groups)
-                     and os.environ.get('PSA_TPU_NO_SCAN') != '1')
+                     and os.environ.get('PSA_TPU_NO_SCAN') != '1'
+                     and not skip)
         if scannable:
             k_stack = np.zeros((num_chunks, padded_block, 3), dtype=np.float32)
             flat = np.asarray(k_vectors_3d, dtype=np.float32)
@@ -1116,9 +1155,17 @@ class SEDCalculator:
                     intensity[:, s:e] += inten_st[i][:, :e - s]
                     if ph_st is not None:
                         phase[:, s:e] = ph_st[i][:, :e - s]
+            if cache is not None:
+                for i in range(num_chunks):
+                    s, e = i * block, min((i + 1) * block, num_k)
+                    cache.store(i, np.stack([intensity[:, s:e],
+                                             phase[:, s:e]])
+                                if phase is not None else intensity[:, s:e])
             return freqs_kept, intensity, phase
 
         for i_chunk in range(num_chunks):
+            if i_chunk in skip:
+                continue
             start = i_chunk * block
             end = min(start + block, num_k)
             k_chunk = np.asarray(k_vectors_3d[start:end], dtype=np.float32)
@@ -1142,6 +1189,12 @@ class SEDCalculator:
                                                      segments, welch_window,
                                                      f16)
                     intensity[:, start:end] += inten[:, :end - start]
+            if cache is not None:
+                cache.store(i_chunk,
+                            np.stack([intensity[:, start:end],
+                                      phase[:, start:end]])
+                            if phase is not None
+                            else intensity[:, start:end])
 
         return freqs_kept, intensity, phase
 
@@ -1282,6 +1335,33 @@ class SEDCalculator:
         t_chunk = int(np.clip(t_chunk, 1, self.traj.n_frames))
         return atom_chunk, t_chunk
 
+    def _chunk_cache(self, cache_dir, observable: str, k_vectors_3d,
+                     block: int, extra: Optional[Dict] = None):
+        """Per-k-chunk resumable-sweep cache, or None.
+
+        Content-keyed per SURVEY §5.4: (trajectory fingerprint, k set,
+        observable, calculator transforms, chunk size, observable params) —
+        the pod_sweep chunk cache lifted into the library so ANY long sweep
+        (browse/peaks/DSF/S(k)/ISF/self) can kill-and-resume without the
+        orchestration script (round-4 VERDICT item 5)."""
+        if cache_dir is None:
+            return None
+        from ..io.shard_cache import ShardedSEDCache, trajectory_fingerprint
+        workload = {
+            'traj': trajectory_fingerprint(self.traj),
+            'observable': observable,
+            'k_vectors': np.asarray(k_vectors_3d, dtype=np.float32),
+            'use_displacements': self.use_displacements,
+            'mass_weighted': self.mass_weighted,
+            'precision': self.precision,
+            'phase_mode': self.phase_mode,
+            'dt_ps': float(self.dt_ps),
+            'k_chunk_size': int(block),
+        }
+        if extra:
+            workload.update(extra)
+        return ShardedSEDCache(Path(cache_dir), workload=workload)
+
     def _welch_segments(self, welch_segments, welch_window: str) -> int:
         """Validate (welch_segments, welch_window); returns segments (1 =
         single-window estimator)."""
@@ -1359,7 +1439,8 @@ class SEDCalculator:
                       max_freq: Optional[float] = None,
                       k_chunk_size: int = 512,
                       welch_segments: Optional[int] = None,
-                      welch_window: str = 'hann'):
+                      welch_window: str = 'hann',
+                      cache_dir=None):
         """Dynamic structure factor + current correlation spectra, on device.
 
         Projects onto INSTANTANEOUS phases ``exp(i k·r_a(t))`` — observables
@@ -1405,8 +1486,26 @@ class SEDCalculator:
 
         freq_idx_dev = jnp.asarray(freq_idx)
         inv_n = 1.0 / float(group_idx.size)
-        for s, e, acc_re, acc_im, ku_chunk in self._dsf_mode_chunks(
-                group_idx, k_vectors_3d, k_chunk_size):
+        block = min(max(1, k_chunk_size), num_k)
+        cache = self._chunk_cache(cache_dir, 'dsf', k_vectors_3d, block,
+                                  {'group': group_idx, 'max_freq': max_freq,
+                                   'welch': [segments, welch_window]})
+        skip = set()
+        if cache is not None:
+            for ci in range((num_k + block - 1) // block):
+                cached = cache.load(ci)
+                if cached is not None and cached.shape[0] == 3:
+                    s, e = ci * block, min((ci + 1) * block, num_k)
+                    if cached.shape[2] == e - s:
+                        s_out[:, s:e] = cached[0]
+                        cl_out[:, s:e] = cached[1]
+                        ct_out[:, s:e] = cached[2]
+                        skip.add(ci)
+            if skip:
+                logger.info("DSF chunk cache %s: %d chunks resumed.",
+                            cache.key, len(skip))
+        for ci, s, e, acc_re, acc_im, ku_chunk in self._dsf_mode_chunks(
+                group_idx, k_vectors_3d, k_chunk_size, skip_chunks=skip):
             sp, cl, ct = instantaneous.dsf_reduce(
                 acc_re, acc_im, jnp.asarray(ku_chunk), freq_idx_dev, n_t,
                 segments=segments,
@@ -1414,18 +1513,23 @@ class SEDCalculator:
             s_out[:, s:e] = np.asarray(sp)[:, :e - s] * inv_n
             cl_out[:, s:e] = np.asarray(cl)[:, :e - s] * inv_n
             ct_out[:, s:e] = np.asarray(ct)[:, :e - s] * inv_n
+            if cache is not None:
+                cache.store(ci, np.stack([s_out[:, s:e], cl_out[:, s:e],
+                                          ct_out[:, s:e]]))
         return freqs_kept, s_out, cl_out, ct_out
 
     def _dsf_mode_chunks(self, group_idx: np.ndarray, k_vectors_3d,
-                         k_chunk_size: int, density_only: bool = False):
-        """Yield (s, e, acc_re, acc_im, ku_chunk) per k chunk: the
+                         k_chunk_size: int, density_only: bool = False,
+                         skip_chunks=frozenset()):
+        """Yield (ci, s, e, acc_re, acc_im, ku_chunk) per k chunk: the
         instantaneous-mode stack accumulated over all atom blocks of the
         group (device arrays, k-padded to ×64; only the first ``n_frames``
         time rows are real data).  Channels are [ρ, j_x, j_y, j_z], or
         just [ρ] with ``density_only=True`` — the S(k)/ISF path, which
         skips the velocity stream entirely (half the host traffic, 1/4 the
         accumulate FLOPs).  Shared by :meth:`calculate_dsf`,
-        :meth:`calculate_sk` and :meth:`calculate_isf`."""
+        :meth:`calculate_sk` and :meth:`calculate_isf`.  Chunk indices in
+        ``skip_chunks`` (cache hits) are not computed or yielded."""
         n_t = self.traj.n_frames
         num_k = len(k_vectors_3d)
         block = min(max(1, k_chunk_size), num_k)
@@ -1459,6 +1563,9 @@ class SEDCalculator:
                     None if vel is None else jnp.asarray(vel),
                     jnp.asarray(mask))
 
+        if all(ci in skip_chunks for ci in range(num_chunks)):
+            return      # full cache replay: no blocks, no uploads
+
         device_blocks = None
         if resident:
             device_blocks = [
@@ -1468,6 +1575,8 @@ class SEDCalculator:
                     with_velocities=not density_only)]
 
         for ci in range(num_chunks):
+            if ci in skip_chunks:
+                continue
             s, e = ci * block, min((ci + 1) * block, num_k)
             k_chunk = np.zeros((padded_block, 3), dtype=np.float32)
             k_chunk[:e - s] = np.asarray(k_vectors_3d[s:e], dtype=np.float32)
@@ -1495,11 +1604,11 @@ class SEDCalculator:
                         acc_re, acc_im, pos_b, vel_b, mask_b, k_dev, t_chunk,
                         precision=self.precision, box=ph_box,
                         phase_mode=ph_mode)
-            yield s, e, acc_re, acc_im, ku_chunk
+            yield ci, s, e, acc_re, acc_im, ku_chunk
 
     def calculate_sk(self, k_vectors_3d: np.ndarray,
                      basis_atom_indices=None, basis_atom_types=None,
-                     k_chunk_size: int = 512) -> np.ndarray:
+                     k_chunk_size: int = 512, cache_dir=None) -> np.ndarray:
         """Static structure factor S(k) = ⟨|ρ_k(t)|²⟩_t / N, on device.
 
         The equal-time pair-correlation observable of liquid-state theory:
@@ -1522,10 +1631,24 @@ class SEDCalculator:
         if num_k == 0 or group_idx.size == 0:
             return out
         inv_n = 1.0 / float(group_idx.size)
-        for s, e, acc_re, acc_im, _ in self._dsf_mode_chunks(
-                group_idx, k_vectors_3d, k_chunk_size, density_only=True):
+        block = min(max(1, k_chunk_size), num_k)
+        cache = self._chunk_cache(cache_dir, 'sk', k_vectors_3d, block,
+                                  {'group': group_idx})
+        skip = set()
+        if cache is not None:
+            for ci in range((num_k + block - 1) // block):
+                cached = cache.load(ci)
+                s, e = ci * block, min((ci + 1) * block, num_k)
+                if cached is not None and cached.shape == (e - s,):
+                    out[s:e] = cached
+                    skip.add(ci)
+        for ci, s, e, acc_re, acc_im, _ in self._dsf_mode_chunks(
+                group_idx, k_vectors_3d, k_chunk_size, density_only=True,
+                skip_chunks=skip):
             sk = instantaneous.sk_reduce(acc_re, acc_im, n_t)
             out[s:e] = np.asarray(sk)[:e - s] * inv_n
+            if cache is not None:
+                cache.store(ci, out[s:e])
         return out
 
     def _isf_lags(self, n_lags: Optional[int]) -> int:
@@ -1537,7 +1660,7 @@ class SEDCalculator:
     def calculate_isf(self, k_vectors_3d: np.ndarray,
                       basis_atom_indices=None, basis_atom_types=None,
                       n_lags: Optional[int] = None,
-                      k_chunk_size: int = 512):
+                      k_chunk_size: int = 512, cache_dir=None):
         """Coherent intermediate scattering function F(k,τ), on device.
 
         F(k,τ) = ⟨ρ_k(t')* ρ_k(t'+τ)⟩_{t'} / N — the time-domain companion
@@ -1564,16 +1687,30 @@ class SEDCalculator:
         if num_k == 0 or group_idx.size == 0:
             return lags_ps, out
         inv_n = 1.0 / float(group_idx.size)
-        for s, e, acc_re, acc_im, _ in self._dsf_mode_chunks(
-                group_idx, k_vectors_3d, k_chunk_size, density_only=True):
+        block = min(max(1, k_chunk_size), num_k)
+        cache = self._chunk_cache(cache_dir, 'isf', k_vectors_3d, block,
+                                  {'group': group_idx, 'n_lags': int(n_lags)})
+        skip = set()
+        if cache is not None:
+            for ci in range((num_k + block - 1) // block):
+                cached = cache.load(ci)
+                s, e = ci * block, min((ci + 1) * block, num_k)
+                if cached is not None and cached.shape == (n_lags, e - s):
+                    out[:, s:e] = cached
+                    skip.add(ci)
+        for ci, s, e, acc_re, acc_im, _ in self._dsf_mode_chunks(
+                group_idx, k_vectors_3d, k_chunk_size, density_only=True,
+                skip_chunks=skip):
             f = instantaneous.isf_reduce(acc_re, acc_im, n_t, n_lags)
             out[:, s:e] = np.asarray(f)[:, :e - s] * inv_n
+            if cache is not None:
+                cache.store(ci, out[:, s:e])
         return lags_ps, out
 
     def calculate_isf_self(self, k_vectors_3d: np.ndarray,
                            basis_atom_indices=None, basis_atom_types=None,
                            n_lags: Optional[int] = None,
-                           k_chunk_size: int = 256):
+                           k_chunk_size: int = 256, cache_dir=None):
         """Self intermediate scattering function F_s(k,τ), on device.
 
         F_s(k,τ) = (1/N)Σ_a ⟨e^{i k·(r_a(t'+τ) − r_a(t'))}⟩_{t'} — the
@@ -1598,16 +1735,20 @@ class SEDCalculator:
         # the padded complex (fft_len, A, K) spectrum resides per block
         fft_len = instantaneous._autocorr_fft_len(n_t)
         ph_box, ph_mode = self._phase_cfg(k_vectors_3d)
+        cache = self._chunk_cache(
+            cache_dir, 'isf_self', k_vectors_3d,
+            min(max(1, k_chunk_size), num_k),
+            {'group': group_idx, 'n_lags': int(n_lags)})
         self._self_sweep(
             out, group_idx, k_vectors_3d, k_chunk_size, 16 * fft_len,
             lambda p, m, k: instantaneous.isf_self_block(
                 p, m, k, n_lags, box=ph_box, phase_mode=ph_mode),
-            'ISF-self')
+            'ISF-self', cache=cache)
         return lags_ps, out
 
     def _self_sweep(self, out: np.ndarray, group_idx: np.ndarray,
                     k_vectors_3d, k_chunk_size: int, bytes_per_atom_k: int,
-                    kernel, label: str) -> None:
+                    kernel, label: str, cache=None) -> None:
         """Shared k-chunk/atom-chunk sweep for the per-atom-FFT ("self")
         observables: ``kernel(pos_dev, mask_dev, k_dev)`` returns the
         (out_rows, padded_block) partial plane of one atom chunk; blocks
@@ -1629,6 +1770,12 @@ class SEDCalculator:
 
         for ci in range(num_chunks):
             s, e = ci * block, min((ci + 1) * block, num_k)
+            if cache is not None:
+                cached = cache.load(ci)
+                if cached is not None and cached.shape == (out.shape[0],
+                                                           e - s):
+                    out[:, s:e] = cached
+                    continue
             k_chunk = np.zeros((padded_block, 3), dtype=np.float32)
             k_chunk[:e - s] = np.asarray(k_vectors_3d[s:e], dtype=np.float32)
             k_dev = jnp.asarray(k_chunk)
@@ -1638,11 +1785,13 @@ class SEDCalculator:
                 acc += np.asarray(kernel(jnp.asarray(pos),
                                          jnp.asarray(mask), k_dev))
             out[:, s:e] = acc[:, :e - s] / float(group_idx.size)
+            if cache is not None:
+                cache.store(ci, out[:, s:e])
 
     def calculate_dsf_self(self, k_vectors_3d: np.ndarray,
                            basis_atom_indices=None, basis_atom_types=None,
                            max_freq: Optional[float] = None,
-                           k_chunk_size: int = 256):
+                           k_chunk_size: int = 256, cache_dir=None):
         """Self (incoherent) dynamic structure factor, reduced on device:
 
             S_s(k,ω) = Σ_a |FFT_t e^{i k·r_a(t)}|² / (n_t² N)
@@ -1668,11 +1817,15 @@ class SEDCalculator:
         # complex (n_t, A, K) spectrum resides per block: budget its c64 bytes
         freq_idx_dev = jnp.asarray(freq_idx)
         ph_box, ph_mode = self._phase_cfg(k_vectors_3d)
+        cache = self._chunk_cache(
+            cache_dir, 'dsf_self', k_vectors_3d,
+            min(max(1, k_chunk_size), num_k),
+            {'group': group_idx, 'max_freq': max_freq})
         self._self_sweep(
             out, group_idx, k_vectors_3d, k_chunk_size, 16 * n_t,
             lambda p, m, k: instantaneous.dsf_self_block(
                 p, m, k, freq_idx_dev, box=ph_box, phase_mode=ph_mode),
-            'DSF-self')
+            'DSF-self', cache=cache)
         return freqs_kept, out
 
     # ------------------------------------------------------------------
@@ -1691,7 +1844,8 @@ class SEDCalculator:
                               angle_range_opt: str = 'C',
                               width_method: str = 'rms',
                               welch_segments: Optional[int] = None,
-                              welch_window: str = 'hann'):
+                              welch_window: str = 'hann',
+                              cache_dir=None):
         """Top-``n_peaks`` spectral peaks per k-point, extracted ON DEVICE.
 
         The dispersion-analysis workflow reads only the peaks of I(ω, k) —
@@ -1734,6 +1888,9 @@ class SEDCalculator:
         if segments > 1 and engine == 'gridded':
             raise ValueError("welch_segments runs on the direct engine "
                              "(the NUFFT reduction carries no segment axis).")
+        if cache_dir is not None and engine == 'gridded':
+            raise ValueError("cache_dir checkpointing runs on the direct "
+                             "engine (the NUFFT sweep has no k-chunk axis).")
         freqs = spectral.fftfreq_thz(n_t // segments, self.dt_ps)
         mask = freqs >= 0
         if max_freq is not None:
@@ -1769,7 +1926,7 @@ class SEDCalculator:
             # when the shape is known, big enough, and the engine's
             # restrictions (coherent, device-resident, uniform grid) hold.
             engine = 'direct'
-            if (not chiral and segments == 1
+            if (not chiral and segments == 1 and cache_dir is None
                     and k_grid_shape is not None and min(k_grid_shape) >= 128
                     and len(groups) == 1 and groups[0].size > 0
                     and self._group_bytes(groups[0]) <= self.max_device_bytes):
@@ -1829,6 +1986,71 @@ class SEDCalculator:
         on_device = all(g.size > 0 and
                         self._group_bytes(g) <= self.max_device_bytes
                         for g in groups)
+        if on_device and cache_dir is not None:
+            # Resumable form: one dispatch per k-chunk (instead of the
+            # whole-sweep lax.map program), each checkpointed — a killed
+            # pod sweep recomputes only the missing chunks.
+            cache = self._chunk_cache(
+                cache_dir, 'peaks', k_vectors_3d, block,
+                {'groups': [g.tolist() for g in groups],
+                 'mode': summation_mode, 'max_freq': max_freq,
+                 'n_peaks': int(n_peaks),
+                 'exclusion_bins': int(exclusion_bins),
+                 'width_method': width_method,
+                 'chiral': list(comp_pair) if comp_pair else None,
+                 'angle': angle_range_opt,
+                 'welch': [segments, welch_window]})
+            n_out = 4 if comp_pair is not None else 3
+            out = [np.zeros((n_peaks, num_k), dtype=np.float32)
+                   for _ in range(n_out)]
+            freq_idx_dev = jnp.asarray(freq_idx)
+            freqs_dev = jnp.asarray(freqs_kept)
+            resumed = 0
+            for ci in range(num_chunks):
+                s, e = ci * block, min((ci + 1) * block, num_k)
+                cached = cache.load(ci)
+                if cached is not None and cached.shape == (n_out, n_peaks,
+                                                           e - s):
+                    for o, r in zip(out, cached):
+                        o[:, s:e] = r
+                    resumed += 1
+                    continue
+                k_chunk = np.zeros((padded_block, 3), dtype=np.float32)
+                k_chunk[:e - s] = np.asarray(k_vectors_3d[s:e],
+                                             dtype=np.float32)
+                k_dev = jnp.asarray(k_chunk)
+                inten_dev = None
+                phase_dev = None
+                for grp_idx in groups:
+                    data_dev, hi_dev, lo_dev = \
+                        self._group_device_arrays(grp_idx)
+                    if segments > 1:
+                        iv, pv = spectral.sed_grid_browse_welch(
+                            data_dev, hi_dev, lo_dev, k_dev, freq_idx_dev,
+                            segments, window=welch_window,
+                            precision=self.precision, comp_pair=comp_pair,
+                            angle_range_opt=angle_range_opt)
+                    else:
+                        iv, pv = spectral.sed_grid_browse(
+                            data_dev, hi_dev, lo_dev, k_dev, freq_idx_dev,
+                            precision=self.precision, comp_pair=comp_pair,
+                            angle_range_opt=angle_range_opt)
+                    inten_dev = iv if inten_dev is None else inten_dev + iv
+                    phase_dev = pv
+                res = spectral.peak_reduce(
+                    inten_dev[None], freqs_dev, n_peaks=n_peaks,
+                    exclusion_bins=exclusion_bins,
+                    phase_stack=(phase_dev[None]
+                                 if phase_dev is not None else None),
+                    width_method=width_method)
+                res = [np.asarray(r)[0][:, :e - s] for r in res]
+                for o, r in zip(out, res):
+                    o[:, s:e] = r
+                cache.store(ci, np.stack(res))
+            if resumed:
+                logger.info("peaks chunk cache %s: %d/%d chunks resumed.",
+                            cache.key, resumed, num_chunks)
+            return tuple(out)
         if on_device:
             k_stack = np.zeros((num_chunks, padded_block, 3), dtype=np.float32)
             flat = np.asarray(k_vectors_3d, dtype=np.float32)
@@ -1877,7 +2099,8 @@ class SEDCalculator:
             k_vectors_3d, basis_atom_indices=basis_atom_indices,
             basis_atom_types=basis_atom_types, summation_mode=summation_mode,
             max_freq=max_freq, k_chunk_size=k_chunk_size,
-            welch_segments=welch_segments, welch_window=welch_window)
+            welch_segments=welch_segments, welch_window=welch_window,
+            cache_dir=cache_dir)
         return peaks_np(intensity, freqs_kept, n_peaks=n_peaks,
                         exclusion_bins=exclusion_bins,
                         width_method=width_method)
