@@ -121,7 +121,7 @@ class SEDCalculator:
                  precision: str = 'parity',
                  max_device_bytes: int = _DEFAULT_MAX_DEVICE_BYTES,
                  mass_weighted: bool = False,
-                 phase_mode: str = 'incremental'):
+                 phase_mode: str = 'exact'):
         if not (nx > 0 and ny > 0 and nz > 0):
             raise ValueError("System dimensions (nx, ny, nz) must be positive.")
         spectral.resolve_precision(precision)  # validate early
@@ -132,10 +132,16 @@ class SEDCalculator:
         self.precision = precision
         self.max_device_bytes = max_device_bytes
         self.mass_weighted = mass_weighted
-        # Instantaneous-phase engine mode (DSF/S(k)/ISF family):
-        # 'incremental' = anchored small-angle path (≥3× the exact path,
-        # ≤1e-6 parity, round-4 VERDICT item 2); 'exact' = per-element
-        # double-single + Cody-Waite folded transcendentals.
+        # Instantaneous-phase engine mode (DSF/S(k)/ISF family).  'exact'
+        # (default) = per-element double-single + Cody-Waite folded
+        # transcendentals, bit-identical to rounds 1-3.  'incremental' =
+        # anchored small-angle path (≤1e-6 parity): measured faster on the
+        # density-only observables (S(k) 0.93 vs 1.34 s, DSF-self 1.8 vs
+        # 3.2 s warm at 512 k / 10⁴ atoms / 2 500 frames on the chip) but
+        # 12× SLOWER on the 4-channel DSF accumulate (22.4 vs 1.8 s) —
+        # scripts/tpu_campaign/phase_engine.json.  Once the trajectory is
+        # device-resident (see _dsf_device_blocks) the family is compute-
+        # bound and 'exact' wins where it matters.
         self.phase_mode = phase_mode
         if mass_weighted and traj.masses is None:
             raise ValueError("mass_weighted=True requires Trajectory.masses.")
@@ -176,6 +182,11 @@ class SEDCalculator:
         # Lazily computed / cached state.  The lock guards the device cache:
         # GUI worker threads may invoke calculate() concurrently.
         self._mean_pos64: Optional[np.ndarray] = None
+        self._frac_mean64: Optional[np.ndarray] = None
+        # Phase anchor: 'cartesian' (exp(i k·r̄), the reference formula) or
+        # 'fractional' (exp(2πi m·s̄), the NPT path — set transiently by
+        # calculate_npt).  Participates in the device-cache keys.
+        self._phase_anchor: str = 'cartesian'
         self._device_cache: Dict[bytes, tuple] = {}
         self._device_cache_order: List[bytes] = []
         self._cache_lock = threading.Lock()
@@ -388,11 +399,38 @@ class SEDCalculator:
         which injects ~|r̄|·2⁻²⁴ phase noise downstream; we keep f64 truth on
         host and ship it to device as a split (hi, lo) f32 pair.
         """
+        if self._phase_anchor == 'fractional':
+            return self._fractional_mean_positions64()
         if self._mean_pos64 is None:
             # dtype=float64 accumulates in f64 without materializing a copy of
             # the (possibly huge / broadcast-view) positions array.
             self._mean_pos64 = np.mean(self.traj.positions, axis=0, dtype=np.float64)
         return self._mean_pos64
+
+    def _fractional_mean_positions64(self) -> np.ndarray:
+        """Time-averaged FRACTIONAL coordinates s̄ = mean_t h(t)⁻¹ r(t), f64.
+
+        The NPT phase anchor: with a per-frame cell, exp(2πi m·s̄) is
+        invariant under cell breathing where the fixed-cell exp(i k·r̄)
+        smears (k·r picks up the cell's time dependence).  Accumulated in
+        frame chunks so the (n_t, N, 3) f64 fractional array is never
+        materialized."""
+        if self._frac_mean64 is None:
+            if self.traj.box_matrices is None:
+                raise ValueError("Fractional phase anchor requires "
+                                 "Trajectory.box_matrices (per-frame cells).")
+            hinv = np.linalg.inv(
+                np.asarray(self.traj.box_matrices, dtype=np.float64))
+            n_t = self.traj.n_frames
+            acc = np.zeros((self.traj.n_atoms, 3), dtype=np.float64)
+            chunk = max(1, min(n_t, int(2e8) // max(1, self.traj.n_atoms * 3)))
+            for t0 in range(0, n_t, chunk):
+                t1 = min(t0 + chunk, n_t)
+                r = np.asarray(self.traj.positions[t0:t1], dtype=np.float64)
+                # columns are cell vectors: r = h @ s  =>  s = h⁻¹ r
+                acc += np.einsum('tij,taj->ai', hinv[t0:t1], r)
+            self._frac_mean64 = acc / n_t
+        return self._frac_mean64
 
     @property
     def mean_positions(self) -> np.ndarray:
@@ -463,7 +501,8 @@ class SEDCalculator:
             key = group_idx.tobytes() + (b'Rp' if raw == 'positions' else b'Rv')
         else:
             key = group_idx.tobytes() + (b'D' if self.use_displacements else b'V') \
-                + (b'M' if self.mass_weighted else b'')
+                + (b'M' if self.mass_weighted else b'') \
+                + (b'F' if self._phase_anchor == 'fractional' else b'')
         with self._cache_lock:
             if key in self._device_cache:
                 return self._device_cache[key]
@@ -648,6 +687,7 @@ class SEDCalculator:
                 'precision': self.precision,
                 'dt_ps': float(self.dt_ps),
                 'k_chunk_size': int(block),
+                'anchor': self._phase_anchor,
             })
             done = cache.completed_chunks()
             if done:
@@ -788,6 +828,63 @@ class SEDCalculator:
             inten = jnp.sum(re_dev * re_dev + im_dev * im_dev, axis=-1)
             acc = inten if acc is None else acc + inten
         return np.asarray(acc / segments, dtype=np.float32)
+
+    def calculate_npt(self, k_miller: np.ndarray,
+                      basis_atom_indices=None, basis_atom_types=None,
+                      summation_mode: str = 'coherent',
+                      k_chunk_size: int = 500,
+                      cache_dir: Optional[Union[str, Path]] = None) -> SED:
+        """SED for a time-dependent (NPT) cell, anchored in fractional space.
+
+        The fixed-cell formula exp(i k·r̄) (reference sed_calculator.py:78,
+        which assumes a constant box, :30-56) breaks under cell breathing:
+        k·r(t) inherits the cell's slow time dependence and the spectral
+        peaks smear.  This path projects onto exp(2πi m·s̄_a) with
+        s_a(t) = h(t)⁻¹ r_a(t) the per-frame fractional coordinates and
+        ``m`` reduced-zone wavevectors in FRACTIONAL units (integer rows =
+        box-commensurate modes) — invariant under any volume/shape drift of
+        the cell.  Velocities are projected unchanged (Cartesian), matching
+        the SED convention.
+
+        Requires ``Trajectory.box_matrices`` (the LAMMPS/H5MD readers fill
+        it automatically for NPT dumps).  ``use_displacements`` is not
+        supported on this path (the Cartesian mean is cell-entangled).
+
+        Returns an :class:`SED` whose ``k_vectors`` are the mean-cell
+        Cartesian images B̄·m (B̄ = 2π h̄⁻ᵀ) and ``k_points`` their
+        magnitudes, so downstream plotting reads physical Å⁻¹ axes.
+        Extension beyond the reference (fixed-cell only); oracle-tested
+        against an f64 NumPy NPT formula and a breathing-box physics check.
+        """
+        if self.traj.box_matrices is None:
+            raise ValueError("calculate_npt requires Trajectory.box_matrices "
+                             "(per-frame cells); this trajectory has none.")
+        if self.use_displacements:
+            raise ValueError("calculate_npt supports velocity projection "
+                             "only; use_displacements entangles the "
+                             "Cartesian mean with the moving cell.")
+        m = np.asarray(k_miller, dtype=np.float64)
+        if m.ndim != 2 or m.shape[1] != 3:
+            raise ValueError(f"k_miller must be (n_k, 3) fractional "
+                             f"wavevectors, got {m.shape}")
+        k_eff = (2.0 * np.pi * m).astype(np.float32)
+        hbar = np.mean(np.asarray(self.traj.box_matrices, dtype=np.float64),
+                       axis=0)
+        bbar = 2.0 * np.pi * np.linalg.inv(hbar).T
+        k_cart = (m @ bbar.T).astype(np.float32)
+        k_mags = np.linalg.norm(k_cart, axis=1).astype(np.float32)
+        self._phase_anchor = 'fractional'
+        try:
+            sed = self.calculate(k_mags, k_eff,
+                                 basis_atom_indices=basis_atom_indices,
+                                 basis_atom_types=basis_atom_types,
+                                 summation_mode=summation_mode,
+                                 k_chunk_size=k_chunk_size,
+                                 cache_dir=cache_dir)
+        finally:
+            self._phase_anchor = 'cartesian'
+        sed.k_vectors = k_cart     # physical axes for plotting/export
+        return sed
 
     def calculate_welch(self, k_points_mags: np.ndarray,
                         k_vectors_3d: np.ndarray, segments: int,
@@ -1355,6 +1452,7 @@ class SEDCalculator:
             'mass_weighted': self.mass_weighted,
             'precision': self.precision,
             'phase_mode': self.phase_mode,
+            'anchor': self._phase_anchor,
             'dt_ps': float(self.dt_ps),
             'k_chunk_size': int(block),
         }
@@ -1433,6 +1531,45 @@ class SEDCalculator:
                     vel = np.concatenate([vel, zs], axis=1)
                 mask[idx.size:] = 0.0
             yield pos, vel, mask
+
+    def _dsf_device_blocks(self, group_idx: np.ndarray, atom_chunk: int,
+                           n_t_pad: int, with_velocities: bool):
+        """Device-resident atom blocks for the instantaneous-phase family,
+        kept in the calculator's LRU so warm DSF/S(k)/ISF/self calls never
+        re-upload the trajectory (the h2d re-upload was ~17 s of the 19.7 s
+        warm DSF at the liquid shape on the 0.035 GB/s tunnel — the same
+        plumbing tax round-4 item 3 removed from MSD/VACF).  Returns a
+        tuple of (pos_dev, vel_dev_or_None, mask_dev), time-padded to
+        ``n_t_pad`` rows."""
+        key = (group_idx.tobytes() + b'IB' +
+               np.asarray([atom_chunk, n_t_pad, int(with_velocities)],
+                          dtype=np.int64).tobytes())
+        with self._cache_lock:
+            if key in self._device_cache:
+                return self._device_cache[key]
+        n_t = self.traj.n_frames
+        blocks = []
+        for pos, vel, mask in self._dsf_blocks(group_idx, atom_chunk,
+                                               with_velocities):
+            if n_t_pad != n_t:
+                zs = np.zeros((n_t_pad - n_t, pos.shape[1], 3),
+                              dtype=np.float32)
+                pos = np.concatenate([pos, zs], axis=0)
+                if vel is not None:
+                    vel = np.concatenate([vel, zs], axis=0)
+            blocks.append((jnp.asarray(pos),
+                           None if vel is None else jnp.asarray(vel),
+                           jnp.asarray(mask)))
+        blocks = tuple(blocks)
+        with self._cache_lock:
+            if key in self._device_cache:
+                return self._device_cache[key]
+            self._device_cache[key] = blocks
+            self._device_cache_order.append(key)
+            while len(self._device_cache_order) > 2:
+                evict = self._device_cache_order.pop(0)
+                self._device_cache.pop(evict, None)
+            return self._device_cache[key]
 
     def calculate_dsf(self, k_vectors_3d: np.ndarray,
                       basis_atom_indices=None, basis_atom_types=None,
@@ -1550,13 +1687,13 @@ class SEDCalculator:
                     vel = np.concatenate([vel, zs], axis=0)
             return pos, vel
 
-        # Resident mode: upload the needed blocks ONCE and reuse them
-        # across k chunks; oversize trajectories re-stream from host per
-        # k chunk instead.  Density-only residency costs half (no vel).
+        # Resident mode: upload the needed blocks ONCE, reuse them across
+        # k chunks AND across calls (LRU on the calculator); oversize
+        # trajectories re-stream from host per k chunk instead.
+        # Density-only residency costs half (no vel).
         res_factor = 1 if density_only else 2
-        resident = (num_chunks > 1 and res_factor *
+        resident = (res_factor *
                     self._group_bytes(group_idx) <= self.max_device_bytes)
-        n_ch = 1 if density_only else 4
 
         def to_device(pos, vel, mask):
             return (jnp.asarray(pos),
@@ -1566,13 +1703,12 @@ class SEDCalculator:
         if all(ci in skip_chunks for ci in range(num_chunks)):
             return      # full cache replay: no blocks, no uploads
 
+        n_ch = 1 if density_only else 4
         device_blocks = None
         if resident:
-            device_blocks = [
-                to_device(*t_padded(pos, vel), mask)
-                for pos, vel, mask in self._dsf_blocks(
-                    group_idx, atom_chunk,
-                    with_velocities=not density_only)]
+            device_blocks = self._dsf_device_blocks(
+                group_idx, atom_chunk, n_t_pad,
+                with_velocities=not density_only)
 
         for ci in range(num_chunks):
             if ci in skip_chunks:
@@ -1768,6 +1904,12 @@ class SEDCalculator:
         logger.info("%s: %d k-points in %d chunks; atom_chunk=%d.",
                     label, num_k, num_chunks, atom_chunk)
 
+        # Position blocks stay device-resident across k chunks and calls
+        # when they fit; otherwise each k chunk re-streams from host.
+        # Built lazily so a fully-cached replay uploads nothing.
+        resident = self._group_bytes(group_idx) <= self.max_device_bytes
+        device_blocks = None
+
         for ci in range(num_chunks):
             s, e = ci * block, min((ci + 1) * block, num_k)
             if cache is not None:
@@ -1780,10 +1922,18 @@ class SEDCalculator:
             k_chunk[:e - s] = np.asarray(k_vectors_3d[s:e], dtype=np.float32)
             k_dev = jnp.asarray(k_chunk)
             acc = np.zeros((out.shape[0], padded_block), dtype=np.float32)
-            for pos, _, mask in self._dsf_blocks(group_idx, atom_chunk,
-                                                 with_velocities=False):
-                acc += np.asarray(kernel(jnp.asarray(pos),
-                                         jnp.asarray(mask), k_dev))
+            if resident and device_blocks is None:
+                device_blocks = self._dsf_device_blocks(
+                    group_idx, atom_chunk, self.traj.n_frames,
+                    with_velocities=False)
+            if device_blocks is not None:
+                for pos_dev, _, mask_dev in device_blocks:
+                    acc += np.asarray(kernel(pos_dev, mask_dev, k_dev))
+            else:
+                for pos, _, mask in self._dsf_blocks(group_idx, atom_chunk,
+                                                     with_velocities=False):
+                    acc += np.asarray(kernel(jnp.asarray(pos),
+                                             jnp.asarray(mask), k_dev))
             out[:, s:e] = acc[:, :e - s] / float(group_idx.size)
             if cache is not None:
                 cache.store(ci, out[:, s:e])

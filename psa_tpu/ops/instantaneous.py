@@ -34,12 +34,15 @@ pass.  Two phase engines produce the per-element (cos, sin):
   (:func:`psa_tpu.ops.spectral._accurate_angles` with a zero low word)
   followed by hardware cos/sin: ~1e-7 rad however many thousand radians
   k·r reaches, bit-identical to rounds 1-3.
-* ``phase_mode='incremental'`` (round-4 default via the calculator) —
-  one exact anchor phasor per :data:`_ANCHOR_WINDOW` frames, advanced by
-  the small in-window delta phase through FMA-only minimax kernels and a
-  complex multiply (:func:`_incremental_phasors`): NO per-element
-  transcendentals or compensated dots, ≤1e-6 phasor error, measured ≥3×
-  the exact engine on chip.
+* ``phase_mode='incremental'`` (opt-in) — one exact anchor phasor per
+  :data:`_ANCHOR_WINDOW` frames, advanced by the small in-window delta
+  phase through FMA-only minimax kernels and a complex multiply
+  (:func:`_incremental_phasors`): NO per-element transcendentals or
+  compensated dots, ≤1e-6 phasor error.  On-chip measurement once the
+  trajectory is device-resident (scripts/tpu_campaign/phase_engine.json):
+  wins on the density-only observables (S(k) 1.4×, DSF-self 1.8×) but
+  loses badly on the 4-channel DSF accumulate — hence 'exact' is the
+  calculator default.
 
 Physical validity: ``exp(i k·r)`` is periodic-image-consistent only for
 box-commensurate k (each component a multiple of 2π/L for the box edge L —

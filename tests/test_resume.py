@@ -183,6 +183,8 @@ class TestDSFFamilyResume:
         """The incremental/exact engines differ at ~1e-7 — their chunks
         must not cross-contaminate through a shared cache_dir."""
         calc_i, kvec = _chain_calc()
+        calc_i = SEDCalculator(calc_i.traj, nx=12, ny=1, nz=1,
+                               phase_mode='incremental')
         _, si, _, _ = calc_i.calculate_dsf(kvec, k_chunk_size=3,
                                            cache_dir=tmp_path)
         calc_e = SEDCalculator(calc_i.traj, nx=12, ny=1, nz=1,
