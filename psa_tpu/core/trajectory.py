@@ -35,6 +35,12 @@ class Trajectory:
         masses:     optional (n_atoms,) per-atom masses. The reference engine is
             NOT mass-weighted (see SURVEY.md §0); this field feeds the opt-in
             mass-weighted SED extension.
+        box_matrices: optional (n_frames, 3, 3) per-frame cell matrices for
+            NPT (time-dependent cell) runs; ``box_matrix`` then holds the
+            frame-0 cell for the fixed-cell engines.  Feeds
+            ``SEDCalculator.calculate_npt`` (phases anchored in fractional
+            coordinates).  The reference is fixed-cell only
+            (sed_calculator.py:30-56) — this field is an extension.
     """
     positions: np.ndarray
     velocities: np.ndarray
@@ -45,6 +51,7 @@ class Trajectory:
     box_tilts: np.ndarray
     dt_ps: float
     masses: Optional[np.ndarray] = None
+    box_matrices: Optional[np.ndarray] = None
 
     def __post_init__(self):
         self._check_particle_array(self.positions, "Positions")
@@ -69,6 +76,11 @@ class Trajectory:
             expected = (self.positions.shape[1],)
             if self.masses.shape != expected:
                 raise ValueError(f"Masses must have shape {expected}, got {self.masses.shape}")
+        if self.box_matrices is not None:
+            expected = (self.positions.shape[0], 3, 3)
+            if self.box_matrices.shape != expected:
+                raise ValueError(f"box_matrices must have shape {expected}, "
+                                 f"got {self.box_matrices.shape}")
 
     @staticmethod
     def _check_particle_array(arr: np.ndarray, name: str) -> None:

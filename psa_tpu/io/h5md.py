@@ -59,11 +59,13 @@ def _box_matrix(edges: np.ndarray) -> np.ndarray:
 
 
 def read_h5md(filepath: Path, particles_group: Optional[str] = None,
-              unwrap: bool = False
+              unwrap: bool = False, with_boxes: bool = False
               ) -> Tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray,
                          np.ndarray, Optional[np.ndarray]]:
     """Read an H5MD file into (positions, velocities, types, timesteps,
     box_matrix, masses) — the same tuple as the LAMMPS reader (+ masses).
+    ``with_boxes`` appends per-frame (n_t, 3, 3) cell matrices (or None
+    when the box is fixed) for NPT runs.
 
     Args:
         filepath: path to the .h5/.h5md file.
@@ -141,17 +143,29 @@ def read_h5md(filepath: Path, particles_group: Optional[str] = None,
         if edges_ds is None:
             raise ValueError(f"{filepath}: box has no edges")
         edges = np.asarray(edges_ds)
+        box_matrices = None
         if edges_timedep:
             # value datasets carry a leading frame axis: (n_t', 3) or
-            # (n_t', 3, 3) — use the frame-0 cell (the SED engine assumes a
-            # fixed box, like the reference)
+            # (n_t', 3, 3) — fixed-cell engines use the frame-0 cell (like
+            # the reference); per-frame cells are kept on
+            # Trajectory.box_matrices for the NPT path when they vary and
+            # align with the position frames.
             if edges.ndim not in (2, 3) or edges.shape[-1] != 3:
                 raise ValueError(f"{filepath}: time-dependent box edges have "
                                  f"shape {edges.shape}; expected (n_t, 3) or "
                                  "(n_t, 3, 3)")
             if not np.allclose(edges, edges[0]):
-                logger.warning("Box changes across frames in %s (NPT run?); "
-                               "using the frame-0 cell.", filepath)
+                if edges.shape[0] == n_t:
+                    box_matrices = np.stack(
+                        [_box_matrix(e) for e in edges]).astype(np.float32)
+                    logger.info("Per-frame box found in %s (NPT run); kept "
+                                "on Trajectory.box_matrices, fixed-cell "
+                                "engines use frame 0.", filepath)
+                else:
+                    logger.warning("Box changes across frames in %s (NPT "
+                                   "run?) but its %d box frames don't match "
+                                   "%d position frames; using the frame-0 "
+                                   "cell.", filepath, edges.shape[0], n_t)
             edges = edges[0]
         box_matrix = _box_matrix(edges)
 
@@ -177,4 +191,7 @@ def read_h5md(filepath: Path, particles_group: Optional[str] = None,
         else:
             from .lammps import unwrap_positions
             positions = unwrap_positions(positions, box_matrix)
+    if with_boxes:
+        return (positions, velocities, types, timesteps, box_matrix, masses,
+                box_matrices)
     return positions, velocities, types, timesteps, box_matrix, masses

@@ -399,10 +399,12 @@ def _read_dump_bulk(filepath: Path, unwrap: bool):
                            "minimum-image unwrapping uses the frame-0 cell.",
                            filepath)
         pos = unwrap_positions(pos, box_matrix)
-    return pos, vel, types, timesteps, box_matrix, masses
+    return pos, vel, types, timesteps, box_matrix, masses, \
+        (boxes if box_varies else None)
 
 
-def read_lammps_dump(filepath: Path, unwrap: bool = True, with_masses: bool = False):
+def read_lammps_dump(filepath: Path, unwrap: bool = True,
+                     with_masses: bool = False, with_boxes: bool = False):
     """Read a full dump into arrays.
 
     Returns (positions (n_t, n_a, 3) f32, velocities (n_t, n_a, 3) f32,
@@ -417,10 +419,13 @@ def read_lammps_dump(filepath: Path, unwrap: bool = True, with_masses: bool = Fa
     """
     bulk = _read_dump_bulk(Path(filepath), unwrap)
     if bulk is not None:
-        pos, vel, types, timesteps, box_matrix, masses = bulk
+        pos, vel, types, timesteps, box_matrix, masses, boxes = bulk
+        out = [pos, vel, types, timesteps, box_matrix]
         if with_masses:
-            return pos, vel, types, timesteps, box_matrix, masses
-        return pos, vel, types, timesteps, box_matrix
+            out.append(masses)
+        if with_boxes:
+            out.append(boxes)
+        return tuple(out)
 
     frames = list(iter_lammps_frames(filepath))
     if not frames:
@@ -433,6 +438,7 @@ def read_lammps_dump(filepath: Path, unwrap: bool = True, with_masses: bool = Fa
     positions = np.zeros((n_t, n_a, 3), dtype=np.float32)
     velocities = np.zeros((n_t, n_a, 3), dtype=np.float32)
     timesteps = np.zeros(n_t, dtype=np.int64)
+    boxes = np.zeros((n_t, 3, 3), dtype=np.float32)
     has_vel = frames[0].velocities is not None
     for i, fr in enumerate(frames):
         if fr.positions.shape[0] != n_a:
@@ -441,15 +447,19 @@ def read_lammps_dump(filepath: Path, unwrap: bool = True, with_masses: bool = Fa
         if has_vel and fr.velocities is not None:
             velocities[i] = fr.velocities
         timesteps[i] = fr.timestep
+        boxes[i] = fr.box_matrix
     if not has_vel:
         logger.warning("No velocity data found in %s. Velocities set to zero.", filepath)
 
     if unwrap and n_t > 1:
         positions = unwrap_positions(positions, box_matrix)
 
+    out = [positions, velocities, types, timesteps, box_matrix]
     if with_masses:
-        return positions, velocities, types, timesteps, box_matrix, frames[0].masses
-    return positions, velocities, types, timesteps, box_matrix
+        out.append(frames[0].masses)
+    if with_boxes:
+        out.append(boxes if not np.allclose(boxes, boxes[0]) else None)
+    return tuple(out)
 
 
 def read_extxyz(filepath: Path

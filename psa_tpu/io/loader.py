@@ -96,14 +96,18 @@ class TrajectoryLoader:
                 box_mat = np.load(npy_files['box_matrix'])
                 if box_mat.shape != (3, 3):
                     raise ValueError(f"Cached box_matrix has shape {box_mat.shape}, expected (3,3).")
-                masses_file = (self.filepath.parent / self.filepath.stem
-                               ).with_suffix('.masses.npy')
+                stem = self.filepath.parent / self.filepath.stem
+                masses_file = stem.with_suffix('.masses.npy')
                 masses = np.load(masses_file) if masses_file.exists() else None
+                boxes_file = stem.with_suffix('.box_matrices.npy')
+                boxes = (np.load(boxes_file, mmap_mode=mode)
+                         if boxes_file.exists() else None)
                 box_len, box_tilt = make_box_arrays(box_mat)
                 ts = np.arange(pos.shape[0], dtype=np.float32) * self.dt
                 return Trajectory(pos, vel, atom_types, ts, box_matrix=box_mat,
                                   box_lengths=box_len, box_tilts=box_tilt,
-                                  dt_ps=self.dt, masses=masses)
+                                  dt_ps=self.dt, masses=masses,
+                                  box_matrices=boxes)
             except Exception as e:
                 logger.warning("Loading .npy cache failed: %s. Falling back to parser.", e)
 
@@ -120,15 +124,17 @@ class TrajectoryLoader:
             return self._load_via_ovito()
         fmt = self._detect_file_format()
         masses = None
+        boxes = None
         if fmt == 'lammps':
-            pos, vel, types, steps, box, masses = lammps_io.read_lammps_dump(
-                self.filepath, unwrap=self.unwrap, with_masses=True)
+            pos, vel, types, steps, box, masses, boxes = \
+                lammps_io.read_lammps_dump(self.filepath, unwrap=self.unwrap,
+                                           with_masses=True, with_boxes=True)
         elif fmt == 'extxyz':
             pos, vel, types, steps, box = lammps_io.read_extxyz(self.filepath)
         elif fmt == 'h5md':
             from . import h5md as h5md_io
-            pos, vel, types, steps, box, masses = h5md_io.read_h5md(
-                self.filepath, unwrap=self.unwrap)
+            pos, vel, types, steps, box, masses, boxes = h5md_io.read_h5md(
+                self.filepath, unwrap=self.unwrap, with_boxes=True)
         else:
             pos, vel, types, steps, box = lammps_io.read_vasp_outcar(self.filepath)
         box_len, box_tilt = make_box_arrays(box)
@@ -137,7 +143,7 @@ class TrajectoryLoader:
                     self.filepath.name, pos.shape[0], pos.shape[1])
         return Trajectory(pos, vel, types, ts, box_matrix=box,
                           box_lengths=box_len, box_tilts=box_tilt, dt_ps=self.dt,
-                          masses=masses)
+                          masses=masses, box_matrices=boxes)
 
     def _load_via_ovito(self) -> Trajectory:
         """Optional OVITO backend for formats the native parsers don't cover."""
@@ -196,6 +202,9 @@ class TrajectoryLoader:
         np.save(npy_files['box_matrix'], traj.box_matrix)
         if traj.masses is not None:   # optional 5th sidecar; absence = None
             np.save(cache_stem.with_suffix('.masses.npy'), traj.masses)
+        if traj.box_matrices is not None:  # optional NPT sidecar
+            np.save(cache_stem.with_suffix('.box_matrices.npy'),
+                    traj.box_matrices)
         mean_pos = np.mean(traj.positions, axis=0)
         np.save(cache_stem.with_suffix('.mean_positions.npy'), mean_pos)
         np.save(cache_stem.with_suffix('.displacements.npy'),
