@@ -383,6 +383,26 @@ def user_path_benches(mean_pos64, n_steps, k_vectors, grid, precision,
         f"incl. compile {dt:.1f}s); d2h {browse_bytes/1e6:.0f} MB vs "
         f"{full_bytes/1e9:.1f} GB full complex = {full_bytes/browse_bytes:.0f}x less")
 
+    # -- same browse with the GUI's default f16 display readback ------------
+    log("user path 1b/5: browse with readback_dtype='float16' (GUI default)...")
+    t0 = time.time()
+    _, inten16, _ = calc.calculate_kgrid_browse(k_vectors, k_chunk_size=1280,
+                                                readback_dtype='float16')
+    dt16 = time.time() - t0
+    warm0 = time.time()
+    _, inten16, _ = calc.calculate_kgrid_browse(k_vectors, k_chunk_size=1280,
+                                                readback_dtype='float16')
+    warm16 = time.time() - warm0
+    q_err = float(np.max(np.abs(inten16.astype(np.float64) -
+                                inten.astype(np.float64))) /
+                  max(float(np.max(inten)), 1e-300))
+    extras["calculate_browse_f16_kps"] = round(n_k / warm16, 2)
+    extras["browse_f16_speedup"] = round(warm / warm16, 2)
+    extras["browse_f16_max_quant_err"] = q_err
+    log(f"  browse f16: {warm16:.2f}s warm ({n_k / warm16:.1f} k-points/s, "
+        f"{warm / warm16:.2f}x vs f32; first {dt16:.1f}s; "
+        f"max quantization {q_err:.2e} of max)")
+
     # -- library default: k-path calculate with full complex readback -------
     if over_budget("k-path calculate bench"):
         return extras

@@ -303,6 +303,61 @@ def _run_rdf_section(calc, rdf_cfg, out_dir: Path, traj):
     logger.info("RDF written: rdf.{csv,png} (%d curve(s))", len(curves))
 
 
+def _run_npt_section(calc, npt_cfg, out_dir: Path):
+    """Optional NPT (time-dependent cell) SED section — beyond the
+    reference, whose engine assumes a constant box (reference
+    sed_calculator.py:30-56).  Projects onto per-frame fractional
+    coordinates (:meth:`SEDCalculator.calculate_npt`), so phonon lines stay
+    sharp under cell breathing/drift.  Requires a trajectory whose reader
+    filled per-frame cells (``Trajectory.box_matrices`` — the LAMMPS/H5MD
+    parsers do for NPT dumps); a fixed-cell trajectory errors cleanly.
+
+    The k-path lives in FRACTIONAL (Miller) space: either explicit
+    ``k_miller`` rows, or ``direction`` (integer Miller vector) swept in
+    ``n_kpoints`` steps up to ``max_order`` multiples.  Outputs carry the
+    mean-cell Cartesian k-vectors for physical axes."""
+    import matplotlib
+    matplotlib.use('Agg')
+    import matplotlib.pyplot as plt
+
+    basis = npt_cfg.get('basis') or {}
+    km = npt_cfg.get('k_miller')
+    if km is not None:
+        m = np.asarray(km, dtype=np.float64)
+    else:
+        d = np.asarray(npt_cfg.get('direction') or [1, 0, 0],
+                       dtype=np.float64)
+        n_k = int(npt_cfg.get('n_kpoints') or 50)
+        mo = float(npt_cfg.get('max_order') or 1.0)
+        m = d[None, :] * np.linspace(mo / n_k, mo, n_k)[:, None]
+    sed = calc.calculate_npt(m,
+                             basis_atom_indices=basis.get('atom_indices'),
+                             basis_atom_types=basis.get('atom_types'),
+                             summation_mode=npt_cfg.get('summation_mode',
+                                                        'coherent'))
+    inten = sed.intensity
+    freqs = sed.freqs
+    keep = freqs >= 0
+    if npt_cfg.get('max_freq'):
+        keep &= freqs <= float(npt_cfg['max_freq'])
+    np.savez(out_dir / "npt_sed.npz", intensity=inten, freqs=freqs,
+             k_miller=m, k_vectors=sed.k_vectors, k_mags=sed.k_points)
+    path_coord = sed.k_points if np.unique(sed.k_points).size == m.shape[0] \
+        else np.arange(m.shape[0], dtype=np.float64)
+    fig, ax = plt.subplots(figsize=(7, 5))
+    pcm = ax.pcolormesh(path_coord, freqs[keep],
+                        np.sqrt(np.maximum(inten[keep], 0.0)),
+                        shading='gouraud', cmap='inferno')
+    fig.colorbar(pcm, ax=ax, label='√I (arb.)')
+    ax.set_xlabel("|k| along path, mean cell (2π/Å)")
+    ax.set_ylabel("ν (THz)")
+    ax.set_title("NPT SED (fractional phase anchor)")
+    fig.savefig(out_dir / "npt_sed.png", dpi=200, bbox_inches='tight')
+    plt.close(fig)
+    logger.info("NPT SED written: npt_sed.{npz,png} (%d k-points)",
+                m.shape[0])
+
+
 def _run_dsf_section(calc, dsf_cfg, sed_cfg, out_dir: Path, eff_lat_param,
                      traj):
     """Optional instantaneous-phase section (beyond the reference).
@@ -647,6 +702,10 @@ def main(argv=None) -> None:
         rdf_cfg = config.get('rdf', {})
         if rdf_cfg.get('apply'):
             _run_rdf_section(calc, rdf_cfg, out_dir, traj)
+
+        npt_cfg = config.get('npt', {})
+        if npt_cfg.get('apply'):
+            _run_npt_section(calc, npt_cfg, out_dir)
 
         if ised_cfg['apply']:
             logger.info("Performing iSED reconstruction...")

@@ -127,6 +127,18 @@ def default_config() -> Dict[str, Any]:
             'max_frames': 64,                  # evenly strided frame sample
             'per_type': False,                 # add every type-pair partial
         },
+        'npt': {
+            'apply': False,
+            # fractional-space k-path: either explicit Miller rows...
+            'k_miller': None,                  # (n_k, 3) rows override the path
+            # ...or a swept integer direction
+            'direction': [1, 0, 0],
+            'n_kpoints': 50,
+            'max_order': None,                 # path end, multiples of direction (None ⇒ 1)
+            'max_freq': None,                  # plot cap (THz)
+            'summation_mode': 'coherent',
+            'basis': {'atom_indices': None, 'atom_types': None},
+        },
     }
 
 
@@ -141,7 +153,7 @@ class ConfigManager:
     """
 
     SECTIONS = ('general', 'md_system', 'sed_calculation', 'plotting', 'ised',
-                'kgrid', 'dos', 'dsf', 'timecorr', 'rdf')
+                'kgrid', 'dos', 'dsf', 'timecorr', 'rdf', 'npt')
 
     def __init__(self, config_path: Optional[Union[str, Path]] = None):
         self.config: Dict[str, Any] = default_config()
@@ -268,6 +280,41 @@ class ConfigManager:
                                       or not isinstance(v, int) or v < 1):
                     raise ValueError(f"rdf.{key} must be a positive "
                                      f"integer or null; got {v!r}.")
+        np_cfg = cfg.get('npt', {})
+        if np_cfg.get('apply'):
+            km = np_cfg.get('k_miller')
+            if km is not None:
+                ok = (isinstance(km, (list, tuple)) and len(km) > 0
+                      and all(isinstance(r, (list, tuple)) and len(r) == 3
+                              and all(isinstance(v, (int, float))
+                                      and not isinstance(v, bool) for v in r)
+                              for r in km))
+                if not ok:
+                    raise ValueError("npt.k_miller must be null or a "
+                                     "non-empty list of [m1, m2, m3] rows.")
+            else:
+                d = np_cfg.get('direction')
+                if (not isinstance(d, (list, tuple)) or len(d) != 3
+                        or all(v == 0 for v in d)
+                        or any(isinstance(v, bool)
+                               or not isinstance(v, (int, float)) for v in d)):
+                    raise ValueError("npt.direction must be a non-zero "
+                                     f"[m1, m2, m3] vector; got {d!r}.")
+                nk = np_cfg.get('n_kpoints')
+                if nk is not None and (isinstance(nk, bool)
+                                       or not isinstance(nk, int) or nk < 1):
+                    raise ValueError(f"npt.n_kpoints must be a positive "
+                                     f"integer; got {nk!r}.")
+                mo = np_cfg.get('max_order')
+                if mo is not None and (isinstance(mo, bool)
+                                       or not isinstance(mo, (int, float))
+                                       or mo <= 0):
+                    raise ValueError(f"npt.max_order must be a positive "
+                                     f"number or null; got {mo!r}.")
+            if np_cfg.get('summation_mode', 'coherent') not in (
+                    'coherent', 'incoherent'):
+                raise ValueError("npt.summation_mode must be 'coherent' or "
+                                 "'incoherent'.")
         tc = cfg.get('timecorr', {})
         if tc.get('apply'):
             obs = tc.get('observables') or []

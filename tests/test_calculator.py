@@ -1004,6 +1004,7 @@ class TestDOS:
         np.testing.assert_allclose(d1, 4.0 * d0, rtol=1e-5)
 
 
+@pytest.mark.slow
 class TestFCCPhysics:
     """3D FCC oracle with FULL VECTOR polarizations: branch frequencies from
     the exact NN dynamical matrix, and the SED's per-component amplitudes

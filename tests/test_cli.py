@@ -121,6 +121,7 @@ def test_cli_dispersion_summary_switch(workdir, tmp_path):
     assert list(out.glob("disp_summary_*.png"))
 
 
+@pytest.mark.slow
 def test_cli_kgrid_and_dos_sections(workdir):
     """The optional kgrid/dos config sections (beyond the reference CLI)
     produce dispersion-surface and DOS artifacts."""
@@ -330,3 +331,84 @@ def test_cli_dsf_section(workdir):
     with pytest.raises(SystemExit):
         main(['--trajectory', str(dump), '--config', str(cfg),
               '--output-dir', str(out)])
+
+
+def test_cli_npt_section(tmp_path):
+    """npt section: breathing-box dump -> fractional-anchor SED outputs.
+
+    The loader must fill Trajectory.box_matrices from the varying BOX
+    BOUNDS, and the section must write npt_sed.{npz,png} with the mean-cell
+    Cartesian k axes."""
+    n_at, n_frames, a = 12, 32, 2.5
+    L0 = n_at * a
+    rng = np.random.default_rng(0)
+    lam = 1.0 + 0.01 * np.sin(2 * np.pi * np.arange(n_frames) / n_frames)
+    x_frac = (np.arange(n_at) + 0.5) / n_at
+    dump = tmp_path / "npt.dump"
+    with open(dump, "w") as f:
+        for t in range(n_frames):
+            L = lam[t] * L0
+            f.write(f"ITEM: TIMESTEP\n{t}\nITEM: NUMBER OF ATOMS\n{n_at}\n")
+            f.write("ITEM: BOX BOUNDS pp pp pp\n")
+            f.write(f"0.0 {L:.6f}\n0.0 10.0\n0.0 10.0\n")
+            f.write("ITEM: ATOMS id type x y z vx vy vz\n")
+            for i in range(n_at):
+                f.write(f"{i + 1} 1 {L * x_frac[i]:.6f} 1.0 1.0 "
+                        f"{rng.normal(0, 0.1):.6f} 0.0 0.0\n")
+    config = {
+        'md_system': {'dt': 0.02, 'nx': n_at, 'ny': 1, 'nz': 1,
+                      'lattice_parameter': a},
+        'sed_calculation': {'directions': ['x'], 'n_kpoints': 4,
+                            'bz_coverage': 0.5},
+        'npt': {'apply': True, 'direction': [1, 0, 0], 'n_kpoints': 6},
+    }
+    cfg = tmp_path / "config.yaml"
+    cfg.write_text(yaml.dump(config))
+    out = tmp_path / "out"
+    main(['--trajectory', str(dump), '--config', str(cfg),
+          '--output-dir', str(out)])
+    dat = np.load(out / "npt_sed.npz")
+    assert dat['intensity'].shape[1] == 6
+    assert dat['k_miller'].shape == (6, 3)
+    assert dat['k_vectors'].shape == (6, 3)
+    assert np.isfinite(dat['intensity']).all()
+    # mean-cell Cartesian axis: |k| = 2*pi*m1 / (mean lam * L0)
+    expect = 2 * np.pi * dat['k_miller'][:, 0] / (lam.mean() * L0)
+    np.testing.assert_allclose(dat['k_mags'], expect, rtol=1e-4)
+    assert (out / "npt_sed.png").exists()
+
+    # fixed-cell trajectory: npt section errors cleanly at the CLI boundary
+    config_bad = dict(config)
+    with open(tmp_path / "fixed.dump", "w") as f:
+        for t in range(8):
+            f.write(f"ITEM: TIMESTEP\n{t}\nITEM: NUMBER OF ATOMS\n{n_at}\n")
+            f.write("ITEM: BOX BOUNDS pp pp pp\n")
+            f.write(f"0.0 {L0:.6f}\n0.0 10.0\n0.0 10.0\n")
+            f.write("ITEM: ATOMS id type x y z vx vy vz\n")
+            for i in range(n_at):
+                f.write(f"{i + 1} 1 {L0 * x_frac[i]:.6f} 1.0 1.0 0.1 0.0 0.0\n")
+    cfg.write_text(yaml.dump(config_bad))
+    with pytest.raises(SystemExit):
+        main(['--trajectory', str(tmp_path / "fixed.dump"),
+              '--config', str(cfg), '--output-dir', str(tmp_path / "out2")])
+
+
+def test_cli_npt_config_validation(tmp_path, workdir):
+    _, dump, _ = workdir
+    bad_cases = [
+        {'apply': True, 'direction': [0, 0, 0]},
+        {'apply': True, 'direction': [1, 0]},
+        {'apply': True, 'direction': [1, 0, 0], 'n_kpoints': 0},
+        {'apply': True, 'direction': [1, 0, 0], 'max_order': -1},
+        {'apply': True, 'k_miller': [[1, 0]]},
+        {'apply': True, 'summation_mode': 'chiral'},
+    ]
+    for npt_cfg in bad_cases:
+        cfg = tmp_path / "bad.yaml"
+        cfg.write_text(yaml.dump({
+            'md_system': {'dt': 0.02, 'nx': 12, 'ny': 1, 'nz': 1},
+            'sed_calculation': {'directions': ['x'], 'n_kpoints': 4},
+            'npt': npt_cfg}))
+        with pytest.raises(SystemExit):
+            main(['--trajectory', str(dump), '--config', str(cfg),
+                  '--output-dir', str(tmp_path / "o")])

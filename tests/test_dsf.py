@@ -301,6 +301,7 @@ class TestISF:
         _, f = calc.calculate_isf(kv, n_lags=12)
         np.testing.assert_allclose(f[:, 0], n_cells, rtol=1e-4)
 
+    @pytest.mark.slow
     def test_self_brownian_decay_recovers_diffusion(self):
         """F_s(k,τ) = exp(−k²·D·dt·τ) for Brownian walkers — fitting the
         log-slope over the early decay must recover the injected D."""
@@ -329,6 +330,7 @@ class TestISF:
             np.testing.assert_allclose(d_est, d_true, rtol=0.12)
 
 
+@pytest.mark.slow
 class TestSelfDiffusionOracle:
     def test_quasielastic_width_recovers_diffusion_constant(self):
         """Brownian particles with a KNOWN diffusion constant D: the self
@@ -359,6 +361,7 @@ class TestSelfDiffusionOracle:
         assert abs(d_est.mean() - d_true) < 0.08 * d_true
 
 
+@pytest.mark.slow
 class TestSharded:
     """Mesh form vs the single-chip path on the 8-device virtual mesh."""
 

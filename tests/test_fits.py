@@ -78,6 +78,7 @@ class TestRelaxationTime:
         assert np.isnan(tau[1])
 
 
+@pytest.mark.slow
 class TestBrownianEndToEnd:
     def test_isf_self_kww_gives_beta_one_and_d(self):
         """F_s(k,τ) = exp(−k²Dτ) for Fickian diffusion: the fit must find

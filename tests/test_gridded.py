@@ -353,6 +353,7 @@ class TestPlanEdgeCases:
         assert calls['gridded'] == 1
 
 
+@pytest.mark.slow
 class TestShardedGriddedPeaks:
     """VERDICT r2 item 4: the NUFFT engine sharded over ky stripes across
     the mesh devices must match the single-device gridded peaks bin for
@@ -423,6 +424,7 @@ class TestShardedGriddedPeaks:
                 chiral=True)
 
 
+@pytest.mark.slow
 class TestShardedGriddedBrowse:
     """Sharded NUFFT browse planes (and chiral phase) vs single-device."""
 
@@ -444,6 +446,7 @@ class TestShardedGriddedBrowse:
         np.testing.assert_allclose(p_s, p_1, atol=1e-4)
 
 
+@pytest.mark.slow
 class TestStreamedShardedGridded:
     """Mesh ky-stripes fed by a BlockSource: every device streams the
     source for its stripe; results must match the resident single-device

@@ -85,7 +85,10 @@ class TestKPathFlow:
 
     def test_reduced_kpath_matches_full(self, loaded):
         """The device-reduced k-path display (VERDICT r2 item 6) must show
-        the same intensity and phase planes as the full complex flow."""
+        the same intensity and phase planes as the full complex flow, up to
+        the float16 display quantization the reduced path ships (round-4
+        VERDICT item 6: ≤2⁻¹¹ of the plane max for intensity, ~5e-4 rad for
+        the ±π/2 phase; exact bounds pinned in tests/test_readback.py)."""
         loaded.compute_kpath_sed("x", n_k=12, bz_coverage=0.5, chiral=True)
         k1, f1, c1 = loaded.kpath_plot_arrays(scale='linear')
         _, fp1, p1 = loaded.kpath_plot_arrays(show_phase=True)
@@ -94,8 +97,8 @@ class TestKPathFlow:
         k2, f2, c2 = loaded.kpath_plot_arrays(scale='linear')
         _, fp2, p2 = loaded.kpath_plot_arrays(show_phase=True)
         np.testing.assert_allclose(f1, f2, atol=0)
-        np.testing.assert_allclose(c1, c2, rtol=1e-5, atol=1e-8)
-        np.testing.assert_allclose(p1, p2, atol=1e-5)
+        assert np.abs(c1 - c2).max() <= 2.0 ** -10 * c2.max()
+        np.testing.assert_allclose(p1, p2, atol=2e-3)
 
     def test_phase_plot_arrays(self, loaded):
         loaded.compute_kpath_sed("x", n_k=8, bz_coverage=0.5, chiral=True)

@@ -58,6 +58,7 @@ def run_pod_sweep(args, timeout=600):
     return proc
 
 
+@pytest.mark.slow
 def test_from_dump_gridded_peaks_matches_resident(square_dump, tmp_path):
     """--from-dump --engine gridded --peaks: the dump streams straight into
     every ky stripe; the dispersion surface must be bin-for-bin identical

@@ -5,6 +5,7 @@ cell), sit at 1 for an ideal gas, and put coordination shells where the
 lattice says (simple cubic: 6 at a₀; CsCl cross-RDF: 8 at √3/2·a₀).
 """
 import numpy as np
+import pytest
 
 from psa_tpu import SEDCalculator
 from psa_tpu.core.trajectory import Trajectory, make_box_arrays
@@ -44,6 +45,7 @@ def rdf_oracle(pos, box, r_max, n_bins):
 
 
 class TestOracle:
+    @pytest.mark.slow
     def test_matches_f64_all_images_orthorhombic(self):
         rng = np.random.default_rng(0)
         n_t, n_a = 4, 40
@@ -70,6 +72,7 @@ class TestOracle:
         want = rdf_oracle(pos, box, 3.5, 35)
         np.testing.assert_allclose(g, want, rtol=1e-4, atol=1e-5)
 
+    @pytest.mark.slow
     def test_overlapping_cross_basis_matches_same_group(self):
         """g_AB with B ≡ A must equal the same-group g(r): self pairs are
         dropped by global id AND the normalization subtracts |A ∩ B|
@@ -84,6 +87,7 @@ class TestOracle:
                                     basis_atom_types_b=[1])
         np.testing.assert_allclose(got, want, rtol=1e-6)
 
+    @pytest.mark.slow
     def test_mesh_sharded_matches_single_chip(self):
         """g(r) over the 8-device virtual mesh (A shards over all axes,
         one psum) must reproduce the single-chip histogram bin-for-bin,
@@ -218,6 +222,7 @@ class TestCells:
 
 
 class TestPhysics:
+    @pytest.mark.slow
     def test_ideal_gas_is_flat_one(self):
         rng = np.random.default_rng(3)
         n_t, n_a, L = 8, 500, 15.0
@@ -229,6 +234,7 @@ class TestPhysics:
         np.testing.assert_allclose(g[5:], 1.0, atol=0.12)
         assert abs(g[5:].mean() - 1.0) < 0.02
 
+    @pytest.mark.slow
     def test_simple_cubic_shells_and_coordination(self):
         a0, n_c = 2.0, 5
         grid = np.stack(np.meshgrid(*([np.arange(n_c) * a0] * 3),

@@ -149,6 +149,7 @@ class TestCalculator:
         want = v[0] * np.cos(2 * np.pi * nu_thz * lags.astype(np.float64))
         np.testing.assert_allclose(v, want, atol=0.05 * v[0])
 
+    @pytest.mark.slow
     def test_sharded_matches_single_chip(self):
         """Pod forms on the 8-device virtual mesh: atom shards over ALL
         mesh axes + one psum must reproduce the single-chip curves, incl.
