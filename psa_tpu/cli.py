@@ -342,7 +342,10 @@ def _run_npt_section(calc, npt_cfg, out_dir: Path):
         keep &= freqs <= float(npt_cfg['max_freq'])
     np.savez(out_dir / "npt_sed.npz", intensity=inten, freqs=freqs,
              k_miller=m, k_vectors=sed.k_vectors, k_mags=sed.k_points)
-    path_coord = sed.k_points if np.unique(sed.k_points).size == m.shape[0] \
+    # |k| is only a valid x axis when strictly increasing: explicit k_miller
+    # rows in arbitrary order have distinct-but-unsorted magnitudes, and
+    # gouraud pcolormesh would render a folded surface (ADVICE r4)
+    path_coord = sed.k_points if np.all(np.diff(sed.k_points) > 0) \
         else np.arange(m.shape[0], dtype=np.float64)
     fig, ax = plt.subplots(figsize=(7, 5))
     pcm = ax.pcolormesh(path_coord, freqs[keep],

@@ -125,8 +125,9 @@ class SEDCalculator:
         if not (nx > 0 and ny > 0 and nz > 0):
             raise ValueError("System dimensions (nx, ny, nz) must be positive.")
         spectral.resolve_precision(precision)  # validate early
-        if phase_mode not in ('incremental', 'exact'):
-            raise ValueError("phase_mode must be 'incremental' or 'exact'.")
+        if phase_mode not in ('incremental', 'exact', 'factored'):
+            raise ValueError("phase_mode must be 'factored', 'incremental' "
+                             "or 'exact'.")
         self.traj = traj
         self.use_displacements = use_displacements
         self.precision = precision
@@ -135,13 +136,15 @@ class SEDCalculator:
         # Instantaneous-phase engine mode (DSF/S(k)/ISF family).  'exact'
         # (default) = per-element double-single + Cody-Waite folded
         # transcendentals, bit-identical to rounds 1-3.  'incremental' =
-        # anchored small-angle path (≤1e-6 parity): measured faster on the
-        # density-only observables (S(k) 0.93 vs 1.34 s, DSF-self 1.8 vs
+        # time-anchored small-angle path (≤1e-6 parity): measured faster on
+        # the density-only observables (S(k) 0.93 vs 1.34 s, DSF-self 1.8 vs
         # 3.2 s warm at 512 k / 10⁴ atoms / 2 500 frames on the chip) but
         # 12× SLOWER on the 4-channel DSF accumulate (22.4 vs 1.8 s) —
-        # scripts/tpu_campaign/phase_engine.json.  Once the trajectory is
-        # device-resident (see _dsf_device_blocks) the family is compute-
-        # bound and 'exact' wins where it matters.
+        # scripts/tpu_campaign/phase_engine.json.  'factored' = the k-axis
+        # engine (round 5): lattice k-lines factor as anchors ⊕ deltas, so
+        # each phasor is ONE complex multiply of two exactly-computed base
+        # phasors (:func:`psa_tpu.ops.instantaneous.factor_k_chunk`) —
+        # per-chunk fallback to 'exact' for k sets that don't factor.
         self.phase_mode = phase_mode
         if mass_weighted and traj.masses is None:
             raise ValueError("mass_weighted=True requires Trajectory.masses.")
@@ -208,19 +211,42 @@ class SEDCalculator:
 
         The incremental path min-images window deltas, which shifts phases
         by exact 2π multiples ONLY for box-commensurate k (its documented
-        validity domain).  Off-lattice k falls back to the exact per-element
-        path so legacy behavior is bit-preserved exactly where the
-        incremental algebra does not apply."""
+        validity domain); the factored path's anchor ⊕ delta algebra needs
+        lattice k outright.  Off-lattice k falls back to the exact
+        per-element path so legacy behavior is bit-preserved exactly where
+        the fast algebras do not apply."""
         mode = self.phase_mode
-        if mode == 'incremental' and len(k_vectors_3d):
+        if mode in ('incremental', 'factored') and len(k_vectors_3d):
             dev = instantaneous.commensurate_deviation(
                 k_vectors_3d, self.traj.box_matrix)
             if dev > 1e-3:
                 mode = 'exact'
+        if mode == 'factored':
+            # no min-imaging: the base angles carry the exact lattice k
+            return None, mode
         box = self._dsf_box() if mode == 'incremental' else None
         if box is None:
             mode = 'exact'     # singular box: min-imaging undefined
         return box, mode
+
+    def _chunk_k_arg(self, k_rows: np.ndarray, padded_block: int,
+                     ph_mode: str):
+        """Device k argument + effective phase mode for one k chunk.
+
+        'factored' tries :func:`psa_tpu.ops.instantaneous.factor_k_chunk`
+        on the chunk's VALID rows (each chunk of a lattice line is itself a
+        lattice line); chunks that don't factor fall back to the exact
+        per-element engine with the plain zero-padded (padded_block, 3)
+        k array."""
+        if ph_mode == 'factored':
+            fk = instantaneous.factor_k_chunk(k_rows, self.traj.box_matrix,
+                                              pad_to=padded_block)
+            if fk is not None:
+                return fk, 'factored'
+            ph_mode = 'exact'
+        k_chunk = np.zeros((padded_block, 3), dtype=np.float32)
+        k_chunk[:len(k_rows)] = np.asarray(k_rows, dtype=np.float32)
+        return jnp.asarray(k_chunk), ph_mode
 
     # ------------------------------------------------------------------
     # k-space generators (host side)
@@ -489,6 +515,47 @@ class SEDCalculator:
             self._device_cache.clear()
             self._device_cache_order.clear()
 
+    def _group_cache_key(self, group_idx: np.ndarray, raw: str = None) -> bytes:
+        if raw is not None:
+            return group_idx.tobytes() + (b'Rp' if raw == 'positions'
+                                          else b'Rv')
+        return group_idx.tobytes() + (b'D' if self.use_displacements else b'V') \
+            + (b'M' if self.mass_weighted else b'') \
+            + (b'F' if self._phase_anchor == 'fractional' else b'')
+
+    def preload_device_group_data(self, data_dev, mp_hi_dev, mp_lo_dev,
+                                  group_idx: Optional[np.ndarray] = None
+                                  ) -> None:
+        """Install device-resident SED input data for a group directly.
+
+        For pipelines whose data ALREADY lives in HBM (on-device generation,
+        a fused upstream computation, synthetic benchmarks) this skips the
+        host→device upload :meth:`_group_device_arrays` would pay.  The
+        caller asserts ``data_dev`` equals what the calculator would have
+        uploaded for this group — velocities (or displacement data when
+        ``use_displacements``), with mass weights already applied — and
+        ``mp_hi_dev``/``mp_lo_dev`` are the group's double-single mean
+        positions.  Entries share the 2-slot LRU with uploaded groups.
+        """
+        if group_idx is None:
+            group_idx = np.arange(self.traj.n_atoms)
+        expect = (self.traj.n_frames, int(group_idx.size), 3)
+        if tuple(data_dev.shape) != expect:
+            raise ValueError(f"data_dev must have shape {expect}, "
+                             f"got {tuple(data_dev.shape)}")
+        if (tuple(mp_hi_dev.shape) != (expect[1], 3)
+                or tuple(mp_lo_dev.shape) != (expect[1], 3)):
+            raise ValueError(f"mean-position splits must have shape "
+                             f"({expect[1]}, 3)")
+        key = self._group_cache_key(group_idx)
+        with self._cache_lock:
+            if key not in self._device_cache:
+                self._device_cache_order.append(key)
+            self._device_cache[key] = (data_dev, mp_hi_dev, mp_lo_dev)
+            while len(self._device_cache_order) > 2:
+                evict = self._device_cache_order.pop(0)
+                self._device_cache.pop(evict, None)
+
     def _group_device_arrays(self, group_idx: np.ndarray, raw: str = None):
         """Device-resident (data, mp_hi, mp_lo) for a group, 2-entry LRU cache.
 
@@ -497,12 +564,7 @@ class SEDCalculator:
         under a transform-free key — the residency path for the
         k-independent time-correlation observables (MSD/VACF), which are
         defined on raw coordinates/velocities."""
-        if raw is not None:
-            key = group_idx.tobytes() + (b'Rp' if raw == 'positions' else b'Rv')
-        else:
-            key = group_idx.tobytes() + (b'D' if self.use_displacements else b'V') \
-                + (b'M' if self.mass_weighted else b'') \
-                + (b'F' if self._phase_anchor == 'fractional' else b'')
+        key = self._group_cache_key(group_idx, raw)
         with self._cache_lock:
             if key in self._device_cache:
                 return self._device_cache[key]
@@ -1079,10 +1141,13 @@ class SEDCalculator:
 
         ``readback_dtype='float16'`` halves the device→host bytes of the
         planes (the dominant cost of every browse on slow links): intensity
-        transfers max-normalized f16 + one f32 scale, phase as plain f16 —
-        ≤ 2⁻¹¹ relative-to-max quantization, invisible in a heatmap.  The
-        returned arrays are float32 either way (direct engine only; exact
-        f32 stays the default for saves/iSED).
+        transfers as sqrt-domain f16 + one f32 scale, phase as plain f16.
+        The sqrt-domain quantization bounds the PER-PIXEL RELATIVE error at
+        ≤ ~2⁻¹⁰ for every pixel down to ~4e-9 of the plane max (nine
+        decades), so log/dsqrt display scalings stay faithful; dimmer
+        pixels carry ≤ 4e-9-of-max absolute error.  The returned arrays
+        are float32 either way (direct engine only; exact f32 stays the
+        default for saves/iSED).
 
         ``cache_dir`` enables per-k-chunk checkpointing (content-keyed, see
         :class:`psa_tpu.io.shard_cache.ShardedSEDCache`): a killed sweep
@@ -1714,11 +1779,10 @@ class SEDCalculator:
             if ci in skip_chunks:
                 continue
             s, e = ci * block, min((ci + 1) * block, num_k)
-            k_chunk = np.zeros((padded_block, 3), dtype=np.float32)
-            k_chunk[:e - s] = np.asarray(k_vectors_3d[s:e], dtype=np.float32)
             ku_chunk = np.zeros((padded_block, 3), dtype=np.float32)
             ku_chunk[:e - s] = k_unit[s:e]
-            k_dev = jnp.asarray(k_chunk)
+            k_arg, mode = self._chunk_k_arg(k_vectors_3d[s:e], padded_block,
+                                            ph_mode)
             acc_re = jnp.zeros((n_t_pad, padded_block, n_ch),
                                dtype=jnp.float32)
             acc_im = jnp.zeros_like(acc_re)
@@ -1732,14 +1796,14 @@ class SEDCalculator:
             for pos_b, vel_b, mask_b in blocks:
                 if density_only:
                     acc_re, acc_im = instantaneous.accumulate_density_modes(
-                        acc_re, acc_im, pos_b, mask_b, k_dev, t_chunk,
+                        acc_re, acc_im, pos_b, mask_b, k_arg, t_chunk,
                         precision=self.precision, box=ph_box,
-                        phase_mode=ph_mode)
+                        phase_mode=mode)
                 else:
                     acc_re, acc_im = instantaneous.accumulate_instant_modes(
-                        acc_re, acc_im, pos_b, vel_b, mask_b, k_dev, t_chunk,
+                        acc_re, acc_im, pos_b, vel_b, mask_b, k_arg, t_chunk,
                         precision=self.precision, box=ph_box,
-                        phase_mode=ph_mode)
+                        phase_mode=mode)
             yield ci, s, e, acc_re, acc_im, ku_chunk
 
     def calculate_sk(self, k_vectors_3d: np.ndarray,
@@ -1877,21 +1941,24 @@ class SEDCalculator:
             {'group': group_idx, 'n_lags': int(n_lags)})
         self._self_sweep(
             out, group_idx, k_vectors_3d, k_chunk_size, 16 * fft_len,
-            lambda p, m, k: instantaneous.isf_self_block(
-                p, m, k, n_lags, box=ph_box, phase_mode=ph_mode),
-            'ISF-self', cache=cache)
+            lambda p, m, k, mode: instantaneous.isf_self_block(
+                p, m, k, n_lags, box=ph_box, phase_mode=mode),
+            'ISF-self', cache=cache, ph_mode=ph_mode)
         return lags_ps, out
 
     def _self_sweep(self, out: np.ndarray, group_idx: np.ndarray,
                     k_vectors_3d, k_chunk_size: int, bytes_per_atom_k: int,
-                    kernel, label: str, cache=None) -> None:
+                    kernel, label: str, cache=None,
+                    ph_mode: str = 'exact') -> None:
         """Shared k-chunk/atom-chunk sweep for the per-atom-FFT ("self")
-        observables: ``kernel(pos_dev, mask_dev, k_dev)`` returns the
+        observables: ``kernel(pos_dev, mask_dev, k_arg, mode)`` returns the
         (out_rows, padded_block) partial plane of one atom chunk; blocks
         accumulate on host into ``out`` (already shaped (out_rows, n_k)),
-        normalized by the group size.  ``bytes_per_atom_k`` is the device
-        transient per (atom, k) element — it sizes the atom chunks against
-        the device budget.  Velocities are never loaded.
+        normalized by the group size.  ``k_arg``/``mode`` come from
+        :meth:`_chunk_k_arg` (the factored engine per chunk when it
+        applies).  ``bytes_per_atom_k`` is the device transient per
+        (atom, k) element — it sizes the atom chunks against the device
+        budget.  Velocities are never loaded.
         """
         num_k = out.shape[1]
         block = min(max(1, k_chunk_size), num_k)
@@ -1918,9 +1985,8 @@ class SEDCalculator:
                                                            e - s):
                     out[:, s:e] = cached
                     continue
-            k_chunk = np.zeros((padded_block, 3), dtype=np.float32)
-            k_chunk[:e - s] = np.asarray(k_vectors_3d[s:e], dtype=np.float32)
-            k_dev = jnp.asarray(k_chunk)
+            k_arg, mode = self._chunk_k_arg(k_vectors_3d[s:e], padded_block,
+                                            ph_mode)
             acc = np.zeros((out.shape[0], padded_block), dtype=np.float32)
             if resident and device_blocks is None:
                 device_blocks = self._dsf_device_blocks(
@@ -1928,12 +1994,12 @@ class SEDCalculator:
                     with_velocities=False)
             if device_blocks is not None:
                 for pos_dev, _, mask_dev in device_blocks:
-                    acc += np.asarray(kernel(pos_dev, mask_dev, k_dev))
+                    acc += np.asarray(kernel(pos_dev, mask_dev, k_arg, mode))
             else:
                 for pos, _, mask in self._dsf_blocks(group_idx, atom_chunk,
                                                      with_velocities=False):
                     acc += np.asarray(kernel(jnp.asarray(pos),
-                                             jnp.asarray(mask), k_dev))
+                                             jnp.asarray(mask), k_arg, mode))
             out[:, s:e] = acc[:, :e - s] / float(group_idx.size)
             if cache is not None:
                 cache.store(ci, out[:, s:e])
@@ -1973,9 +2039,9 @@ class SEDCalculator:
             {'group': group_idx, 'max_freq': max_freq})
         self._self_sweep(
             out, group_idx, k_vectors_3d, k_chunk_size, 16 * n_t,
-            lambda p, m, k: instantaneous.dsf_self_block(
-                p, m, k, freq_idx_dev, box=ph_box, phase_mode=ph_mode),
-            'DSF-self', cache=cache)
+            lambda p, m, k, mode: instantaneous.dsf_self_block(
+                p, m, k, freq_idx_dev, box=ph_box, phase_mode=mode),
+            'DSF-self', cache=cache, ph_mode=ph_mode)
         return freqs_kept, out
 
     # ------------------------------------------------------------------

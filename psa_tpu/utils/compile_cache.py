@@ -7,23 +7,62 @@ compile time").  XLA can persist compiled executables to disk and reload
 them in seconds in later processes; one config call turns that on.  This
 module makes the cache a library default instead of a per-user incantation.
 
+The cache directory is PARTITIONED BY HOST FINGERPRINT (round-4 VERDICT
+item 3): XLA:CPU ahead-of-time executables bake in the compile host's
+machine features (AMX, AVX-512, ...), and reloading them on a different
+CPU is at best a ``cpu_aot_loader`` warning and at worst SIGILL.  XLA's
+own cache key does not include the host, so we key the directory instead:
+``<base>/<fingerprint>/`` where the fingerprint hashes the machine
+architecture, the CPU feature flags, and the jax/jaxlib versions.  A
+cache written on one machine is simply never visible on another.
+
 Called once at ``psa_tpu`` import.  Opt out with ``PSA_TPU_NO_COMPILE_CACHE=1``;
 point the cache elsewhere with ``PSA_TPU_COMPILE_CACHE_DIR`` (default
-``~/.cache/psa_tpu/xla``).  A user who already configured
-``jax_compilation_cache_dir`` (flag, env var ``JAX_COMPILATION_CACHE_DIR``,
-or prior ``jax.config.update``) wins — we never override an explicit choice.
+``~/.cache/psa_tpu/xla``; the fingerprint subdirectory is appended either
+way).  A user who already configured ``jax_compilation_cache_dir`` (flag,
+env var ``JAX_COMPILATION_CACHE_DIR``, or prior ``jax.config.update``)
+wins — we never override an explicit choice, including its host-keying.
 
 The reference has no analog (pure NumPy, nothing to compile); this is part
 of the TPU-native runtime story.
 """
 from __future__ import annotations
 
+import hashlib
 import logging
 import os
+import platform
 
 logger = logging.getLogger(__name__)
 
 _enabled_dir: str | None = None
+
+
+def _cpu_feature_flags() -> str:
+    """The CPU feature-flag line from /proc/cpuinfo (first core), or the
+    processor description where /proc is unavailable (macOS CI)."""
+    try:
+        with open("/proc/cpuinfo") as f:
+            for line in f:
+                if line.startswith(("flags", "Features")):  # x86 / arm64
+                    return line.split(":", 1)[1].strip()
+    except OSError:
+        pass
+    return platform.processor() or "unknown-cpu"
+
+
+def host_fingerprint() -> str:
+    """Short stable hash of everything an XLA:CPU AOT executable bakes in:
+    machine architecture, CPU feature flags, and the jax/jaxlib versions
+    (compiler output format changes across releases)."""
+    try:
+        import jax
+        import jaxlib
+        versions = f"{jax.__version__}/{jaxlib.__version__}"
+    except Exception:
+        versions = "no-jax"
+    raw = "|".join((platform.machine(), _cpu_feature_flags(), versions))
+    return hashlib.sha256(raw.encode()).hexdigest()[:16]
 
 
 def enable_persistent_cache() -> str | None:
@@ -42,9 +81,10 @@ def enable_persistent_cache() -> str | None:
         if current:                      # user already chose a cache location
             _enabled_dir = current
             return _enabled_dir
-        cache_dir = os.environ.get(
+        base = os.environ.get(
             "PSA_TPU_COMPILE_CACHE_DIR",
             os.path.join(os.path.expanduser("~"), ".cache", "psa_tpu", "xla"))
+        cache_dir = os.path.join(base, host_fingerprint())
         os.makedirs(cache_dir, exist_ok=True)
         jax.config.update("jax_compilation_cache_dir", cache_dir)
         # Default threshold skips sub-second programs; keep it but drop the

@@ -13,6 +13,7 @@ from __future__ import annotations
 import copy
 import json
 import logging
+import math
 from pathlib import Path
 from typing import Any, Dict, Optional, Union
 
@@ -287,17 +288,20 @@ class ConfigManager:
                 ok = (isinstance(km, (list, tuple)) and len(km) > 0
                       and all(isinstance(r, (list, tuple)) and len(r) == 3
                               and all(isinstance(v, (int, float))
-                                      and not isinstance(v, bool) for v in r)
+                                      and not isinstance(v, bool)
+                                      and math.isfinite(v) for v in r)
                               for r in km))
                 if not ok:
                     raise ValueError("npt.k_miller must be null or a "
-                                     "non-empty list of [m1, m2, m3] rows.")
+                                     "non-empty list of finite [m1, m2, m3] "
+                                     "rows.")
             else:
                 d = np_cfg.get('direction')
                 if (not isinstance(d, (list, tuple)) or len(d) != 3
                         or all(v == 0 for v in d)
                         or any(isinstance(v, bool)
-                               or not isinstance(v, (int, float)) for v in d)):
+                               or not isinstance(v, (int, float))
+                               or not math.isfinite(v) for v in d)):
                     raise ValueError("npt.direction must be a non-zero "
                                      f"[m1, m2, m3] vector; got {d!r}.")
                 nk = np_cfg.get('n_kpoints')

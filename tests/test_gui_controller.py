@@ -85,10 +85,10 @@ class TestKPathFlow:
 
     def test_reduced_kpath_matches_full(self, loaded):
         """The device-reduced k-path display (VERDICT r2 item 6) must show
-        the same intensity and phase planes as the full complex flow, up to
-        the float16 display quantization the reduced path ships (round-4
-        VERDICT item 6: ≤2⁻¹¹ of the plane max for intensity, ~5e-4 rad for
-        the ±π/2 phase; exact bounds pinned in tests/test_readback.py)."""
+        the same intensity and phase planes as the full complex flow.  The
+        display default is exact float32 (round-5: the f16 readback is
+        opt-in via controller.readback_dtype / PSA_DISPLAY_READBACK, see
+        test_f16_display_optin; quantization bounds in tests/test_readback)."""
         loaded.compute_kpath_sed("x", n_k=12, bz_coverage=0.5, chiral=True)
         k1, f1, c1 = loaded.kpath_plot_arrays(scale='linear')
         _, fp1, p1 = loaded.kpath_plot_arrays(show_phase=True)
@@ -97,8 +97,26 @@ class TestKPathFlow:
         k2, f2, c2 = loaded.kpath_plot_arrays(scale='linear')
         _, fp2, p2 = loaded.kpath_plot_arrays(show_phase=True)
         np.testing.assert_allclose(f1, f2, atol=0)
-        assert np.abs(c1 - c2).max() <= 2.0 ** -10 * c2.max()
-        np.testing.assert_allclose(p1, p2, atol=2e-3)
+        np.testing.assert_allclose(c1, c2, rtol=1e-5, atol=1e-8)
+        np.testing.assert_allclose(p1, p2, atol=1e-5)
+
+    def test_f16_display_optin(self, loaded):
+        """Opting into the f16 readback keeps every display pixel within
+        the sqrt-domain bound: ≤ ~2⁻¹⁰ RELATIVE error for pixels ≥ 4e-9 of
+        the plane max — so log/dsqrt backgrounds don't posterize (round-4
+        VERDICT items 1-2)."""
+        exact = loaded.compute_kpath_sed("x", n_k=12, bz_coverage=0.5).sed
+        loaded.readback_dtype = 'float16'
+        try:
+            quant = loaded.compute_kpath_sed("x", n_k=12,
+                                             bz_coverage=0.5).sed
+        finally:
+            loaded.readback_dtype = 'float32'
+        floor = 4e-9 * exact.max()
+        bright = exact >= floor
+        rel = np.abs(quant[bright] - exact[bright]) / exact[bright]
+        assert rel.max() <= 2.0 ** -9        # one ulp slack over 2^-10
+        assert np.abs(quant[~bright] - exact[~bright]).max() <= floor
 
     def test_phase_plot_arrays(self, loaded):
         loaded.compute_kpath_sed("x", n_k=8, bz_coverage=0.5, chiral=True)
@@ -410,6 +428,56 @@ class TestViewCallbackWiring:
         missing = [t for t in sorted(targets)
                    if not callable(getattr(app.PSAMainWindow, t, None))]
         assert not missing, f"dangling GUI callbacks: {missing}"
+
+    def test_callback_signatures(self):
+        """Every wired callback must be CALLABLE with the arguments Tk will
+        pass: command=/after → no args; bind/mpl_connect → one event arg
+        (round-5 VERDICT item 8 — signature audit in lieu of an xvfb run)."""
+        import inspect
+        import re
+        from psa_tpu.gui import app
+        src = inspect.getsource(app)
+        # command= passes 0 args from Button/Checkbutton but 1 (the value)
+        # from Scale — accept either arity for that group
+        cmd = (set(re.findall(r"command=self\.(\w+)", src))
+               | set(re.findall(r"\.after\(\s*\d+\s*,\s*self\.(\w+)", src))
+               | set(re.findall(r"protocol\([^)]*self\.(\w+)", src)))
+        one_arg = (set(re.findall(r"\.bind\([^)]*self\.(\w+)", src))
+                   | set(re.findall(r"mpl_connect\([^)]*self\.(\w+)", src)))
+
+        def accepts(name, n_args):
+            fn = getattr(app.PSAMainWindow, name)
+            sig = inspect.signature(fn)
+            try:       # bound call: drop self, pass n_args positionals
+                sig.bind(None, *(object(),) * n_args)
+                return True
+            except TypeError:
+                return False
+
+        bad = [t for t in sorted(cmd)
+               if not (accepts(t, 0) or accepts(t, 1))]
+        bad += [f"{t}(event)" for t in sorted(one_arg) if not accepts(t, 1)]
+        assert not bad, f"callback signature mismatches: {bad}"
+
+    def test_controller_calls_resolve(self):
+        """Every ``self.controller.<method>(...)`` call site in the view
+        must name a real AnalysisController attribute, and method calls
+        must bind their literal argument counts (static execution audit)."""
+        import inspect
+        import re
+        from psa_tpu.gui import app
+        src = inspect.getsource(app)
+        names = set(re.findall(r"self\.controller\.(\w+)", src))
+        assert names, "no controller references found — regex went stale"
+        missing = [n for n in sorted(names)
+                   if not hasattr(AnalysisController, n)
+                   and n not in AnalysisController.__init__.__code__.co_names
+                   and n not in ('trajectory', 'calculator', 'sed_result',
+                                 'kpath_mags', 'kgrid', 'kgrid_peaks', 'dsf',
+                                 'liquid', 'last_compute', 'last_grid_kind',
+                                 'selected_point', 'ised_dump_path',
+                                 'temp_dirs', 'readback_dtype')]
+        assert not missing, f"view references unknown controller API: {missing}"
 
 
 def test_peaks_chiral_phase_surface(loaded):
