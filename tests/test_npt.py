@@ -225,3 +225,71 @@ class TestLoaderPlumbing:
         dump.write_text("\n".join(lines) + "\n")
         traj = TrajectoryLoader(str(dump), dt=0.01).load()
         assert traj.box_matrices is None
+
+
+class TestNPTSweeps:
+    """Round-5 VERDICT item 9: the browse/peaks sweep forms and the mesh
+    share the fractional anchor with calculate_npt."""
+
+    @pytest.fixture(scope='class')
+    def drift(self):
+        lam = 1.0 + 0.01 * np.sin(np.linspace(0, 2 * np.pi, 128))
+        traj = _npt_traj(lam)
+        calc = SEDCalculator(traj, nx=16, ny=1, nz=1)
+        miller = np.stack([np.arange(1, 8) / 16.0,
+                           np.zeros(7), np.zeros(7)], axis=1)
+        return traj, calc, miller
+
+    def test_browse_equals_full_reduction(self, drift):
+        traj, calc, miller = drift
+        sed = calc.calculate_npt(miller)
+        freqs, inten, phase, k_cart = calc.calculate_npt_browse(miller)
+        assert phase is None
+        mask = sed.freqs >= 0
+        np.testing.assert_allclose(inten, sed.intensity[mask],
+                                   rtol=1e-5, atol=1e-8)
+        np.testing.assert_array_equal(freqs, sed.freqs[mask])
+        np.testing.assert_allclose(k_cart, sed.k_vectors, atol=0)
+
+    def test_browse_matches_oracle_peak(self, drift):
+        """The drifting-cell oracle: the browse plane's peak must sit on
+        the ridden phonon's (m, ν) for the commensurate mode."""
+        traj, calc, miller = drift
+        freqs, inten, _, _ = calc.calculate_npt_browse(miller)
+        oracle = _npt_oracle(traj, miller)
+        mask = np.fft.fftfreq(traj.n_frames, d=traj.dt_ps) >= 0
+        want = (np.abs(oracle) ** 2).sum(axis=-1)[mask]
+        np.testing.assert_allclose(inten, want,
+                                   rtol=2e-5, atol=1e-6 * want.max())
+        # mode m=5 (miller row 4) peaks at nu = 4 THz
+        k_idx = 4
+        nu_peak = freqs[np.argmax(inten[:, k_idx])]
+        assert abs(nu_peak - 4.0) < 0.5
+
+    def test_peaks_form(self, drift):
+        traj, calc, miller = drift
+        out = calc.calculate_npt_peaks(miller, n_peaks=1)
+        pf, pi, pw, k_cart = out
+        assert pf.shape == (1, len(miller))
+        assert k_cart.shape == (len(miller), 3)
+        freqs, inten, _, _ = calc.calculate_npt_browse(miller)
+        np.testing.assert_allclose(pf[0], freqs[np.argmax(inten, axis=0)],
+                                   atol=1e-6)
+
+    @pytest.mark.slow
+    def test_sharded_browse_matches_single_chip(self, drift):
+        from psa_tpu.parallel import make_mesh
+        traj, calc, miller = drift
+        freqs1, inten1, _, kc1 = calc.calculate_npt_browse(miller)
+        mesh = make_mesh(shape=(2, 2, 2))
+        freqs2, inten2, _, kc2 = calc.calculate_npt_browse(miller, mesh=mesh)
+        np.testing.assert_array_equal(freqs1, freqs2)
+        np.testing.assert_allclose(inten2, inten1, rtol=2e-5,
+                                   atol=1e-6 * inten1.max())
+        np.testing.assert_allclose(kc1, kc2, atol=0)
+
+    def test_anchor_restored_on_error(self, drift):
+        traj, calc, miller = drift
+        with pytest.raises(ValueError):
+            calc.calculate_npt_browse(miller, engine='bogus')
+        assert calc._phase_anchor == 'cartesian'
