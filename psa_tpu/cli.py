@@ -534,7 +534,8 @@ def main(argv=None) -> None:
         calc = SEDCalculator(traj=traj, nx=md_cfg['nx'], ny=md_cfg['ny'], nz=md_cfg['nz'],
                              use_displacements=gen_cfg.get('use_displacements', False),
                              precision=args.precision,
-                             mass_weighted=gen_cfg.get('mass_weighted', False))
+                             mass_weighted=gen_cfg.get('mass_weighted', False),
+                             phase_mode=gen_cfg.get('phase_mode', 'exact'))
 
         profile_ctx = None
         if args.profile:

@@ -231,22 +231,27 @@ class SEDCalculator:
 
     def _chunk_k_arg(self, k_rows: np.ndarray, padded_block: int,
                      ph_mode: str):
-        """Device k argument + effective phase mode for one k chunk.
+        """(k_arg, mode, col_idx) for the phase kernels on one k chunk.
 
         'factored' tries :func:`psa_tpu.ops.instantaneous.factor_k_chunk`
         on the chunk's VALID rows (each chunk of a lattice line is itself a
-        lattice line); chunks that don't factor fall back to the exact
-        per-element engine with the plain zero-padded (padded_block, 3)
-        k array."""
+        lattice line): the kernels then compute over the Na·Nb product
+        columns and ``col_idx`` maps each requested k row to its product
+        column — the CALLER selects those columns from the reduced output
+        (device gathers measured 3× slower than the whole sweep,
+        phase_engine_r5.json).  Chunks that don't factor fall back to the
+        exact per-element engine with the plain zero-padded
+        (padded_block, 3) k array and ``col_idx=None`` (caller slices
+        ``[:n_valid]``)."""
         if ph_mode == 'factored':
-            fk = instantaneous.factor_k_chunk(k_rows, self.traj.box_matrix,
-                                              pad_to=padded_block)
-            if fk is not None:
-                return fk, 'factored'
+            out = instantaneous.factor_k_chunk(k_rows, self.traj.box_matrix)
+            if out is not None:
+                fk, col_idx = out
+                return fk, 'factored', col_idx
             ph_mode = 'exact'
         k_chunk = np.zeros((padded_block, 3), dtype=np.float32)
         k_chunk[:len(k_rows)] = np.asarray(k_rows, dtype=np.float32)
-        return jnp.asarray(k_chunk), ph_mode
+        return jnp.asarray(k_chunk), ph_mode, None
 
     # ------------------------------------------------------------------
     # k-space generators (host side)
@@ -1787,15 +1792,17 @@ class SEDCalculator:
             if skip:
                 logger.info("DSF chunk cache %s: %d chunks resumed.",
                             cache.key, len(skip))
-        for ci, s, e, acc_re, acc_im, ku_chunk in self._dsf_mode_chunks(
-                group_idx, k_vectors_3d, k_chunk_size, skip_chunks=skip):
+        for ci, s, e, acc_re, acc_im, ku_chunk, col_idx in \
+                self._dsf_mode_chunks(group_idx, k_vectors_3d, k_chunk_size,
+                                      skip_chunks=skip):
             sp, cl, ct = instantaneous.dsf_reduce(
                 acc_re, acc_im, jnp.asarray(ku_chunk), freq_idx_dev, n_t,
                 segments=segments,
                 window=welch_window if segments > 1 else 'rect')
-            s_out[:, s:e] = np.asarray(sp)[:, :e - s] * inv_n
-            cl_out[:, s:e] = np.asarray(cl)[:, :e - s] * inv_n
-            ct_out[:, s:e] = np.asarray(ct)[:, :e - s] * inv_n
+            sel = col_idx if col_idx is not None else slice(None, e - s)
+            s_out[:, s:e] = np.asarray(sp)[:, sel] * inv_n
+            cl_out[:, s:e] = np.asarray(cl)[:, sel] * inv_n
+            ct_out[:, s:e] = np.asarray(ct)[:, sel] * inv_n
             if cache is not None:
                 cache.store(ci, np.stack([s_out[:, s:e], cl_out[:, s:e],
                                           ct_out[:, s:e]]))
@@ -1806,13 +1813,17 @@ class SEDCalculator:
                          skip_chunks=frozenset()):
         """Yield (ci, s, e, acc_re, acc_im, ku_chunk) per k chunk: the
         instantaneous-mode stack accumulated over all atom blocks of the
-        group (device arrays, k-padded to ×64; only the first ``n_frames``
-        time rows are real data).  Channels are [ρ, j_x, j_y, j_z], or
-        just [ρ] with ``density_only=True`` — the S(k)/ISF path, which
-        skips the velocity stream entirely (half the host traffic, 1/4 the
-        accumulate FLOPs).  Shared by :meth:`calculate_dsf`,
-        :meth:`calculate_sk` and :meth:`calculate_isf`.  Chunk indices in
-        ``skip_chunks`` (cache hits) are not computed or yielded."""
+        group (device arrays; only the first ``n_frames`` time rows are
+        real data).  Channels are [ρ, j_x, j_y, j_z], or just [ρ] with
+        ``density_only=True`` — the S(k)/ISF path, which skips the
+        velocity stream entirely (half the host traffic, 1/4 the
+        accumulate FLOPs).  The yield also carries ``col_idx``: None for
+        the plain padded layout (consumer slices ``[:e − s]``), or the
+        product-column map of a factored chunk (consumer selects those
+        columns; ku_chunk is already in product order).  Shared by
+        :meth:`calculate_dsf`, :meth:`calculate_sk` and
+        :meth:`calculate_isf`.  Chunk indices in ``skip_chunks`` (cache
+        hits) are not computed or yielded."""
         n_t = self.traj.n_frames
         num_k = len(k_vectors_3d)
         block = min(max(1, k_chunk_size), num_k)
@@ -1860,12 +1871,15 @@ class SEDCalculator:
             if ci in skip_chunks:
                 continue
             s, e = ci * block, min((ci + 1) * block, num_k)
-            ku_chunk = np.zeros((padded_block, 3), dtype=np.float32)
-            ku_chunk[:e - s] = k_unit[s:e]
-            k_arg, mode = self._chunk_k_arg(k_vectors_3d[s:e], padded_block,
-                                            ph_mode)
-            acc_re = jnp.zeros((n_t_pad, padded_block, n_ch),
-                               dtype=jnp.float32)
+            k_arg, mode, col_idx = self._chunk_k_arg(k_vectors_3d[s:e],
+                                                     padded_block, ph_mode)
+            n_cols = instantaneous.k_count(k_arg)
+            ku_chunk = np.zeros((n_cols, 3), dtype=np.float32)
+            if col_idx is None:
+                ku_chunk[:e - s] = k_unit[s:e]
+            else:
+                ku_chunk[col_idx] = k_unit[s:e]    # product-column order
+            acc_re = jnp.zeros((n_t_pad, n_cols, n_ch), dtype=jnp.float32)
             acc_im = jnp.zeros_like(acc_re)
             if device_blocks is not None:
                 blocks = device_blocks
@@ -1885,7 +1899,7 @@ class SEDCalculator:
                         acc_re, acc_im, pos_b, vel_b, mask_b, k_arg, t_chunk,
                         precision=self.precision, box=ph_box,
                         phase_mode=mode)
-            yield ci, s, e, acc_re, acc_im, ku_chunk
+            yield ci, s, e, acc_re, acc_im, ku_chunk, col_idx
 
     def calculate_sk(self, k_vectors_3d: np.ndarray,
                      basis_atom_indices=None, basis_atom_types=None,
@@ -1923,11 +1937,12 @@ class SEDCalculator:
                 if cached is not None and cached.shape == (e - s,):
                     out[s:e] = cached
                     skip.add(ci)
-        for ci, s, e, acc_re, acc_im, _ in self._dsf_mode_chunks(
+        for ci, s, e, acc_re, acc_im, _, col_idx in self._dsf_mode_chunks(
                 group_idx, k_vectors_3d, k_chunk_size, density_only=True,
                 skip_chunks=skip):
             sk = instantaneous.sk_reduce(acc_re, acc_im, n_t)
-            out[s:e] = np.asarray(sk)[:e - s] * inv_n
+            sel = col_idx if col_idx is not None else slice(None, e - s)
+            out[s:e] = np.asarray(sk)[sel] * inv_n
             if cache is not None:
                 cache.store(ci, out[s:e])
         return out
@@ -1979,11 +1994,12 @@ class SEDCalculator:
                 if cached is not None and cached.shape == (n_lags, e - s):
                     out[:, s:e] = cached
                     skip.add(ci)
-        for ci, s, e, acc_re, acc_im, _ in self._dsf_mode_chunks(
+        for ci, s, e, acc_re, acc_im, _, col_idx in self._dsf_mode_chunks(
                 group_idx, k_vectors_3d, k_chunk_size, density_only=True,
                 skip_chunks=skip):
             f = instantaneous.isf_reduce(acc_re, acc_im, n_t, n_lags)
-            out[:, s:e] = np.asarray(f)[:, :e - s] * inv_n
+            sel = col_idx if col_idx is not None else slice(None, e - s)
+            out[:, s:e] = np.asarray(f)[:, sel] * inv_n
             if cache is not None:
                 cache.store(ci, out[:, s:e])
         return lags_ps, out
@@ -2066,9 +2082,10 @@ class SEDCalculator:
                                                            e - s):
                     out[:, s:e] = cached
                     continue
-            k_arg, mode = self._chunk_k_arg(k_vectors_3d[s:e], padded_block,
-                                            ph_mode)
-            acc = np.zeros((out.shape[0], padded_block), dtype=np.float32)
+            k_arg, mode, col_idx = self._chunk_k_arg(k_vectors_3d[s:e],
+                                                     padded_block, ph_mode)
+            acc = np.zeros((out.shape[0], instantaneous.k_count(k_arg)),
+                           dtype=np.float32)
             if resident and device_blocks is None:
                 device_blocks = self._dsf_device_blocks(
                     group_idx, atom_chunk, self.traj.n_frames,
@@ -2081,7 +2098,8 @@ class SEDCalculator:
                                                      with_velocities=False):
                     acc += np.asarray(kernel(jnp.asarray(pos),
                                              jnp.asarray(mask), k_arg, mode))
-            out[:, s:e] = acc[:, :e - s] / float(group_idx.size)
+            sel = col_idx if col_idx is not None else slice(None, e - s)
+            out[:, s:e] = acc[:, sel] / float(group_idx.size)
             if cache is not None:
                 cache.store(ci, out[:, s:e])
 

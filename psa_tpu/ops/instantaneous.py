@@ -174,9 +174,9 @@ def _instant_angles(pos: jnp.ndarray, k_vectors: jnp.ndarray) -> jnp.ndarray:
 
 # -- factored (anchor x delta) phasors ----------------------------------------
 #
-# VERDICT round-5 item 4 (the k-axis analog of the time-incremental engine,
-# generalized).  Commensurate k live on the box reciprocal lattice:
-# k = m·B with integer Miller rows m and B = 2π·H⁻ᵀ.  Phases there satisfy
+# VERDICT round-5 item 4 (the k-axis analog of the time-incremental engine).
+# Commensurate k live on the box reciprocal lattice: k = m·B with integer
+# Miller rows m and B = 2π·H⁻ᵀ.  Phases there satisfy
 #
 #     exp(i (k_a + k_b)·r) = exp(i k_a·r) · exp(i k_b·r)          (exactly)
 #
@@ -185,15 +185,26 @@ def _instant_angles(pos: jnp.ndarray, k_vectors: jnp.ndarray) -> jnp.ndarray:
 # hardware transcendentals per element) only on the Na + Nb base columns;
 # every one of the Na·Nb product phasors is ONE complex multiply.  A snapped
 # k-path of K points factors as ~√K anchors ⊕ ~√K deltas along its primitive
-# lattice direction → the per-(t, atom, k) cost collapses from ~10² VPU flops
-# (with transcendentals) to 6 FMA-class flops + the amortized 2√K/K base
-# work.  Unlike the time-incremental engine there is NO window recursion and
-# NO min-imaging: every product phasor carries anchor-error + delta-error +
-# one rounding (~3e-7 rad, uniform in K), and the base angles include the
-# float64 low words of the lattice k (``k_lo``), so the synthesized phase is
-# the phase of the EXACT reciprocal-lattice vector — wrap-invariant to
-# ~1e-7 rad regardless of |k·r|, which the per-element exact path (f32 k)
-# cannot even promise.
+# lattice direction.  Unlike the time-incremental engine there is NO window
+# recursion and NO min-imaging: every product phasor carries anchor-error +
+# delta-error + one rounding (~3e-7 rad, uniform in K), and the base angles
+# include the float64 low words of the lattice k (``k_lo``), so the
+# synthesized phase is the phase of the EXACT reciprocal-lattice vector —
+# wrap-invariant to ~1e-7 rad regardless of |k·r|, which the per-element
+# exact path (f32 k) cannot even promise.
+#
+# MEASURED DESIGN CONSTRAINT (phase_engine_r5.json, v5e, 1e4 atoms × 2500
+# frames × 512 k): the phasor tensor must stay a pure broadcast-elementwise
+# producer so XLA fuses it into the mode contraction.  A first version
+# gathered product columns into the caller's k order on device
+# (jnp.take along the minor axis → one-hot matmul comparable to the main
+# contraction): DSF 0.33×, S(k) 0.28× vs the exact engine.  The engine
+# therefore emits modes in PRODUCT order (i·Nb + j) and the CALLER remaps
+# the reduced (tiny) planes on host via the returned column index — the
+# device never gathers.  Factorizations whose product space would exceed
+# ~1.35× the requested k count (staircases from arbitrary snapped
+# directions, residual tables) are rejected: the contraction cost scales
+# with product columns, so they fall back to the exact engine.
 
 
 def _split_f64_rows(x64: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
@@ -355,24 +366,29 @@ def _factor_millers(m: np.ndarray, max_span_factor: float):
 
 
 def factor_k_chunk(k_vectors: np.ndarray, box: np.ndarray,
-                   pad_to: Optional[int] = None,
-                   max_span_factor: float = 2.0):
-    """Factor a commensurate k-chunk into outer-sum base sets + index maps.
+                   max_span_factor: float = 1.35,
+                   max_prod_factor: float = 1.35):
+    """Factor a commensurate k-chunk as an anchor ⊕ delta outer sum.
 
     Args:
         k_vectors: (n, 3) snapped k rows (the VALID rows only, no padding).
         box: (3,) edge lengths or (3, 3) cell matrix H.
-        pad_to: length of the returned index maps (pad entries map to
-            column 0, whose output the caller slices off).
         max_span_factor: bail out when a line's coefficient span exceeds
             this multiple of n (sparse lines don't amortize).
+        max_prod_factor: bail out when the product-column count Na·Nb
+            exceeds this multiple of the lane-padded n — the mode
+            contraction runs over product columns, so overshoot is pure
+            extra MXU work.
 
     Returns:
-        (k_hi, k_lo, idxs) jnp arrays — all factors' base vectors as
-        double-single rows (N_total, 3) and the (F, pad_to) int32 maps of
-        output column → absolute base column per factor — or None when the
-        set is off-lattice, doesn't factor, or is too small to profit.
-        The phase of output column j is Σ_f angle(base[idxs[f, j]]).
+        ((ka_hi, ka_lo, kb_hi, kb_lo), col_idx) — base-vector
+        double-single rows ((Na, 3)/(Nb, 3) jnp arrays) and the (n,) int32
+        host array mapping each input k row to its product column
+        i·Nb + j — or None when the set is off-lattice, doesn't factor
+        into exactly two base sets within the product bound, or is too
+        small to profit.  The engine computes modes over ALL Na·Nb
+        product columns in product order; the caller selects ``col_idx``
+        from the reduced output (host-side or on the small planes).
     """
     kv = np.asarray(k_vectors, dtype=np.float64)
     n = len(kv)
@@ -393,21 +409,20 @@ def factor_k_chunk(k_vectors: np.ndarray, box: np.ndarray,
     if np.max(np.abs(frac - m)) > 1e-3:
         return None                       # off-lattice k: exact path only
     factors = _factor_millers(m.astype(np.int64), max_span_factor)
-    if factors is None:
-        return None
-    if sum(len(rows) for rows, _ in factors) >= 0.75 * n:
+    if factors is None or len(factors) != 2:
+        return None                       # only pure outer sums: no gather
+    (rows_a, ia), (rows_b, ib) = factors
+    na, nb = len(rows_a), len(rows_b)
+    if na + nb >= 0.75 * n:
         return None                       # not enough k per base column
+    if na * nb > max(64, max_prod_factor * (-(-n // 64) * 64)):
+        return None                       # product space too padded
     b_mat = 2.0 * np.pi * np.linalg.inv(H).T          # k = m @ B
-    bases = np.concatenate([rows for rows, _ in factors], axis=0)
-    k_hi, k_lo = _split_f64_rows(bases.astype(np.float64) @ b_mat)
-    out_len = pad_to if pad_to is not None else n
-    idxs = np.zeros((len(factors), out_len), dtype=np.int32)
-    off = 0
-    for f, (rows, fidx) in enumerate(factors):
-        idxs[f, :n] = off + fidx
-        idxs[f, n:] = off                 # pad columns → factor's column 0
-        off += len(rows)
-    return jnp.asarray(k_hi), jnp.asarray(k_lo), jnp.asarray(idxs)
+    ka_hi, ka_lo = _split_f64_rows(rows_a.astype(np.float64) @ b_mat)
+    kb_hi, kb_lo = _split_f64_rows(rows_b.astype(np.float64) @ b_mat)
+    col_idx = (ia.astype(np.int64) * nb + ib.astype(np.int64)).astype(np.int32)
+    return ((jnp.asarray(ka_hi), jnp.asarray(ka_lo),
+             jnp.asarray(kb_hi), jnp.asarray(kb_lo)), col_idx)
 
 
 def _accurate_angles_klo(flat: jnp.ndarray, k_hi: jnp.ndarray,
@@ -433,38 +448,39 @@ def _accurate_angles_klo(flat: jnp.ndarray, k_hi: jnp.ndarray,
 
 
 def _factored_phasors(pos: jnp.ndarray, fk) -> Tuple[jnp.ndarray, jnp.ndarray]:
-    """(cos, sin) of k·r_a(t) for a factored k-chunk — (F−1) complex
-    multiplies per (t, atom, k) element; the exact angle machinery runs
-    only on the few base columns.
+    """(cos, sin) of k·r_a(t) over the PRODUCT columns of a factored chunk.
+
+    One complex multiply per (t, atom, product-column) element, as a pure
+    broadcast outer product — no gather, so XLA fuses the whole chain into
+    the downstream mode contraction (see the module-top measured-design
+    note).  Column order is i·Nb + j; the caller maps its k rows in via
+    ``factor_k_chunk``'s col_idx.
 
     Args:
         pos: (n_t, A, 3) f32 positions.
-        fk:  (k_hi, k_lo, idxs) from :func:`factor_k_chunk` — (N_total, 3)
-            base-vector double-single rows + (F, K) per-factor column maps.
+        fk:  (ka_hi, ka_lo, kb_hi, kb_lo) base-vector double-single rows.
 
     Returns:
-        (c, s): each (n_t, A, K) float32.
+        (c, s): each (n_t, A, Na·Nb) float32.
     """
-    k_hi, k_lo, idxs = fk
+    ka_hi, ka_lo, kb_hi, kb_lo = fk
     n_t, n_a, _ = pos.shape
     flat = pos.reshape(n_t * n_a, 3).astype(jnp.float32)
-    ang = _accurate_angles_klo(flat, k_hi, k_lo)           # (M, N_total)
-    cb, sb = jnp.cos(ang), jnp.sin(ang)
-    c = jnp.take(cb, idxs[0], axis=1)
-    s = jnp.take(sb, idxs[0], axis=1)
-    for f in range(1, idxs.shape[0]):
-        cf = jnp.take(cb, idxs[f], axis=1)
-        sf = jnp.take(sb, idxs[f], axis=1)
-        c, s = c * cf - s * sf, s * cf + c * sf
-    k_out = idxs.shape[1]
-    return c.reshape(n_t, n_a, k_out), s.reshape(n_t, n_a, k_out)
+    ang_a = _accurate_angles_klo(flat, ka_hi, ka_lo)       # (M, Na)
+    ang_b = _accurate_angles_klo(flat, kb_hi, kb_lo)       # (M, Nb)
+    ca, sa = jnp.cos(ang_a), jnp.sin(ang_a)
+    cb, sb = jnp.cos(ang_b), jnp.sin(ang_b)
+    c = ca[:, :, None] * cb[:, None, :] - sa[:, :, None] * sb[:, None, :]
+    s = sa[:, :, None] * cb[:, None, :] + ca[:, :, None] * sb[:, None, :]
+    prod = ca.shape[1] * cb.shape[1]
+    return (c.reshape(n_t, n_a, prod), s.reshape(n_t, n_a, prod))
 
 
 def k_count(k_vectors) -> int:
     """Output k-column count of a phase-producer k argument: a plain (K, 3)
-    array, or a factored tuple whose (F, K) idxs carry the output length."""
+    array, or a factored 4-tuple whose output is the Na·Nb product space."""
     if isinstance(k_vectors, tuple):
-        return k_vectors[-1].shape[-1]
+        return k_vectors[0].shape[0] * k_vectors[2].shape[0]
     return k_vectors.shape[0]
 
 

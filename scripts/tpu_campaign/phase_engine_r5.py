@@ -79,14 +79,16 @@ def main():
 
     for shape_name, kv in (('grid', k_grid(traj)), ('line', k_line(traj))):
         n_k = kv.shape[0]
-        fk = factor_k_chunk(kv[:512], traj.box_matrix, pad_to=512)
+        out = factor_k_chunk(kv[:512], traj.box_matrix)
         rng = np.random.default_rng(11)
         sub = rng.choice(n_k, size=6, replace=False)
         s_o, cl_o = f64_planes(traj, kv[sub], traj.dt_ps)
         shape_res = {'n_k': int(n_k),
-                     'factors': None if fk is None else int(fk[2].shape[0]),
-                     'base_columns': None if fk is None
-                     else int(fk[0].shape[0])}
+                     'factored': out is not None,
+                     'base_columns': None if out is None
+                     else int(out[0][0].shape[0] + out[0][2].shape[0]),
+                     'product_columns': None if out is None
+                     else int(out[0][0].shape[0] * out[0][2].shape[0])}
         for mode in ('exact', 'factored', 'incremental'):
             calc = SEDCalculator(traj, nx=side, ny=side, nz=side,
                                  phase_mode=mode)

@@ -412,3 +412,39 @@ def test_cli_npt_config_validation(tmp_path, workdir):
         with pytest.raises(SystemExit):
             main(['--trajectory', str(dump), '--config', str(cfg),
                   '--output-dir', str(tmp_path / "o")])
+
+
+def test_cli_phase_mode_validation_and_passthrough(tmp_path, workdir):
+    _, dump, _ = workdir
+    # invalid engine name fails config validation before any compute
+    cfg = tmp_path / "bad_pm.yaml"
+    cfg.write_text(yaml.dump({
+        'general': {'phase_mode': 'fast'},
+        'md_system': {'dt': 0.02, 'nx': 12, 'ny': 1, 'nz': 1},
+        'sed_calculation': {'directions': ['x'], 'n_kpoints': 4}}))
+    with pytest.raises(SystemExit):
+        main(['--trajectory', str(dump), '--config', str(cfg),
+              '--output-dir', str(tmp_path / "o")])
+    # a valid engine reaches the calculator (NaN k-vectors also rejected
+    # by the same validator — ADVICE r4)
+    cfg2 = tmp_path / "ok_pm.yaml"
+    cfg2.write_text(yaml.dump({
+        'general': {'phase_mode': 'factored', 'save_npy_trajectory': False},
+        'md_system': {'dt': 0.02, 'nx': 12, 'ny': 1, 'nz': 1},
+        'sed_calculation': {'directions': ['x'], 'n_kpoints': 4},
+        'dsf': {'apply': True, 'observables': ['total'], 'n_kpoints': 6}}))
+    main(['--trajectory', str(dump), '--config', str(cfg2),
+          '--output-dir', str(tmp_path / "o2")])
+    assert (tmp_path / "o2").exists()
+
+
+def test_cli_npt_nonfinite_k_rejected(tmp_path, workdir):
+    _, dump, _ = workdir
+    cfg = tmp_path / "nan.yaml"
+    cfg.write_text(yaml.dump({
+        'md_system': {'dt': 0.02, 'nx': 12, 'ny': 1, 'nz': 1},
+        'sed_calculation': {'directions': ['x'], 'n_kpoints': 4},
+        'npt': {'apply': True, 'k_miller': [[float('nan'), 0, 0]]}}))
+    with pytest.raises(SystemExit):
+        main(['--trajectory', str(dump), '--config', str(cfg),
+              '--output-dir', str(tmp_path / "o")])
