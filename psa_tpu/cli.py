@@ -535,7 +535,7 @@ def main(argv=None) -> None:
                              use_displacements=gen_cfg.get('use_displacements', False),
                              precision=args.precision,
                              mass_weighted=gen_cfg.get('mass_weighted', False),
-                             phase_mode=gen_cfg.get('phase_mode', 'exact'))
+                             phase_mode=gen_cfg.get('phase_mode', 'auto'))
 
         profile_ctx = None
         if args.profile:

@@ -121,30 +121,34 @@ class SEDCalculator:
                  precision: str = 'parity',
                  max_device_bytes: int = _DEFAULT_MAX_DEVICE_BYTES,
                  mass_weighted: bool = False,
-                 phase_mode: str = 'exact'):
+                 phase_mode: str = 'auto'):
         if not (nx > 0 and ny > 0 and nz > 0):
             raise ValueError("System dimensions (nx, ny, nz) must be positive.")
         spectral.resolve_precision(precision)  # validate early
-        if phase_mode not in ('incremental', 'exact', 'factored'):
-            raise ValueError("phase_mode must be 'factored', 'incremental' "
-                             "or 'exact'.")
+        if phase_mode not in ('auto', 'incremental', 'exact', 'factored'):
+            raise ValueError("phase_mode must be 'auto', 'factored', "
+                             "'incremental' or 'exact'.")
         self.traj = traj
         self.use_displacements = use_displacements
         self.precision = precision
         self.max_device_bytes = max_device_bytes
         self.mass_weighted = mass_weighted
-        # Instantaneous-phase engine mode (DSF/S(k)/ISF family).  'exact'
-        # (default) = per-element double-single + Cody-Waite folded
+        # Instantaneous-phase engine mode (DSF/S(k)/ISF family).  'auto'
+        # (default, round 5) resolves PER FAMILY from the chip measurements
+        # (_phase_cfg): 'exact' for the MXU-contraction-bound 4-channel DSF
+        # accumulate, 'incremental' (1.4-1.5× measured) for the
+        # phasor-bound density-only and self families.  Explicit modes:
+        # 'exact' = per-element double-single + Cody-Waite folded
         # transcendentals, bit-identical to rounds 1-3.  'incremental' =
-        # time-anchored small-angle path (≤1e-6 parity): measured faster on
-        # the density-only observables (S(k) 0.93 vs 1.34 s, DSF-self 1.8 vs
-        # 3.2 s warm at 512 k / 10⁴ atoms / 2 500 frames on the chip) but
-        # 12× SLOWER on the 4-channel DSF accumulate (22.4 vs 1.8 s) —
+        # time-anchored small-angle path (≤1e-6 parity): S(k) 0.93 vs
+        # 1.34 s, DSF-self 1.8 vs 3.2 s warm at 512 k / 10⁴ atoms / 2 500
+        # frames on the chip, but 12× SLOWER on the 4-channel accumulate —
         # scripts/tpu_campaign/phase_engine.json.  'factored' = the k-axis
         # engine (round 5): lattice k-lines factor as anchors ⊕ deltas, so
         # each phasor is ONE complex multiply of two exactly-computed base
         # phasors (:func:`psa_tpu.ops.instantaneous.factor_k_chunk`) —
-        # per-chunk fallback to 'exact' for k sets that don't factor.
+        # per-chunk fallback to 'exact' for k sets that don't factor, and
+        # the most ACCURATE engine on lattice k (carries the f64 low words).
         self.phase_mode = phase_mode
         if mass_weighted and traj.masses is None:
             raise ValueError("mass_weighted=True requires Trajectory.masses.")
@@ -206,16 +210,31 @@ class SEDCalculator:
             self._phase_box_dev = jnp.asarray(box.astype(np.float32))
         return self._phase_box_dev
 
-    def _phase_cfg(self, k_vectors_3d):
+    def _phase_cfg(self, k_vectors_3d, family: str = 'accumulate',
+                   mesh: bool = False):
         """(box, mode) for the instantaneous-phase kernels on this k set.
+
+        ``family`` is which observable pipeline asks: 'accumulate' (the
+        4-channel DSF mode stack), 'density' (S(k)/ISF), or 'self'
+        (per-atom FFT).  ``phase_mode='auto'`` resolves per family from
+        the chip measurements (phase_engine.json r4 + phase_engine_r5.json):
+        the 4-channel accumulate is MXU-contraction-bound and 'exact' wins
+        (the incremental engine loses 12× there); the density-only and
+        self families are phasor-bound and 'incremental' wins 1.4-1.5×.
 
         The incremental path min-images window deltas, which shifts phases
         by exact 2π multiples ONLY for box-commensurate k (its documented
         validity domain); the factored path's anchor ⊕ delta algebra needs
         lattice k outright.  Off-lattice k falls back to the exact
         per-element path so legacy behavior is bit-preserved exactly where
-        the fast algebras do not apply."""
+        the fast algebras do not apply.  ``mesh=True`` (sharded kernels)
+        additionally downgrades 'factored' to 'exact': the product-column
+        remap is a single-chip chunk-loop mechanism."""
         mode = self.phase_mode
+        if mode == 'auto':
+            mode = 'exact' if family == 'accumulate' else 'incremental'
+        if mode == 'factored' and mesh:
+            mode = 'exact'
         if mode in ('incremental', 'factored') and len(k_vectors_3d):
             dev = instantaneous.commensurate_deviation(
                 k_vectors_3d, self.traj.box_matrix)
@@ -1830,7 +1849,8 @@ class SEDCalculator:
         padded_block = ((block + 63) // 64) * 64
         atom_chunk, t_chunk = self._dsf_plan(padded_block)
         n_t_pad = ((n_t + t_chunk - 1) // t_chunk) * t_chunk
-        ph_box, ph_mode = self._phase_cfg(k_vectors_3d)
+        ph_box, ph_mode = self._phase_cfg(
+            k_vectors_3d, 'density' if density_only else 'accumulate')
         k_unit = spectral.unit_k_vectors(k_vectors_3d)
         num_chunks = (num_k + block - 1) // block
         logger.info("DSF: %d k-points in %d chunks; atom_chunk=%d t_chunk=%d.",
@@ -2031,7 +2051,7 @@ class SEDCalculator:
 
         # the padded complex (fft_len, A, K) spectrum resides per block
         fft_len = instantaneous._autocorr_fft_len(n_t)
-        ph_box, ph_mode = self._phase_cfg(k_vectors_3d)
+        ph_box, ph_mode = self._phase_cfg(k_vectors_3d, 'self')
         cache = self._chunk_cache(
             cache_dir, 'isf_self', k_vectors_3d,
             min(max(1, k_chunk_size), num_k),
@@ -2131,7 +2151,7 @@ class SEDCalculator:
 
         # complex (n_t, A, K) spectrum resides per block: budget its c64 bytes
         freq_idx_dev = jnp.asarray(freq_idx)
-        ph_box, ph_mode = self._phase_cfg(k_vectors_3d)
+        ph_box, ph_mode = self._phase_cfg(k_vectors_3d, 'self')
         cache = self._chunk_cache(
             cache_dir, 'dsf_self', k_vectors_3d,
             min(max(1, k_chunk_size), num_k),
@@ -2904,7 +2924,7 @@ class SEDCalculator:
                 group_idx, np.arange(self.traj.n_atoms)):
             weights = np.zeros(self.traj.n_atoms, dtype=np.float32)
             weights[group_idx] = 1.0
-        _, ph_mode = self._phase_cfg(k_vectors_3d)
+        _, ph_mode = self._phase_cfg(k_vectors_3d, 'accumulate', mesh=True)
         s, c_l, c_t = sharded_dsf(
             mesh, self.traj.positions, self.traj.velocities, k_vectors_3d,
             freq_indices=freq_idx, precision=self.precision,
@@ -2942,7 +2962,7 @@ class SEDCalculator:
                 group_idx, np.arange(self.traj.n_atoms)):
             weights = np.zeros(self.traj.n_atoms, dtype=np.float32)
             weights[group_idx] = 1.0
-        _, ph_mode = self._phase_cfg(k_vectors_3d)
+        _, ph_mode = self._phase_cfg(k_vectors_3d, 'self', mesh=True)
         s_s = sharded_dsf_self(mesh, self.traj.positions, k_vectors_3d,
                                freq_indices=freq_idx, atom_weights=weights,
                                atom_chunk=atom_chunk,
@@ -2971,7 +2991,7 @@ class SEDCalculator:
                 group_idx, np.arange(self.traj.n_atoms)):
             weights = np.zeros(self.traj.n_atoms, dtype=np.float32)
             weights[group_idx] = 1.0
-        _, ph_mode = self._phase_cfg(k_vectors_3d)
+        _, ph_mode = self._phase_cfg(k_vectors_3d, 'density', mesh=True)
         return sharded_sk(mesh, self.traj.positions, k_vectors_3d,
                           precision=self.precision,
                           t_superchunk=t_superchunk, atom_weights=weights,
@@ -3156,7 +3176,7 @@ class SEDCalculator:
                 group_idx, np.arange(self.traj.n_atoms)):
             weights = np.zeros(self.traj.n_atoms, dtype=np.float32)
             weights[group_idx] = 1.0
-        _, ph_mode = self._phase_cfg(k_vectors_3d)
+        _, ph_mode = self._phase_cfg(k_vectors_3d, 'density', mesh=True)
         f = sharded_isf(mesh, self.traj.positions, k_vectors_3d, n_lags,
                         precision=self.precision, t_superchunk=t_superchunk,
                         atom_weights=weights, box=self.traj.box_matrix,
@@ -3186,7 +3206,7 @@ class SEDCalculator:
                 group_idx, np.arange(self.traj.n_atoms)):
             weights = np.zeros(self.traj.n_atoms, dtype=np.float32)
             weights[group_idx] = 1.0
-        _, ph_mode = self._phase_cfg(k_vectors_3d)
+        _, ph_mode = self._phase_cfg(k_vectors_3d, 'self', mesh=True)
         f_s = sharded_isf_self(mesh, self.traj.positions, k_vectors_3d,
                                n_lags, atom_weights=weights,
                                atom_chunk=atom_chunk,

@@ -34,9 +34,10 @@ def default_config() -> Dict[str, Any]:
             'save_npy_sed_data': True,
             'chiral_mode_enabled': False,
             'mass_weighted': False,
-            # instantaneous-phase engine for the dsf section: 'exact',
-            # 'factored' (k-axis outer-sum engine), or 'incremental'
-            'phase_mode': 'exact',
+            # instantaneous-phase engine for the dsf section: 'auto'
+            # (per-family measured default), 'exact', 'factored' (k-axis
+            # outer-sum engine), or 'incremental'
+            'phase_mode': 'auto',
         },
         'md_system': {
             'dt': 0.001, 'nx': 1, 'ny': 1, 'nz': 1, 'lattice_parameter': None,
@@ -192,9 +193,9 @@ class ConfigManager:
         for dim in ('nx', 'ny', 'nz'):
             if int(md[dim]) <= 0:
                 raise ValueError(f"md_system.{dim} must be positive.")
-        pm = cfg['general'].get('phase_mode', 'exact')
-        if pm not in ('exact', 'factored', 'incremental'):
-            raise ValueError("general.phase_mode must be 'exact', "
+        pm = cfg['general'].get('phase_mode', 'auto')
+        if pm not in ('auto', 'exact', 'factored', 'incremental'):
+            raise ValueError("general.phase_mode must be 'auto', 'exact', "
                              f"'factored' or 'incremental'; got {pm!r}.")
         sed = cfg['sed_calculation']
         if int(sed['n_kpoints']) < 1:

@@ -84,7 +84,7 @@ def main():
         sub = rng.choice(n_k, size=6, replace=False)
         s_o, cl_o = f64_planes(traj, kv[sub], traj.dt_ps)
         shape_res = {'n_k': int(n_k),
-                     'factored': out is not None,
+                     'factorable': out is not None,
                      'base_columns': None if out is None
                      else int(out[0][0].shape[0] + out[0][2].shape[0]),
                      'product_columns': None if out is None
