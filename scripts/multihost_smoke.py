@@ -97,9 +97,57 @@ def worker(rank: int) -> None:
     err_ko = np.max(np.abs(re2 + 1j * im2 - oracle)) / np.max(np.abs(oracle))
     assert err_ko < 1e-6, f"rank {rank}: k-outer rel err {err_ko}"
 
+    # NPT fractional-anchor mesh sweeps (round-5 forms): the breathing-cell
+    # browse/peaks ride the SAME sharded spectrum kernel but with the
+    # fractional mean s̄ and k_eff = 2π·m — verify the anchor survives the
+    # process boundary against the f64 NPT oracle.
+    from psa_tpu.core.calculator import SEDCalculator
+    from psa_tpu.core.trajectory import Trajectory, make_box_arrays
+    n_at, n_fr, a0 = 16, 32, 2.5
+    L0 = n_at * a0
+    lam = 1.0 + 0.05 * np.sin(np.linspace(0, 2 * np.pi, n_fr))
+    x_frac = (np.arange(n_at) + 0.5) / n_at
+    tt = np.arange(n_fr) * 0.01
+    ph_ = 2 * np.pi * (5 * x_frac[None, :] - 4.0 * tt[:, None])
+    s_frac = x_frac[None, :] + (0.02 / L0) * np.sin(ph_)
+    boxes = lam[:, None, None] * np.diag([L0, 10.0, 10.0])[None]
+    pos = np.zeros((n_fr, n_at, 3), dtype=np.float32)
+    pos[:, :, 0] = (lam[:, None] * L0) * s_frac
+    vel = np.zeros_like(pos)
+    vel[:, :, 0] = (lam[:, None] * 0.02 * (-8 * np.pi)
+                    * np.cos(ph_)).astype(np.float32)
+    vel += np.random.default_rng(3).normal(0, 0.1, vel.shape
+                                           ).astype(np.float32)
+    lengths, tilts = make_box_arrays(boxes[0].astype(np.float32))
+    npt_traj = Trajectory(
+        positions=pos, velocities=vel,
+        types=np.ones(n_at, dtype=np.int32),
+        timesteps=np.arange(n_fr, dtype=np.float32),
+        box_matrix=boxes[0].astype(np.float32), box_lengths=lengths,
+        box_tilts=tilts, dt_ps=0.01,
+        box_matrices=boxes.astype(np.float32))
+    calc = SEDCalculator(npt_traj, nx=n_at, ny=1, nz=1)
+    m = np.zeros((6, 3)); m[:, 0] = np.arange(1, 7)
+    freqs_kept, inten, _, k_cart = calc.calculate_npt_browse(m, mesh=mesh)
+    hinv = np.linalg.inv(boxes)
+    s64 = np.einsum('tij,taj->tai', hinv, pos.astype(np.float64))
+    ph_np = np.exp(2j * np.pi * (m @ s64.mean(axis=0).T))        # (K, N)
+    proj = np.einsum('tac,ka->tkc', vel.astype(np.float64), ph_np)
+    orc = np.fft.fft(proj, axis=0) / n_fr
+    orc_int = np.sum(np.abs(orc) ** 2, axis=-1)                  # (T, K)
+    keep = np.flatnonzero(spectral.fftfreq_thz(n_fr, 0.01) >= 0)
+    err_npt = (np.abs(inten - orc_int[keep]).max()
+               / orc_int[keep].max())
+    assert err_npt < 1e-5, f"rank {rank}: npt browse rel err {err_npt}"
+    pk = calc.calculate_npt_peaks(m, mesh=mesh, n_peaks=1)
+    expect_pk = freqs_kept[np.argmax(orc_int[keep], axis=0)]
+    np.testing.assert_allclose(pk[0][0], expect_pk, atol=1e-6)
+    np.testing.assert_allclose(pk[-1], k_cart, atol=0)
+
     print(f"rank {rank}: OK (rel err {err:.2e}; read {src.rows}/{total_rows} "
           "trajectory elements; peaks gathered; k-outer slice placement "
-          f"rel err {err_ko:.2e})", flush=True)
+          f"rel err {err_ko:.2e}; npt browse rel err {err_npt:.2e}, "
+          "npt peaks match)", flush=True)
 
 
 def main() -> int:
