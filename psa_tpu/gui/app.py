@@ -75,6 +75,7 @@ class PSAMainWindow:
         v.chiral_var = tk.BooleanVar(value=False)
         v.chiral_axis_var = tk.StringVar(value='z')
         v.angle_opt_var = tk.StringVar(value='C')
+        v.npt_var = tk.BooleanVar(value=False)
 
         v.plane_var = tk.StringVar(value='xy')
         v.k1_min_var = tk.DoubleVar(value=-2.0)
@@ -213,6 +214,17 @@ class PSAMainWindow:
                      values=('x', 'y', 'z'), state='readonly').pack(side='left')
         ttk.Combobox(chiral_row, textvariable=self.angle_opt_var, width=3,
                      values=('A', 'B', 'C'), state='readonly').pack(side='left', padx=4)
+        self.npt_chk = ttk.Checkbutton(chiral_row,
+                                       text="NPT (fractional anchor)",
+                                       variable=self.npt_var,
+                                       state='disabled')
+        self.npt_chk.pack(side='left', padx=(12, 0))
+        ToolTip(self.npt_chk,
+                "Time-dependent (NPT) cell: anchor phases on per-frame "
+                "fractional coordinates so phonon lines stay sharp under "
+                "cell breathing/drift. Direction is an integer Miller "
+                "vector; BZ coverage becomes the max Miller order. Enabled "
+                "when the loaded dump carries per-frame cells.")
         kbtns = ttk.Frame(lf)
         kbtns.pack(pady=4)
         self.calc_btn = ttk.Button(kbtns, text="Calculate SED",
@@ -442,6 +454,13 @@ class PSAMainWindow:
                     for b in (self.calc_btn, self.grid_btn, self.peaks_btn,
                               self.dos_btn, self.dsf_btn, self.liquid_btn):
                         b.state(['!disabled'])
+                    traj2 = self.controller.trajectory
+                    has_npt = (traj2 is not None
+                               and traj2.box_matrices is not None)
+                    self.npt_chk.state(['!disabled' if has_npt
+                                        else 'disabled'])
+                    if not has_npt:
+                        self.npt_var.set(False)
             self.root.after(0, done)
 
         threading.Thread(target=work, daemon=True).start()
@@ -461,18 +480,34 @@ class PSAMainWindow:
         def work():
             try:
                 lat = self.lat_param_var.get().strip()
-                self.controller.compute_kpath_sed(
-                    self.direction_var.get(), n_k=self.nk_var.get(),
-                    bz_coverage=self.bz_var.get(),
-                    lattice_param=float(lat) if lat else None,
-                    basis_atom_types=self._basis_types(),
-                    summation_mode=self.mode_var.get(),
-                    chiral=self.chiral_var.get(),
-                    chiral_axis=self.chiral_axis_var.get(),
-                    angle_range_opt=self.angle_opt_var.get(),
-                    welch_segments=(int(self.welch_var.get())
-                                    if self.welch_var.get().strip() else None),
-                    polarization=self.pol_var.get())
+                welch = (int(self.welch_var.get())
+                         if self.welch_var.get().strip() else None)
+                if self.npt_var.get():
+                    if self.pol_var.get() != 'total':
+                        raise ValueError("The L/T split is fixed-cell only; "
+                                         "set Polarization to 'total' for "
+                                         "NPT.")
+                    self.controller.compute_npt_sed(
+                        self.direction_var.get(), n_k=self.nk_var.get(),
+                        max_order=self.bz_var.get(),
+                        basis_atom_types=self._basis_types(),
+                        summation_mode=self.mode_var.get(),
+                        chiral=self.chiral_var.get(),
+                        chiral_axis=self.chiral_axis_var.get(),
+                        angle_range_opt=self.angle_opt_var.get(),
+                        welch_segments=welch)
+                else:
+                    self.controller.compute_kpath_sed(
+                        self.direction_var.get(), n_k=self.nk_var.get(),
+                        bz_coverage=self.bz_var.get(),
+                        lattice_param=float(lat) if lat else None,
+                        basis_atom_types=self._basis_types(),
+                        summation_mode=self.mode_var.get(),
+                        chiral=self.chiral_var.get(),
+                        chiral_axis=self.chiral_axis_var.get(),
+                        angle_range_opt=self.angle_opt_var.get(),
+                        welch_segments=welch,
+                        polarization=self.pol_var.get())
                 err = None
             except Exception as e:
                 err = str(e)

@@ -25,6 +25,7 @@ from ..core.trajectory import Trajectory
 from ..io.loader import TrajectoryLoader
 from ..ops import spectral
 from ..ops.instantaneous import commensurate_kpath
+from ..utils.helpers import parse_direction
 
 logger = logging.getLogger(__name__)
 
@@ -320,6 +321,82 @@ class AnalysisController:
         self.last_compute = 'kpath'
         return sed
 
+    def compute_npt_sed(self, direction_text: str, n_k: int,
+                        max_order: float = 1.0,
+                        basis_atom_types: Optional[list] = None,
+                        summation_mode: str = 'coherent',
+                        chiral: bool = False, chiral_axis: str = 'z',
+                        angle_range_opt: str = 'C',
+                        welch_segments: Optional[int] = None,
+                        welch_window: str = 'hann',
+                        reduced: bool = True) -> SED:
+        """k-path SED for a time-dependent (NPT) cell — the GUI surface of
+        :meth:`SEDCalculator.calculate_npt_browse` (beyond the reference,
+        whose engine assumes a constant box, sed_calculator.py:30-56).
+
+        The path lives in FRACTIONAL (Miller) space: ``direction_text`` is
+        parsed like the fixed-cell form but interpreted as an integer
+        Miller vector, swept in ``n_k`` steps up to ``max_order`` multiples
+        (the NPT analog of BZ coverage).  Phases anchor on per-frame
+        fractional coordinates, so phonon lines stay sharp under cell
+        breathing/drift; the displayed k axis carries the mean-cell
+        Cartesian magnitudes |B̄·m| for physical Å⁻¹ units.
+
+        ``reduced`` (default) keeps the sweep device-reduced exactly like
+        :meth:`compute_kpath_sed`; exports needing complex Φ_α recompute
+        via :meth:`SEDCalculator.calculate_npt` (see :meth:`full_kpath_sed`).
+        """
+        calc = self._require_calc()
+        if self.trajectory is None or self.trajectory.box_matrices is None:
+            raise RuntimeError(
+                "NPT SED needs per-frame cells: load an NPT dump whose "
+                "reader fills Trajectory.box_matrices (LAMMPS/H5MD do).")
+        if not np.isfinite(max_order) or max_order <= 0:
+            raise ValueError(f"max_order must be > 0, got {max_order!r}")
+        if chiral and summation_mode != 'coherent':
+            logger.info("Chiral analysis requires coherent summation; "
+                        "forcing coherent.")
+            summation_mode = 'coherent'
+        if chiral and welch_segments:
+            raise ValueError("Chiral analysis needs complex spectra; "
+                             "disable Welch averaging.")
+        # same free-form direction entry as the fixed-cell k-path, resolved
+        # to a unit Miller axis; max_order then scales it (so '[2,0,0]'
+        # and 'x' sweep the same line)
+        d = parse_direction(parse_direction_input(direction_text)
+                            ).astype(np.float64)
+        n_k = int(n_k)
+        if n_k < 1:
+            raise ValueError(f"n_k must be >= 1, got {n_k}")
+        m = d[None, :] * np.linspace(max_order / n_k, max_order,
+                                     n_k)[:, None]
+        if reduced:
+            freqs, intensity, phase, k_cart = calc.calculate_npt_browse(
+                m, basis_atom_types=basis_atom_types,
+                summation_mode=summation_mode, chiral=chiral,
+                chiral_axis=chiral_axis, angle_range_opt=angle_range_opt,
+                welch_segments=welch_segments, welch_window=welch_window,
+                readback_dtype=self.readback_dtype)
+            k_mags = np.linalg.norm(k_cart, axis=1).astype(np.float32)
+            sed = SED(intensity, freqs, k_mags, k_cart, is_complex=False,
+                      phase=phase, dt_ps=calc.dt_ps)
+        else:
+            sed = calc.calculate_npt(m, basis_atom_types=basis_atom_types,
+                                     summation_mode=summation_mode)
+            if chiral and sed.is_complex:
+                c1, c2 = CHIRAL_AXIS_COMPONENTS[chiral_axis]
+                sed.phase = calc.calculate_chiral_phase(
+                    sed.sed[:, :, c1], sed.sed[:, :, c2], angle_range_opt)
+        self.sed_result = sed
+        self.kpath_mags = sed.k_points
+        self._kpath_reduced = not sed.is_complex
+        self._kpath_recompute = dict(
+            npt_k_miller=m, basis_atom_types=basis_atom_types,
+            summation_mode=summation_mode)
+        self.selected_point = None
+        self.last_compute = 'kpath'
+        return sed
+
     def compute_kpath_dsf(self, direction_text: str, n_k: int,
                           bz_coverage: float,
                           lattice_param: Optional[float] = None,
@@ -386,7 +463,11 @@ class AnalysisController:
             raise RuntimeError("Compute a k-path SED first.")
         if not self._kpath_reduced or self.sed_result.is_complex:
             return self.sed_result
-        return self._full_kpath_calculate(**self._kpath_recompute)
+        rc = dict(self._kpath_recompute)
+        m = rc.pop('npt_k_miller', None)
+        if m is not None:
+            return self._require_calc().calculate_npt(m, **rc)
+        return self._full_kpath_calculate(**rc)
 
     def kpath_plot_arrays(self, scale: str = 'dsqrt', max_freq: Optional[float] = None,
                           show_phase: bool = False):

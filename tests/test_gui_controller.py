@@ -641,3 +641,98 @@ def test_dsf_csv_keeps_columns_on_magnitude_collision(tmp_path):
     data = np.loadtxt(out.as_posix(), delimiter=',', skiprows=2)
     assert data.shape == (4, 4)           # freq + one column per k-point
     np.testing.assert_allclose(data[:, 1:], plane, rtol=1e-5)
+
+
+class TestNPTKPath:
+    """GUI surface of the NPT (time-dependent cell) family: the controller
+    sweeps FRACTIONAL Miller space through calculate_npt_browse and exports
+    recompute via calculate_npt (beyond the reference, whose GUI is
+    fixed-cell only — psa_gui.py:923-1013)."""
+
+    @pytest.fixture
+    def npt_loaded(self, tmp_path):
+        """Controller with a breathing-cell chain loaded from an NPT dump
+        (per-frame box bounds → Trajectory.box_matrices via the loader)."""
+        n_at, n_fr, a0 = 12, 48, 2.5
+        L0 = n_at * a0
+        rng = np.random.default_rng(11)
+        lam = 1.0 + 0.03 * np.sin(np.linspace(0, 2 * np.pi, n_fr))
+        x_frac = (np.arange(n_at) + 0.5) / n_at
+        tt = np.arange(n_fr) * 0.02
+        ph = 2 * np.pi * (4 * x_frac[None, :] - 3.0 * tt[:, None])
+        s = x_frac[None, :] + (0.02 / L0) * np.sin(ph)
+        pos_x = (lam[:, None] * L0) * s
+        vel_x = (lam[:, None] * 0.02 * (-6 * np.pi) * np.cos(ph)
+                 + rng.normal(0, 0.05, (n_fr, n_at)))
+        dump = tmp_path / "npt_chain.dump"
+        with open(dump, "w") as f:
+            for t in range(n_fr):
+                f.write(f"ITEM: TIMESTEP\n{t}\nITEM: NUMBER OF ATOMS\n"
+                        f"{n_at}\n")
+                f.write("ITEM: BOX BOUNDS pp pp pp\n")
+                f.write(f"0.0 {lam[t] * L0:.8f}\n0.0 10.0\n0.0 10.0\n")
+                f.write("ITEM: ATOMS id type x y z vx vy vz\n")
+                for a_ in range(n_at):
+                    f.write(f"{a_ + 1} 1 {pos_x[t, a_]:.8f} 1.0 1.0 "
+                            f"{vel_x[t, a_]:.8f} 0.0 0.0\n")
+        ctrl = AnalysisController()
+        ctrl.load_trajectory(str(dump), dt=0.02, file_format='lammps',
+                             nx=n_at, ny=1, nz=1)
+        assert ctrl.trajectory.box_matrices is not None
+        return ctrl
+
+    @staticmethod
+    def _oracle_intensity(traj, m):
+        h = traj.box_matrices.astype(np.float64)
+        s = np.einsum('tij,taj->tai', np.linalg.inv(h),
+                      traj.positions.astype(np.float64))
+        phase = np.exp(2j * np.pi * (m @ s.mean(axis=0).T))
+        proj = np.einsum('tac,ka->tkc',
+                         traj.velocities.astype(np.float64), phase)
+        spec = np.fft.fft(proj, axis=0) / traj.n_frames
+        return np.sum(np.abs(spec) ** 2, axis=-1)
+
+    def test_reduced_matches_oracle(self, npt_loaded):
+        sed = npt_loaded.compute_npt_sed('x', n_k=6, max_order=6.0)
+        assert not sed.is_complex
+        m = np.array([1, 0, 0], float)[None] \
+            * np.linspace(1.0, 6.0, 6)[:, None]
+        want = self._oracle_intensity(npt_loaded.trajectory, m)
+        mask = np.fft.fftfreq(48, d=0.02) >= 0
+        np.testing.assert_allclose(sed.sed, want[mask], rtol=2e-5,
+                                   atol=1e-6 * want.max())
+        # physical axes: mean-cell Cartesian magnitudes, increasing
+        assert np.all(np.diff(sed.k_points) > 0)
+
+    def test_click_and_plot_flow(self, npt_loaded):
+        npt_loaded.compute_npt_sed('x', n_k=6, max_order=6.0)
+        k, f, c = npt_loaded.kpath_plot_arrays(scale='dsqrt')
+        assert c.shape == (len(f), len(k))
+        ksel, wsel = npt_loaded.select_nearest(float(k[2]), 3.0)
+        assert npt_loaded.selected_point == (ksel, wsel)
+        # the ridden commensurate phonon (m=4, nu=3 THz) peaks where built
+        inten = npt_loaded.sed_result.sed
+        nu_peak = f[np.argmax(inten[:, 3])]
+        assert abs(nu_peak - 3.0) < 0.6
+
+    def test_full_export_recompute(self, npt_loaded):
+        sed = npt_loaded.compute_npt_sed('x', n_k=5, max_order=5.0)
+        full = npt_loaded.full_kpath_sed()
+        assert full.is_complex
+        mask = full.freqs >= 0
+        np.testing.assert_allclose(sed.sed, full.intensity[mask],
+                                   rtol=1e-5, atol=1e-8)
+        np.testing.assert_allclose(full.k_vectors,
+                                   np.asarray(sed.k_vectors), atol=0)
+
+    def test_requires_npt_cells(self, loaded):
+        with pytest.raises(RuntimeError, match="NPT"):
+            loaded.compute_npt_sed('x', n_k=4)
+
+    def test_chiral_and_welch_guards(self, npt_loaded):
+        with pytest.raises(ValueError, match="Welch"):
+            npt_loaded.compute_npt_sed('x', n_k=4, chiral=True,
+                                       welch_segments=4)
+        sed = npt_loaded.compute_npt_sed('x', n_k=4, max_order=4.0,
+                                         welch_segments=4)
+        assert sed.sed.shape[0] == (48 // 4) // 2   # ω ≥ 0 of 12 Welch bins
