@@ -112,3 +112,17 @@ fig.colorbar(pcm, ax=axes, label='√(I / peak)')
 fig.savefig(OUT / "npt_vs_fixed.png", dpi=200, bbox_inches='tight')
 plt.close(fig)
 print(f"wrote {OUT / 'npt_vs_fixed.png'}")
+
+# --- 3. sweep forms: the spectrum never leaves the device ----------------
+# calculate_npt_browse returns only the ω-filtered intensity planes, and
+# calculate_npt_peaks only the top-n (frequency, height, width) triplets
+# per k — the NPT analogs of the fixed-cell browse/peaks sweeps (pass
+# mesh=make_mesh(...) to run either across a (t, a, k) device mesh).
+freqs_b, inten_b, _, k_cart = calc.calculate_npt_browse(m)
+pf, pi, pw, _ = calc.calculate_npt_peaks(m, n_peaks=1)
+assert np.allclose(inten_b, I_npt, rtol=1e-5, atol=1e-8 * I_npt.max())
+print(f"browse planes: {inten_b.shape} at k_cart magnitudes "
+      f"{np.linalg.norm(k_cart, axis=1).round(3)[:3]}... (2π/Å)")
+print(f"peak surface: ridden mode m={mode_m} found at "
+      f"{pf[0, col]:.2f} THz (built at {nu_thz:.1f})")
+assert abs(pf[0, col] - nu_thz) < 0.5
