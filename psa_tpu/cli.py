@@ -330,11 +330,65 @@ def _run_npt_section(calc, npt_cfg, out_dir: Path):
         n_k = int(npt_cfg.get('n_kpoints') or 50)
         mo = float(npt_cfg.get('max_order') or 1.0)
         m = d[None, :] * np.linspace(mo / n_k, mo, n_k)[:, None]
-    sed = calc.calculate_npt(m,
-                             basis_atom_indices=basis.get('atom_indices'),
-                             basis_atom_types=basis.get('atom_types'),
-                             summation_mode=npt_cfg.get('summation_mode',
-                                                        'coherent'))
+    group_kwargs = dict(
+        basis_atom_indices=basis.get('atom_indices'),
+        basis_atom_types=basis.get('atom_types'),
+        summation_mode=npt_cfg.get('summation_mode', 'coherent'))
+    sweep = npt_cfg.get('sweep', 'full')
+    if sweep == 'peaks':
+        # on-device dispersion surface: only (freq, height, width) triplets
+        # per k transfer — the batch analog of the GUI peak surface
+        n_peaks = int(npt_cfg.get('n_peaks', 1))
+        pf, pi, pw, k_cart = calc.calculate_npt_peaks(m, n_peaks=n_peaks,
+                                                      **group_kwargs)
+        k_mags = np.linalg.norm(k_cart, axis=1)
+        np.savez(out_dir / "npt_peaks.npz", peak_freqs=pf,
+                 peak_intensities=pi, peak_widths=pw, k_miller=m,
+                 k_vectors=k_cart, k_mags=k_mags)
+        path_coord = k_mags if np.all(np.diff(k_mags) > 0) \
+            else np.arange(m.shape[0], dtype=np.float64)
+        fig, ax = plt.subplots(figsize=(7, 5))
+        for r in range(n_peaks):
+            ax.scatter(path_coord, pf[r], s=12,
+                       label=f"peak {r + 1}" if n_peaks > 1 else None)
+        if npt_cfg.get('max_freq'):
+            ax.set_ylim(0, float(npt_cfg['max_freq']))
+        if n_peaks > 1:
+            ax.legend()
+        ax.set_xlabel("|k| along path, mean cell (2π/Å)")
+        ax.set_ylabel("ν (THz)")
+        ax.set_title("NPT peak surfaces (fractional phase anchor)")
+        fig.savefig(out_dir / "npt_peaks.png", dpi=200,
+                    bbox_inches='tight')
+        plt.close(fig)
+        logger.info("NPT peaks written: npt_peaks.{npz,png} (%d k-points, "
+                    "%d surfaces)", m.shape[0], n_peaks)
+        return
+    if sweep == 'browse':
+        # device-reduced ω ≥ 0 intensity planes (never the complex spectrum)
+        freqs_kept, inten, _, k_cart = calc.calculate_npt_browse(
+            m, max_freq=(float(npt_cfg['max_freq'])
+                         if npt_cfg.get('max_freq') else None),
+            **group_kwargs)
+        k_mags = np.linalg.norm(k_cart, axis=1)
+        np.savez(out_dir / "npt_sed.npz", intensity=inten, freqs=freqs_kept,
+                 k_miller=m, k_vectors=k_cart, k_mags=k_mags)
+        path_coord = k_mags if np.all(np.diff(k_mags) > 0) \
+            else np.arange(m.shape[0], dtype=np.float64)
+        fig, ax = plt.subplots(figsize=(7, 5))
+        pcm = ax.pcolormesh(path_coord, freqs_kept,
+                            np.sqrt(np.maximum(inten, 0.0)),
+                            shading='gouraud', cmap='inferno')
+        fig.colorbar(pcm, ax=ax, label='√I (arb.)')
+        ax.set_xlabel("|k| along path, mean cell (2π/Å)")
+        ax.set_ylabel("ν (THz)")
+        ax.set_title("NPT SED (fractional phase anchor, device-reduced)")
+        fig.savefig(out_dir / "npt_sed.png", dpi=200, bbox_inches='tight')
+        plt.close(fig)
+        logger.info("NPT SED written: npt_sed.{npz,png} (%d k-points, "
+                    "browse sweep)", m.shape[0])
+        return
+    sed = calc.calculate_npt(m, **group_kwargs)
     inten = sed.intensity
     freqs = sed.freqs
     keep = freqs >= 0

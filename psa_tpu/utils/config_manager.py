@@ -143,6 +143,10 @@ def default_config() -> Dict[str, Any]:
             'max_freq': None,                  # plot cap (THz)
             'summation_mode': 'coherent',
             'basis': {'atom_indices': None, 'atom_types': None},
+            # 'full' = complex spectrum to host; 'browse' = device-reduced
+            # intensity planes; 'peaks' = on-device peak surfaces only
+            'sweep': 'full',
+            'n_peaks': 1,                      # peaks-sweep surfaces per k
         },
     }
 
@@ -327,6 +331,14 @@ class ConfigManager:
                     'coherent', 'incoherent'):
                 raise ValueError("npt.summation_mode must be 'coherent' or "
                                  "'incoherent'.")
+            if np_cfg.get('sweep', 'full') not in ('full', 'browse',
+                                                   'peaks'):
+                raise ValueError("npt.sweep must be 'full', 'browse' or "
+                                 f"'peaks'; got {np_cfg.get('sweep')!r}.")
+            npk = np_cfg.get('n_peaks', 1)
+            if isinstance(npk, bool) or not isinstance(npk, int) or npk < 1:
+                raise ValueError(f"npt.n_peaks must be a positive integer; "
+                                 f"got {npk!r}.")
         tc = cfg.get('timecorr', {})
         if tc.get('apply'):
             obs = tc.get('observables') or []

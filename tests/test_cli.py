@@ -448,3 +448,79 @@ def test_cli_npt_nonfinite_k_rejected(tmp_path, workdir):
     with pytest.raises(SystemExit):
         main(['--trajectory', str(dump), '--config', str(cfg),
               '--output-dir', str(tmp_path / "o")])
+
+
+def test_cli_npt_sweep_forms(tmp_path):
+    """npt.sweep: 'browse' writes device-reduced planes matching the full
+    spectrum's ω ≥ 0 rows; 'peaks' writes only the surface triplets."""
+    n_at, n_frames, a = 12, 32, 2.5
+    L0 = n_at * a
+    rng = np.random.default_rng(5)
+    lam = 1.0 + 0.01 * np.sin(2 * np.pi * np.arange(n_frames) / n_frames)
+    x_frac = (np.arange(n_at) + 0.5) / n_at
+    dump = tmp_path / "npt.dump"
+    with open(dump, "w") as f:
+        for t in range(n_frames):
+            L = lam[t] * L0
+            f.write(f"ITEM: TIMESTEP\n{t}\nITEM: NUMBER OF ATOMS\n{n_at}\n")
+            f.write("ITEM: BOX BOUNDS pp pp pp\n")
+            f.write(f"0.0 {L:.6f}\n0.0 10.0\n0.0 10.0\n")
+            f.write("ITEM: ATOMS id type x y z vx vy vz\n")
+            for i in range(n_at):
+                f.write(f"{i + 1} 1 {L * x_frac[i]:.6f} 1.0 1.0 "
+                        f"{rng.normal(0, 0.1):.6f} 0.0 0.0\n")
+    base = {
+        'md_system': {'dt': 0.02, 'nx': n_at, 'ny': 1, 'nz': 1,
+                      'lattice_parameter': a},
+        'sed_calculation': {'directions': ['x'], 'n_kpoints': 4,
+                            'bz_coverage': 0.5},
+    }
+    cfg = tmp_path / "config.yaml"
+
+    # full (reference form) for the contract
+    base['npt'] = {'apply': True, 'direction': [1, 0, 0], 'n_kpoints': 6}
+    cfg.write_text(yaml.dump(base))
+    out_full = tmp_path / "out_full"
+    main(['--trajectory', str(dump), '--config', str(cfg),
+          '--output-dir', str(out_full)])
+    full = np.load(out_full / "npt_sed.npz")
+    mask = full['freqs'] >= 0
+
+    base['npt'] = {'apply': True, 'direction': [1, 0, 0], 'n_kpoints': 6,
+                   'sweep': 'browse'}
+    cfg.write_text(yaml.dump(base))
+    out_b = tmp_path / "out_browse"
+    main(['--trajectory', str(dump), '--config', str(cfg),
+          '--output-dir', str(out_b)])
+    br = np.load(out_b / "npt_sed.npz")
+    assert br['freqs'].shape[0] == mask.sum()
+    np.testing.assert_allclose(br['intensity'], full['intensity'][mask],
+                               rtol=1e-5,
+                               atol=1e-8 * full['intensity'].max())
+    np.testing.assert_allclose(br['k_mags'], full['k_mags'], rtol=1e-6)
+    assert (out_b / "npt_sed.png").exists()
+
+    base['npt'] = {'apply': True, 'direction': [1, 0, 0], 'n_kpoints': 6,
+                   'sweep': 'peaks', 'n_peaks': 2}
+    cfg.write_text(yaml.dump(base))
+    out_p = tmp_path / "out_peaks"
+    main(['--trajectory', str(dump), '--config', str(cfg),
+          '--output-dir', str(out_p)])
+    pk = np.load(out_p / "npt_peaks.npz")
+    assert pk['peak_freqs'].shape == (2, 6)
+    assert pk['peak_widths'].shape == (2, 6)
+    # rank-0 peak bins == argmax of the browse plane
+    np.testing.assert_allclose(
+        pk['peak_freqs'][0], br['freqs'][np.argmax(br['intensity'], axis=0)],
+        atol=1e-6)
+    assert (out_p / "npt_peaks.png").exists()
+    assert not (out_p / "npt_sed.npz").exists()   # peaks-only readback
+
+    # schema: bad sweep / n_peaks rejected at the CLI boundary
+    for bad in ({'apply': True, 'sweep': 'surf'},
+                {'apply': True, 'n_peaks': 0}):
+        base['npt'] = bad
+        cfg.write_text(yaml.dump(base))
+        with pytest.raises(SystemExit):
+            main(['--trajectory', str(dump), '--config', str(cfg),
+                  '--output-dir', str(tmp_path / "o")])
