@@ -76,6 +76,7 @@ class PSAMainWindow:
         v.chiral_axis_var = tk.StringVar(value='z')
         v.angle_opt_var = tk.StringVar(value='C')
         v.npt_var = tk.BooleanVar(value=False)
+        v.grid_npt_var = tk.BooleanVar(value=False)
 
         v.plane_var = tk.StringVar(value='xy')
         v.k1_min_var = tk.DoubleVar(value=-2.0)
@@ -303,6 +304,16 @@ class PSAMainWindow:
                               "window-spread proxy")
         ttk.Checkbutton(gf, text="Chiral phase on grid",
                         variable=self.grid_chiral_var).pack(anchor='w', padx=4)
+        self.grid_npt_chk = ttk.Checkbutton(
+            gf, text="NPT (fractional Miller grid)",
+            variable=self.grid_npt_var, state='disabled')
+        self.grid_npt_chk.pack(anchor='w', padx=4)
+        ToolTip(self.grid_npt_chk,
+                "Time-dependent (NPT) cell: the grid ranges become "
+                "FRACTIONAL Miller coordinates and phases anchor on "
+                "per-frame fractional positions. Direct engine, "
+                "polarization 'total'. Enabled when the loaded dump "
+                "carries per-frame cells.")
         btns = ttk.Frame(gf)
         btns.pack(pady=4)
         self.grid_btn = ttk.Button(btns, text="Calculate k-grid",
@@ -457,10 +468,12 @@ class PSAMainWindow:
                     traj2 = self.controller.trajectory
                     has_npt = (traj2 is not None
                                and traj2.box_matrices is not None)
-                    self.npt_chk.state(['!disabled' if has_npt
-                                        else 'disabled'])
-                    if not has_npt:
-                        self.npt_var.set(False)
+                    for chk, var in ((self.npt_chk, self.npt_var),
+                                     (self.grid_npt_chk,
+                                      self.grid_npt_var)):
+                        chk.state(['!disabled' if has_npt else 'disabled'])
+                        if not has_npt:
+                            var.set(False)
             self.root.after(0, done)
 
         threading.Thread(target=work, daemon=True).start()
@@ -595,7 +608,8 @@ class PSAMainWindow:
                     chiral=self.grid_chiral_var.get(),
                     chiral_axis=self.chiral_axis_var.get(),
                     engine=self.grid_engine_var.get(),
-                    polarization=self.grid_pol_var.get())
+                    polarization=self.grid_pol_var.get(),
+                    npt=self.grid_npt_var.get())
                 err = None
             except Exception as e:
                 err = str(e)
@@ -787,7 +801,8 @@ class PSAMainWindow:
                     engine=self.grid_engine_var.get(),
                     chiral=self.grid_chiral_var.get(),
                     chiral_axis=self.chiral_axis_var.get(),
-                    width_method=self.width_method_var.get())
+                    width_method=self.width_method_var.get(),
+                    npt=self.grid_npt_var.get())
                 err = None
             except Exception as e:
                 pk, err = None, str(e)

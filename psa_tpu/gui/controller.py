@@ -503,6 +503,23 @@ class AnalysisController:
 
     # -- k-grid SED (reference psa_gui.py:2099-2232) -------------------------
 
+    def _npt_grid_guard(self, reduced: bool = True, engine: str = 'auto',
+                        polarization: str = 'total') -> None:
+        """Shared validation for the NPT grid forms (fractional anchor)."""
+        if self.trajectory is None or self.trajectory.box_matrices is None:
+            raise RuntimeError(
+                "NPT grids need per-frame cells: load an NPT dump whose "
+                "reader fills Trajectory.box_matrices (LAMMPS/H5MD do).")
+        if polarization != 'total':
+            raise ValueError("The L/T split is fixed-cell only; set "
+                             "polarization to 'total' for NPT grids.")
+        if not reduced:
+            raise ValueError("NPT grids are device-reduced; use "
+                             "reduced=True.")
+        if engine == 'gridded':
+            raise ValueError("NPT grids run on the direct engine (the "
+                             "NUFFT plan assumes a fixed Cartesian cell).")
+
     def compute_kgrid_sed(self, plane: str, k_range_1: Tuple[float, float],
                           k_range_2: Tuple[float, float], n_k1: int, n_k2: int,
                           k_fixed: float = 0.0, max_freq: Optional[float] = None,
@@ -512,7 +529,8 @@ class AnalysisController:
                           k_chunk_size: int = 2048,
                           engine: str = 'auto',
                           reduced: bool = True,
-                          polarization: str = 'total') -> KGridState:
+                          polarization: str = 'total',
+                          npt: bool = False) -> KGridState:
         """``engine``: 'direct', 'gridded' (NUFFT), or 'auto'.
 
         'auto' resolves to DIRECT at every size: the round-2 crossover sweep
@@ -533,8 +551,18 @@ class AnalysisController:
         'transverse' — the on-device L/T split (:meth:`SEDCalculator.
         calculate_lt`) per k-point of the grid; direct engine, reduced
         planes only, incompatible with chiral.
+
+        ``npt``: interpret the grid ranges as FRACTIONAL Miller
+        coordinates and anchor phases on per-frame fractional positions
+        (:meth:`SEDCalculator.calculate_npt_browse`) — dispersion
+        surfaces for a time-dependent (NPT) cell.  Direct engine,
+        reduced planes, polarization='total' only; the state's axes are
+        Miller (m) coordinates.
         """
         calc = self._require_calc()
+        if npt:
+            self._npt_grid_guard(reduced=reduced, engine=engine,
+                                 polarization=polarization)
         if polarization not in ('total', 'longitudinal', 'transverse'):
             raise ValueError(f"polarization must be 'total', 'longitudinal' "
                              f"or 'transverse', got {polarization!r}")
@@ -552,6 +580,27 @@ class AnalysisController:
                                            n_k1, n_k2, k_fixed_val=k_fixed)
         if chiral:
             summation_mode = 'coherent'
+        if npt:
+            # the same row-major grid rows, reinterpreted as Miller m
+            freqs, intensity, phase, _ = calc.calculate_npt_browse(
+                k_vecs.astype(np.float64),
+                basis_atom_types=basis_atom_types,
+                summation_mode=summation_mode, max_freq=max_freq,
+                chiral=chiral, chiral_axis=chiral_axis,
+                k_chunk_size=k_chunk_size,
+                readback_dtype=self.readback_dtype)
+            sed = SED(intensity, freqs, np.array([], dtype=np.float32),
+                      k_vecs, k_grid_shape=shape, is_complex=False,
+                      phase=phase, dt_ps=calc.dt_ps)
+            k1_axis, k2_axis, labels = plane_axes(plane, k_vecs, shape)
+            labels = tuple(l.replace('k_', 'm_') for l in labels)
+            self.kgrid = KGridState(sed=sed, plane=plane.lower(),
+                                    freqs=freqs, intensity=intensity,
+                                    phase=phase, k1_axis=k1_axis,
+                                    k2_axis=k2_axis, labels=labels)
+            self.last_grid_kind = 'browse'
+            self.last_compute = 'browse'
+            return self.kgrid
         use_gridded = engine == 'gridded'
         if polarization != 'total':
             freqs, i_l, i_t = calc.calculate_lt(
@@ -633,29 +682,46 @@ class AnalysisController:
                             engine: str = 'auto',
                             chiral: bool = False,
                             chiral_axis: str = 'z',
-                            width_method: str = 'rms') -> KGridPeaksState:
+                            width_method: str = 'rms',
+                            npt: bool = False) -> KGridPeaksState:
         """Dispersion surface(s) over a k-plane via on-device peak
         extraction (:meth:`SEDCalculator.calculate_kgrid_peaks`): only the
         (n_peaks, n_k) float32 triplet crosses the host link.
         ``engine``: 'auto' (measured crossover: NUFFT for big uniform
         grids), 'direct', or 'gridded' (coherent only).  ``chiral=True``
-        also gathers the chiral phase at each peak (direct engine)."""
+        also gathers the chiral phase at each peak (direct engine).
+        ``npt``: Miller-space grid with the fractional phase anchor
+        (:meth:`SEDCalculator.calculate_npt_peaks`; direct engine)."""
         calc = self._require_calc()
+        if npt:
+            self._npt_grid_guard(engine=engine)   # 'auto' resolves direct
         _, k_vecs, shape = calc.get_k_grid(plane, k_range_1, k_range_2,
                                            n_k1, n_k2, k_fixed_val=k_fixed)
         if chiral:
             summation_mode = 'coherent'
             engine = 'direct'
-        res = calc.calculate_kgrid_peaks(
-            k_vecs, n_peaks=n_peaks, max_freq=max_freq,
-            basis_atom_types=basis_atom_types, summation_mode=summation_mode,
-            k_chunk_size=k_chunk_size, engine=engine,
-            k_grid_shape=shape if engine != 'direct' else None,
-            chiral=chiral, chiral_axis=chiral_axis,
-            width_method=width_method)
+        if npt:
+            out = calc.calculate_npt_peaks(
+                k_vecs.astype(np.float64), n_peaks=n_peaks,
+                max_freq=max_freq, basis_atom_types=basis_atom_types,
+                summation_mode=summation_mode, k_chunk_size=k_chunk_size,
+                engine='direct', chiral=chiral, chiral_axis=chiral_axis,
+                width_method=width_method)
+            res = out[:-1]                     # trailing element is k_cart
+        else:
+            res = calc.calculate_kgrid_peaks(
+                k_vecs, n_peaks=n_peaks, max_freq=max_freq,
+                basis_atom_types=basis_atom_types,
+                summation_mode=summation_mode,
+                k_chunk_size=k_chunk_size, engine=engine,
+                k_grid_shape=shape if engine != 'direct' else None,
+                chiral=chiral, chiral_axis=chiral_axis,
+                width_method=width_method)
         pf, pi, pw = res[:3]
         pphase = res[3] if len(res) == 4 else None
         k1_axis, k2_axis, labels = plane_axes(plane, k_vecs, shape)
+        if npt:
+            labels = tuple(l.replace('k_', 'm_') for l in labels)
         self.kgrid_peaks = KGridPeaksState(
             plane=plane.lower(),
             freq_surfaces=pf.reshape((-1,) + tuple(shape)),

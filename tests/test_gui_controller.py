@@ -736,3 +736,41 @@ class TestNPTKPath:
         sed = npt_loaded.compute_npt_sed('x', n_k=4, max_order=4.0,
                                          welch_segments=4)
         assert sed.sed.shape[0] == (48 // 4) // 2   # ω ≥ 0 of 12 Welch bins
+
+    # -- NPT grids (fractional Miller plane) --------------------------------
+
+    def test_npt_grid_browse_matches_oracle(self, npt_loaded):
+        kg = npt_loaded.compute_kgrid_sed(
+            'xy', (1.0, 4.0), (0.0, 1.0), 4, 3, npt=True)
+        assert kg.labels == ('m_x', 'm_y')
+        m = np.zeros((12, 3))
+        m[:, 0] = np.repeat(np.linspace(1.0, 4.0, 4), 3)
+        m[:, 1] = np.tile(np.linspace(0.0, 1.0, 3), 4)
+        want = self._oracle_intensity(npt_loaded.trajectory, m)
+        mask = np.fft.fftfreq(48, d=0.02) >= 0
+        np.testing.assert_allclose(kg.intensity, want[mask], rtol=2e-5,
+                                   atol=1e-6 * want.max())
+        assert kg.slice_at(1).shape == (3, 4)   # (n_ky, n_kx) plot view
+
+    def test_npt_grid_peaks_surface(self, npt_loaded):
+        kg = npt_loaded.compute_kgrid_sed(
+            'xy', (1.0, 4.0), (0.0, 1.0), 4, 3, npt=True)
+        pk = npt_loaded.compute_kgrid_peaks(
+            'xy', (1.0, 4.0), (0.0, 1.0), 4, 3, npt=True)
+        assert pk.labels == ('m_x', 'm_y')
+        expect = kg.freqs[np.argmax(kg.intensity, axis=0)].reshape(4, 3)
+        np.testing.assert_allclose(pk.freq_surfaces[0], expect, atol=1e-6)
+
+    def test_npt_grid_guards(self, npt_loaded, loaded):
+        with pytest.raises(RuntimeError, match="NPT"):
+            loaded.compute_kgrid_sed('xy', (0, 1), (0, 1), 2, 2, npt=True)
+        with pytest.raises(ValueError, match="direct engine"):
+            npt_loaded.compute_kgrid_sed('xy', (0, 1), (0, 1), 2, 2,
+                                         npt=True, engine='gridded')
+        with pytest.raises(ValueError, match="total"):
+            npt_loaded.compute_kgrid_sed('xy', (0, 1), (0, 1), 2, 2,
+                                         npt=True,
+                                         polarization='longitudinal')
+        with pytest.raises(ValueError, match="reduced"):
+            npt_loaded.compute_kgrid_sed('xy', (0, 1), (0, 1), 2, 2,
+                                         npt=True, reduced=False)
