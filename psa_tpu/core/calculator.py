@@ -3748,10 +3748,19 @@ class SEDCalculator:
              rescale_factor: Union[str, float] = 1.0, n_recon_frames: int = 100,
              dump_filepath: str = 'iSED_reconstruction.dump',
              plot_dir_ised: Optional[Path] = None, plot_max_freq: Optional[float] = None,
-             plot_theme: str = 'light') -> None:
+             plot_theme: str = 'light', npt: bool = False) -> None:
         """Inverse SED: reconstruct real-space motion of the mode nearest
         (k_target, w_target) and export a LAMMPS dump animation (reference
-        sed_calculator.py:373-589)."""
+        sed_calculator.py:373-589).
+
+        ``npt=True`` (beyond the reference): the path sweeps FRACTIONAL
+        Miller space along ``k_dir_spec`` up to ``bz_cov_ised`` Miller
+        orders, spectra anchor on per-frame fractional coordinates
+        (:meth:`calculate_npt`), and the mode phase is synthesized from
+        2π m·s̄ — so modes picked off an NPT dispersion reconstruct
+        cleanly under cell breathing/drift.  ``k_target`` stays physical
+        (mean-cell |B̄·m| 2π/Å, matching what NPT plots display);
+        ``char_len_k_path`` is ignored (the Miller axis is absolute)."""
         from ..io.writer import out_to_qdump  # local import: io layer sits above core
 
         logger.info("iSED reconstruction starting.")
@@ -3767,16 +3776,33 @@ class SEDCalculator:
             logger.error("iSED aborted: the reconstruction basis resolved to no groups.")
             return
 
-        k_mags_ised, k_vecs_ised = self.get_k_path(direction_spec=k_dir_unit,
-                                                   bz_coverage=bz_cov_ised,
-                                                   n_k=nk_on_path, lat_param=char_len_k_path)
+        if npt:
+            mo = float(bz_cov_ised)
+            m_rows = (k_dir_unit.astype(np.float64)[None, :]
+                      * np.linspace(mo / nk_on_path, mo,
+                                    nk_on_path)[:, None])
+            # validates box_matrices / velocity mode like the other NPT paths
+            k_vecs_ised, _, k_mags_ised = self._npt_k_setup(m_rows)
+        else:
+            k_mags_ised, k_vecs_ised = self.get_k_path(
+                direction_spec=k_dir_unit, bz_coverage=bz_cov_ised,
+                n_k=nk_on_path, lat_param=char_len_k_path)
 
         wiggles = np.zeros((n_recon_frames, n_atoms_total, 4), dtype=np.float32)
         time_p = np.linspace(0, 2 * np.pi, n_recon_frames, endpoint=False).astype(np.float32)
-        pos_proj_k_dir = np.dot(avg_pos, k_dir_unit)
+        if npt:
+            # mode phase 2π m·s̄ = (2π|m|)·(s̄·m̂): fractional projection +
+            # Miller-magnitude wavenumber feed the same synthesis kernel
+            sbar = self._fractional_mean_positions64()
+            pos_proj_k_dir = np.dot(sbar, k_dir_unit.astype(np.float64)
+                                    ).astype(np.float32)
+        else:
+            pos_proj_k_dir = np.dot(avg_pos, k_dir_unit)
 
         k_match_idx = int(np.argmin(np.abs(k_mags_ised - k_target)))
         k_actual = float(k_mags_ised[k_match_idx])
+        k_synth = (float(2.0 * np.pi * np.linalg.norm(m_rows[k_match_idx]))
+                   if npt else k_actual)
         logger.info("iSED matched requested k=%.4f to path point %.4f 2π/Å (index %d)",
                     k_target, k_actual, k_match_idx)
 
@@ -3790,9 +3816,15 @@ class SEDCalculator:
             logger.info("iSED reconstructing group %d of %d — %d atoms, types %s.", i_grp + 1,
                         len(recon_atom_groups), len(grp_atom_idx),
                         np.unique(sys_atom_types[grp_atom_idx]))
-            sed_obj = self.calculate(k_points_mags=k_mags_ised, k_vectors_3d=k_vecs_ised,
-                                     basis_atom_indices=grp_atom_idx, k_grid_shape=None,
-                                     summation_mode='coherent')
+            self._phase_anchor = 'fractional' if npt else 'cartesian'
+            try:
+                sed_obj = self.calculate(k_points_mags=k_mags_ised,
+                                         k_vectors_3d=k_vecs_ised,
+                                         basis_atom_indices=grp_atom_idx,
+                                         k_grid_shape=None,
+                                         summation_mode='coherent')
+            finally:
+                self._phase_anchor = 'cartesian'
             sed_group_data = sed_obj.sed
             freqs_group = sed_obj.freqs
 
@@ -3824,7 +3856,7 @@ class SEDCalculator:
             motion = np.asarray(spectral.synthesize_mode_motion(
                 jnp.asarray(amps.real.astype(np.float32)),
                 jnp.asarray(amps.imag.astype(np.float32)),
-                jnp.asarray(proj_grp), jnp.float32(k_actual), jnp.asarray(time_p)))
+                jnp.asarray(proj_grp), jnp.float32(k_synth), jnp.asarray(time_p)))
             wiggles[:, grp_atom_idx, :3] += motion
 
             recon_done = True

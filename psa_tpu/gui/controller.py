@@ -819,11 +819,21 @@ class AnalysisController:
                          n_k: int = 100, bz_coverage: float = 1.0,
                          rescale: Any = 'auto', n_frames: int = 100,
                          basis_atom_types: Optional[list] = None,
-                         out_dir: Optional[Path] = None) -> Path:
-        """Run iSED at the selected (k, ω); returns the dump path."""
+                         out_dir: Optional[Path] = None,
+                         npt: Optional[bool] = None) -> Path:
+        """Run iSED at the selected (k, ω); returns the dump path.
+
+        ``npt``: None (default) follows the last k-path compute — a mode
+        clicked on an NPT dispersion reconstructs with the fractional
+        anchor (``bz_coverage`` then reads as the max Miller order, like
+        the NPT compute form).  Pass True/False to override."""
         calc = self._require_calc()
         if self.selected_point is None:
             raise RuntimeError("Select a (k, ω) point on the dispersion plot first.")
+        if npt is None:
+            npt = bool(self._kpath_recompute
+                       and self._kpath_recompute.get('npt_k_miller')
+                       is not None)
         k_target, w_target = self.selected_point
         if out_dir is None:
             tmp = tempfile.TemporaryDirectory(prefix='psa_ised_')
@@ -837,7 +847,7 @@ class AnalysisController:
                   bz_cov_ised=bz_coverage, rescale_factor=rescale,
                   n_recon_frames=n_frames,
                   basis_atom_types_ised=basis_atom_types,
-                  dump_filepath=str(dump))
+                  dump_filepath=str(dump), npt=npt)
         self.ised_dump_path = dump
         return dump
 

@@ -293,3 +293,67 @@ class TestNPTSweeps:
         with pytest.raises(ValueError):
             calc.calculate_npt_browse(miller, engine='bogus')
         assert calc._phase_anchor == 'cartesian'
+
+
+class TestNPTiSED:
+    """iSED with the fractional anchor (npt=True): a mode clicked off an
+    NPT dispersion reconstructs its real-space motion from 2π m·s̄."""
+
+    def test_reconstructs_commensurate_mode(self, tmp_path):
+        lam = 1.0 + 0.03 * np.sin(np.linspace(0, 2 * np.pi, 96))
+        traj = _npt_traj(lam, n_frames=96, vel_noise=0.05)
+        calc = SEDCalculator(traj, nx=16, ny=1, nz=1)
+        # physical target: mean-cell |B̄·m| at the ridden m=5, ν=4 THz
+        L_mean = lam.mean() * 16 * 2.5
+        k_target = 2 * np.pi * 5 / L_mean
+        dump = tmp_path / "ised_npt.dump"
+        calc.ised(k_dir_spec=[1, 0, 0], k_target=k_target, w_target=4.0,
+                  char_len_k_path=2.5, nk_on_path=8, bz_cov_ised=8.0,
+                  rescale_factor='auto', n_recon_frames=32,
+                  dump_filepath=str(dump), npt=True)
+        assert calc._phase_anchor == 'cartesian'   # restored
+        from psa_tpu.io.lammps import read_lammps_dump
+        pos, _, _, _, _ = read_lammps_dump(dump, unwrap=False)
+        assert pos.shape == (32, 16, 3)
+        disp = pos[:, :, 0] - pos[:, :, 0].mean(axis=0, keepdims=True)
+        # spatial DFT over the chain: the reconstruction must carry EXACTLY
+        # the m=5 spatial frequency (the synthesized phase is 2π·5·s̄)
+        spec = np.abs(np.fft.fft(disp[0]))
+        assert np.argmax(spec[1:8]) + 1 == 5, spec[:8]
+        # temporal: one full period over the synthesized frames
+        tspec = np.abs(np.fft.fft(disp[:, 3]))
+        assert np.argmax(tspec[1:16]) + 1 == 1, tspec[:6]
+
+    def test_requires_box_matrices(self, small_trajectory, tmp_path):
+        calc = SEDCalculator(small_trajectory, nx=2, ny=2, nz=2)
+        with pytest.raises(ValueError, match="box_matrices"):
+            calc.ised(k_dir_spec='x', k_target=0.5, w_target=1.0,
+                      char_len_k_path=2.5, nk_on_path=4, bz_cov_ised=2.0,
+                      dump_filepath=str(tmp_path / "x.dump"), npt=True)
+
+    def test_gui_autodetects_npt_recompute(self, tmp_path, monkeypatch):
+        from psa_tpu.gui.controller import AnalysisController
+        lam = 1.0 + 0.02 * np.sin(np.linspace(0, 2 * np.pi, 48))
+        traj = _npt_traj(lam, n_frames=48, vel_noise=0.1)
+        ctrl = AnalysisController()
+        ctrl.trajectory = traj
+        ctrl.calculator = SEDCalculator(traj, nx=16, ny=1, nz=1)
+        ctrl.compute_npt_sed('x', n_k=6, max_order=6.0)
+        ctrl.select_nearest(ctrl.sed_result.k_points[4], 4.0)
+        seen = {}
+        real_ised = ctrl.calculator.ised
+
+        def spy(**kw):
+            seen.update(kw)
+            return real_ised(**kw)
+        monkeypatch.setattr(ctrl.calculator, 'ised', spy)
+        ctrl.reconstruct_ised('x', char_len=2.5, n_k=6, bz_coverage=6.0,
+                              n_frames=8, out_dir=tmp_path)
+        assert seen['npt'] is True                 # followed the NPT compute
+        assert (tmp_path / "ised_reconstruction.dump").exists()
+        # fixed-cell compute flips it back off
+        ctrl.compute_kpath_sed('x', n_k=6, bz_coverage=0.5)
+        ctrl.select_nearest(0.3, 2.0)
+        ctrl.reconstruct_ised('x', char_len=2.5, n_k=6, bz_coverage=0.5,
+                              n_frames=8, out_dir=tmp_path)
+        assert seen['npt'] is False
