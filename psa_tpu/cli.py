@@ -320,16 +320,38 @@ def _run_npt_section(calc, npt_cfg, out_dir: Path):
     matplotlib.use('Agg')
     import matplotlib.pyplot as plt
 
+    from .utils.helpers import miller_line
+
+    def path_coord_of(k_mags):
+        # |k| is only a valid x axis when strictly increasing: explicit
+        # k_miller rows in arbitrary order have distinct-but-unsorted
+        # magnitudes, and gouraud pcolormesh would render a folded
+        # surface (ADVICE r4)
+        return k_mags if np.all(np.diff(k_mags) > 0) \
+            else np.arange(len(k_mags), dtype=np.float64)
+
+    def save_heatmap(path_coord, freqs, inten, title, fname):
+        fig, ax = plt.subplots(figsize=(7, 5))
+        pcm = ax.pcolormesh(path_coord, freqs,
+                            np.sqrt(np.maximum(inten, 0.0)),
+                            shading='gouraud', cmap='inferno')
+        fig.colorbar(pcm, ax=ax, label='√I (arb.)')
+        ax.set_xlabel("|k| along path, mean cell (2π/Å)")
+        ax.set_ylabel("ν (THz)")
+        ax.set_title(title)
+        fig.savefig(out_dir / fname, dpi=200, bbox_inches='tight')
+        plt.close(fig)
+
     basis = npt_cfg.get('basis') or {}
     km = npt_cfg.get('k_miller')
     if km is not None:
         m = np.asarray(km, dtype=np.float64)
     else:
-        d = np.asarray(npt_cfg.get('direction') or [1, 0, 0],
-                       dtype=np.float64)
-        n_k = int(npt_cfg.get('n_kpoints') or 50)
-        mo = float(npt_cfg.get('max_order') or 1.0)
-        m = d[None, :] * np.linspace(mo / n_k, mo, n_k)[:, None]
+        m = miller_line(npt_cfg.get('direction') or [1, 0, 0],
+                        int(npt_cfg.get('n_kpoints') or 50),
+                        float(npt_cfg.get('max_order') or 1.0))
+    max_freq = (float(npt_cfg['max_freq'])
+                if npt_cfg.get('max_freq') else None)
     group_kwargs = dict(
         basis_atom_indices=basis.get('atom_indices'),
         basis_atom_types=basis.get('atom_types'),
@@ -337,22 +359,23 @@ def _run_npt_section(calc, npt_cfg, out_dir: Path):
     sweep = npt_cfg.get('sweep', 'full')
     if sweep == 'peaks':
         # on-device dispersion surface: only (freq, height, width) triplets
-        # per k transfer — the batch analog of the GUI peak surface
+        # per k transfer — the batch analog of the GUI peak surface.
+        # max_freq caps the SEARCH (like the GUI path), not just the plot.
         n_peaks = int(npt_cfg.get('n_peaks', 1))
         pf, pi, pw, k_cart = calc.calculate_npt_peaks(m, n_peaks=n_peaks,
+                                                      max_freq=max_freq,
                                                       **group_kwargs)
         k_mags = np.linalg.norm(k_cart, axis=1)
         np.savez(out_dir / "npt_peaks.npz", peak_freqs=pf,
                  peak_intensities=pi, peak_widths=pw, k_miller=m,
                  k_vectors=k_cart, k_mags=k_mags)
-        path_coord = k_mags if np.all(np.diff(k_mags) > 0) \
-            else np.arange(m.shape[0], dtype=np.float64)
+        path_coord = path_coord_of(k_mags)
         fig, ax = plt.subplots(figsize=(7, 5))
         for r in range(n_peaks):
             ax.scatter(path_coord, pf[r], s=12,
                        label=f"peak {r + 1}" if n_peaks > 1 else None)
-        if npt_cfg.get('max_freq'):
-            ax.set_ylim(0, float(npt_cfg['max_freq']))
+        if max_freq is not None:
+            ax.set_ylim(0, max_freq)
         if n_peaks > 1:
             ax.legend()
         ax.set_xlabel("|k| along path, mean cell (2π/Å)")
@@ -367,24 +390,13 @@ def _run_npt_section(calc, npt_cfg, out_dir: Path):
     if sweep == 'browse':
         # device-reduced ω ≥ 0 intensity planes (never the complex spectrum)
         freqs_kept, inten, _, k_cart = calc.calculate_npt_browse(
-            m, max_freq=(float(npt_cfg['max_freq'])
-                         if npt_cfg.get('max_freq') else None),
-            **group_kwargs)
+            m, max_freq=max_freq, **group_kwargs)
         k_mags = np.linalg.norm(k_cart, axis=1)
         np.savez(out_dir / "npt_sed.npz", intensity=inten, freqs=freqs_kept,
                  k_miller=m, k_vectors=k_cart, k_mags=k_mags)
-        path_coord = k_mags if np.all(np.diff(k_mags) > 0) \
-            else np.arange(m.shape[0], dtype=np.float64)
-        fig, ax = plt.subplots(figsize=(7, 5))
-        pcm = ax.pcolormesh(path_coord, freqs_kept,
-                            np.sqrt(np.maximum(inten, 0.0)),
-                            shading='gouraud', cmap='inferno')
-        fig.colorbar(pcm, ax=ax, label='√I (arb.)')
-        ax.set_xlabel("|k| along path, mean cell (2π/Å)")
-        ax.set_ylabel("ν (THz)")
-        ax.set_title("NPT SED (fractional phase anchor, device-reduced)")
-        fig.savefig(out_dir / "npt_sed.png", dpi=200, bbox_inches='tight')
-        plt.close(fig)
+        save_heatmap(path_coord_of(k_mags), freqs_kept, inten,
+                     "NPT SED (fractional phase anchor, device-reduced)",
+                     "npt_sed.png")
         logger.info("NPT SED written: npt_sed.{npz,png} (%d k-points, "
                     "browse sweep)", m.shape[0])
         return
@@ -392,25 +404,12 @@ def _run_npt_section(calc, npt_cfg, out_dir: Path):
     inten = sed.intensity
     freqs = sed.freqs
     keep = freqs >= 0
-    if npt_cfg.get('max_freq'):
-        keep &= freqs <= float(npt_cfg['max_freq'])
+    if max_freq is not None:
+        keep &= freqs <= max_freq
     np.savez(out_dir / "npt_sed.npz", intensity=inten, freqs=freqs,
              k_miller=m, k_vectors=sed.k_vectors, k_mags=sed.k_points)
-    # |k| is only a valid x axis when strictly increasing: explicit k_miller
-    # rows in arbitrary order have distinct-but-unsorted magnitudes, and
-    # gouraud pcolormesh would render a folded surface (ADVICE r4)
-    path_coord = sed.k_points if np.all(np.diff(sed.k_points) > 0) \
-        else np.arange(m.shape[0], dtype=np.float64)
-    fig, ax = plt.subplots(figsize=(7, 5))
-    pcm = ax.pcolormesh(path_coord, freqs[keep],
-                        np.sqrt(np.maximum(inten[keep], 0.0)),
-                        shading='gouraud', cmap='inferno')
-    fig.colorbar(pcm, ax=ax, label='√I (arb.)')
-    ax.set_xlabel("|k| along path, mean cell (2π/Å)")
-    ax.set_ylabel("ν (THz)")
-    ax.set_title("NPT SED (fractional phase anchor)")
-    fig.savefig(out_dir / "npt_sed.png", dpi=200, bbox_inches='tight')
-    plt.close(fig)
+    save_heatmap(path_coord_of(sed.k_points), freqs[keep], inten[keep],
+                 "NPT SED (fractional phase anchor)", "npt_sed.png")
     logger.info("NPT SED written: npt_sed.{npz,png} (%d k-points)",
                 m.shape[0])
 

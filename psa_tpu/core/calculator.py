@@ -29,7 +29,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..ops import instantaneous, spectral
-from ..utils.helpers import DirectionSpec, parse_direction
+from ..utils.helpers import DirectionSpec, miller_line, parse_direction
 from .sed import SED
 from .trajectory import Trajectory
 
@@ -3777,10 +3777,11 @@ class SEDCalculator:
             return
 
         if npt:
-            mo = float(bz_cov_ised)
-            m_rows = (k_dir_unit.astype(np.float64)[None, :]
-                      * np.linspace(mo / nk_on_path, mo,
-                                    nk_on_path)[:, None])
+            # UNNORMALIZED Miller direction (named forms -> integer Miller),
+            # same line construction as the CLI/GUI NPT sweeps
+            m_rows = miller_line(k_dir_spec, nk_on_path,
+                                 float(bz_cov_ised))
+            m_dir = m_rows[-1] / np.linalg.norm(m_rows[-1])
             # validates box_matrices / velocity mode like the other NPT paths
             k_vecs_ised, _, k_mags_ised = self._npt_k_setup(m_rows)
         else:
@@ -3794,8 +3795,7 @@ class SEDCalculator:
             # mode phase 2π m·s̄ = (2π|m|)·(s̄·m̂): fractional projection +
             # Miller-magnitude wavenumber feed the same synthesis kernel
             sbar = self._fractional_mean_positions64()
-            pos_proj_k_dir = np.dot(sbar, k_dir_unit.astype(np.float64)
-                                    ).astype(np.float32)
+            pos_proj_k_dir = np.dot(sbar, m_dir).astype(np.float32)
         else:
             pos_proj_k_dir = np.dot(avg_pos, k_dir_unit)
 
@@ -3865,7 +3865,23 @@ class SEDCalculator:
                     if grp_atom_idx.size > 0 else 0.0
                 max_wiggle_amp_all = max(max_wiggle_amp_all, max_amp_grp)
                 if grp_atom_idx.size > 0:
-                    orig_disp_grp = self.traj.positions[:, grp_atom_idx, :] - avg_pos[None, grp_atom_idx, :]
+                    if npt:
+                        # Cartesian displacement under a breathing cell is
+                        # dominated by the (λ(t)-λ̄)·r drift, not the mode —
+                        # detrend through fractional space and map back
+                        # with the mean cell so 'auto' scales to the
+                        # VIBRATIONAL amplitude like the fixed-cell path.
+                        h = np.asarray(self.traj.box_matrices,
+                                       dtype=np.float64)
+                        s_grp = np.einsum(
+                            'tij,taj->tai', np.linalg.inv(h),
+                            self.traj.positions[:, grp_atom_idx, :
+                                                ].astype(np.float64))
+                        orig_disp_grp = ((s_grp - s_grp.mean(
+                            axis=0, keepdims=True)) @ h.mean(axis=0).T)
+                    else:
+                        orig_disp_grp = (self.traj.positions[:, grp_atom_idx, :]
+                                         - avg_pos[None, grp_atom_idx, :])
                     std_dev_sum += float(np.std(orig_disp_grp)) * len(grp_atom_idx)
                     n_atoms_recon_sum += len(grp_atom_idx)
 

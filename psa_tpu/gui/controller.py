@@ -10,7 +10,9 @@ view that calls into it from worker threads and marshals results back with
 from __future__ import annotations
 
 import ast
+import functools
 import logging
+import threading
 import os
 import tempfile
 from dataclasses import dataclass, field
@@ -25,7 +27,7 @@ from ..core.trajectory import Trajectory
 from ..io.loader import TrajectoryLoader
 from ..ops import spectral
 from ..ops.instantaneous import commensurate_kpath
-from ..utils.helpers import parse_direction
+from ..utils.helpers import miller_line
 
 logger = logging.getLogger(__name__)
 
@@ -159,6 +161,22 @@ def apply_scale(values: np.ndarray, scale: str) -> np.ndarray:
     return values
 
 
+def _serialized(fn):
+    """Serialize compute entry points on the controller's lock.
+
+    The GUI runs computes on worker threads while every button stays
+    clickable; the calculator carries per-sweep mutable state (the NPT
+    fractional phase anchor, device-LRU bookkeeping), so two concurrent
+    sweeps on one calculator could interleave anchor set/reset and produce
+    silently wrong spectra.  One lock per controller makes concurrent
+    clicks queue instead."""
+    @functools.wraps(fn)
+    def wrapper(self, *args, **kwargs):
+        with self._compute_lock:
+            return fn(self, *args, **kwargs)
+    return wrapper
+
+
 class AnalysisController:
     """Holds the loaded trajectory, calculator, and computed results."""
 
@@ -172,6 +190,7 @@ class AnalysisController:
         #: display≡full contracts hold bit-for-bit out of the box).
         self.readback_dtype: str = os.environ.get(
             'PSA_DISPLAY_READBACK', 'float32')
+        self._compute_lock = threading.Lock()
         self.trajectory: Optional[Trajectory] = None
         self.calculator: Optional[SEDCalculator] = None
         self.sed_result: Optional[SED] = None          # k-path result
@@ -228,6 +247,7 @@ class AnalysisController:
 
     # -- k-path SED (reference psa_gui.py:923-1013) --------------------------
 
+    @_serialized
     def compute_kpath_sed(self, direction_text: str, n_k: int, bz_coverage: float,
                           lattice_param: Optional[float] = None,
                           basis_atom_types: Optional[list] = None,
@@ -321,6 +341,7 @@ class AnalysisController:
         self.last_compute = 'kpath'
         return sed
 
+    @_serialized
     def compute_npt_sed(self, direction_text: str, n_k: int,
                         max_order: float = 1.0,
                         basis_atom_types: Optional[list] = None,
@@ -351,8 +372,6 @@ class AnalysisController:
             raise RuntimeError(
                 "NPT SED needs per-frame cells: load an NPT dump whose "
                 "reader fills Trajectory.box_matrices (LAMMPS/H5MD do).")
-        if not np.isfinite(max_order) or max_order <= 0:
-            raise ValueError(f"max_order must be > 0, got {max_order!r}")
         if chiral and summation_mode != 'coherent':
             logger.info("Chiral analysis requires coherent summation; "
                         "forcing coherent.")
@@ -360,16 +379,11 @@ class AnalysisController:
         if chiral and welch_segments:
             raise ValueError("Chiral analysis needs complex spectra; "
                              "disable Welch averaging.")
-        # same free-form direction entry as the fixed-cell k-path, resolved
-        # to a unit Miller axis; max_order then scales it (so '[2,0,0]'
-        # and 'x' sweep the same line)
-        d = parse_direction(parse_direction_input(direction_text)
-                            ).astype(np.float64)
-        n_k = int(n_k)
-        if n_k < 1:
-            raise ValueError(f"n_k must be >= 1, got {n_k}")
-        m = d[None, :] * np.linspace(max_order / n_k, max_order,
-                                     n_k)[:, None]
+        # free-form direction entry resolved to an UNNORMALIZED Miller
+        # vector ('xy' -> [1,1,0], '[2,0,0]' raw) so integer multiples stay
+        # box-commensurate — identical to the CLI npt.direction semantics
+        m = miller_line(parse_direction_input(direction_text), n_k,
+                        max_order)
         if reduced:
             freqs, intensity, phase, k_cart = calc.calculate_npt_browse(
                 m, basis_atom_types=basis_atom_types,
@@ -392,11 +406,13 @@ class AnalysisController:
         self._kpath_reduced = not sed.is_complex
         self._kpath_recompute = dict(
             npt_k_miller=m, basis_atom_types=basis_atom_types,
-            summation_mode=summation_mode)
+            summation_mode=summation_mode, chiral=chiral,
+            chiral_axis=chiral_axis, angle_range_opt=angle_range_opt)
         self.selected_point = None
         self.last_compute = 'kpath'
         return sed
 
+    @_serialized
     def compute_kpath_dsf(self, direction_text: str, n_k: int,
                           bz_coverage: float,
                           lattice_param: Optional[float] = None,
@@ -452,6 +468,7 @@ class AnalysisController:
                 sed.sed[:, :, c1], sed.sed[:, :, c2], angle_range_opt)
         return sed
 
+    @_serialized
     def full_kpath_sed(self) -> SED:
         """The k-path SED WITH complex amplitudes, for .npy export.
 
@@ -466,7 +483,16 @@ class AnalysisController:
         rc = dict(self._kpath_recompute)
         m = rc.pop('npt_k_miller', None)
         if m is not None:
-            return self._require_calc().calculate_npt(m, **rc)
+            calc = self._require_calc()
+            chiral = rc.pop('chiral', False)
+            chiral_axis = rc.pop('chiral_axis', 'z')
+            angle_opt = rc.pop('angle_range_opt', 'C')
+            sed = calc.calculate_npt(m, **rc)
+            if chiral and sed.is_complex:   # same contract as fixed-cell
+                c1, c2 = CHIRAL_AXIS_COMPONENTS[chiral_axis]
+                sed.phase = calc.calculate_chiral_phase(
+                    sed.sed[:, :, c1], sed.sed[:, :, c2], angle_opt)
+            return sed
         return self._full_kpath_calculate(**rc)
 
     def kpath_plot_arrays(self, scale: str = 'dsqrt', max_freq: Optional[float] = None,
@@ -520,6 +546,7 @@ class AnalysisController:
             raise ValueError("NPT grids run on the direct engine (the "
                              "NUFFT plan assumes a fixed Cartesian cell).")
 
+    @_serialized
     def compute_kgrid_sed(self, plane: str, k_range_1: Tuple[float, float],
                           k_range_2: Tuple[float, float], n_k1: int, n_k2: int,
                           k_fixed: float = 0.0, max_freq: Optional[float] = None,
@@ -672,6 +699,7 @@ class AnalysisController:
         self.last_compute = 'browse'
         return self.kgrid
 
+    @_serialized
     def compute_kgrid_peaks(self, plane: str, k_range_1: Tuple[float, float],
                             k_range_2: Tuple[float, float], n_k1: int,
                             n_k2: int, k_fixed: float = 0.0, n_peaks: int = 1,
@@ -735,6 +763,7 @@ class AnalysisController:
         self.last_compute = 'peaks'
         return self.kgrid_peaks
 
+    @_serialized
     def compute_liquid_curve(self, kind: str, direction_text: str = 'x',
                              n_k: int = 50, bz_coverage: float = 1.0,
                              lattice_param: Optional[float] = None,
@@ -805,6 +834,7 @@ class AnalysisController:
         self.last_compute = 'liquid'
         return x, curves, xlabel, ylabel
 
+    @_serialized
     def compute_dos(self, basis_atom_types: Optional[list] = None,
                     max_freq: Optional[float] = None):
         """(freqs, dos (n_groups, n_keep)) — on-device vibrational DOS,
@@ -815,6 +845,7 @@ class AnalysisController:
 
     # -- iSED (reference psa_gui.py:1265-1368) -------------------------------
 
+    @_serialized
     def reconstruct_ised(self, direction_text: str, char_len: float,
                          n_k: int = 100, bz_coverage: float = 1.0,
                          rescale: Any = 'auto', n_frames: int = 100,
@@ -825,15 +856,28 @@ class AnalysisController:
 
         ``npt``: None (default) follows the last k-path compute — a mode
         clicked on an NPT dispersion reconstructs with the fractional
-        anchor (``bz_coverage`` then reads as the max Miller order, like
-        the NPT compute form).  Pass True/False to override."""
+        anchor, AND the Miller path range widens to at least the computed
+        sweep's (the reconstruction tab's separate BZ-coverage default of
+        1.0 would otherwise silently snap a clicked m=3 mode to the path
+        end).  Pass True/False to override the detection; an explicit
+        True keeps ``bz_coverage`` as given (max Miller order)."""
         calc = self._require_calc()
         if self.selected_point is None:
             raise RuntimeError("Select a (k, ω) point on the dispersion plot first.")
         if npt is None:
-            npt = bool(self._kpath_recompute
-                       and self._kpath_recompute.get('npt_k_miller')
-                       is not None)
+            stored = (self._kpath_recompute or {}).get('npt_k_miller')
+            npt = stored is not None
+            if npt:
+                d = miller_line(parse_direction_input(direction_text), 1,
+                                1.0)[0]
+                mo_seen = (float(np.linalg.norm(stored[-1]))
+                           / float(np.linalg.norm(d)))
+                if mo_seen > bz_coverage:
+                    logger.info("iSED auto-NPT: widening the Miller path "
+                                "to the computed sweep's max order %.3g "
+                                "(recon field had %.3g).",
+                                mo_seen, bz_coverage)
+                    bz_coverage = mo_seen
         k_target, w_target = self.selected_point
         if out_dir is None:
             tmp = tempfile.TemporaryDirectory(prefix='psa_ised_')

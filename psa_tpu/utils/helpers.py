@@ -117,6 +117,76 @@ def parse_direction(direction_spec: DirectionSpec) -> np.ndarray:
     return (vec / norm_val).astype(np.float32)
 
 
+# Named directions as INTEGER Miller vectors (unnormalized) — the NPT
+# family sweeps fractional Miller space, where m = [1,1,0] is a
+# box-commensurate mode but the unit vector [0.707, 0.707, 0] is not.
+_NAMED_MILLER: Dict[str, List[int]] = {
+    'x': [1, 0, 0], 'y': [0, 1, 0], 'z': [0, 0, 1],
+    'xy': [1, 1, 0], 'yx': [1, 1, 0],
+    'xz': [1, 0, 1], 'zx': [1, 0, 1],
+    'yz': [0, 1, 1], 'zy': [0, 1, 1],
+    'xyz': [1, 1, 1],
+    '100': [1, 0, 0], '010': [0, 1, 0], '001': [0, 0, 1],
+    '110': [1, 1, 0], '111': [1, 1, 1],
+}
+
+
+def parse_miller_direction(direction_spec: DirectionSpec) -> np.ndarray:
+    """Direction spec -> UNNORMALIZED Miller vector, float64 (3,).
+
+    The NPT-family analog of :func:`parse_direction`: named directions map
+    to their integer Miller vectors ('xy' -> [1,1,0], not [0.707, ...]),
+    and explicit vectors / Miller dicts pass through RAW — so integer
+    multiples of the direction stay box-commensurate, matching the CLI
+    ``npt.direction`` semantics.  Angle forms (no integer Miller analog)
+    fall back to the unit vector of :func:`parse_direction`.
+    """
+    if isinstance(direction_spec, str):
+        name = direction_spec.lower()
+        if name in _NAMED_MILLER:
+            return np.asarray(_NAMED_MILLER[name], dtype=np.float64)
+        parts = direction_spec.replace(',', ' ').split()
+        if len(parts) == 3:
+            try:
+                vec = np.array([float(p) for p in parts], dtype=np.float64)
+            except ValueError:
+                vec = None
+            if vec is not None:
+                if np.allclose(vec, 0, atol=1e-12):
+                    raise ValueError("Direction resolves to the zero "
+                                     "vector.")
+                return vec
+    elif isinstance(direction_spec, (list, tuple, np.ndarray)):
+        arr = np.asarray(direction_spec, dtype=np.float64).squeeze()
+        if arr.ndim == 1 and arr.size == 3:
+            if np.allclose(arr, 0, atol=1e-12):
+                raise ValueError("Direction resolves to the zero vector.")
+            return arr
+    elif isinstance(direction_spec, dict) and any(
+            k in direction_spec for k in ('h', 'k', 'l')):
+        vec = np.array([float(direction_spec.get(c, 0.0))
+                        for c in ('h', 'k', 'l')], dtype=np.float64)
+        if np.allclose(vec, 0, atol=1e-12):
+            raise ValueError("Direction resolves to the zero vector.")
+        return vec
+    return parse_direction(direction_spec).astype(np.float64)
+
+
+def miller_line(direction: DirectionSpec, n_k: int,
+                max_order: float) -> np.ndarray:
+    """(n_k, 3) Miller rows d·(max_order/n_k .. max_order) — the ONE
+    construction of the NPT k-path, shared by the CLI section, the GUI
+    controller, and iSED so the three surfaces cannot diverge."""
+    n_k = int(n_k)
+    if n_k < 1:
+        raise ValueError(f"n_k must be >= 1, got {n_k}")
+    if not np.isfinite(max_order) or max_order <= 0:
+        raise ValueError(f"max_order must be > 0, got {max_order!r}")
+    d = parse_miller_direction(direction)
+    return d[None, :] * np.linspace(max_order / n_k, max_order,
+                                    n_k)[:, None]
+
+
 def direction_label(direction_spec: DirectionSpec, index: int = 0) -> str:
     """Filesystem-safe label for a direction spec (used in cache/plot filenames).
 

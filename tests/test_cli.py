@@ -524,3 +524,48 @@ def test_cli_npt_sweep_forms(tmp_path):
         with pytest.raises(SystemExit):
             main(['--trajectory', str(dump), '--config', str(cfg),
                   '--output-dir', str(tmp_path / "o")])
+
+
+def test_cli_npt_peaks_max_freq_caps_search(tmp_path):
+    """npt.sweep='peaks' with max_freq must cap the peak SEARCH (like the
+    GUI path), not just the plot ylim — a strong out-of-band line must not
+    win the ranking."""
+    n_at, n_frames, a = 12, 64, 2.5
+    L0 = n_at * a
+    lam = 1.0 + 0.01 * np.sin(2 * np.pi * np.arange(n_frames) / n_frames)
+    x_frac = (np.arange(n_at) + 0.5) / n_at
+    tt = np.arange(n_frames) * 0.02
+    # weak in-band mode + STRONG out-of-band artifact, both FFT-bin-aligned
+    # (64 frames x 0.02 ps -> 0.78125 THz bins) so sinc leakage can't
+    # swamp the in-band ranking
+    nu_mode, nu_artifact = 3 * 0.78125, 13 * 0.78125     # 2.34, 10.16 THz
+    vel = (0.05 * np.cos(2 * np.pi * (3 * x_frac[None, :]
+                                      - nu_mode * tt[:, None]))
+           + 1.0 * np.cos(2 * np.pi * nu_artifact * tt)[:, None])
+    dump = tmp_path / "npt.dump"
+    with open(dump, "w") as f:
+        for t in range(n_frames):
+            L = lam[t] * L0
+            f.write(f"ITEM: TIMESTEP\n{t}\nITEM: NUMBER OF ATOMS\n{n_at}\n")
+            f.write("ITEM: BOX BOUNDS pp pp pp\n")
+            f.write(f"0.0 {L:.6f}\n0.0 10.0\n0.0 10.0\n")
+            f.write("ITEM: ATOMS id type x y z vx vy vz\n")
+            for i in range(n_at):
+                f.write(f"{i + 1} 1 {L * x_frac[i]:.6f} 1.0 1.0 "
+                        f"{vel[t, i]:.6f} 0.0 0.0\n")
+    cfg = tmp_path / "config.yaml"
+    cfg.write_text(yaml.dump({
+        'md_system': {'dt': 0.02, 'nx': n_at, 'ny': 1, 'nz': 1,
+                      'lattice_parameter': a},
+        'sed_calculation': {'directions': ['x'], 'n_kpoints': 4,
+                            'bz_coverage': 0.5},
+        'npt': {'apply': True, 'direction': [1, 0, 0], 'n_kpoints': 6,
+                'sweep': 'peaks', 'max_freq': 5.0},
+    }))
+    out = tmp_path / "out"
+    main(['--trajectory', str(dump), '--config', str(cfg),
+          '--output-dir', str(out)])
+    pk = np.load(out / "npt_peaks.npz")
+    assert np.all(pk['peak_freqs'] <= 5.0 + 1e-6), pk['peak_freqs']
+    # the capped search recovers the in-band mode at m=3
+    assert abs(pk['peak_freqs'][0, 2] - 2.34375) < 0.5, pk['peak_freqs']

@@ -97,3 +97,46 @@ def test_validate_array_shape():
 ])
 def test_direction_label(spec, label):
     assert direction_label(spec) == label
+
+
+class TestMillerDirection:
+    """NPT-family direction parsing: UNNORMALIZED Miller vectors (the unit
+    vector of [1,1,0] is not box-commensurate; the integer vector is)."""
+
+    def test_named_forms_are_integer_miller(self):
+        from psa_tpu.utils.helpers import parse_miller_direction
+        np.testing.assert_array_equal(parse_miller_direction('xy'),
+                                      [1, 1, 0])
+        np.testing.assert_array_equal(parse_miller_direction('110'),
+                                      [1, 1, 0])
+        np.testing.assert_array_equal(parse_miller_direction('xyz'),
+                                      [1, 1, 1])
+        np.testing.assert_array_equal(parse_miller_direction('x'),
+                                      [1, 0, 0])
+
+    def test_vectors_and_dicts_pass_raw(self):
+        from psa_tpu.utils.helpers import parse_miller_direction
+        np.testing.assert_array_equal(parse_miller_direction([2, 0, 0]),
+                                      [2, 0, 0])
+        np.testing.assert_array_equal(parse_miller_direction("1, 1, 0"),
+                                      [1, 1, 0])
+        np.testing.assert_array_equal(
+            parse_miller_direction({'h': 3, 'k': 0, 'l': 1}), [3, 0, 1])
+
+    def test_zero_rejected_angle_falls_back(self):
+        from psa_tpu.utils.helpers import parse_miller_direction
+        with pytest.raises(ValueError):
+            parse_miller_direction([0, 0, 0])
+        v = parse_miller_direction(90.0)        # angle: unit-vector fallback
+        np.testing.assert_allclose(v, [0, 1, 0], atol=1e-7)
+
+    def test_miller_line_shared_construction(self):
+        from psa_tpu.utils.helpers import miller_line
+        m = miller_line('xy', 4, 4.0)
+        np.testing.assert_allclose(m[:, 0], [1, 2, 3, 4])
+        np.testing.assert_allclose(m[:, 1], [1, 2, 3, 4])
+        np.testing.assert_allclose(m[:, 2], 0)
+        with pytest.raises(ValueError):
+            miller_line('x', 0, 1.0)
+        with pytest.raises(ValueError):
+            miller_line('x', 4, -1.0)

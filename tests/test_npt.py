@@ -357,3 +357,101 @@ class TestNPTiSED:
         ctrl.reconstruct_ised('x', char_len=2.5, n_k=6, bz_coverage=0.5,
                               n_frames=8, out_dir=tmp_path)
         assert seen['npt'] is False
+
+
+class TestReviewFixes:
+    """Round-5 self-review regressions: GUI/CLI Miller consistency, NPT
+    chiral export, drift-proof auto-rescale, auto-iSED path widening,
+    serialized GUI computes."""
+
+    @pytest.fixture
+    def ctrl(self):
+        from psa_tpu.gui.controller import AnalysisController
+        lam = 1.0 + 0.02 * np.sin(np.linspace(0, 2 * np.pi, 48))
+        traj = _npt_traj(lam, n_frames=48, vel_noise=0.1)
+        c = AnalysisController()
+        c.trajectory = traj
+        c.calculator = SEDCalculator(traj, nx=16, ny=1, nz=1)
+        return c
+
+    def test_gui_diagonal_direction_stays_commensurate(self, ctrl):
+        """'xy' must sweep integer-multiple Miller rows [m,m,0] — the unit
+        vector [0.707, ...] would miss every box-commensurate mode."""
+        ctrl.compute_npt_sed('xy', n_k=3, max_order=3.0)
+        m = ctrl._kpath_recompute['npt_k_miller']
+        np.testing.assert_allclose(m, [[1, 1, 0], [2, 2, 0], [3, 3, 0]])
+
+    def test_npt_chiral_survives_export_recompute(self, ctrl):
+        sed = ctrl.compute_npt_sed('x', n_k=4, max_order=4.0, chiral=True)
+        assert sed.phase is not None
+        full = ctrl.full_kpath_sed()
+        assert full.is_complex and full.phase is not None
+        mask = full.freqs >= 0
+        np.testing.assert_allclose(sed.phase, full.phase[mask], atol=1e-5)
+
+    def test_auto_rescale_ignores_cell_drift(self, tmp_path):
+        """±3% breathing on a long box: Cartesian drift std is ~100× the
+        mode amplitude; 'auto' must scale to the VIBRATION, not the
+        drift."""
+        lam = 1.0 + 0.03 * np.sin(np.linspace(0, 2 * np.pi, 96))
+        traj = _npt_traj(lam, n_cells=32, n_frames=96, vel_noise=0.0)
+        calc = SEDCalculator(traj, nx=32, ny=1, nz=1)
+        # true vibrational scale: fractional detrended displacement
+        h = traj.box_matrices.astype(np.float64)
+        s = np.einsum('tij,taj->tai', np.linalg.inv(h),
+                      traj.positions.astype(np.float64))
+        vib_std = np.std((s - s.mean(axis=0)) @ h.mean(axis=0).T)
+        drift_std = np.std(traj.positions
+                           - traj.positions.mean(axis=0, keepdims=True))
+        assert drift_std > 10 * vib_std      # the trap is real
+        L_mean = lam.mean() * 32 * 2.5
+        dump = tmp_path / "auto.dump"
+        calc.ised(k_dir_spec='x', k_target=2 * np.pi * 5 / L_mean,
+                  w_target=4.0, char_len_k_path=2.5, nk_on_path=8,
+                  bz_cov_ised=8.0, rescale_factor='auto',
+                  n_recon_frames=16, dump_filepath=str(dump), npt=True)
+        from psa_tpu.io.lammps import read_lammps_dump
+        pos, _, _, _, _ = read_lammps_dump(dump, unwrap=False)
+        amp = np.abs(pos - pos.mean(axis=0, keepdims=True)).max()
+        assert amp < 10 * vib_std, (amp, vib_std, drift_std)
+
+    def test_auto_ised_widens_miller_path(self, ctrl, tmp_path):
+        """Clicking m=5 on an NPT dispersion must reconstruct m=5 even
+        with the recon tab's BZ-coverage field left at its 1.0 default."""
+        ctrl.compute_npt_sed('x', n_k=8, max_order=8.0)
+        ctrl.select_nearest(ctrl.sed_result.k_points[4], 4.0)   # m=5
+        ctrl.reconstruct_ised('x', char_len=2.5, n_k=8,
+                              bz_coverage=1.0, n_frames=8,
+                              out_dir=tmp_path)
+        from psa_tpu.io.lammps import read_lammps_dump
+        pos, _, _, _, _ = read_lammps_dump(
+            tmp_path / "ised_reconstruction.dump", unwrap=False)
+        disp = pos[:, :, 0] - pos[:, :, 0].mean(axis=0, keepdims=True)
+        spec = np.abs(np.fft.fft(disp[0]))
+        assert np.argmax(spec[1:8]) + 1 == 5, spec[:8]
+
+    def test_concurrent_computes_serialize(self, ctrl):
+        """The controller lock: an NPT sweep (fractional anchor) racing a
+        fixed-cell sweep must produce the same spectra as serial runs."""
+        import threading
+        kv = (2 * np.pi / (16 * 2.5)) * np.arange(1, 5, dtype=np.float64)
+        expect_npt = ctrl.compute_npt_sed('x', n_k=4, max_order=4.0).sed
+        expect_fix = ctrl.compute_kpath_sed('x', n_k=8,
+                                            bz_coverage=0.5).sed
+        results = {}
+
+        def run_npt():
+            results['npt'] = ctrl.compute_npt_sed('x', n_k=4,
+                                                  max_order=4.0).sed
+
+        def run_fix():
+            results['fix'] = ctrl.compute_kpath_sed('x', n_k=8,
+                                                    bz_coverage=0.5).sed
+        for _ in range(3):
+            t1 = threading.Thread(target=run_npt)
+            t2 = threading.Thread(target=run_fix)
+            t1.start(); t2.start(); t1.join(); t2.join()
+            np.testing.assert_allclose(results['npt'], expect_npt,
+                                       rtol=1e-6)
+            np.testing.assert_allclose(results['fix'], expect_fix,
+                                       rtol=1e-6)
