@@ -16,6 +16,16 @@ own cache key does not include the host, so we key the directory instead:
 architecture, the CPU feature flags, and the jax/jaxlib versions.  A
 cache written on one machine is simply never visible on another.
 
+Residual known-benign noise: XLA's ``cpu_aot_loader`` may still print a
+"machine type ... doesn't match" error when reloading a big CPU program ON
+THE SAME MACHINE, because the compile-time feature list includes XLA's own
+codegen-preference pseudo-features (``+prefer-no-gather``,
+``+prefer-no-scatter``) that the host-side check cannot enumerate.
+Verified (round 5): diffing the two lists in such a warning shows the
+pseudo-features as the ONLY delta — identical real ISA, no SIGILL risk.
+A warning listing real ISA deltas (e.g. missing ``+amx-*``) would mean the
+fingerprint failed; that is the case worth investigating.
+
 Called once at ``psa_tpu`` import.  Opt out with ``PSA_TPU_NO_COMPILE_CACHE=1``;
 point the cache elsewhere with ``PSA_TPU_COMPILE_CACHE_DIR`` (default
 ``~/.cache/psa_tpu/xla``; the fingerprint subdirectory is appended either
